@@ -1,0 +1,61 @@
+"""Extraction result model shared by the golden oracle and Ray stages.
+
+One ``ExtractResult`` per document row; the engine carries failures
+in-band (``status`` / ``error`` columns) instead of raising — the
+generalization of the reference's per-file try/except accumulation
+(conversor_bbmod1.py:154-169): a malformed payload must never fail a
+10^12-row job.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+
+@dataclass
+class Record:
+    """Logical output row, mirroring the reference's transaction record
+    shape {Data, Lançamento/Histórico, Valor, [Documento]}
+    (conversor_bbmod1.py:93-97, conversor_santander.py:48)."""
+
+    date: str
+    description: str
+    amount: Optional[float]
+    doc: str = ""
+
+
+@dataclass
+class ExtractResult:
+    extracted_text: str = ""
+    spans: List[dict] = field(default_factory=list)  # {start,end,kind}
+    records: List[Record] = field(default_factory=list)
+    status: str = "ok"  # ok | empty | error
+    error: Optional[str] = None
+
+
+def render_records(
+    rows: List[tuple],
+    kinds: tuple = ("date", "description", "amount"),
+) -> ExtractResult:
+    """Render records to the canonical ``extracted_text`` and spans.
+
+    Canonical form: one line per record, fields joined with ';' —
+    the reference's universal CSV shape (sep=';', e.g.
+    conversor_santander.py:161). ``rows`` are tuples of string fields
+    aligned with ``kinds``; byte-identity of this rendering is the
+    parity target.
+    """
+    lines = []
+    spans: List[dict] = []
+    offset = 0
+    for row in rows:
+        line = ";".join(row)
+        pos = offset
+        for kind, fieldval in zip(kinds, row):
+            spans.append({"start": pos, "end": pos + len(fieldval), "kind": kind})
+            pos += len(fieldval) + 1  # skip ';'
+        offset += len(line) + 1  # '\n'
+        lines.append(line)
+    res = ExtractResult(extracted_text="\n".join(lines), spans=spans)
+    return res

@@ -1,0 +1,138 @@
+"""Warm extraction actor — the stateful stage of SURVEY §2.7.
+
+The reference re-opens its parser libraries per document
+(conversor_bbmod1.py:52, conversor_itau.py:101); here the compiled
+regex packs, HTML parsers and the strategy registry are process-warm:
+imported once when the actor starts, reused for every batch. Run it as
+
+    ds.map_batches(WarmExtractor, concurrency=(m, n), batch_size=B,
+                   batch_format="pyarrow", zero_copy_batch=True)
+
+Batches arrive as zero-copy Arrow tables; per-document parsing is
+inherently row-sequential (carried scan state is row-scoped, SURVEY
+§2.7), so the batch loop iterates documents while batch assembly uses
+flat Arrow builders (offset + struct arrays) — never
+``from_pylist`` over nested dicts, which costs more than the parse
+itself.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from pdf_table_extractor_ray.schemas import EXTRACTED_SCHEMA, RECORD_TYPE, SPAN_TYPE
+from pdf_table_extractor_ray.stages.registry import STRATEGIES, detect_format, extract_document
+from pdf_table_extractor_ray.stages.result import ExtractResult
+
+
+class WarmExtractor:
+    """Callable-class stage: detection + strategy execution with
+    in-band fault capture. ``strategy_key`` pins a single strategy
+    (≈ the reference user picking a bank, Conversor.py:153-174);
+    default is per-row content detection."""
+
+    def __init__(self, strategy_key: Optional[str] = None):
+        if strategy_key is not None and strategy_key not in STRATEGIES:
+            raise KeyError(f"unknown strategy {strategy_key!r}")
+        self.strategy_key = strategy_key
+        # touch the registry so all strategy modules (and their compiled
+        # regexes) are resident before the first batch
+        self._strategies = STRATEGIES
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        urls = batch.column("url").to_pylist()
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist()
+        has_keys = "part_id" in batch.column_names
+        part_ids = batch.column("part_id") if has_keys else pa.nulls(n, pa.int32())
+        size_classes = batch.column("size_class") if has_keys else pa.nulls(n, pa.int32())
+
+        strategy_out, text_out = [], []
+        n_records, n_chars, status_out, error_out = [], [], [], []
+        span_offsets = [0]
+        span_start, span_end, span_kind = [], [], []
+        rec_offsets = [0]
+        rec_date, rec_desc, rec_amount, rec_doc = [], [], [], []
+
+        for url, html, text in zip(urls, htmls, texts):
+            doc = {"url": url, "html": html, "text": text}
+            if self.strategy_key is None:
+                key, res = extract_document(doc)
+            else:
+                key = self.strategy_key
+                try:
+                    res = self._strategies[key](doc)
+                except Exception as exc:  # noqa: BLE001 — in-band faults
+                    res = ExtractResult(status="error", error=f"{type(exc).__name__}: {exc}")
+
+            strategy_out.append(key)
+            text_out.append(res.extracted_text)
+            n_records.append(len(res.records))
+            n_chars.append(len(res.extracted_text))
+            status_out.append(res.status)
+            error_out.append(res.error)
+            for s in res.spans:
+                span_start.append(s["start"])
+                span_end.append(s["end"])
+                span_kind.append(s["kind"])
+            span_offsets.append(len(span_start))
+            for r in res.records:
+                rec_date.append(r.date)
+                rec_desc.append(r.description)
+                rec_amount.append(r.amount)
+                rec_doc.append(r.doc)
+            rec_offsets.append(len(rec_date))
+
+        spans_arr = pa.ListArray.from_arrays(
+            pa.array(span_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(span_start, pa.int64()),
+                    pa.array(span_end, pa.int64()),
+                    pa.array(span_kind, pa.string()),
+                ],
+                fields=list(SPAN_TYPE),
+            ),
+        )
+        records_arr = pa.ListArray.from_arrays(
+            pa.array(rec_offsets, pa.int32()),
+            pa.StructArray.from_arrays(
+                [
+                    pa.array(rec_date, pa.string()),
+                    pa.array(rec_desc, pa.string()),
+                    pa.array(rec_amount, pa.float64()),
+                    pa.array(rec_doc, pa.string()),
+                ],
+                fields=list(RECORD_TYPE),
+            ),
+        )
+        return pa.Table.from_arrays(
+            [
+                batch.column("url"),
+                pa.array(strategy_out, pa.string()),
+                pa.array(text_out, pa.string()),
+                spans_arr,
+                records_arr,
+                pa.array(n_records, pa.int64()),
+                pa.array(n_chars, pa.int64()),
+                pa.array(status_out, pa.string()),
+                pa.array(error_out, pa.string()),
+                part_ids,
+                size_classes,
+            ],
+            schema=EXTRACTED_SCHEMA,
+        )
+
+
+class DetectOnly:
+    """Cheap format-sniff stage: adds a ``strategy`` column without
+    extracting — used when routing to per-strategy pools."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        texts = batch.column("text").to_pylist()
+        keys = [detect_format(h, t) or "unknown" for h, t in zip(htmls, texts)]
+        return batch.append_column("strategy", pa.array(keys, pa.string()))
