@@ -1,0 +1,242 @@
+"""Similarity search over an embedding column (list<float>).
+
+- Brute-force cosine top-k: the baseline — query matrix broadcast once
+  via ``ray.put``, per-batch numpy matmul partial top-k, small-key
+  groupby merge. Scales as a single pass over the corpus.
+- LSH-bucketed variant: random-hyperplane signatures route rows to
+  buckets; only matching buckets are scanned — the 100-TB path when a
+  full pass per query set is too expensive.
+- Embedding near-dup: bucketed pairwise cosine ≥ threshold.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _matrix(batch_col) -> np.ndarray:
+    arr = batch_col.combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = np.asarray(arr.flatten(), dtype=np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+def knn_bruteforce(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Top-k cosine neighbors for each query vector.
+
+    Returns (query_id, rank, vec_id, score) — deterministic tiebreak by
+    (−score, vec_id). The query matrix ships to every task through one
+    ``ray.put`` object (broadcast), never per batch.
+    """
+    qn = _normalize(np.asarray(query_vecs, np.float64))
+    q_ref = ray.put(qn)
+    qid_ref = ray.put(np.asarray(query_ids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        qids = ray.get(qid_ref)
+        m = _matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if m.shape[0] == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "score"],
+            )
+        scores = _normalize(m) @ q.T  # (n, Q)
+        kk = min(k, scores.shape[0])
+        # per-query partial top-k inside the batch
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()), pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        qid = group.column("query_id")[0].as_py()
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array([qid] * len(order), pa.int64()),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order], pa.int64()),
+                pa.array(s[order], pa.float64()),
+            ],
+            names=["query_id", "rank", "vec_id", "score"],
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN
+
+N_PLANES = 12  # 4096 buckets
+
+
+def _planes(dim: int, seed: int = 11) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((N_PLANES, dim))
+
+
+def _bucket_of(m: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    bits = (m @ planes.T) > 0
+    return (bits.astype(np.uint32) << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
+
+
+def knn_lsh(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> "ray.data.Dataset":
+    """Approximate top-k: scan only rows whose hyperplane bucket matches
+    a query bucket. Recall < 1 by design; the scale path."""
+    q = np.asarray(query_vecs, np.float64)
+    planes = _planes(q.shape[1])
+    q_buckets = set(_bucket_of(_normalize(q), planes).tolist())
+    qn_ref = ray.put(_normalize(q))
+    qid_ref = ray.put(np.asarray(query_ids))
+    bucket_ref = ray.put(q_buckets)
+    planes_ref = ray.put(planes)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+        if m.shape[0] == 0:
+            return empty
+        mn = _normalize(m)
+        buckets = _bucket_of(mn, ray.get(planes_ref))
+        mask = np.isin(buckets, list(ray.get(bucket_ref)))
+        if not mask.any():
+            return empty
+        mn, ids = mn[mask], ids[mask]
+        qn, qids = ray.get(qn_ref), ray.get(qid_ref)
+        scores = mn @ qn.T
+        kk = min(k, scores.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()), pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        qid = group.column("query_id")[0].as_py()
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array([qid] * len(order), pa.int64()),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order], pa.int64()),
+                pa.array(s[order], pa.float64()),
+            ],
+            names=["query_id", "rank", "vec_id", "score"],
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def embedding_dup_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Embedding-cosine near-dup pairs via hyperplane bucketing +
+    within-bucket pairwise cosine."""
+
+    planes_holder = {}
+
+    def to_buckets(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.uint32()), pa.array([], pa.int64()),
+                 pa.array([], pa.list_(pa.float64()))],
+                names=["bucket", id_col, "vec"],
+            )
+        if "p" not in planes_holder:
+            planes_holder["p"] = _planes(m.shape[1])
+        mn = _normalize(m)
+        buckets = _bucket_of(mn, planes_holder["p"])
+        vec_list = pa.array(list(mn), pa.list_(pa.float64()))
+        return pa.Table.from_arrays(
+            [pa.array(buckets, pa.uint32()), batch.column(id_col), vec_list],
+            names=["bucket", id_col, "vec"],
+        )
+
+    bucketed = ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["id_a", "id_b", "cosine"],
+        )
+        if len(ids) < 2:
+            return empty
+        m = _matrix(group.column("vec"))
+        order = np.argsort(ids, kind="stable")
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        mask = sims[iu, ju] >= threshold
+        if not mask.any():
+            return empty
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[iu[mask]], pa.int64()),
+                pa.array(ids[ju[mask]], pa.int64()),
+                pa.array(sims[iu[mask], ju[mask]], pa.float64()),
+            ],
+            names=["id_a", "id_b", "cosine"],
+        )
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")

@@ -1,0 +1,176 @@
+"""Text-analysis stages over a documents table (doc_id, text, ...).
+
+Large-scale training-data-pipeline operators: token counting,
+language ID (stopword n-gram heuristic), quality scoring, document
+fingerprinting. All vectorized: ``pyarrow.compute`` regex-count
+kernels per batch, no per-row Python in the hot path (except the
+C-speed crc32/md5 fingerprint loop).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# token = \S+ run; mirrors str.split() counting
+_TOKEN_PATTERN = r"\S+"
+
+_EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
+_PT_STOPWORDS = ("de", "que", "não", "uma", "para", "com", "os", "do", "da", "em")
+
+
+def _word_alt_pattern(words) -> str:
+    return r"(?i)\b(?:" + "|".join(words) + r")\b"
+
+
+_EN_RE = _word_alt_pattern(_EN_STOPWORDS)
+_PT_RE = _word_alt_pattern(_PT_STOPWORDS)
+_PUNCT_RE = r"[.!?,;:]"
+_UPPER_RE = r"[A-Z]"
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_tokens): whitespace-token counting — vectorized
+    count of \\S+ runs (== len(str.split()))."""
+    n_tokens = pc.count_substring_regex(batch.column(text_col), _TOKEN_PATTERN)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pc.cast(n_tokens, pa.int64())],
+        names=["doc_id", "n_tokens"],
+    )
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, pred_lang): stopword-hit language heuristic
+    (en vs pt vs unknown)."""
+    text = batch.column(text_col)
+    en_hits = pc.cast(pc.count_substring_regex(text, _EN_RE), pa.int64())
+    pt_hits = pc.cast(pc.count_substring_regex(text, _PT_RE), pa.int64())
+    en = en_hits.to_numpy(zero_copy_only=False)
+    ptv = pt_hits.to_numpy(zero_copy_only=False)
+    pred = np.where(en > ptv, "en", np.where(ptv > en, "pt", "unknown"))
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pa.array(pred, pa.string())],
+        names=["doc_id", "pred_lang"],
+    )
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_chars, n_tokens, punct_ratio, stopword_ratio,
+    mean_token_len, quality_score): shallow quality features in the
+    spirit of Boilerpipe's text features / C4-style heuristics."""
+    text = batch.column(text_col)
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64()).to_numpy(zero_copy_only=False).astype(np.float64)
+    n_tokens = (
+        pc.cast(pc.count_substring_regex(text, _TOKEN_PATTERN), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    n_punct = (
+        pc.cast(pc.count_substring_regex(text, _PUNCT_RE), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    n_stop = (
+        pc.cast(
+            pc.add(
+                pc.count_substring_regex(text, _EN_RE), pc.count_substring_regex(text, _PT_RE)
+            ),
+            pa.int64(),
+        )
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_tokens = np.maximum(n_tokens, 1.0)
+    punct_ratio = n_punct / safe_chars
+    stop_ratio = n_stop / safe_tokens
+    # mean token length over non-space chars
+    n_space = n_chars - (
+        pc.cast(pc.count_substring_regex(text, r"\S"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    mean_tok = (n_chars - n_space) / safe_tokens
+    # score: in-range boosts for natural text
+    score = (
+        np.clip(n_tokens / 100.0, 0, 1) * 0.4
+        + np.clip(1.0 - np.abs(mean_tok - 5.0) / 5.0, 0, 1) * 0.3
+        + np.clip(stop_ratio * 5.0, 0, 1) * 0.2
+        + np.clip(1.0 - punct_ratio * 10.0, 0, 1) * 0.1
+    )
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(n_chars.astype(np.int64)),
+            pa.array(n_tokens.astype(np.int64)),
+            pa.array(punct_ratio),
+            pa.array(stop_ratio),
+            pa.array(mean_tok),
+            pa.array(score),
+        ],
+        names=[
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "punct_ratio",
+            "stopword_ratio",
+            "mean_token_len",
+            "quality_score",
+        ],
+    )
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, content_md5, crc32, simhash64): content fingerprints.
+
+    - ``content_md5``: exact-dup key (hex), identical to DuckDB md5().
+    - ``crc32``: cheap rolling checksum.
+    - ``simhash64``: 64-bit SimHash over whitespace tokens (crc32 token
+      hashes splashed to 64 bits), for near-dup hamming search.
+    """
+    texts = batch.column(text_col).to_pylist()
+    md5s, crcs, simhashes = [], [], []
+    for t in texts:
+        data = (t or "").encode()
+        md5s.append(hashlib.md5(data).hexdigest())
+        crcs.append(zlib.crc32(data))
+        simhashes.append(simhash64(t or ""))
+    return pa.Table.from_arrays(
+        [
+            batch.column("doc_id"),
+            pa.array(md5s, pa.string()),
+            pa.array(crcs, pa.uint32()),
+            pa.array(simhashes, pa.uint64()),
+        ],
+        names=["doc_id", "content_md5", "crc32", "simhash64"],
+    )
+
+
+def _splash64(h32: np.ndarray) -> np.ndarray:
+    """Spread 32-bit hashes to 64 bits (splitmix64 finalizer)."""
+    x = h32.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def simhash64(text: str) -> int:
+    tokens = text.split()
+    if not tokens:
+        return 0
+    h32 = np.fromiter((zlib.crc32(t.encode()) for t in tokens), dtype=np.uint32, count=len(tokens))
+    h64 = _splash64(h32)
+    bits = ((h64[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - len(tokens)
+    out = np.uint64(0)
+    for b in np.nonzero(votes > 0)[0]:
+        out |= np.uint64(1) << np.uint64(b)
+    return int(out)

@@ -1,0 +1,196 @@
+"""Corpus-level operator tests: dedup (exact / MinHash / SimHash /
+n-gram Jaccard / embedding), text stats, similarity search, multimodal
+plumbing — over the driver testdata plus planted duplicates."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(ray_session):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    rows = ds.take(20)
+    extra = []
+    # exact copies of doc 0/1 under new ids; near copy of doc 2
+    extra.append({**rows[0], "doc_id": 100000})
+    extra.append({**rows[1], "doc_id": 100001})
+    near = dict(rows[2])
+    near["doc_id"] = 100002
+    near["text"] = near["text"] + " extra tail token"
+    extra.append(near)
+    return ray.data.from_items(rows + extra)
+
+
+def test_exact_dedup(docs_with_dups):
+    from pdf_table_extractor_ray.stages.dedup import exact_dedup_ids, exact_dup_groups
+
+    keep = sorted(r["doc_id"] for r in exact_dedup_ids(docs_with_dups).take_all())
+    assert 100000 not in keep and 100001 not in keep
+    assert 100002 in keep  # near-dup is NOT an exact dup
+    groups = exact_dup_groups(docs_with_dups).take_all()
+    assert len(groups) == 2
+    assert all(g["n_copies"] == 2 for g in groups)
+
+
+def test_minhash_lsh_finds_planted_pairs(docs_with_dups):
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in minhash_lsh_pairs(docs_with_dups).take_all()}
+    rows = docs_with_dups.take(3)
+    id0, id1, id2 = rows[0]["doc_id"], rows[1]["doc_id"], rows[2]["doc_id"]
+    assert pairs.get((id0, 100000)) == 1.0
+    assert pairs.get((id1, 100001)) == 1.0
+    near = pairs.get((id2, 100002))
+    assert near is not None and near >= 0.7
+
+
+def test_simhash_pairs(docs_with_dups):
+    from pdf_table_extractor_ray.stages.dedup import simhash_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_pairs(docs_with_dups).take_all()}
+    rows = docs_with_dups.take(2)
+    assert pairs.get((rows[0]["doc_id"], 100000)) == 0
+    assert pairs.get((rows[1]["doc_id"], 100001)) == 0
+
+
+def test_ngram_jaccard_verification(docs_with_dups):
+    from pdf_table_extractor_ray.stages.dedup import verify_pairs_jaccard
+
+    rows = docs_with_dups.take(3)
+    t = verify_pairs_jaccard(
+        docs_with_dups,
+        [(rows[0]["doc_id"], 100000), (rows[2]["doc_id"], 100002)],
+    ).to_pylist()
+    assert t[0]["jaccard"] == 1.0
+    assert 0.5 < t[1]["jaccard"] < 1.0
+
+
+def test_token_count_matches_split(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.textstats import token_count_batch
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    out = ds.map_batches(token_count_batch, batch_format="pyarrow").take_all()
+    texts = {r["doc_id"]: r["text"] for r in ds.take_all()}
+    for r in out[:100]:
+        assert r["n_tokens"] == len(texts[r["doc_id"]].split())
+
+
+def test_langid_heuristic(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.textstats import langid_batch
+
+    ds = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": "the cat sat on the mat and it was happy with the sun"},
+            {"doc_id": 2, "text": "não quero nada com os carros da cidade para você"},
+        ]
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in ds.map_batches(langid_batch, batch_format="pyarrow").take_all()}
+    assert out[1] == "en"
+    assert out[2] == "pt"
+
+
+def test_quality_and_fingerprint(ray_session):
+    import hashlib
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.textstats import fingerprint_batch, quality_batch
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    q = ds.map_batches(quality_batch, batch_format="pyarrow").take(5)
+    for r in q:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_chars"] > 0
+    fp = ds.map_batches(fingerprint_batch, batch_format="pyarrow").take(3)
+    texts = {r["doc_id"]: r["text"] for r in ds.take(10)}
+    for r in fp:
+        assert r["content_md5"] == hashlib.md5(texts[r["doc_id"]].encode()).hexdigest()
+
+
+def test_knn_bruteforce_self_is_top1(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import knn_bruteforce
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ds.take(3)
+    q = np.array([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows])
+    out = knn_bruteforce(ds, q, qids, k=3).take_all()
+    by_query = {}
+    for r in out:
+        by_query.setdefault(r["query_id"], []).append(r)
+    for qid in qids:
+        ranked = sorted(by_query[qid], key=lambda r: r["rank"])
+        assert ranked[0]["vec_id"] == qid  # self is nearest
+        assert abs(ranked[0]["score"] - 1.0) < 1e-9
+        assert len(ranked) == 3
+
+
+def test_knn_lsh_subset_of_bruteforce_quality(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import knn_lsh
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ds.take(2)
+    q = np.array([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows])
+    out = knn_lsh(ds, q, qids, k=3).take_all()
+    for qid in qids:
+        mine = [r for r in out if r["query_id"] == qid]
+        assert mine, "query bucket should at least contain the query itself"
+        assert min(r["rank"] for r in mine) == 1
+        top = [r for r in mine if r["rank"] == 1][0]
+        assert top["vec_id"] == qid
+
+
+def test_embedding_dup_pairs(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import embedding_dup_pairs
+
+    base = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet").take(10)
+    clone = dict(base[0])
+    clone["vec_id"] = 999999
+    ds = ray.data.from_items(base + [clone])
+    pairs = embedding_dup_pairs(ds, threshold=0.999).take_all()
+    assert any(
+        (p["id_a"] == base[0]["vec_id"] and p["id_b"] == 999999) for p in pairs
+    )
+
+
+def test_multimodal_fake_decode(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import FEATURE_DIM, featurize_media
+
+    items = [{"media_id": i, "payload": bytes([i]) * 100} for i in range(16)]
+    ds = ray.data.from_items(items)
+    out = featurize_media(ds, concurrency=(1, 2)).take_all()
+    assert len(out) == 16
+    for r in out:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert len(r["thumbnail"]) == 8 * 8 * 3
+    # determinism: same payload → same feature
+    a = [r for r in out if r["media_id"] == 1][0]
+    out2 = featurize_media(ds, concurrency=(1, 2)).take_all()
+    b = [r for r in out2 if r["media_id"] == 1][0]
+    assert list(a["feature"]) == list(b["feature"])
+
+
+def test_multimodal_real_raises(ray_session):
+    from pdf_table_extractor_ray.stages.multimodal import DecodeFeaturize
+
+    stage = DecodeFeaturize(mode="real")
+    with pytest.raises(NotImplementedError):
+        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))

@@ -1,0 +1,115 @@
+"""End-to-end parity: the Ray pipeline's output must be byte-identical
+per url to the committed golden fixtures (north rule correctness gate),
+and the partitioned sink must resume idempotently."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+PAGES = os.path.join(GOLDEN_DIR, "golden_pages.parquet")
+GOLDEN = os.path.join(GOLDEN_DIR, "golden_extracted.parquet")
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, tmp_path_factory):
+    from pdf_table_extractor_ray.pipelines.extract import run_extraction
+
+    out = str(tmp_path_factory.mktemp("extract_out"))
+    totals = run_extraction(PAGES, out, num_partitions=16, resume=False)
+    return out, totals
+
+
+def test_byte_identical_extracted_text(extracted):
+    out, _ = extracted
+    import ray.data
+
+    got = (
+        ray.data.read_parquet(out)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    want = pq.read_table(GOLDEN).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert list(got["url"]) == list(want["url"])
+    # THE parity assertion: bytes of extracted text per url
+    mism = got["extracted_text"].values != want["extracted_text"].values
+    assert not mism.any(), f"{mism.sum()} documents differ, e.g. {got['url'][mism].iloc[0]}"
+    assert (got["status"].values == want["status"].values).all()
+    assert (got["strategy"].values == want["strategy"].values).all()
+    assert (got["n_records"].values == want["n_records"].values).all()
+
+
+def test_spans_and_records_match(extracted):
+    out, _ = extracted
+    import ray.data
+
+    got = ray.data.read_parquet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    want = pq.read_table(GOLDEN).to_pandas().sort_values("url").reset_index(drop=True)
+    for i in range(len(got)):
+        assert list(got["spans"][i]) == list(want["spans"][i]), got["url"][i]
+        g, w = got["records"][i], want["records"][i]
+        assert len(g) == len(w)
+        for a, b in zip(g, w):
+            assert a == b, got["url"][i]
+
+
+def test_lineage_written(extracted):
+    out, totals = extracted
+    from pdf_table_extractor_ray.pipelines.extract import finished_partitions
+
+    fins = finished_partitions(out)
+    assert len(fins) == totals["partitions"]
+    assert totals["docs"] == 240
+    assert totals["errors"] > 0  # malformed family rides in-band
+
+
+def test_resume_skips_finished(extracted):
+    out, _ = extracted
+    from pdf_table_extractor_ray.pipelines.extract import run_extraction
+
+    res = run_extraction(PAGES, out, num_partitions=16, resume=True)
+    # every partition already has a lineage record → nothing to redo
+    assert res.get("skipped") is True
+
+
+def test_resume_redoes_missing_partition(ray_session, tmp_path):
+    import shutil
+
+    from pdf_table_extractor_ray.pipelines.extract import (
+        finished_partitions,
+        lineage_path,
+        run_extraction,
+    )
+
+    out = str(tmp_path / "out")
+    run_extraction(PAGES, out, num_partitions=16, resume=False)
+    # simulate a crash: partition 3 lost its lineage record + data
+    os.remove(lineage_path(out, 3))
+    shutil.rmtree(os.path.join(out, "part_id=3"))
+    assert 3 not in finished_partitions(out)
+
+    totals = run_extraction(PAGES, out, num_partitions=16, resume=True)
+    assert 3 not in totals["resumed_skipping"]
+    assert len(totals["resumed_skipping"]) == 15
+    # full corpus back, byte-identical to golden
+    import ray.data
+
+    got = ray.data.read_parquet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    want = pq.read_table(GOLDEN).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got["extracted_text"].values == want["extracted_text"].values).all()
+
+
+def test_explode_records(extracted):
+    out, totals = extracted
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import explode_records
+
+    flat = explode_records(ray.data.read_parquet(out))
+    assert flat.count() == totals["records"]
+    schema = flat.schema()
+    assert schema.names == ["url", "record_idx", "date", "description", "amount", "doc"]

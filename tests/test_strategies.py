@@ -1,0 +1,215 @@
+"""Strategy-level tests: handcrafted payloads with hand-checked
+expectations, plus detection/extraction sweep over all fixture
+families."""
+
+from collections import Counter
+
+from pdf_table_extractor_ray.fixtures import FAMILIES, generate_doc
+from pdf_table_extractor_ray.stages import statements as st
+from pdf_table_extractor_ray.stages.boilerplate import extract_boilerplate
+from pdf_table_extractor_ray.stages.layout import (
+    extract_coordinate_columns,
+    extract_lattice_table,
+)
+from pdf_table_extractor_ray.stages.registry import detect_format, extract_document
+
+
+class TestRegexListing:
+    def test_pattern_cascade_and_skip_words(self):
+        text = (
+            "EXTRATO\n"
+            "01/02/2023 100 PAG BOLETO 1.234,56D 2.345,67C\n"
+            "02/02/2023 SALDO DIA 9.999,99\n"
+            "03/02/2023 PIX RECEBIDO 500,00 3.000,10\n"
+        )
+        r = st.extract_regex_listing(text)
+        assert r.status == "ok"
+        assert r.extracted_text == "2023-02-01;PAG BOLETO;2345,67\n2023-02-03;RECEBIDO;3000,1"
+        assert [x.amount for x in r.records] == [2345.67, 3000.1]
+
+    def test_no_date_pattern(self):
+        r = st.extract_regex_listing("nothing here")
+        assert r.status == "empty"
+
+
+class TestSantander:
+    def test_merge_negation_docnum(self):
+        text = (
+            "Movimentação\n"
+            "01/02/2023 PIX ENVIADO FULANO 1234567 1.234,56-\n"
+            "02/02 TED RECEBIDA\n"
+            "EMPRESA X 150,00\n"
+        )
+        r = st.extract_santander(text)
+        assert r.extracted_text == (
+            "01/02/2023;PIX ENVIADO FULANO 1234567;-1234,56;1234567\n"
+            "02/02;TED RECEBIDA EMPRESA X;150,0;"
+        )
+        # keyword negation: 'pix enviado' forces the sign
+        assert r.records[0].amount == -1234.56
+        assert r.records[0].doc == "1234567"
+
+    def test_requires_section_start(self):
+        # no 'Movimentação' header → nothing extracted
+        r = st.extract_santander("01/02/2023 PIX 1.234,56\n")
+        assert r.status == "empty"
+
+    def test_saldo_rows_filtered(self):
+        text = "Movimentação\n01/02/2023 SALDO ANTERIOR 1,00\n01/02/2023 PIX X 2,00\n"
+        r = st.extract_santander(text)
+        assert all("SALDO ANTERIOR" not in x.description for x in r.records)
+
+
+class TestBB:
+    def test_bb1_buffer(self):
+        text = "Extrato de Conta Corrente\n05/03/2024 12 0001X Compra\ncartao mercado 1.234,56 (-)\n"
+        r = st.extract_bb1(text)
+        assert r.extracted_text == "05/03/2024;Compra cartao mercado;-1234,56"
+
+    def test_bb2_nextdate(self):
+        text = (
+            "Extrato de conta corrente G336\n"
+            "05/03/2024 0001 Pix recebido 1.234,56 C\ncliente fulano\n"
+            "06/03/2024 0002 Tarifa 10,00 D\n"
+        )
+        r = st.extract_bb2(text)
+        assert r.records[0].amount == 1234.56
+        assert "cliente fulano" in r.records[0].description
+        assert r.records[1].amount == -10.0
+
+
+class TestSicoob:
+    def test_sicoob1(self):
+        text = "EXTRATO CONTA CORRENTE\n01/02/2023 000123 PIX RECEBIDO 1.234,56C\n"
+        r = st.extract_sicoob1(text)
+        assert r.extracted_text == "01/02/2023;PIX RECEBIDO;1234,56"
+        assert r.records[0].amount == 1234.56
+
+    def test_sicoob2(self):
+        text = (
+            "PERÍODO: 01/06/2022 A 30/06/2022\n"
+            "HISTÓRICO DE MOVIMENTAÇÃO\n"
+            "03/06 PIX RECEBIDO\nFULANO 1.234,56 C\n"
+            "04/06 SALDO DO DIA 5,00 C\n"
+            "RESUMO\nTOTAL 9,99\n"
+        )
+        r = st.extract_sicoob2(text)
+        assert r.extracted_text == "03/06/2022;PIX RECEBIDO FULANO;1234,56"
+
+
+class TestC6Inter:
+    def test_c6_year_and_sign(self):
+        text = (
+            "Período 1 de Junho de 2023\n"
+            "Data Lançamento Descrição Valor\n"
+            "05/06 Compra cartao -R$ 50,25\n"
+        )
+        r = st.extract_c6(text)
+        assert r.extracted_text == "05/06/2023;Compra cartao;-50,25"
+
+    def test_c6_missing_year_is_error(self):
+        r = st.extract_c6("05/06 Compra -R$ 1,00\n")
+        assert r.status == "error"
+
+    def test_inter_month_names(self):
+        text = "7 de Março de 2024\nPix recebido Fulano R$ 1.234,56\n"
+        r = st.extract_inter(text)
+        assert r.extracted_text == "7/03/2024;Pix recebido Fulano;1234,56"
+
+
+class TestSimpleFamilies:
+    def test_cef(self):
+        r = st.extract_cef("CAIXA\n01/02/2023 COMPRA PADARIA 123,45D\n")
+        assert r.extracted_text == "01/02/2023;COMPRA PADARIA;123,45D"
+        assert r.records[0].amount == -123.45
+
+    def test_pagbank(self):
+        r = st.extract_pagbank("01/02/2023 Pagamento recebido -R$ 1.234,56\n")
+        assert r.extracted_text == "01/02/2023;Pagamento recebido;-R$ 1.234,56"
+        assert r.records[0].amount == -1234.56
+
+
+class TestBradesco:
+    def test_triple_block(self):
+        lines = [
+            "Bradesco", "h2", "h3", "h4", "h5",  # dropped (first 5)
+            "01/02/2023 COMPRA CARTAO",
+            "123456 1.234,56 7.890,12",
+            "LOJA CENTRO",
+            "Total 9.999,99",
+        ]
+        r = st.extract_bradesco("\n".join(lines))
+        assert r.extracted_text == "01/02/2023;COMPRA CARTAO LOJA CENTRO;123456;1234,56;7890,12"
+        rec = r.records[0]
+        assert rec.amount == 1234.56 and rec.doc == "123456"
+
+
+class TestLayout:
+    def test_coordinate_columns(self):
+        html = (
+            '<div class="page">'
+            '<span data-x0="30.0" data-top="50.0">04</span>'
+            '<span data-x0="100.0" data-top="50.0">Pix</span>'
+            '<span data-x0="140.0" data-top="50.0">Enviado</span>'
+            '<span data-x0="500.0" data-top="50.2">1.234,56</span>'
+            "</div>"
+        )
+        r = extract_coordinate_columns(html)
+        # x<75 → date col, x>480 → value col; 'Pix Enviado' keyword negates
+        assert r.extracted_text == "04/JUN/25;Pix Enviado;-1234,56"
+
+    def test_lattice_ffill_bfill_hyphen(self):
+        html = (
+            "<table>"
+            "<tr><th>data</th><th>histórico</th><th>crédito</th><th>débito</th></tr>"
+            "<tr><td>01/02/2023</td><td>A</td><td></td><td>1.234,56-</td></tr>"
+            "<tr><td></td><td>B</td><td>10,00</td><td></td></tr>"
+            "</table>"
+        )
+        r = extract_lattice_table(html)
+        lines = r.extracted_text.strip().split("\n")
+        assert lines[0] == "data;historico;credito;debito"
+        # hyphen fix moved sign; bfill pulled credit up; ffill pulled date down
+        assert lines[1] == "01/02/2023;A;10,00;-1234,56"
+        assert lines[2] == "01/02/2023;B;10,00;"
+
+
+class TestBoilerplate:
+    def test_strips_nav_and_footer(self):
+        para = "This is a long enough paragraph of running text that should survive the filter."
+        html = (
+            "<html><body><nav><a href='/a'>home</a> <a href='/b'>about</a></nav>"
+            f"<article><p>{para}</p></article>"
+            "<footer><a href='/c'>contact</a></footer></body></html>"
+        )
+        r = extract_boilerplate(html)
+        assert r.extracted_text == para
+
+    def test_inline_links_survive(self):
+        para = (
+            "A paragraph with substantial text content where only a small part "
+            "is a link to elsewhere."
+        )
+        html = f"<body><p>{para} See <a href='/x'>ref</a>.</p></body>"
+        r = extract_boilerplate(html)
+        assert r.status == "ok"
+        assert "substantial text content" in r.extracted_text
+
+
+class TestDetectionSweep:
+    def test_all_families_detect_and_extract(self):
+        stats = Counter()
+        for i in range(len(FAMILIES) * 12):
+            d = generate_doc(i)
+            key, res = extract_document(d)
+            if d["family"] == "malformed":
+                assert res.status in ("error", "empty")
+            else:
+                assert key == d["family"], (d["url"], key)
+                assert res.status == "ok", (d["url"], res.error)
+                assert res.extracted_text
+            stats[d["family"]] += 1
+        assert set(stats) == set(FAMILIES)
+
+    def test_detect_unknown(self):
+        assert detect_format(b"", "") is None
