@@ -1,44 +1,477 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship extraction pipeline on sf0.001.
+``queries()`` exposes every implemented operator family from
+SURVEY.md §2 (+ the training-data ops: dedup, text stats, similarity);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query, with matching column names.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported — no
+``ray.init()`` / ``ray.shutdown()`` anywhere in these code paths.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# fixture corpus sizes per testdata scale factor (deterministic, cached
+# under /tmp; multiples of the 15 fixture families)
+_FIXTURE_N = {"sf0.001": 240, "sf0.01": 960, "sf0.1": 3840}
+_FIXTURE_ROOT = os.environ.get("PDFX_FIXTURE_DIR", "/tmp/pdfx_fixtures")
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def _fixture_pages(sf_dir: str) -> str:
+    """Mint (once) and return the fixture pages parquet for this scale."""
+    n = _FIXTURE_N.get(_sf_name(sf_dir), 240)
+    path = os.path.join(_FIXTURE_ROOT, f"n{n}")
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        from pdf_table_extractor_ray.fixtures import write_pages_parquet
+
+        write_pages_parquet(path, n)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# flagship
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: fixture corpus → detect → extract → extracted table."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+
+    pages = _fixture_pages("/root/testdata/sf0.001")
+    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
+    out = build_extracted_dataset(ds, num_partitions=16)
+    return out.select_columns(["url", "strategy", "extracted_text", "n_records", "n_chars", "status"])
+
+
+# ---------------------------------------------------------------------------
+# query implementations (each callable: sf_dir -> Dataset/Table)
+
+
+def _q_doc_stats_by_source(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+    agg = ds.groupby("source").aggregate(Count(), Sum("n_chars"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("count()"), pa.int64())
+        total = pc.cast(b.column("sum(n_chars)"), pa.int64())
+        # avg derived from the integer sum — deterministic across block
+        # orders (a float Mean accumulates in arrival order)
+        avg = pc.divide(pc.cast(total, pa.float64()), pc.cast(n, pa.float64()))
+        return pa.Table.from_arrays(
+            [b.column("source"), n, total, avg],
+            names=["source", "n_docs", "total_chars", "avg_chars"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_doc_filter_project(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def f(b: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(b.column("lang"), "en"), pc.greater(b.column("n_chars"), 500))
+        return b.filter(mask)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_exact_dedup_docs(sf_dir: str):
+    from pdf_table_extractor_ray.stages.dedup import exact_dedup_ids
+
+    return exact_dedup_ids(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_token_counts(sf_dir: str):
+    from pdf_table_extractor_ray.stages.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-flavored summary with integer-cents partial aggregation
+    (pre-reduce in map_batches; deterministic across block orders)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def cents(b: pa.Table) -> pa.Table:
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                b.column("l_returnflag"),
+                b.column("l_linestatus"),
+                pa.array(np.floor(qty * 100).astype(np.int64)),
+                pa.array(np.floor(price * 100).astype(np.int64)),
+                pa.array(np.floor(price * (1 - disc) * 100).astype(np.int64)),
+            ],
+            names=["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_price_c"],
+        )
+
+    agg = (
+        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_price_c"), Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("l_returnflag"),
+                b.column("l_linestatus"),
+                pc.divide(pc.cast(b.column("sum(qty_c)"), pa.float64()), 100.0),
+                pc.divide(pc.cast(b.column("sum(price_c)"), pa.float64()), 100.0),
+                pc.divide(pc.cast(b.column("sum(disc_price_c)"), pa.float64()), 100.0),
+                pc.cast(b.column("count()"), pa.int64()),
+            ],
+            names=[
+                "l_returnflag",
+                "l_linestatus",
+                "sum_qty",
+                "sum_base_price",
+                "sum_disc_price",
+                "count_order",
+            ],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_orders_top10(sf_dir: str):
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_events_by_type(sf_dir: str):
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b.column("value").to_numpy(zero_copy_only=False)
+        ts = pc.cast(b.column("ts"), pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("event_type"), pa.array(np.floor(v * 100).astype(np.int64)), ts],
+            names=["event_type", "value_c", "ts_us"],
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Count(), Sum("value_c"), Min("ts_us"), Max("ts_us"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("event_type"),
+                pc.cast(b.column("count()"), pa.int64()),
+                pc.divide(pc.cast(b.column("sum(value_c)"), pa.float64()), 100.0),
+                b.column("min(ts_us)"),
+                b.column("max(ts_us)"),
+            ],
+            names=["event_type", "n_events", "total_value", "first_ts_us", "last_ts_us"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_money_roundtrip(sf_dir: str):
+    """F1 exercise with a SQL oracle: price → BR money string →
+    clean_monetary_value → float (== floor-cents / 100)."""
+    from pdf_table_extractor_ray.functions.money import br_format, clean_monetary_value
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def f(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * 100).astype(np.int64)
+        amounts = [clean_monetary_value(br_format(c / 100.0)) for c in cents]
+        return pa.Table.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), pa.array(amounts, pa.float64())],
+            names=["l_orderkey", "l_linenumber", "amount"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_date_roundtrip(sf_dir: str):
+    """F5/F6 exercise with a SQL oracle: timestamp → DD/MM/YYYY string →
+    detect + strptime → ISO day string."""
+    from pdf_table_extractor_ray.functions.dates import identify_date_pattern, parse_date
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    def f(b: pa.Table) -> pa.Table:
+        import datetime as _dt
+
+        ts = b.column("l_shipdate").to_pylist()
+        out = []
+        for t in ts:
+            s = t.strftime("%d/%m/%Y")
+            pattern = identify_date_pattern(s)
+            out.append(parse_date(s, pattern).strftime("%Y-%m-%d"))
+        return pa.Table.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), pa.array(out, pa.string())],
+            names=["l_orderkey", "l_linenumber", "ship_day"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_union_sources(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    a = _read(sf_dir, "documents", ["source", "lang"])
+    b = _read(sf_dir, "documents", ["source", "lang"])
+
+    def keep(src):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("source"), src))
+
+        return f
+
+    u = a.map_batches(keep("src1"), batch_format="pyarrow").union(
+        b.map_batches(keep("src2"), batch_format="pyarrow")
+    )
+    agg = u.groupby("lang").aggregate(Count())
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t.column("lang"), pc.cast(t.column("count()"), pa.int64())], names=["lang", "n_docs"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_distinct_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    return ds.groupby("user_id").count().select_columns(["user_id"])
+
+
+def _q_langid(sf_dir: str):
+    from pdf_table_extractor_ray.stages.textstats import langid_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(langid_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_quality(sf_dir: str):
+    from pdf_table_extractor_ray.stages.textstats import quality_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(quality_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_fingerprints(sf_dir: str):
+    from pdf_table_extractor_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_minhash_pairs(sf_dir: str):
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_simhash_pairs(sf_dir: str):
+    from pdf_table_extractor_ray.stages.dedup import simhash_pairs
+
+    return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_knn_top5(sf_dir: str):
+    from pdf_table_extractor_ray.stages.similarity import knn_bruteforce
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").take(3)
+    q = np.array([r["embedding"] for r in qrows], np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    out = knn_bruteforce(ds, q, qids, k=5)
+    return out.select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_knn_lsh(sf_dir: str):
+    from pdf_table_extractor_ray.stages.similarity import knn_lsh
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").take(3)
+    q = np.array([r["embedding"] for r in qrows], np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    return knn_lsh(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_embedding_dups(sf_dir: str):
+    from pdf_table_extractor_ray.stages.similarity import embedding_dup_pairs
+
+    return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
+
+
+def _q_extract_flagship(sf_dir: str):
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+
+    pages = _fixture_pages(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
+    out = build_extracted_dataset(ds, num_partitions=16)
+    return out.select_columns(["url", "strategy", "n_records", "n_chars", "status"])
+
+
+def _q_extract_records(sf_dir: str):
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, explode_records
+
+    pages = _fixture_pages(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
+    return explode_records(build_extracted_dataset(ds, num_partitions=16))
+
+
+def _q_extract_by_strategy(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+
+    pages = _fixture_pages(sf_dir)
+    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
+    agg = (
+        build_extracted_dataset(ds, num_partitions=16)
+        .groupby("strategy")
+        .aggregate(Count(), Sum("n_records"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("strategy"),
+                pc.cast(t.column("count()"), pa.int64()),
+                pc.cast(t.column("sum(n_records)"), pa.int64()),
+            ],
+            names=["strategy", "n_docs", "n_records"],
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "doc_stats_by_source": _q_doc_stats_by_source,
+        "doc_filter_project": _q_doc_filter_project,
+        "exact_dedup_docs": _q_exact_dedup_docs,
+        "token_counts": _q_token_counts,
+        "lineitem_pricing": _q_lineitem_pricing,
+        "orders_top10": _q_orders_top10,
+        "events_by_type": _q_events_by_type,
+        "money_roundtrip": _q_money_roundtrip,
+        "date_roundtrip": _q_date_roundtrip,
+        "union_sources": _q_union_sources,
+        "distinct_users": _q_distinct_users,
+        "langid": _q_langid,
+        "quality": _q_quality,
+        "fingerprints": _q_fingerprints,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "knn_top5": _q_knn_top5,
+        "knn_lsh": _q_knn_lsh,
+        "embedding_dups": _q_embedding_dups,
+        "extract_flagship": _q_extract_flagship,
+        "extract_records": _q_extract_records,
+        "extract_by_strategy": _q_extract_by_strategy,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_stats_by_source": (
+            "SELECT source, count(*) AS n_docs, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "  # HUGEINT → int64
+            "avg(n_chars) AS avg_chars FROM documents GROUP BY source"
+        ),
+        "doc_filter_project": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 500"
+        ),
+        "exact_dedup_docs": ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
+        "token_counts": (
+            "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
+        ),
+        "lineitem_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "sum(CAST(floor(l_quantity*100) AS BIGINT))/100.0 AS sum_qty, "
+            "sum(CAST(floor(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "orders_top10": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+        ),
+        "events_by_type": (
+            "SELECT event_type, count(*) AS n_events, "
+            "sum(CAST(floor(value*100) AS BIGINT))/100.0 AS total_value, "
+            "min(epoch_us(ts)) AS first_ts_us, max(epoch_us(ts)) AS last_ts_us "
+            "FROM events GROUP BY event_type"
+        ),
+        "money_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, "
+            "CAST(floor(l_extendedprice*100) AS BIGINT)/100.0 AS amount FROM lineitem"
+        ),
+        "date_roundtrip": (
+            "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
+            "FROM lineitem"
+        ),
+        "union_sources": (
+            "SELECT lang, count(*) AS n_docs FROM ("
+            "SELECT * FROM documents WHERE source = 'src1' "
+            "UNION ALL SELECT * FROM documents WHERE source = 'src2') GROUP BY lang"
+        ),
+        "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "knn_top5": (
+            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+            "  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)), "
+            "scored AS (SELECT q.query_id, e.vec_id, "
+            "  list_cosine_similarity(q.qv, e.embedding) AS score "
+            "  FROM q CROSS JOIN embeddings e), "
+            "ranked AS (SELECT query_id, vec_id, "
+            "  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank "
+            "  FROM scored) "
+            "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5"
+        ),
+        # langid / quality / fingerprints / minhash_pairs / simhash_pairs /
+        # knn_lsh / embedding_dups / extract_* are not SQL-expressible →
+        # rows-only checks by design.
+    }
