@@ -56,13 +56,11 @@ def _read(sf_dir: str, table: str, columns=None):
 
 def entry() -> Any:
     """Flagship: fixture corpus → detect → extract → extracted table."""
-    import ray.data
-
-    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
     pages = _fixture_pages("/root/testdata/sf0.001")
-    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
-    out = build_extracted_dataset(ds, num_partitions=16)
+    ds = read_pages(pages, include_paths=True)
+    out = build_extracted_dataset(ds)
     return out.select_columns(["url", "strategy", "extracted_text", "n_records", "n_chars", "status"])
 
 
@@ -340,37 +338,32 @@ def _q_embedding_dups(sf_dir: str):
 
 
 def _q_extract_flagship(sf_dir: str):
-    import ray.data
-
-    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
     pages = _fixture_pages(sf_dir)
-    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
-    out = build_extracted_dataset(ds, num_partitions=16)
+    out = build_extracted_dataset(read_pages(pages, include_paths=True))
     return out.select_columns(["url", "strategy", "n_records", "n_chars", "status"])
 
 
 def _q_extract_records(sf_dir: str):
-    import ray.data
-
-    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, explode_records
+    from pdf_table_extractor_ray.pipelines.extract import (
+        build_extracted_dataset,
+        explode_records,
+        read_pages,
+    )
 
     pages = _fixture_pages(sf_dir)
-    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
-    return explode_records(build_extracted_dataset(ds, num_partitions=16))
+    return explode_records(build_extracted_dataset(read_pages(pages, include_paths=True)))
 
 
 def _q_extract_by_strategy(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
-    import ray.data
-
-    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
     pages = _fixture_pages(sf_dir)
-    ds = ray.data.read_parquet(pages, columns=["url", "html", "text"])
     agg = (
-        build_extracted_dataset(ds, num_partitions=16)
+        build_extracted_dataset(read_pages(pages, include_paths=True))
         .groupby("strategy")
         .aggregate(Count(), Sum("n_records"))
     )

@@ -1,0 +1,174 @@
+"""Benchmark harness (driver-run per round; also the local feedback loop).
+
+Default: runs the headline pipelines over $GRAFT_SF_DIR (default
+/root/testdata/sf0.1) under ray.init(num_cpus=$RAY_GRAFT_CPUS,
+default 32) and prints ONE JSON line.
+
+--scaling: runs the flagship extraction twice in fresh subprocesses
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs + scaling efficiency (the sandbox proxy for the N→4N
+cluster criterion, BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_OUT = "/tmp/pdfx_bench_out"
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    return ray
+
+
+def _fixture_path(sf_dir: str) -> str:
+    import __ray_entry__ as entrymod
+
+    return entrymod._fixture_pages(sf_dir)
+
+
+def _bench_extract(sf_dir: str, num_cpus: int, warmup: bool = True) -> dict:
+    """Flagship extraction job: read → keys → actor-pool extract →
+    partitioned parquet sink + lineage. Returns timing + docs/s."""
+    from pdf_table_extractor_ray.pipelines.extract import run_extraction
+
+    pages = _fixture_path(sf_dir)
+    if warmup:  # untimed warm pass (imports, actor spin-up) per BASELINE.md
+        from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
+
+        small = read_pages(pages, include_paths=True).limit(64)
+        build_extracted_dataset(small, concurrency=(1, num_cpus)).count()
+
+    shutil.rmtree(BENCH_OUT, ignore_errors=True)
+    t0 = time.time()
+    totals = run_extraction(
+        pages,
+        BENCH_OUT,
+        resume=False,
+        concurrency=(num_cpus, num_cpus),
+    )
+    elapsed = time.time() - t0
+    return {
+        "seconds": elapsed,
+        "docs": totals["docs"],
+        "records": totals["records"],
+        "docs_per_sec": totals["docs"] / elapsed,
+    }
+
+
+def _bench_queries(sf_dir: str) -> dict:
+    """Secondary pipelines: wide aggregation, dedup, knn."""
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in ("lineitem_pricing", "exact_dedup_docs", "minhash_pairs", "knn_top5", "token_counts"):
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # consume the stream without materializing to the driver
+        n = res.count() if hasattr(res, "count") else len(res)
+        out[name] = round(time.time() - t0, 3)
+        out[f"{name}_rows"] = n
+    return out
+
+
+def run_suite(num_cpus: int, scaling_child: bool = False) -> dict:
+    _init_ray(num_cpus)
+    sf = SF_DIR
+    t_start = time.time()
+    extract = _bench_extract(sf, num_cpus)
+    queries = {"extract": round(extract["seconds"], 3)}
+    if not scaling_child:
+        queries.update(_bench_queries(sf))
+    total = time.time() - t_start
+    result = {
+        "metric": "extracted_docs_per_sec",
+        "value": round(extract["docs_per_sec"], 2),
+        "unit": "docs/sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "extract_docs": extract["docs"],
+        "extract_records": extract["records"],
+        "suite_seconds": round(total, 2),
+    }
+    import ray
+
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, same input, fresh processes at num_cpus=8 and 32."""
+    _init_ray(NUM_CPUS)
+    pages = _fixture_path(SF_DIR)  # mint once so both children reuse it
+    import ray
+
+    ray.shutdown()
+
+    results = {}
+    for cpus in (8, 32):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            capture_output=True,
+            text=True,
+            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+            timeout=3600,
+        )
+        last = proc.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(last)
+    r8, r32 = results[8], results[32]
+    efficiency = (r32["value"] / r8["value"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(efficiency, 4),
+        "unit": "ratio",
+        "queries": {
+            "extract_8cpu": r8["queries"]["extract"],
+            "extract_32cpu": r32["queries"]["extract"],
+        },
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec_8": r8["value"],
+        "docs_per_sec_32": r32["value"],
+        "input": pages,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--child", type=int, default=None, help=argparse.SUPPRESS)
+    args = ap.parse_args()
+    if args.child is not None:
+        print(json.dumps(run_suite(args.child, scaling_child=True)))
+        return
+    if args.scaling:
+        print(json.dumps(run_scaling()))
+        return
+    print(json.dumps(run_suite(NUM_CPUS)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,24 @@
 """Flagship extraction pipeline (SURVEY §7.1 step 2, scaled out).
 
-    read_parquet(pages, columns pruned)
-      → map_batches(add keys: part_id, size_class)       [stateless tasks]
-      → map_batches(WarmExtractor, actor pool)           [stateful, warm]
-      → write_parquet(out, partition_cols=["part_id"])   [resume unit]
+    list shards → prune finished at the READ →
+    read_parquet(unfinished, columns pruned, include_paths)
+      → map_batches(add keys: part_id = shard id, size_class)
+      → map_batches(WarmExtractor, fixed actor pool)
+      → write_parquet(out, partition_cols=["part_id"])
       → per-partition lineage records + counters
+
+Partitioning is INPUT-SHARD-ALIGNED: ``part_id = crc32(basename of the
+source parquet file)``. One input shard → one output partition dir →
+one lineage record. No shuffle anywhere in the flagship path (rows
+never change shards), write tasks touch one directory each, and a
+resumed run filters the *file list* — finished shards are never read
+again, let alone reprocessed. Corpus-level hash partitioning by url
+(for dedup-style flows) lives in ``pipelines.keys``.
+
+Waves: shards are processed in waves of ``wave_size``; lineage commits
+after each wave, bounding redo-work after a crash to one wave. One
+wave == max throughput for small jobs; at 10^12-doc scale thousands of
+shards amortize the per-wave execution startup.
 
 Streaming end-to-end: no stage materializes the corpus; the object
 store provides backpressure. Failure rows ride in-band
@@ -17,18 +31,15 @@ import json
 import os
 import shutil
 import time
-from functools import partial
-from typing import Optional, Set
+import zlib
+from typing import Dict, List, Optional, Sequence
 
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
 
-from pdf_table_extractor_ray.pipelines.keys import (
-    DEFAULT_NUM_PARTITIONS,
-    add_keys_batch,
-)
+from pdf_table_extractor_ray.pipelines.keys import SIZE_CLASS_BOUNDS
 from pdf_table_extractor_ray.stages.warm_parser import WarmExtractor
 
 LINEAGE_DIR = "_lineage"
@@ -38,49 +49,75 @@ LINEAGE_DIR = "_lineage"
 # (SURVEY §4.2); 32 docs/batch bounds a worst-case all-large batch at
 # ~100 MB while keeping per-task overhead amortized.
 DEFAULT_BATCH_SIZE = 32
+DEFAULT_WAVE_SIZE = 256
 
 
-def _add_keys_and_skip(
-    batch: pa.Table,
-    num_partitions: int,
-    finished: frozenset,
-) -> pa.Table:
-    out = add_keys_batch(batch, num_partitions)
-    if finished:
-        mask = pc.invert(
-            pc.is_in(out.column("part_id"), value_set=pa.array(sorted(finished), pa.int32()))
-        )
-        out = out.filter(mask)
+def shard_part_id(path: str) -> int:
+    """Stable shard id from the source file name (crc32 — process- and
+    node-independent; a rare collision merges two shards into one
+    resume unit, which is harmless)."""
+    return zlib.crc32(os.path.basename(path).encode())
+
+
+def list_shards(input_path: str) -> List[str]:
+    """Sorted parquet fragment paths for a file or directory."""
+    if os.path.isfile(input_path):
+        return [input_path]
+    out = []
+    for name in sorted(os.listdir(input_path)):
+        if name.endswith(".parquet"):
+            out.append(os.path.join(input_path, name))
     return out
+
+
+def _add_shard_keys(batch: pa.Table) -> pa.Table:
+    """part_id from the carried file path + payload size class.
+    Blocks are file-aligned, so the path column is near-constant —
+    crc32 computed once per distinct value."""
+    import numpy as np
+
+    paths = batch.column("path")
+    ids = {p: shard_part_id(p) for p in paths.unique().to_pylist()}
+    part = pa.array([ids[p] for p in paths.to_pylist()], pa.int64())
+    html_len = pc.binary_length(batch.column("html")).to_numpy(zero_copy_only=False)
+    text_len = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
+    sz = np.digitize(html_len + text_len, SIZE_CLASS_BOUNDS).astype(np.int32)
+    out = batch.select(["url", "html", "text"])  # late projection (see read_pages)
+    out = out.append_column("part_id", part)
+    out = out.append_column("size_class", pa.array(sz, pa.int32()))
+    return out
+
+
+def default_concurrency() -> int:
+    import ray
+
+    return int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
 
 
 def build_extracted_dataset(
     ds: "ray.data.Dataset",
     *,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
-    finished: Optional[Set[int]] = None,
     strategy_key: Optional[str] = None,
+    shard_keys: bool = True,
 ) -> "ray.data.Dataset":
-    """Lazy extraction plan over a pages Dataset (url/html/text [+...])."""
-    if concurrency is None:
-        # autoscaling actor pool sized to the cluster: 1 CPU per parser
-        # actor (SURVEY §4.2)
-        import ray
+    """Lazy extraction plan over a pages Dataset.
 
-        n_cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        concurrency = (1, max(2, n_cpus))
-    keyed = ds.map_batches(
-        partial(
-            _add_keys_and_skip,
-            num_partitions=num_partitions,
-            finished=frozenset(finished or ()),
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    return keyed.map_batches(
+    ``shard_keys=True`` expects the dataset to carry Ray's runtime
+    ``path`` column (``read_pages(..., include_paths=True)``) and adds
+    part_id/size_class from it. (The flag is explicit because
+    ``ds.schema()`` reflects parquet metadata only and cannot see the
+    runtime path column.)
+    """
+    if concurrency is None:
+        # pool sized to the cluster: 1 CPU per parser actor
+        # (an autoscaling (1,n) pool ramps too slowly and starves the stage)
+        n = default_concurrency()
+        concurrency = (max(1, n // 2), n)
+    if shard_keys:
+        ds = ds.map_batches(_add_shard_keys, batch_format="pyarrow", zero_copy_batch=True)
+    return ds.map_batches(
         WarmExtractor,
         fn_constructor_kwargs={"strategy_key": strategy_key},
         batch_size=batch_size,
@@ -91,9 +128,14 @@ def build_extracted_dataset(
     )
 
 
-def read_pages(input_path: str, columns=("url", "html", "text")) -> "ray.data.Dataset":
-    """Column-pruned scan: only the payload columns leave storage
-    (warc_ts/lang stay behind unless asked for)."""
+def read_pages(input_path, columns=("url", "html", "text"), include_paths: bool = False):
+    """Pages scan. Without ``include_paths``: column-pruned — only the
+    payload columns leave storage. With it: Ray's path column cannot
+    coexist with a projection pushdown, so the scan is unpruned and the
+    first map stage projects instead — acceptable because the payload
+    columns (html, text) dominate row width by orders of magnitude."""
+    if include_paths:
+        return ray.data.read_parquet(input_path, include_paths=True)
     return ray.data.read_parquet(input_path, columns=list(columns))
 
 
@@ -105,7 +147,7 @@ def lineage_path(out_path: str, part_id: int) -> str:
     return os.path.join(out_path, LINEAGE_DIR, f"part_id={part_id}.json")
 
 
-def finished_partitions(out_path: str) -> Set[int]:
+def finished_partitions(out_path: str) -> set:
     d = os.path.join(out_path, LINEAGE_DIR)
     if not os.path.isdir(d):
         return set()
@@ -116,10 +158,10 @@ def finished_partitions(out_path: str) -> Set[int]:
     return out
 
 
-def clear_unfinished_partitions(out_path: str, finished: Set[int]) -> None:
+def clear_unfinished_partitions(out_path: str, finished: set) -> None:
     """Idempotent-resume guarantee: partition dirs without a lineage
     record are partial output of an interrupted run — drop them before
-    re-extracting those partitions."""
+    re-extracting those shards."""
     if not os.path.isdir(out_path):
         return
     for name in os.listdir(out_path):
@@ -130,26 +172,69 @@ def clear_unfinished_partitions(out_path: str, finished: Set[int]) -> None:
             shutil.rmtree(os.path.join(out_path, name), ignore_errors=True)
 
 
-def write_lineage(out_path: str, run_seconds: Optional[float] = None) -> dict:
-    """Aggregate per-partition counters from the written output and
-    persist one lineage record per partition (north rule: per-partition
-    lineage + metrics). Reads only the metric columns back."""
-    from ray.data.aggregate import Count, Sum
+def _aggregate_partition_stats(out_path: str, part_ids: Sequence[int]) -> List[dict]:
+    """Per-partition counters: a task per output file reads ONLY the
+    metric columns (pruned) and emits one partial-sum row; partials
+    combine driver-side (≤ wave_size rows — trivially small)."""
+    items = []
+    for p in part_ids:
+        d = os.path.join(out_path, f"part_id={p}")
+        if os.path.isdir(d):
+            for f in sorted(os.listdir(d)):
+                if f.endswith(".parquet"):
+                    items.append({"part_id": p, "file": os.path.join(d, f)})
+    if not items:
+        return []
 
-    ds = ray.data.read_parquet(out_path, columns=["part_id", "n_records", "n_chars", "status"])
+    def stats_of(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
 
-    def add_err(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "is_error",
-            pc.cast(pc.equal(batch.column("status"), "error"), pa.int64()),
+        pids, docs, recs, chars, errs = [], [], [], [], []
+        for pid, f in zip(batch.column("part_id").to_pylist(), batch.column("file").to_pylist()):
+            t = pq.read_table(f, columns=["n_records", "n_chars", "status"])
+            pids.append(pid)
+            docs.append(t.num_rows)
+            recs.append(pc.sum(t.column("n_records")).as_py() or 0)
+            chars.append(pc.sum(t.column("n_chars")).as_py() or 0)
+            errs.append(pc.sum(pc.cast(pc.equal(t.column("status"), "error"), pa.int64())).as_py() or 0)
+        return pa.Table.from_arrays(
+            [
+                pa.array(pids, pa.int64()),
+                pa.array(docs, pa.int64()),
+                pa.array(recs, pa.int64()),
+                pa.array(chars, pa.int64()),
+                pa.array(errs, pa.int64()),
+            ],
+            names=["part_id", "docs", "records", "chars", "errors"],
         )
 
-    stats = (
-        ds.map_batches(add_err, batch_format="pyarrow")
-        .groupby("part_id")
-        .aggregate(Count(), Sum("n_records"), Sum("n_chars"), Sum("is_error"))
-    ).take_all()  # small: one row per partition
+    partials = (
+        ray.data.from_items(items)
+        .map_batches(stats_of, batch_format="pyarrow", batch_size=8)
+        .take_all()
+    )
+    by_pid: Dict[int, dict] = {}
+    for r in partials:
+        agg = by_pid.setdefault(
+            r["part_id"],
+            {"part_id": r["part_id"], "count()": 0, "sum(n_records)": 0, "sum(n_chars)": 0, "sum(is_error)": 0},
+        )
+        agg["count()"] += r["docs"]
+        agg["sum(n_records)"] += r["records"]
+        agg["sum(n_chars)"] += r["chars"]
+        agg["sum(is_error)"] += r["errors"]
+    return list(by_pid.values())
 
+
+def write_lineage(
+    out_path: str,
+    part_ids: Sequence[int],
+    shard_of: Optional[Dict[int, str]] = None,
+    run_seconds: Optional[float] = None,
+) -> dict:
+    """Persist one lineage record per finished partition (north rule:
+    per-partition lineage + metrics)."""
+    stats = _aggregate_partition_stats(out_path, part_ids)
     os.makedirs(os.path.join(out_path, LINEAGE_DIR), exist_ok=True)
     finished_at = time.time()
     totals = {"docs": 0, "records": 0, "chars": 0, "errors": 0, "partitions": len(stats)}
@@ -157,6 +242,7 @@ def write_lineage(out_path: str, run_seconds: Optional[float] = None) -> dict:
         pid = int(row["part_id"])
         rec = {
             "part_id": pid,
+            "input_shard": (shard_of or {}).get(pid),
             "docs": int(row["count()"]),
             "records": int(row["sum(n_records)"]),
             "chars": int(row["sum(n_chars)"]),
@@ -177,37 +263,48 @@ def run_extraction(
     input_path: str,
     out_path: str,
     *,
-    num_partitions: int = DEFAULT_NUM_PARTITIONS,
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     resume: bool = True,
+    wave_size: int = DEFAULT_WAVE_SIZE,
+    num_partitions: Optional[int] = None,  # kept for API compat; unused
 ) -> dict:
-    """End-to-end extraction job with resumable partitioned output.
+    """End-to-end extraction job with shard-aligned resumable output.
 
-    Returns lineage totals. Re-running after an interruption skips
-    partitions whose lineage record exists and redoes the rest.
+    Returns lineage totals. Re-running after an interruption never
+    re-reads finished shards; redo-work is bounded by one wave.
     """
     t0 = time.time()
+    shards = list_shards(input_path)
+    shard_of = {shard_part_id(p): os.path.basename(p) for p in shards}
+
     finished = finished_partitions(out_path) if resume else set()
     if resume:
         clear_unfinished_partitions(out_path, finished)
     elif os.path.isdir(out_path):
         shutil.rmtree(out_path, ignore_errors=True)
 
-    if len(finished) == num_partitions:
-        return {"skipped": True, "partitions": num_partitions}
+    todo = [p for p in shards if shard_part_id(p) not in finished]
+    totals = {"docs": 0, "records": 0, "chars": 0, "errors": 0, "partitions": len(finished)}
+    if not todo:
+        totals["skipped"] = True
+        totals["resumed_skipping"] = sorted(finished)
+        return totals
 
-    ds = read_pages(input_path)
-    extracted = build_extracted_dataset(
-        ds,
-        num_partitions=num_partitions,
-        batch_size=batch_size,
-        concurrency=concurrency,
-        finished=finished,
-    )
-    extracted.write_parquet(out_path, partition_cols=["part_id"])
-    totals = write_lineage(out_path, run_seconds=time.time() - t0)
+    for w in range(0, len(todo), wave_size):
+        wave = todo[w : w + wave_size]
+        ds = read_pages(wave, include_paths=True)
+        extracted = build_extracted_dataset(
+            ds, batch_size=batch_size, concurrency=concurrency
+        )
+        extracted.write_parquet(out_path, partition_cols=["part_id"])
+        wave_parts = [shard_part_id(p) for p in wave]
+        sub = write_lineage(out_path, wave_parts, shard_of, run_seconds=time.time() - t0)
+        for k in ("docs", "records", "chars", "errors", "partitions"):
+            totals[k] += sub[k]
+
     totals["resumed_skipping"] = sorted(finished)
+    totals["run_seconds"] = time.time() - t0
     return totals
 
 
@@ -217,27 +314,30 @@ def run_extraction(
 
 def explode_records(extracted: "ray.data.Dataset") -> "ray.data.Dataset":
     def explode(batch: pa.Table) -> pa.Table:
-        urls, idxs, dates, descs, amounts, docs = [], [], [], [], [], []
-        rec_col = batch.column("records").to_pylist()
-        url_col = batch.column("url").to_pylist()
-        for url, recs in zip(url_col, rec_col):
-            for i, r in enumerate(recs or ()):
-                urls.append(url)
-                idxs.append(i)
-                dates.append(r["date"])
-                descs.append(r["description"])
-                amounts.append(r["amount"])
-                docs.append(r["doc"])
         from pdf_table_extractor_ray.schemas import RECORDS_SCHEMA
 
+        rec = batch.column("records").combine_chunks()
+        if isinstance(rec, pa.ChunkedArray):
+            rec = rec.combine_chunks()
+        flat = rec.flatten()  # StructArray of all records
+        counts = pc.list_value_length(rec).to_numpy(zero_copy_only=False)
+        import numpy as np
+
+        urls = pa.array(
+            np.repeat(batch.column("url").to_numpy(zero_copy_only=False), counts), pa.string()
+        )
+        idx = pa.array(
+            np.concatenate([np.arange(c) for c in counts]) if len(counts) else np.array([], np.int64),
+            pa.int64(),
+        )
         return pa.Table.from_arrays(
             [
-                pa.array(urls, pa.string()),
-                pa.array(idxs, pa.int64()),
-                pa.array(dates, pa.string()),
-                pa.array(descs, pa.string()),
-                pa.array(amounts, pa.float64()),
-                pa.array(docs, pa.string()),
+                urls,
+                idx,
+                flat.field("date"),
+                flat.field("description"),
+                flat.field("amount"),
+                flat.field("doc"),
             ],
             schema=RECORDS_SCHEMA,
         )

@@ -37,11 +37,11 @@ def add_keys_batch(batch: pa.Table, num_partitions: int = DEFAULT_NUM_PARTITIONS
     ``size_class`` columns. Runs as a stateless ``map_batches`` task."""
     urls = batch.column("url").to_pylist()
     part = np.fromiter(
-        (zlib.crc32(u.encode()) % num_partitions for u in urls), dtype=np.int32, count=len(urls)
+        (zlib.crc32(u.encode()) % num_partitions for u in urls), dtype=np.int64, count=len(urls)
     )
     html_len = pc.binary_length(batch.column("html")).to_numpy(zero_copy_only=False)
     text_len = pc.utf8_length(batch.column("text")).to_numpy(zero_copy_only=False)
     sz = np.digitize(html_len + text_len, SIZE_CLASS_BOUNDS).astype(np.int32)
-    out = batch.append_column("part_id", pa.array(part, pa.int32()))
+    out = batch.append_column("part_id", pa.array(part, pa.int64()))
     out = out.append_column("size_class", pa.array(sz, pa.int32()))
     return out

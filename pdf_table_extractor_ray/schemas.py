@@ -38,7 +38,7 @@ EXTRACTED_SCHEMA = pa.schema(
         ("n_chars", pa.int64()),
         ("status", pa.string()),
         ("error", pa.string()),
-        ("part_id", pa.int32()),
+        ("part_id", pa.int64()),
         ("size_class", pa.int32()),
     ]
 )

@@ -47,7 +47,7 @@ class WarmExtractor:
         htmls = batch.column("html").to_pylist()
         texts = batch.column("text").to_pylist()
         has_keys = "part_id" in batch.column_names
-        part_ids = batch.column("part_id") if has_keys else pa.nulls(n, pa.int32())
+        part_ids = batch.column("part_id") if has_keys else pa.nulls(n, pa.int64())
         size_classes = batch.column("size_class") if has_keys else pa.nulls(n, pa.int32())
 
         strategy_out, text_out = [], []

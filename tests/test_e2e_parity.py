@@ -13,11 +13,22 @@ GOLDEN = os.path.join(GOLDEN_DIR, "golden_extracted.parquet")
 
 
 @pytest.fixture(scope="module")
-def extracted(ray_session, tmp_path_factory):
+def sharded_pages(ray_session, tmp_path_factory):
+    """The golden corpus re-sharded into several input files, so the
+    shard-aligned partitioning/resume paths are exercised."""
+    import ray.data
+
+    path = str(tmp_path_factory.mktemp("pages_sharded"))
+    ray.data.read_parquet(PAGES).repartition(8).write_parquet(path)
+    return path
+
+
+@pytest.fixture(scope="module")
+def extracted(sharded_pages, tmp_path_factory):
     from pdf_table_extractor_ray.pipelines.extract import run_extraction
 
     out = str(tmp_path_factory.mktemp("extract_out"))
-    totals = run_extraction(PAGES, out, num_partitions=16, resume=False)
+    totals = run_extraction(sharded_pages, out, resume=False)
     return out, totals
 
 
@@ -66,16 +77,16 @@ def test_lineage_written(extracted):
     assert totals["errors"] > 0  # malformed family rides in-band
 
 
-def test_resume_skips_finished(extracted):
+def test_resume_skips_finished(extracted, sharded_pages):
     out, _ = extracted
     from pdf_table_extractor_ray.pipelines.extract import run_extraction
 
-    res = run_extraction(PAGES, out, num_partitions=16, resume=True)
-    # every partition already has a lineage record → nothing to redo
+    res = run_extraction(sharded_pages, out, resume=True)
+    # every shard already has a lineage record → nothing to redo
     assert res.get("skipped") is True
 
 
-def test_resume_redoes_missing_partition(ray_session, tmp_path):
+def test_resume_redoes_missing_partition(sharded_pages, tmp_path):
     import shutil
 
     from pdf_table_extractor_ray.pipelines.extract import (
@@ -85,15 +96,19 @@ def test_resume_redoes_missing_partition(ray_session, tmp_path):
     )
 
     out = str(tmp_path / "out")
-    run_extraction(PAGES, out, num_partitions=16, resume=False)
-    # simulate a crash: partition 3 lost its lineage record + data
-    os.remove(lineage_path(out, 3))
-    shutil.rmtree(os.path.join(out, "part_id=3"))
-    assert 3 not in finished_partitions(out)
+    run_extraction(sharded_pages, out, resume=False)
+    fins = sorted(finished_partitions(out))
+    n_parts = len(fins)
+    assert n_parts >= 2
+    # simulate a crash: one shard lost its lineage record + data
+    victim = fins[0]
+    os.remove(lineage_path(out, victim))
+    shutil.rmtree(os.path.join(out, f"part_id={victim}"))
+    assert victim not in finished_partitions(out)
 
-    totals = run_extraction(PAGES, out, num_partitions=16, resume=True)
-    assert 3 not in totals["resumed_skipping"]
-    assert len(totals["resumed_skipping"]) == 15
+    totals = run_extraction(sharded_pages, out, resume=True)
+    assert victim not in totals["resumed_skipping"]
+    assert len(totals["resumed_skipping"]) == n_parts - 1
     # full corpus back, byte-identical to golden
     import ray.data
 
