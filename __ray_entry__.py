@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # fixture corpus sizes per testdata scale factor (deterministic, cached
-# under /tmp; multiples of the 15 fixture families)
+# under /tmp keyed by generator version; multiples of the fixture families)
 _FIXTURE_N = {"sf0.001": 240, "sf0.01": 960, "sf0.1": 3840}
 _FIXTURE_ROOT = os.environ.get("PDFX_FIXTURE_DIR", "/tmp/pdfx_fixtures")
 
@@ -32,8 +32,10 @@ def _sf_name(sf_dir: str) -> str:
 
 def _fixture_pages(sf_dir: str) -> str:
     """Mint (once) and return the fixture pages parquet for this scale."""
+    from pdf_table_extractor_ray.fixtures import FIXTURE_VERSION
+
     n = _FIXTURE_N.get(_sf_name(sf_dir), 240)
-    path = os.path.join(_FIXTURE_ROOT, f"n{n}")
+    path = os.path.join(_FIXTURE_ROOT, f"v{FIXTURE_VERSION}_n{n}")
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
         from pdf_table_extractor_ray.fixtures import write_pages_parquet

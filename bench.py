@@ -62,11 +62,13 @@ def _bench_extract(sf_dir: str, num_cpus: int, warmup: bool = True) -> dict:
 
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
     t0 = time.time()
+    # (n/2, n) actor pool: leaves CPU slots for the read/write tasks —
+    # a fixed pool of size n on an n-CPU cluster deadlocks the stream
     totals = run_extraction(
         pages,
         BENCH_OUT,
         resume=False,
-        concurrency=(num_cpus, num_cpus),
+        concurrency=(max(1, num_cpus // 2), num_cpus),
     )
     elapsed = time.time() - t0
     return {

@@ -42,8 +42,12 @@ FAMILIES = (
     "coordinate_columns",
     "lattice_table",
     "boilerplate_strip",
+    "ofx",
     "malformed",
 )
+
+# bump when generator output changes — cached corpora key on it
+FIXTURE_VERSION = 2
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -393,6 +397,25 @@ def _gen_boilerplate(rng, size):
     return text, html.encode()
 
 
+def _gen_ofx(rng, size):
+    n = max(2, _n_lines(size, rng) // 4)
+    parts = ["OFXHEADER:100", "<OFX>", "<BANKMSGSRSV1>", "<STMTTRNRS>", "<BANKTRANLIST>"]
+    for _ in range(n):
+        amt = _amount(rng) * (1 if rng.random() < 0.5 else -1)
+        d = f"{rng.randint(2021, 2025)}{rng.randint(1, 12):02d}{rng.randint(1, 28):02d}"
+        parts.append("<STMTTRN>")
+        parts.append(f"<TRNTYPE>{'CREDIT' if amt > 0 else 'DEBIT'}")
+        parts.append(f"<DTPOSTED>{d}120000[-3:BRT]")
+        # OFX carries '.' decimals — exercises the F10 TRNAMT repair
+        parts.append(f"<TRNAMT>{amt:.2f}")
+        parts.append(f"<FITID>{rng.randint(10**8, 10**9)}")
+        parts.append(f"<MEMO>{_desc(rng)}")
+        parts.append("</STMTTRN>")
+    parts.extend(["</BANKTRANLIST>", "</STMTTRNRS>", "</BANKMSGSRSV1>", "</OFX>"])
+    text = "\n".join(parts)
+    return text, text.encode()
+
+
 def _gen_malformed(rng, size):
     kind = rng.random()
     if kind < 0.3:
@@ -418,6 +441,7 @@ _GENERATORS = {
     "coordinate_columns": _gen_coordinate,
     "lattice_table": _gen_lattice,
     "boilerplate_strip": _gen_boilerplate,
+    "ofx": _gen_ofx,
     "malformed": _gen_malformed,
 }
 

@@ -21,6 +21,7 @@ from pdf_table_extractor_ray.stages.layout import (
     extract_lattice_table,
 )
 from pdf_table_extractor_ray.stages.boilerplate import extract_boilerplate
+from pdf_table_extractor_ray.stages.ofx import extract_ofx
 from pdf_table_extractor_ray.stages.result import ExtractResult
 
 # ---------------------------------------------------------------------------
@@ -63,6 +64,7 @@ STRATEGIES: Dict[str, Callable[[dict], ExtractResult]] = {
     "coordinate_columns": _html_strategy(extract_coordinate_columns),
     "lattice_table": _html_strategy(extract_lattice_table),
     "boilerplate_strip": _html_strategy(extract_boilerplate),
+    "ofx": _text_strategy(extract_ofx),
 }
 
 
@@ -97,6 +99,8 @@ def detect_format(html, text: Optional[str]) -> Optional[str]:
     html = html or ""
     text = text or ""
 
+    if "<OFX>" in text or "<STMTTRN>" in text:
+        return "ofx"
     if '<span data-x0="' in html:
         return "coordinate_columns"
     if "<table" in html:

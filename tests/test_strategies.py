@@ -196,6 +196,25 @@ class TestBoilerplate:
         assert "substantial text content" in r.extracted_text
 
 
+class TestOFX:
+    def test_trnamt_repair_and_parse(self):
+        from pdf_table_extractor_ray.stages.ofx import extract_ofx, repair_trnamt
+
+        assert repair_trnamt("<TRNAMT>-1234.56") == "<TRNAMT>-1234,56"
+        text = (
+            "<OFX>\n<STMTTRN>\n<TRNTYPE>DEBIT\n<DTPOSTED>20240607120000[-3:BRT]\n"
+            "<TRNAMT>-1234.56\n<FITID>900000001\n<MEMO>PIX ENVIADO MERCADO\n</STMTTRN>\n</OFX>"
+        )
+        r = extract_ofx(text)
+        assert r.extracted_text == "07/06/2024;PIX ENVIADO MERCADO;-1234,56;900000001"
+        assert r.records[0].amount == -1234.56
+
+    def test_empty(self):
+        from pdf_table_extractor_ray.stages.ofx import extract_ofx
+
+        assert extract_ofx("<OFX></OFX>").status == "empty"
+
+
 class TestDetectionSweep:
     def test_all_families_detect_and_extract(self):
         stats = Counter()
