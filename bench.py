@@ -53,7 +53,7 @@ def _bench_extract(sf_dir: str, num_cpus: int, warmup: bool = True) -> dict:
     partitioned parquet sink + lineage. Returns timing + docs/s."""
     from pdf_table_extractor_ray.pipelines.extract import run_extraction
 
-    pages = _fixture_path(sf_dir)
+    pages = os.environ.get("PDFX_BENCH_INPUT") or _fixture_path(sf_dir)
     if warmup:  # untimed warm pass (imports, actor spin-up) per BASELINE.md
         from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -121,10 +121,26 @@ def run_suite(num_cpus: int, scaling_child: bool = False) -> dict:
     return result
 
 
+SCALING_N = 15360  # 4× the sf0.1 corpus: compute must dominate fixed
+# startup or the 32-CPU run is floor-bound and efficiency is meaningless
+
+
+def _scaling_corpus() -> str:
+    from pdf_table_extractor_ray.fixtures import FIXTURE_VERSION, write_pages_parquet
+
+    path = f"/tmp/pdfx_fixtures/v{FIXTURE_VERSION}_n{SCALING_N}"
+    marker = os.path.join(path, "_COMPLETE")
+    if not os.path.exists(marker):
+        write_pages_parquet(path, SCALING_N)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
 def run_scaling() -> dict:
     """Same job, same input, fresh processes at num_cpus=8 and 32."""
     _init_ray(NUM_CPUS)
-    pages = _fixture_path(SF_DIR)  # mint once so both children reuse it
+    pages = _scaling_corpus()  # mint once so both children reuse it
     import ray
 
     ray.shutdown()
@@ -135,7 +151,7 @@ def run_scaling() -> dict:
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
             capture_output=True,
             text=True,
-            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus)},
+            env={**os.environ, "RAY_GRAFT_CPUS": str(cpus), "PDFX_BENCH_INPUT": pages},
             timeout=3600,
         )
         last = proc.stdout.strip().splitlines()[-1]

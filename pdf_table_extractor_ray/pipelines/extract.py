@@ -46,9 +46,10 @@ LINEAGE_DIR = "_lineage"
 
 # batch sizes tuned so (batch × payload × concurrency) stays well inside a
 # worker heap: median fixture payloads are KB-scale, large ones ~1-3 MB
-# (SURVEY §4.2); 32 docs/batch bounds a worst-case all-large batch at
-# ~100 MB while keeping per-task overhead amortized.
-DEFAULT_BATCH_SIZE = 32
+# (SURVEY §4.2); 16 docs/batch bounds a worst-case all-large batch at
+# ~50 MB and keeps task granularity fine enough that a run of 1 MB
+# documents cannot straggle the stage tail.
+DEFAULT_BATCH_SIZE = 16
 DEFAULT_WAVE_SIZE = 256
 
 

@@ -90,8 +90,8 @@ class WarmExtractor:
             pa.array(span_offsets, pa.int32()),
             pa.StructArray.from_arrays(
                 [
-                    pa.array(span_start, pa.int64()),
-                    pa.array(span_end, pa.int64()),
+                    pa.array(span_start, pa.int32()),
+                    pa.array(span_end, pa.int32()),
                     pa.array(span_kind, pa.string()),
                 ],
                 fields=list(SPAN_TYPE),
