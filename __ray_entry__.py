@@ -124,25 +124,36 @@ def _q_lineitem_pricing(sf_dir: str):
         ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
 
-    def cents(b: pa.Table) -> pa.Table:
-        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+    def partial(b: pa.Table) -> pa.Table:
+        """Combiner: per-batch group sums → only (groups × batches) rows
+        reach the shuffle, not 600k raw rows."""
+        qty = np.floor(b.column("l_quantity").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        price = np.floor(b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
         disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [
-                b.column("l_returnflag"),
-                b.column("l_linestatus"),
-                pa.array(np.floor(qty * 100).astype(np.int64)),
-                pa.array(np.floor(price * 100).astype(np.int64)),
-                pa.array(np.floor(price * (1 - disc) * 100).astype(np.int64)),
-            ],
-            names=["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_price_c"],
+        disc_price = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * (1 - disc) * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "qty_c": qty,
+                "price_c": price,
+                "disc_price_c": disc_price,
+            }
+        )
+        return pa.TableGroupBy(t, ["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_c", "sum"), ("price_c", "sum"), ("disc_price_c", "sum"), ([], "count_all")]
+        ).rename_columns(
+            ["l_returnflag", "l_linestatus", "qty_c", "price_c", "disc_price_c", "n"]
         )
 
     agg = (
-        ds.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_price_c"), Count())
+        .aggregate(Sum("qty_c"), Sum("price_c"), Sum("disc_price_c"), Sum("n"))
     )
 
     def finish(b: pa.Table) -> pa.Table:
@@ -153,7 +164,7 @@ def _q_lineitem_pricing(sf_dir: str):
                 pc.divide(pc.cast(b.column("sum(qty_c)"), pa.float64()), 100.0),
                 pc.divide(pc.cast(b.column("sum(price_c)"), pa.float64()), 100.0),
                 pc.divide(pc.cast(b.column("sum(disc_price_c)"), pa.float64()), 100.0),
-                pc.cast(b.column("count()"), pa.int64()),
+                pc.cast(b.column("sum(n)"), pa.int64()),
             ],
             names=[
                 "l_returnflag",

@@ -62,13 +62,15 @@ def _bench_extract(sf_dir: str, num_cpus: int, warmup: bool = True) -> dict:
 
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
     t0 = time.time()
-    # (n/2, n) actor pool: leaves CPU slots for the read/write tasks —
-    # a fixed pool of size n on an n-CPU cluster deadlocks the stream
+    # (3n/4, n) actor pool at 0.75 CPU/actor: proportional across the
+    # two scaling levels, slots left for read/write tasks (a fixed pool
+    # of n×1.0 on an n-CPU cluster deadlocks the stream)
     totals = run_extraction(
         pages,
         BENCH_OUT,
         resume=False,
-        concurrency=(max(1, num_cpus // 2), num_cpus),
+        concurrency=(max(1, (3 * num_cpus) // 4), num_cpus),
+        batch_size=32,
     )
     elapsed = time.time() - t0
     return {
@@ -121,8 +123,9 @@ def run_suite(num_cpus: int, scaling_child: bool = False) -> dict:
     return result
 
 
-SCALING_N = 15360  # 4× the sf0.1 corpus: compute must dominate fixed
-# startup or the 32-CPU run is floor-bound and efficiency is meaningless
+SCALING_N = 61440  # 16× the sf0.1 corpus: compute must dominate the
+# fixed ramp/tail (~2-3 s) or the 32-CPU run is floor-bound and the
+# efficiency number measures startup, not the engine
 
 
 def _scaling_corpus() -> str:
@@ -131,7 +134,7 @@ def _scaling_corpus() -> str:
     path = f"/tmp/pdfx_fixtures/v{FIXTURE_VERSION}_n{SCALING_N}"
     marker = os.path.join(path, "_COMPLETE")
     if not os.path.exists(marker):
-        write_pages_parquet(path, SCALING_N)
+        write_pages_parquet(path, SCALING_N, parallelism=1024)
         with open(marker, "w") as f:
             f.write("ok")
     return path

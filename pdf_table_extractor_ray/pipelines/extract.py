@@ -102,6 +102,7 @@ def build_extracted_dataset(
     concurrency=None,
     strategy_key: Optional[str] = None,
     shard_keys: bool = True,
+    actor_num_cpus: float = 0.75,
 ) -> "ray.data.Dataset":
     """Lazy extraction plan over a pages Dataset.
 
@@ -112,10 +113,12 @@ def build_extracted_dataset(
     runtime path column.)
     """
     if concurrency is None:
-        # pool sized to the cluster: 1 CPU per parser actor
-        # (an autoscaling (1,n) pool ramps too slowly and starves the stage)
+        # pool sized to the cluster (an autoscaling (1,n) pool ramps too
+        # slowly and starves the stage). Fractional CPUs per actor leave
+        # scheduling slots for the read/write tasks that share the
+        # cluster — a pool of n×1.0 on n CPUs deadlocks the stream.
         n = default_concurrency()
-        concurrency = (max(1, n // 2), n)
+        concurrency = (max(1, (3 * n) // 4), n)
     if shard_keys:
         ds = ds.map_batches(_add_shard_keys, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
@@ -125,7 +128,7 @@ def build_extracted_dataset(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
-        num_cpus=1,
+        num_cpus=actor_num_cpus,
     )
 
 

@@ -91,17 +91,34 @@ def _perm_params(k: int = MINHASH_K, seed: int = 7):
 _PERM_A, _PERM_B = _perm_params()
 
 
+_SHINGLE_C = (
+    np.uint64(0x9E3779B97F4A7C15),
+    np.uint64(0xC2B2AE3D27D4EB4F),
+    np.uint64(0x165667B19E3779F9),
+)
+
+
 def _shingle_hashes(text: str, width: int = 3) -> np.ndarray:
-    """Word-``width``-gram shingles → stable 64-bit hashes."""
+    """Word-``width``-gram shingles → stable 64-bit hashes.
+
+    Tokens hash once via crc32 (C speed); the sliding-window combine is
+    pure numpy — no per-shingle string joins."""
     tokens = text.split()
-    if len(tokens) < width:
-        grams = [" ".join(tokens)] if tokens else []
-    else:
-        grams = [" ".join(tokens[i : i + width]) for i in range(len(tokens) - width + 1)]
-    if not grams:
+    if not tokens:
         return np.zeros(1, dtype=np.uint64)
-    h32 = np.fromiter((zlib.crc32(g.encode()) for g in grams), dtype=np.uint32, count=len(grams))
-    return _splash64(h32)
+    h = _splash64(
+        np.fromiter((zlib.crc32(t.encode()) for t in tokens), dtype=np.uint32, count=len(tokens))
+    )
+    if len(tokens) < width:
+        acc = np.uint64(0)
+        for j, c in zip(range(len(tokens)), _SHINGLE_C):
+            acc ^= h[j] * c
+        return _splash64(np.array([acc], dtype=np.uint64))
+    n = len(tokens) - width + 1
+    acc = np.zeros(n, dtype=np.uint64)
+    for j in range(width):
+        acc ^= h[j : j + n] * _SHINGLE_C[j]
+    return _splash64(acc)
 
 
 def minhash_signature(text: str, k: int = MINHASH_K) -> np.ndarray:
