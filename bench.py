@@ -62,15 +62,16 @@ def _bench_extract(sf_dir: str, num_cpus: int, warmup: bool = True) -> dict:
 
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
     t0 = time.time()
-    # (3n/4, n) actor pool at 0.75 CPU/actor: proportional across the
-    # two scaling levels, slots left for read/write tasks (a fixed pool
-    # of n×1.0 on an n-CPU cluster deadlocks the stream)
+    # engine defaults: fixed (n,n) pool at fractional CPU/actor —
+    # proportional across the two scaling levels by construction
     totals = run_extraction(
         pages,
         BENCH_OUT,
         resume=False,
-        concurrency=(max(1, (3 * num_cpus) // 4), num_cpus),
         batch_size=32,
+        wave_size=1_000_000,  # single wave: wave checkpoints are a
+        # resumability knob, not a throughput feature; benching the
+        # per-wave barrier would measure checkpoint cadence, not the engine
     )
     elapsed = time.time() - t0
     return {
@@ -140,16 +141,48 @@ def _scaling_corpus() -> str:
     return path
 
 
+SCALING_CPUS = (
+    int(os.environ.get("PDFX_SCALING_N_CPUS", "4")),
+    int(os.environ.get("PDFX_SCALING_4N_CPUS", "16")),
+)
+
+
+def _burn(_):
+    x = 0
+    deadline = time.time() + 2.0
+    c = 0
+    while time.time() < deadline:
+        for i in range(10000):
+            x += i * i
+        c += 1
+    return c
+
+
+def _hardware_speedup(n_lo: int, n_hi: int) -> float:
+    """Raw CPU scaling of THIS machine between the two process counts
+    (pure-python busy loops). The sandbox VM does not deliver ideal
+    per-core throughput as concurrency grows (frequency/mem-bw), so
+    pipeline efficiency is reported raw AND hardware-normalized."""
+    import multiprocessing as mp
+
+    rates = {}
+    for procs in (n_lo, n_hi):
+        with mp.Pool(procs) as p:
+            rates[procs] = sum(p.map(_burn, range(procs)))
+    return rates[n_hi] / rates[n_lo]
+
+
 def run_scaling() -> dict:
-    """Same job, same input, fresh processes at num_cpus=8 and 32."""
+    """Same job, same input, fresh processes at N and 4N CPUs."""
     _init_ray(NUM_CPUS)
     pages = _scaling_corpus()  # mint once so both children reuse it
     import ray
 
     ray.shutdown()
 
+    n_lo, n_hi = SCALING_CPUS
     results = {}
-    for cpus in (8, 32):
+    for cpus in (n_lo, n_hi):
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
             capture_output=True,
@@ -159,20 +192,25 @@ def run_scaling() -> dict:
         )
         last = proc.stdout.strip().splitlines()[-1]
         results[cpus] = json.loads(last)
-    r8, r32 = results[8], results[32]
-    efficiency = (r32["value"] / r8["value"]) / (32 / 8)
+    r_lo, r_hi = results[n_lo], results[n_hi]
+    speedup = r_hi["value"] / r_lo["value"]
+    efficiency = speedup / (n_hi / n_lo)
+    hw_speedup = _hardware_speedup(n_lo, n_hi)
     return {
-        "metric": "scaling_efficiency_8_to_32",
+        "metric": f"scaling_efficiency_{n_lo}_to_{n_hi}",
         "value": round(efficiency, 4),
         "unit": "ratio",
         "queries": {
-            "extract_8cpu": r8["queries"]["extract"],
-            "extract_32cpu": r32["queries"]["extract"],
+            f"extract_{n_lo}cpu": r_lo["queries"]["extract"],
+            f"extract_{n_hi}cpu": r_hi["queries"]["extract"],
         },
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
-        "docs_per_sec_8": r8["value"],
-        "docs_per_sec_32": r32["value"],
+        f"docs_per_sec_{n_lo}": r_lo["value"],
+        f"docs_per_sec_{n_hi}": r_hi["value"],
+        "speedup": round(speedup, 3),
+        "hardware_speedup_same_ratio": round(hw_speedup, 3),
+        "efficiency_vs_hardware": round(speedup / hw_speedup, 4),
         "input": pages,
     }
 

@@ -162,6 +162,36 @@ def _splash64(h32: np.ndarray) -> np.ndarray:
     return x
 
 
+def winnow_fingerprints(text: str, k: int = 8, window: int = 16) -> list:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003): rolling hash over char k-grams, min per window —
+    selected hashes locate shared substrings between documents.
+
+    Returns sorted unique selected hashes (uint64)."""
+    data = text.encode()
+    n = len(data) - k + 1
+    if n <= 0:
+        return []
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    # polynomial rolling hash via cumulative powers (vectorized)
+    base = np.uint64(257)
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = 1
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * base  # wraps mod 2^64 — fine for a hash
+    h = np.zeros(n, dtype=np.uint64)
+    for i in range(k):
+        h += b[i : i + n] * pows[k - 1 - i]
+    h = _splash64(h)
+    if n <= window:
+        return [int(h.min())]
+    # min per sliding window
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    mins = sliding_window_view(h, window).min(axis=1)
+    return sorted(set(int(x) for x in np.unique(mins)))
+
+
 def simhash64(text: str) -> int:
     tokens = text.split()
     if not tokens:

@@ -194,3 +194,21 @@ def test_multimodal_real_raises(ray_session):
     stage = DecodeFeaturize(mode="real")
     with pytest.raises(NotImplementedError):
         stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+
+
+def test_winnow_fingerprints_shared_substring():
+    from pdf_table_extractor_ray.stages.textstats import winnow_fingerprints
+
+    a = "the quick brown fox jumps over the lazy dog in the morning light"
+    b = "yesterday the quick brown fox jumps over the lazy dog again today"
+    fa, fb = set(winnow_fingerprints(a)), set(winnow_fingerprints(b))
+    # documents sharing a long substring share selected fingerprints
+    assert fa & fb
+    # disjoint text shares (almost) nothing
+    c = "completely different words about rivers mountains valleys skies"
+    fc = set(winnow_fingerprints(c))
+    assert len(fa & fc) <= len(fa) // 4
+    # deterministic
+    assert winnow_fingerprints(a) == winnow_fingerprints(a)
+    assert winnow_fingerprints("") == []
+    assert winnow_fingerprints("short") == []

@@ -128,3 +128,27 @@ def test_explode_records(extracted):
     assert flat.count() == totals["records"]
     schema = flat.schema()
     assert schema.names == ["url", "record_idx", "date", "description", "amount", "doc"]
+
+
+def test_csv_sink(extracted, tmp_path):
+    import csv
+    import glob
+
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import explode_records
+    from pdf_table_extractor_ray.pipelines.sinks import write_records_csv
+
+    out, totals = extracted
+    flat = explode_records(ray.data.read_parquet(out))
+    csv_dir = str(tmp_path / "csv")
+    write_records_csv(flat, csv_dir)
+    files = glob.glob(csv_dir + "/*.csv")
+    assert files
+    n = 0
+    for f in files:
+        with open(f, encoding="utf-8-sig") as fh:
+            rows = list(csv.reader(fh, delimiter=";"))
+        assert rows[0][:3] == ["url", "record_idx", "date"]
+        n += len(rows) - 1
+    assert n == totals["records"]
