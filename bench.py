@@ -54,11 +54,12 @@ def _bench_extract(sf_dir: str, num_cpus: int, warmup: bool = True) -> dict:
     from pdf_table_extractor_ray.pipelines.extract import run_extraction
 
     pages = os.environ.get("PDFX_BENCH_INPUT") or _fixture_path(sf_dir)
-    if warmup:  # untimed warm pass (imports, actor spin-up) per BASELINE.md
+    if warmup:  # untimed warm pass per BASELINE.md: same pool shape as
+        # the timed run, so worker processes + imports are resident
         from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
-        small = read_pages(pages, include_paths=True).limit(64)
-        build_extracted_dataset(small, concurrency=(1, num_cpus)).count()
+        small = read_pages(pages, include_paths=True).limit(256)
+        build_extracted_dataset(small, batch_size=32).count()
 
     shutil.rmtree(BENCH_OUT, ignore_errors=True)
     t0 = time.time()

@@ -39,6 +39,20 @@ def nfkd_clean(text: str) -> str:
     return _NFKD_STRIP_RE.sub("", out).strip()
 
 
+# F9: page-range parser, semantics of conversor_itau.py:88-97
+# ("1,2,4-6" → ['1','2','4','5','6']) — job-arg parsing on the driver side.
+def parse_page_ranges(pages: str) -> list:
+    out = []
+    for part in pages.split(","):
+        part = part.strip()
+        if "-" in part:
+            start, end = map(int, part.split("-"))
+            out.extend(map(str, range(start, end + 1)))
+        else:
+            out.append(part)
+    return out
+
+
 # F8: document-number extraction, semantics of conversor_santander.py:28-29:
 # a >=6-digit run adjacent to the value token.
 def extract_doc_number(line: str, value_token: str) -> str:

@@ -184,3 +184,11 @@ def test_amount_float64_semantics():
     # reference uses binary64 float() everywhere, never decimal
     v = clean_monetary_value("0,1")
     assert isinstance(v, float) and math.isclose(v, 0.1)
+
+
+def test_parse_page_ranges():
+    from pdf_table_extractor_ray.functions.textnorm import parse_page_ranges
+
+    assert parse_page_ranges("1,2,4-6") == ["1", "2", "4", "5", "6"]
+    assert parse_page_ranges("3") == ["3"]
+    assert parse_page_ranges(" 1 , 7-8 ") == ["1", "7", "8"]
