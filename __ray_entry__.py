@@ -350,6 +350,12 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
+def _q_sessionize(sf_dir: str):
+    from pdf_table_extractor_ray.stages.sessions import sessionize
+
+    return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -414,6 +420,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5": _q_knn_top5,
         "knn_lsh": _q_knn_lsh,
         "embedding_dups": _q_embedding_dups,
+        "sessionize": _q_sessionize,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
@@ -466,6 +473,21 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM documents WHERE source = 'src2') GROUP BY lang"
         ),
         "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "sessionize": (
+            "WITH ordered AS ("
+            "  SELECT user_id, epoch_us(ts) AS ts_us, "
+            "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+            "         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)), "
+            "tagged AS ("
+            "  SELECT user_id, ts_us, "
+            "    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us "
+            "      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+            "  FROM ordered) "
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "  min(ts_us) AS start_ts_us, max(ts_us) AS end_ts_us "
+            "FROM tagged GROUP BY user_id, session_id"
+        ),
         "knn_top5": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
             "  WHERE vec_id IN (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 3)), "

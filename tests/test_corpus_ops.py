@@ -212,3 +212,35 @@ def test_winnow_fingerprints_shared_substring():
     assert winnow_fingerprints(a) == winnow_fingerprints(a)
     assert winnow_fingerprints("") == []
     assert winnow_fingerprints("short") == []
+
+
+def test_sessionize(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import sessionize
+
+    M = 1_000_000
+    items = [
+        {"user_id": 1, "ts": 0},
+        {"user_id": 1, "ts": 60 * M},          # same session (1 min gap)
+        {"user_id": 1, "ts": 3600 * M},        # new session (59 min gap)
+        {"user_id": 2, "ts": 10 * M},
+    ]
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "user_id": pa.array([r["user_id"] for r in items], pa.int64()),
+            "ts": pa.array([r["ts"] for r in items], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = sorted(
+        sessionize(ds).take_all(), key=lambda r: (r["user_id"], r["session_id"])
+    )
+    assert [(r["user_id"], r["session_id"], r["n_events"]) for r in out] == [
+        (1, 1, 2),
+        (1, 2, 1),
+        (2, 1, 1),
+    ]
+    assert out[0]["start_ts_us"] == 0 and out[0]["end_ts_us"] == 60 * M
