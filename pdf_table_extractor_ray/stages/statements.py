@@ -59,6 +59,19 @@ def _amount_str(value: Optional[float]) -> str:
 _CAIXA_SKIP_WORDS = ("SALDO DIA", "SALDO ANTERIOR", "TOTAL", "Data Mov", "Histórico", "Valor")
 _TRAILING_BAL_RE = re.compile(r"([\d\.,]+\s*[DC]?)\s*$")
 
+from functools import lru_cache  # noqa: E402
+
+
+@lru_cache(maxsize=8)  # only the handful of auto-detected date patterns
+def _caixa_patterns(date_pattern: str):
+    date_rx = re.compile(date_pattern)
+    patterns = (
+        re.compile(rf"({date_pattern})\s+(\d+|\w+)\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"),
+        re.compile(rf"({date_pattern})\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"),
+        re.compile(rf"({date_pattern})(.+)"),
+    )
+    return date_rx, patterns
+
 
 def extract_regex_listing(text: str) -> ExtractResult:
     """Date-anchored line scan with a 3-pattern cascade and skip-word
@@ -69,12 +82,7 @@ def extract_regex_listing(text: str) -> ExtractResult:
     if not date_pattern:
         return ExtractResult(status="empty", error="no date pattern")
 
-    date_rx = re.compile(date_pattern)
-    patterns = [
-        re.compile(rf"({date_pattern})\s+(\d+|\w+)\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"),
-        re.compile(rf"({date_pattern})\s+(.*?)\s+([\d\.,]+\s*[DC]?)\s+([\d\.,]+\s*[DC]?)"),
-        re.compile(rf"({date_pattern})(.+)"),
-    ]
+    date_rx, patterns = _caixa_patterns(date_pattern)
 
     transactions = []
     for line in full.split("\n"):
@@ -138,6 +146,24 @@ _STD_SALDO_EM_RE = re.compile(r"^\s*SALDO EM \d{2}/\d{2}(?:/\d{2,4})?\s*$", re.I
 _STD_END_MARK = "EXTRATO CONSOLIDADO"
 
 
+# doc-number lookup, end-anchored against the text preceding a value
+# occurrence. Equivalent to the reference's per-value compiled pattern
+# r"(\d{6,})(?:\s+|\s*-\s*)?" + re.escape(valor_raw) — which would
+# compile a FRESH regex per record (the values differ), thrashing the
+# re cache and dominating large-document wall time.
+_STD_DOC_BEFORE_RE = re.compile(r"(\d{6,})(?:\s+|\s*-\s*)?$")
+
+
+def _std_find_doc(linha: str, valor_raw: str) -> str:
+    j = linha.find(valor_raw)
+    while j != -1:
+        m = _STD_DOC_BEFORE_RE.search(linha, 0, j)
+        if m:
+            return m.group(1)
+        j = linha.find(valor_raw, j + 1)
+    return ""
+
+
 def _std_extract_fields(linha: str, data_corrente: str):
     """conversor_santander.py:18-48 (extrair_dados)."""
     match_valor = _STD_VALUE_RE.search(linha)
@@ -147,8 +173,7 @@ def _std_extract_fields(linha: str, data_corrente: str):
     valor_index = linha.rfind(valor_raw)
     lancamento = linha[:valor_index].strip()
 
-    doc_match = re.search(r"(\d{6,})(?:\s+|\s*-\s*)?" + re.escape(valor_raw), linha)
-    documento = doc_match.group(1) if doc_match else ""
+    documento = _std_find_doc(linha, valor_raw)
 
     lower = lancamento.lower()
     for palavra in _STD_NEG_WORDS:

@@ -232,3 +232,35 @@ class TestDetectionSweep:
 
     def test_detect_unknown(self):
         assert detect_format(b"", "") is None
+
+
+class TestTableParserEquivalence:
+    def test_fast_path_matches_htmlparser(self):
+        from pdf_table_extractor_ray.fixtures import generate_doc
+        from pdf_table_extractor_ray.stages.layout import (
+            _TableGridParser,
+            _parse_tables_fast,
+        )
+
+        checked = 0
+        for i in range(0, 480):
+            d = generate_doc(i)
+            if d["family"] != "lattice_table":
+                continue
+            html = d["html"].decode()
+            fast = _parse_tables_fast(html)
+            assert fast is not None
+            slow = _TableGridParser()
+            slow.feed(html)
+            assert fast == slow.tables
+            checked += 1
+        assert checked >= 10
+
+    def test_fast_path_rejects_attributes_and_entities(self):
+        from pdf_table_extractor_ray.stages.layout import _parse_tables_fast, parse_tables
+
+        assert _parse_tables_fast('<table class="x"><tr><td>a</td></tr></table>') is None
+        assert _parse_tables_fast("<table><tr><td>a&amp;b</td></tr></table>") is None
+        # fallback still parses them
+        assert parse_tables('<table class="x"><tr><td>a</td></tr></table>') == [[["a"]]]
+        assert parse_tables("<table><tr><td>a&amp;b</td></tr></table>") == [[["a&b"]]]
