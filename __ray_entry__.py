@@ -350,6 +350,57 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
+def _q_customer_nation(sf_dir: str):
+    """Broadcast dimension join (T5 generalized): customer ⋈ nation."""
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = broadcast_join(cust, nation, key="c_nationkey", build_key="n_nationkey")
+    return joined.select_columns(["c_custkey", "c_acctbal", "n_name"])
+
+
+def _q_orders_by_nation(sf_dir: str):
+    """orders ⋈ customer ⋈ nation → per-nation order counts + cents
+    totals. Both build sides broadcast; probe side streams."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    j1 = broadcast_join(orders, cust, key="o_custkey", build_key="c_custkey")
+    j2 = broadcast_join(j1, nation, key="c_nationkey", build_key="n_nationkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        t = pa.table({"n_name": b.column("n_name"), "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["n_name"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["n_name", "cents", "n"])
+        )
+
+    agg = j2.map_batches(partial, batch_format="pyarrow").groupby("n_name").aggregate(
+        Sum("cents"), Sum("n")
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("n_name"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+            ],
+            names=["n_name", "n_orders", "total_price"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_sessionize(sf_dir: str):
     from pdf_table_extractor_ray.stages.sessions import sessionize
 
@@ -420,6 +471,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5": _q_knn_top5,
         "knn_lsh": _q_knn_lsh,
         "embedding_dups": _q_embedding_dups,
+        "customer_nation": _q_customer_nation,
+        "orders_by_nation": _q_orders_by_nation,
         "sessionize": _q_sessionize,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
@@ -473,6 +526,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM documents WHERE source = 'src2') GROUP BY lang"
         ),
         "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "customer_nation": (
+            "SELECT c_custkey, c_acctbal, n_name FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "orders_by_nation": (
+            "SELECT n_name, count(*) AS n_orders, "
+            "sum(CAST(floor(o_totalprice*100) AS BIGINT))/100.0 AS total_price "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"
+        ),
         "sessionize": (
             "WITH ordered AS ("
             "  SELECT user_id, epoch_us(ts) AS ts_us, "

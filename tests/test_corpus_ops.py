@@ -244,3 +244,24 @@ def test_sessionize(ray_session):
         (2, 1, 1),
     ]
     assert out[0]["start_ts_us"] == 0 and out[0]["end_ts_us"] == 60 * M
+
+
+def test_broadcast_join(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    probe = ray.data.from_items(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 9, "v": "c"}]
+    )
+    build = ray.data.from_items([{"bk": 1, "name": "one"}, {"bk": 2, "name": "two"}])
+    inner = sorted(
+        broadcast_join(probe, build, key="k", build_key="bk").take_all(),
+        key=lambda r: r["k"],
+    )
+    assert [(r["k"], r["name"]) for r in inner] == [(1, "one"), (2, "two")]
+    left = sorted(
+        broadcast_join(probe, build, key="k", build_key="bk", how="left").take_all(),
+        key=lambda r: r["k"],
+    )
+    assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
