@@ -1,0 +1,63 @@
+"""Property-style checks on the normalizers (SURVEY §5 item 4)."""
+
+from hypothesis import given, settings, strategies as hs
+
+from pdf_table_extractor_ray.functions.money import (
+    br_format,
+    clean_monetary_value,
+    parse_cd_suffix,
+    parse_paren_signed,
+)
+from pdf_table_extractor_ray.functions.dates import identify_date_pattern, parse_date
+
+
+# money round-trip: any cent amount formatted BR-style parses back exactly
+@given(cents=hs.integers(min_value=-(10**12), max_value=10**12))
+@settings(max_examples=300, deadline=None)
+def test_money_roundtrip_property(cents):
+    value = cents / 100.0
+    s = br_format(value)
+    assert clean_monetary_value(s) == value
+
+
+@given(cents=hs.integers(min_value=1, max_value=10**10))
+@settings(max_examples=200, deadline=None)
+def test_cd_suffix_sign_property(cents):
+    value = cents / 100.0
+    assert parse_cd_suffix(br_format(value) + " C") == value
+    assert parse_cd_suffix(br_format(value) + " D") == -value
+    assert parse_paren_signed(br_format(value) + " (+)") == value
+    assert parse_paren_signed(br_format(value) + " (-)") == -value
+
+
+@given(
+    d=hs.integers(min_value=1, max_value=28),
+    m=hs.integers(min_value=1, max_value=12),
+    y=hs.integers(min_value=1900, max_value=2100),
+)
+@settings(max_examples=200, deadline=None)
+def test_date_detect_parse_property(d, m, y):
+    s = f"{d:02d}/{m:02d}/{y}"
+    pattern = identify_date_pattern(s)
+    dt = parse_date(s, pattern)
+    assert (dt.year, dt.month, dt.day) == (y, m, d)
+    iso = f"{y}-{m:02d}-{d:02d}"
+    dt2 = parse_date(iso, identify_date_pattern(iso))
+    assert (dt2.year, dt2.month, dt2.day) == (y, m, d)
+
+
+@given(text=hs.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_clean_monetary_never_raises(text):
+    out = clean_monetary_value(text)
+    assert out is None or isinstance(out, float)
+
+
+def test_ffill_idempotent():
+    from pdf_table_extractor_ray.stages.layout import _Grid
+
+    g = _Grid(["data", "v"], [["a", "1"], ["", "2"], ["", "3"], ["b", "4"], ["", "5"]])
+    g.ffill_column("data")
+    once = [r[0] for r in g.rows]
+    g.ffill_column("data")
+    assert [r[0] for r in g.rows] == once == ["a", "a", "a", "b", "b"]
