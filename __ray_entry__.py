@@ -350,6 +350,37 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
+def _q_events_hourly(sf_dir: str):
+    """Tumbling-window (1h) event counts per user — pre-reduced per
+    batch, then a small-key groupby."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (ts_us // 3_600_000_000).astype(np.int64)
+        t = pa.table({"user_id": b.column("user_id"), "hour_bucket": hour})
+        return (
+            pa.TableGroupBy(t, ["user_id", "hour_bucket"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "hour_bucket", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "hour_bucket"])
+        .aggregate(Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("user_id"), b.column("hour_bucket"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["user_id", "hour_bucket", "n_events"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_customer_nation(sf_dir: str):
     """Broadcast dimension join (T5 generalized): customer ⋈ nation."""
     from pdf_table_extractor_ray.stages.joins import broadcast_join
@@ -471,6 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5": _q_knn_top5,
         "knn_lsh": _q_knn_lsh,
         "embedding_dups": _q_embedding_dups,
+        "events_hourly": _q_events_hourly,
         "customer_nation": _q_customer_nation,
         "orders_by_nation": _q_orders_by_nation,
         "sessionize": _q_sessionize,
@@ -526,6 +558,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM documents WHERE source = 'src2') GROUP BY lang"
         ),
         "distinct_users": "SELECT DISTINCT user_id FROM events",
+        "events_hourly": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "count(*) AS n_events FROM events GROUP BY user_id, hour_bucket"
+        ),
         "customer_nation": (
             "SELECT c_custkey, c_acctbal, n_name FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey"
