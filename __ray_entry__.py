@@ -350,6 +350,23 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
+def _q_knn_ivf(sf_dir: str):
+    from pdf_table_extractor_ray.stages.similarity import knn_ivf
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qrows = ds.sort("vec_id").take(3)
+    q = np.array([r["embedding"] for r in qrows], np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    return knn_ivf(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_near_dedup_docs(sf_dir: str):
+    from pdf_table_extractor_ray.stages.dedup import near_dedup_keep_ids
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return near_dedup_keep_ids(ds).select_columns(["doc_id"])
+
+
 def _q_events_hourly(sf_dir: str):
     """Tumbling-window (1h) event counts per user — pre-reduced per
     batch, then a small-key groupby."""
@@ -501,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": _q_simhash_pairs,
         "knn_top5": _q_knn_top5,
         "knn_lsh": _q_knn_lsh,
+        "knn_ivf": _q_knn_ivf,
+        "near_dedup_docs": _q_near_dedup_docs,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
         "customer_nation": _q_customer_nation,

@@ -311,6 +311,44 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# near-dedup keep-set: pairs → clusters → keepers
+
+
+def near_dedup_keep_ids(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    threshold: float = 0.7,
+) -> "ray.data.Dataset":
+    """Documents surviving MinHash-LSH near-dedup: duplicate pairs →
+    connected components (union-find on the driver — the pair list is
+    the *already-reduced* output of LSH, tiny relative to the corpus)
+    → keep min(doc_id) per cluster → broadcast drop-set filter."""
+    pairs = minhash_lsh_pairs(ds, text_col, threshold).take_all()
+    parent: dict = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p["doc_a"]), find(p["doc_b"])
+        if a != b:
+            if a > b:
+                a, b = b, a
+            parent[b] = a  # root = smallest id → keeper
+    drop = sorted(x for x in parent if find(x) != x)
+    drop_arr = pa.array(drop, pa.int64())
+
+    def keep(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop_arr))
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard verification
 
 

@@ -182,6 +182,115 @@ def knn_lsh(
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+
+IVF_CLUSTERS = 64
+IVF_NPROBE = 4
+IVF_TRAIN_SAMPLE = 2048
+IVF_KMEANS_ITERS = 10
+
+
+def train_ivf_centroids(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    n_clusters: int = IVF_CLUSTERS,
+    sample_size: int = IVF_TRAIN_SAMPLE,
+    iters: int = IVF_KMEANS_ITERS,
+    seed: int = 13,
+) -> np.ndarray:
+    """Seeded mini k-means on a driver-side sample (the classic IVF
+    training step: the sample is small by design; assignment stays
+    distributed)."""
+    sample = ds.limit(sample_size).take_all()
+    m = _normalize(np.array([r[vec_col] for r in sample], np.float64))
+    rng = np.random.RandomState(seed)
+    k = min(n_clusters, len(m))
+    centroids = m[rng.choice(len(m), size=k, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ centroids.T, axis=1)
+        for c in range(k):
+            members = m[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = _normalize(centroids)
+    return centroids
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: Optional[np.ndarray] = None,
+    nprobe: int = IVF_NPROBE,
+) -> "ray.data.Dataset":
+    """IVF top-k: rows are assigned to their nearest centroid per
+    batch; only rows in the queries' ``nprobe`` nearest cells are
+    scored. Approximate (recall < 1); one streaming pass, centroids
+    broadcast once."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col)
+    qn = _normalize(np.asarray(query_vecs, np.float64))
+    q_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
+    probe_cells = set(q_cells.ravel().tolist())
+    cent_ref = ray.put(centroids)
+    qn_ref = ray.put(qn)
+    qid_ref = ray.put(np.asarray(query_ids))
+    cells_ref = ray.put(probe_cells)
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+        if m.shape[0] == 0:
+            return empty
+        mn = _normalize(m)
+        cell = np.argmax(mn @ ray.get(cent_ref).T, axis=1)
+        mask = np.isin(cell, list(ray.get(cells_ref)))
+        if not mask.any():
+            return empty
+        mn, ids = mn[mask], ids[mask]
+        qn_, qids = ray.get(qn_ref), ray.get(qid_ref)
+        scores = mn @ qn_.T
+        kk = min(k, scores.shape[0])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[1]):
+            col = scores[:, qi]
+            idx = np.argpartition(-col, kk - 1)[:kk] if kk < len(col) else np.arange(len(col))
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend(col[idx].tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()), pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        qid = group.column("query_id")[0].as_py()
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array([qid] * len(order), pa.int64()),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order], pa.int64()),
+                pa.array(s[order], pa.float64()),
+            ],
+            names=["query_id", "rank", "vec_id", "score"],
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
 def embedding_dup_pairs(
     ds: "ray.data.Dataset",
     threshold: float = 0.95,

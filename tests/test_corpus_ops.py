@@ -265,3 +265,30 @@ def test_broadcast_join(ray_session):
         key=lambda r: r["k"],
     )
     assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
+
+
+def test_near_dedup_keep_ids(docs_with_dups):
+    from pdf_table_extractor_ray.stages.dedup import near_dedup_keep_ids
+
+    kept = sorted(r["doc_id"] for r in near_dedup_keep_ids(docs_with_dups).take_all())
+    # exact clones and the near-clone all collapse onto the original ids
+    assert 100000 not in kept and 100001 not in kept and 100002 not in kept
+    rows = docs_with_dups.take(3)
+    for r in rows:
+        assert r["doc_id"] in kept
+
+
+def test_knn_ivf_self_is_top1(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import knn_ivf
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    rows = ds.take(3)
+    q = np.array([r["embedding"] for r in rows])
+    qids = np.array([r["vec_id"] for r in rows])
+    out = knn_ivf(ds, q, qids, k=3).take_all()
+    for qid in qids:
+        mine = sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])
+        assert mine and mine[0]["vec_id"] == qid  # query's own cell is probed
+        assert abs(mine[0]["score"] - 1.0) < 1e-9
