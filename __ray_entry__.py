@@ -113,6 +113,13 @@ def _q_token_counts(sf_dir: str):
     return ds.map_batches(token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_token_counts_bpe(sf_dir: str):
+    from pdf_table_extractor_ray.stages.textstats import bpe_token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(bpe_token_count_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_lineitem_pricing(sf_dir: str):
     """TPC-H Q1-flavored summary with integer-cents partial aggregation
     (pre-reduce in map_batches; deterministic across block orders)."""
@@ -504,6 +511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_filter_project": _q_doc_filter_project,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "token_counts": _q_token_counts,
+        "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
         "orders_top10": _q_orders_top10,
         "events_by_type": _q_events_by_type,
@@ -544,6 +552,10 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
+        ),
+        "token_counts_bpe": (
+            "SELECT doc_id, len(regexp_extract_all(text, "
+            "' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+')) AS n_bpe_tokens FROM documents"
         ),
         "lineitem_pricing": (
             "SELECT l_returnflag, l_linestatus, "

@@ -478,6 +478,8 @@ PAGES_SCHEMA = pa.schema(
 
 def docs_to_table(ids: List[int], seed: int = SEED) -> pa.Table:
     docs = [generate_doc(i, seed) for i in ids]
+    if not docs:
+        return PAGES_SCHEMA.empty_table()
     return pa.Table.from_pylist(docs).cast(PAGES_SCHEMA)
 
 

@@ -243,6 +243,14 @@ def write_lineage(
     """Persist one lineage record per finished partition (north rule:
     per-partition lineage + metrics)."""
     stats = _aggregate_partition_stats(out_path, part_ids)
+    # a shard with zero output rows produces no partition dir; it is
+    # still FINISHED — record it, or resume would redo it forever
+    seen = {int(r["part_id"]) for r in stats}
+    for pid in part_ids:
+        if pid not in seen:
+            stats.append(
+                {"part_id": pid, "count()": 0, "sum(n_records)": 0, "sum(n_chars)": 0, "sum(is_error)": 0}
+            )
     os.makedirs(os.path.join(out_path, LINEAGE_DIR), exist_ok=True)
     finished_at = time.time()
     totals = {"docs": 0, "records": 0, "chars": 0, "errors": 0, "partitions": len(stats)}

@@ -19,6 +19,12 @@ import pyarrow.compute as pc
 # token = \S+ run; mirrors str.split() counting
 _TOKEN_PATTERN = r"\S+"
 
+# GPT-2-style pre-tokenizer, ASCII-safe subset: optional leading space +
+# (letters | digits | other-symbol run). Deliberately restricted to
+# constructs Python re and RE2 (DuckDB regexp_extract_all) interpret
+# identically, so the count has a SQL oracle.
+BPE_TOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
 _EN_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "for", "with", "was")
 _PT_STOPWORDS = ("de", "que", "não", "uma", "para", "com", "os", "do", "da", "em")
 
@@ -40,6 +46,16 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return pa.Table.from_arrays(
         [batch.column("doc_id"), pc.cast(n_tokens, pa.int64())],
         names=["doc_id", "n_tokens"],
+    )
+
+
+def bpe_token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(doc_id, n_bpe_tokens): subword-style pre-token counting via the
+    BPE-ish regex — vectorized count kernel."""
+    n = pc.count_substring_regex(batch.column(text_col), BPE_TOKEN_PATTERN)
+    return pa.Table.from_arrays(
+        [batch.column("doc_id"), pc.cast(n, pa.int64())],
+        names=["doc_id", "n_bpe_tokens"],
     )
 
 

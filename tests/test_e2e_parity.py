@@ -152,3 +152,22 @@ def test_csv_sink(extracted, tmp_path):
         assert rows[0][:3] == ["url", "record_idx", "date"]
         n += len(rows) - 1
     assert n == totals["records"]
+
+
+def test_zero_row_shard_finishes(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pdf_table_extractor_ray.fixtures import PAGES_SCHEMA, docs_to_table
+    from pdf_table_extractor_ray.pipelines.extract import run_extraction
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pq_.write_table(docs_to_table(list(range(16))), str(src / "a.parquet"))
+    # a shard with zero rows must still be marked finished
+    pq_.write_table(docs_to_table([]).cast(PAGES_SCHEMA), str(src / "empty.parquet"))
+    out = str(tmp_path / "out")
+    t1 = run_extraction(str(src), out, resume=False)
+    assert t1["partitions"] == 2 and t1["docs"] == 16
+    t2 = run_extraction(str(src), out, resume=True)
+    assert t2.get("skipped") is True
