@@ -37,6 +37,52 @@ def clean_monetary_value(value_str: Optional[str]) -> Optional[float]:
         return None
 
 
+def clean_monetary_values_arrow(arr):
+    """Vectorized F1 over an Arrow string array — same result, bit for
+    bit, as mapping ``clean_monetary_value`` (asserted by tests: both
+    paths end in a correctly-rounded decimal→binary64 conversion).
+
+    The scalar path stays as the byte-parity oracle (SURVEY §7.4);
+    rows containing non-ASCII characters take it directly (Python's
+    ``\\d``/``float()`` accept Unicode digits, RE2/Arrow do not — the
+    fallback keeps exact parity on that long tail).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    arr = pc.cast(arr, pa.string())
+    non_ascii = pc.match_substring_regex(arr, r"[^\x00-\x7F]")
+    if pc.any(non_ascii).as_py():
+        vals = arr.to_pylist()
+        flags = non_ascii.to_pylist()
+        fixed = [
+            clean_monetary_value(v) if (f and v is not None) else None
+            for v, f in zip(vals, flags)
+        ]
+        ascii_part = _clean_monetary_ascii(pc.if_else(non_ascii, pa.scalar(None, pa.string()), arr))
+        return pc.if_else(non_ascii, pa.array(fixed, pa.float64()), ascii_part)
+    return _clean_monetary_ascii(arr)
+
+
+def _clean_monetary_ascii(arr):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    is_debit = pc.or_(pc.match_substring(arr, "D"), pc.match_substring(arr, "-"))
+    s = pc.replace_substring_regex(arr, r"[^\d\.,\-+CD]", "")
+    s = pc.replace_substring(s, "D", "")
+    s = pc.replace_substring(s, "C", "")
+    has_comma = pc.match_substring(s, ",")
+    has_dot = pc.match_substring(s, ".")
+    both = pc.and_(has_comma, has_dot)
+    s = pc.if_else(both, pc.replace_substring(s, ".", ""), s)
+    s = pc.replace_substring(s, ",", ".")
+    # exactly the strings Python float() accepts from this charset
+    valid = pc.match_substring_regex(s, r"^[+-]?(\d+\.?\d*|\.\d+)$")
+    v = pc.cast(pc.if_else(valid, s, pa.scalar(None, pa.string())), pa.float64())
+    return pc.if_else(pc.and_(is_debit, pc.greater(v, 0.0)), pc.negate(v), v)
+
+
 # --- F2a: parenthesized sign "1.234,56 (+)" → float --------------------------
 # Semantics of conversor_bbmod1.py:10-35 (limpar_e_converter_valor_cac):
 #   regex ([\d\.,]+)\s*\(\s*([+-])\s*\); no match → 0.0.

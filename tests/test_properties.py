@@ -61,3 +61,34 @@ def test_ffill_idempotent():
     once = [r[0] for r in g.rows]
     g.ffill_column("data")
     assert [r[0] for r in g.rows] == once == ["a", "a", "a", "b", "b"]
+
+
+@given(
+    cents=hs.integers(min_value=-(10**11), max_value=10**11),
+    suffix=hs.sampled_from(["", "D", "C", "-", " D", "R$ "]),
+)
+@settings(max_examples=300, deadline=None)
+def test_vectorized_money_matches_scalar(cents, suffix):
+    import pyarrow as pa
+
+    from pdf_table_extractor_ray.functions.money import clean_monetary_values_arrow
+
+    s = suffix + br_format(cents / 100.0) if suffix == "R$ " else br_format(cents / 100.0) + suffix
+    want = clean_monetary_value(s)
+    got = clean_monetary_values_arrow(pa.array([s])).to_pylist()[0]
+    assert got == want
+
+
+@given(text=hs.text(max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_vectorized_money_matches_scalar_arbitrary(text):
+    import pyarrow as pa
+
+    from pdf_table_extractor_ray.functions.money import clean_monetary_values_arrow
+
+    want = clean_monetary_value(text)
+    got = clean_monetary_values_arrow(pa.array([text])).to_pylist()[0]
+    if want is None:
+        assert got is None
+    else:
+        assert got == want
