@@ -184,8 +184,22 @@ def run_scaling() -> dict:
     n_lo, n_hi = SCALING_CPUS
     results = {}
     for cpus in (n_lo, n_hi):
+        # taskset: physically confine the whole Ray process tree (raylet,
+        # plasma, workers, driver) to exactly `cpus` cores — without it
+        # the "N-CPU" run's auxiliaries borrow the other cores of the
+        # 32-core host nondeterministically, which both flatters and
+        # destabilizes the small run. This is the honest single-box
+        # stand-in for an N-core NODE.
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
+            [
+                "taskset",
+                "-c",
+                f"0-{cpus - 1}",
+                sys.executable,
+                os.path.abspath(__file__),
+                "--child",
+                str(cpus),
+            ],
             capture_output=True,
             text=True,
             env={**os.environ, "RAY_GRAFT_CPUS": str(cpus), "PDFX_BENCH_INPUT": pages},

@@ -194,6 +194,38 @@ def _aggregate_partition_stats(out_path: str, part_ids: Sequence[int]) -> List[d
     if not items:
         return []
 
+    if len(items) <= 4096:
+        # driver-side thread pool: pruned per-file stats are ~1 ms each
+        # (parquet reads release the GIL); spinning a Ray execution for
+        # this costs more than the work itself
+        from concurrent.futures import ThreadPoolExecutor
+
+        import pyarrow.parquet as pq
+
+        def one(item):
+            t = pq.read_table(item["file"], columns=["n_records", "n_chars", "status"])
+            return (
+                item["part_id"],
+                t.num_rows,
+                pc.sum(t.column("n_records")).as_py() or 0,
+                pc.sum(t.column("n_chars")).as_py() or 0,
+                pc.sum(pc.cast(pc.equal(t.column("status"), "error"), pa.int64())).as_py() or 0,
+            )
+
+        with ThreadPoolExecutor(max_workers=8) as ex:
+            rows = list(ex.map(one, items))
+        by_pid: Dict[int, dict] = {}
+        for pid, docs, recs, chars, errs in rows:
+            agg = by_pid.setdefault(
+                pid,
+                {"part_id": pid, "count()": 0, "sum(n_records)": 0, "sum(n_chars)": 0, "sum(is_error)": 0},
+            )
+            agg["count()"] += docs
+            agg["sum(n_records)"] += recs
+            agg["sum(n_chars)"] += chars
+            agg["sum(is_error)"] += errs
+        return list(by_pid.values())
+
     def stats_of(batch: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq
 
