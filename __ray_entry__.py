@@ -228,16 +228,17 @@ def _q_events_by_type(sf_dir: str):
 def _q_money_roundtrip(sf_dir: str):
     """F1 exercise with a SQL oracle: price → BR money string →
     clean_monetary_value → float (== floor-cents / 100)."""
-    from pdf_table_extractor_ray.functions.money import br_format, clean_monetary_value
+    from pdf_table_extractor_ray.functions.money import br_format, clean_monetary_values_arrow
 
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def f(b: pa.Table) -> pa.Table:
         price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
         cents = np.floor(price * 100).astype(np.int64)
-        amounts = [clean_monetary_value(br_format(c / 100.0)) for c in cents]
+        strings = pa.array([br_format(c / 100.0) for c in cents], pa.string())
+        amounts = clean_monetary_values_arrow(strings)  # vectorized F1
         return pa.Table.from_arrays(
-            [b.column("l_orderkey"), b.column("l_linenumber"), pa.array(amounts, pa.float64())],
+            [b.column("l_orderkey"), b.column("l_linenumber"), amounts],
             names=["l_orderkey", "l_linenumber", "amount"],
         )
 
