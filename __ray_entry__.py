@@ -358,6 +358,16 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
+def _q_corpus_prep(sf_dir: str):
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_token_totals,
+        prepare_corpus,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_token_totals(prepare_corpus(docs))
+
+
 def _q_knn_ivf(sf_dir: str):
     from pdf_table_extractor_ray.stages.similarity import knn_ivf
 
@@ -529,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "near_dedup_docs": _q_near_dedup_docs,
+        "corpus_prep": _q_corpus_prep,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
         "customer_nation": _q_customer_nation,

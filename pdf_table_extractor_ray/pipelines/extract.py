@@ -345,7 +345,9 @@ def run_extraction(
         extracted = build_extracted_dataset(
             ds, batch_size=batch_size, concurrency=concurrency
         )
-        extracted.write_parquet(out_path, partition_cols=["part_id"])
+        # zstd: measured both faster to encode and ~20% smaller than the
+        # snappy default on this nested schema
+        extracted.write_parquet(out_path, partition_cols=["part_id"], compression="zstd")
         wave_parts = [shard_part_id(p) for p in wave]
         sub = write_lineage(out_path, wave_parts, shard_of, run_seconds=time.time() - t0)
         for k in ("docs", "records", "chars", "errors", "partitions"):

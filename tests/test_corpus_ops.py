@@ -292,3 +292,20 @@ def test_knn_ivf_self_is_top1(ray_session):
         mine = sorted((r for r in out if r["query_id"] == qid), key=lambda r: r["rank"])
         assert mine and mine[0]["vec_id"] == qid  # query's own cell is probed
         assert abs(mine[0]["score"] - 1.0) < 1e-9
+
+
+def test_corpus_prep_pipeline(docs_with_dups):
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_token_totals,
+        prepare_corpus,
+    )
+
+    prepared = prepare_corpus(docs_with_dups, min_quality=0.0, min_tokens=1)
+    rows = prepared.take_all()
+    ids = {r["doc_id"] for r in rows}
+    # clones must be gone, originals kept
+    assert 100000 not in ids and 100001 not in ids and 100002 not in ids
+    assert all("pred_lang" in r and "n_tokens" in r for r in rows)
+    totals = corpus_token_totals(prepared).take_all()
+    assert sum(t["n_docs"] for t in totals) == len(rows)
+    assert all(t["total_tokens"] > 0 for t in totals)
