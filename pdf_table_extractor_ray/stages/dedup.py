@@ -248,7 +248,13 @@ def simhash_pairs(
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
     chunks (any pair within hamming ≤3 must agree on ≥1 chunk — the
     pigeonhole banding of Manku et al. 2007), bucket-groupby, verify
-    hamming inside buckets."""
+    hamming inside buckets.
+
+    Partitioning assumption: chunk buckets stay small (pairwise verify
+    is O(bucket²)). Degenerate corpora (millions of near-identical or
+    empty texts hashing to one bucket) need a hot-bucket split on a
+    second chunk before the verify — the MinHash path's banding has the
+    same property; exact dedup first removes the worst offenders."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         t = simhash_batch(batch, text_col)

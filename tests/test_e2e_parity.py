@@ -171,3 +171,27 @@ def test_zero_row_shard_finishes(ray_session, tmp_path):
     assert t1["partitions"] == 2 and t1["docs"] == 16
     t2 = run_extraction(str(src), out, resume=True)
     assert t2.get("skipped") is True
+
+
+def test_skewed_shard_layout(ray_session, tmp_path):
+    """Adversarial skew: every large document packed into ONE shard —
+    the job must still stream to completion with in-band faults only."""
+    import pyarrow.parquet as pq_
+
+    from pdf_table_extractor_ray.fixtures import generate_doc, docs_to_table
+    from pdf_table_extractor_ray.pipelines.extract import run_extraction
+
+    big_ids, small_ids = [], []
+    i = 0
+    while len(big_ids) < 4 and i < 3000:
+        d = generate_doc(i)
+        (big_ids if d["size_cls"] == "large" else small_ids).append(i)
+        i += 1
+    src = tmp_path / "src"
+    src.mkdir()
+    pq_.write_table(docs_to_table(big_ids[:4]), str(src / "all_big.parquet"))
+    pq_.write_table(docs_to_table(small_ids[:40]), str(src / "small.parquet"))
+    out = str(tmp_path / "out")
+    totals = run_extraction(str(src), out, resume=False)
+    assert totals["docs"] == 44
+    assert totals["partitions"] == 2
