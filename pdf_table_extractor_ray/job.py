@@ -26,7 +26,8 @@ def main(argv=None):
 
     import ray
 
-    if not ray.is_initialized():
+    owns_session = not ray.is_initialized()
+    if owns_session:
         kwargs = {"include_dashboard": False, "ignore_reinit_error": True}
         if args.num_cpus:
             kwargs.update(address="local", num_cpus=args.num_cpus)
@@ -44,7 +45,8 @@ def main(argv=None):
         kw["wave_size"] = args.wave_size
     totals = run_extraction(args.input, args.output, resume=not args.no_resume, **kw)
     print(json.dumps(totals))
-    ray.shutdown()
+    if owns_session:
+        ray.shutdown()
 
 
 if __name__ == "__main__":

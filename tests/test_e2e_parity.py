@@ -195,3 +195,18 @@ def test_skewed_shard_layout(ray_session, tmp_path):
     totals = run_extraction(str(src), out, resume=False)
     assert totals["docs"] == 44
     assert totals["partitions"] == 2
+
+
+def test_detect_only_stage(ray_session):
+    import pyarrow as pa
+
+    from pdf_table_extractor_ray.fixtures import docs_to_table
+    from pdf_table_extractor_ray.stages.warm_parser import DetectOnly
+
+    t = docs_to_table(list(range(32)))
+    out = DetectOnly()(t.select(["url", "html", "text", "family"]))
+    strategies = out.column("strategy").to_pylist()
+    families = out.column("family").to_pylist()
+    for fam, key in zip(families, strategies):
+        if fam != "malformed":
+            assert key == fam
