@@ -358,6 +358,100 @@ def _q_embedding_dups(sf_dir: str):
     return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
 
 
+def _q_top_revenue_orders(sf_dir: str):
+    """TPC-H Q3 flavor: lineitem ⋈ (filtered orders, broadcast) →
+    per-order revenue (integer cents) → top 10."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def pre1998(b: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
+        return b.filter(pc.less(b.column("o_orderdate"), cutoff)).select(["o_orderkey"])
+
+    build = orders.map_batches(pre1998, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    joined = broadcast_join(li, build, key="l_orderkey", build_key="o_orderkey", build_cols=[])
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"), "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["l_orderkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["l_orderkey", "cents"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("l_orderkey"),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+            ],
+            names=["l_orderkey", "revenue"],
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+
+
+def _q_revenue_by_region(sf_dir: str):
+    """TPC-H Q5 flavor: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region
+    (all dimension sides broadcast) → revenue per region."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    j = broadcast_join(li, orders, key="l_orderkey", build_key="o_orderkey")
+    j = broadcast_join(j, cust, key="o_custkey", build_key="c_custkey")
+    j = broadcast_join(j, nation, key="c_nationkey", build_key="n_nationkey")
+    j = broadcast_join(j, region, key="n_regionkey", build_key="r_regionkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"r_name": b.column("r_name"), "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["r_name"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["r_name", "cents", "n"])
+        )
+
+    agg = (
+        j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("r_name")
+        .aggregate(Sum("cents"), Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("r_name"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+            ],
+            names=["r_name", "n_items", "revenue"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_corpus_prep(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.corpus_prep import (
         corpus_token_totals,
@@ -540,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": _q_knn_ivf,
         "near_dedup_docs": _q_near_dedup_docs,
         "corpus_prep": _q_corpus_prep,
+        "top_revenue_orders": _q_top_revenue_orders,
+        "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
         "customer_nation": _q_customer_nation,
@@ -608,6 +704,21 @@ def oracle_sql() -> dict[str, str]:
         "customer_nation": (
             "SELECT c_custkey, c_acctbal, n_name FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "top_revenue_orders": (
+            "SELECT l_orderkey, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "revenue_by_region": (
+            "SELECT r_name, count(*) AS n_items, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
         ),
         "orders_by_nation": (
             "SELECT n_name, count(*) AS n_orders, "
