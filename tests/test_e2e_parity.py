@@ -210,3 +210,22 @@ def test_detect_only_stage(ray_session):
     for fam, key in zip(families, strategies):
         if fam != "malformed":
             assert key == fam
+
+
+def test_distributed_generation_matches_local(ray_session, tmp_path):
+    """The Ray fixture build (range -> map_batches -> write) must yield
+    exactly the rows of the pure local generator, any parallelism."""
+    import pyarrow.parquet as pq_
+
+    from pdf_table_extractor_ray.fixtures import docs_to_table, write_pages_parquet
+
+    out = str(tmp_path / "gen")
+    write_pages_parquet(out, 96, parallelism=7)
+    import ray.data
+
+    got = ray.data.read_parquet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    want = docs_to_table(list(range(96))).to_pandas().sort_values("url").reset_index(drop=True)
+    assert len(got) == 96
+    assert (got["url"].values == want["url"].values).all()
+    assert (got["text"].values == want["text"].values).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(got["html"], want["html"]))
