@@ -12,10 +12,10 @@ tables, per-host metadata) at 100 TB probe scale.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
-import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -41,26 +41,30 @@ def broadcast_join(
     build_tbl = pa.Table.from_pylist(build.take_all())
     if build_cols is None:
         build_cols = [c for c in build_tbl.column_names if c != build_key]
-    keys = build_tbl.column(build_key).to_pylist()
-    lookup: Dict = {}
-    for i, k in enumerate(keys):
-        lookup.setdefault(k, i)  # first match wins (deterministic)
-    payload = {c: build_tbl.column(c).to_pylist() for c in build_cols}
-    handle = ray.put((lookup, payload, build_cols))
+    # dedup build keys, first match wins (deterministic): position of the
+    # first occurrence of every distinct key
+    keys_arr = build_tbl.column(build_key).combine_chunks()
+    uniq = pc.unique(keys_arr)
+    first_pos = pc.index_in(uniq, value_set=keys_arr)
+    payload_tbl = build_tbl.select(build_cols).take(first_pos)
+    handle = ray.put((uniq, payload_tbl, build_cols))
 
     def probe_batch(batch: pa.Table) -> pa.Table:
-        lk, pl, cols = ray.get(handle)
-        probe_keys = batch.column(key).to_pylist()
-        idx = np.array([lk.get(k, -1) for k in probe_keys], dtype=np.int64)
-        hit = idx >= 0
+        uk, payload, cols = ray.get(handle)
+        # vectorized probe: index of each probe key in the (deduped) build
+        # key array; null → miss
+        idx = pc.index_in(batch.column(key), value_set=uk)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
         out = batch
         if how == "inner":
-            out = out.filter(pa.array(hit))
-            idx = idx[hit]
+            hit = pc.is_valid(idx)
+            out = out.filter(hit)
+            idx = idx.filter(hit)
+        # Table.take propagates null indices → nulls for left-join misses
+        picked = payload.take(idx)
         for c in cols:
-            vals = pl[c]
-            col = [vals[i] if i >= 0 else None for i in idx]
-            out = out.append_column(c, pa.array(col))
+            out = out.append_column(c, picked.column(c))
         return out
 
     return probe.map_batches(probe_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -116,7 +116,7 @@ def detect_format(html, text: Optional[str]) -> Optional[str]:
         return "sicoob2_blocks"
     if "EXTRATO CONTA CORRENTE" in text:
         return "sicoob1_lines"
-    if "Data Lançamento" in text or "Período" in text and _RS_VALUE_RE.search(text):
+    if ("Data Lançamento" in text or "Período" in text) and _RS_VALUE_RE.search(text):
         return "c6_date_context"
     if _PT_LONG_DATE_RE.search(text) and _RS_VALUE_RE.search(text):
         return "inter_months"

@@ -233,6 +233,20 @@ class TestDetectionSweep:
     def test_detect_unknown(self):
         assert detect_format(b"", "") is None
 
+    def test_c6_routing_requires_rs_values(self):
+        # regression for the `A or (B and C)` precedence bug: a document
+        # carrying the C6 header marker but NO R$ value must not route
+        # to c6_date_context
+        with_values = "Data Lançamento\n01/02/2023 Compra R$ 1.234,56"
+        assert detect_format(b"", with_values) == "c6_date_context"
+        periodo = "Período 01/02/2023 a 28/02/2023\nPix R$ 10,00"
+        assert detect_format(b"", periodo) == "c6_date_context"
+        # header only, no values → falls through to the date-listing family
+        no_values = "Data Lançamento\n01/02/2023 Compra sem valor"
+        assert detect_format(b"", no_values) == "regex_listing"
+        # header only, no values, no dates → undetected
+        assert detect_format(b"", "Data Lançamento apenas") is None
+
 
 class TestTableParserEquivalence:
     def test_fast_path_matches_htmlparser(self):
