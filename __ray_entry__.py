@@ -313,10 +313,22 @@ def _q_quality(sf_dir: str):
 
 
 def _q_fingerprints(sf_dir: str):
+    """SQL-verifiable fingerprint columns (md5 == DuckDB md5)."""
     from pdf_table_extractor_ray.stages.textstats import fingerprint_batch
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "content_md5"])
+
+
+def _q_fingerprints_sketch(sf_dir: str):
+    """Non-SQL-expressible fingerprints (crc32 / simhash64 — DuckDB has
+    no crc32): rows-only check, unit-tested in test_kernels."""
+    from pdf_table_extractor_ray.stages.textstats import fingerprint_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fingerprint_batch, batch_format="pyarrow", zero_copy_batch=True)
+    return out.select_columns(["doc_id", "crc32", "simhash64"])
 
 
 def _q_minhash_pairs(sf_dir: str):
@@ -353,9 +365,26 @@ def _q_knn_lsh(sf_dir: str):
 
 
 def _q_embedding_dups(sf_dir: str):
+    """Embedding near-dup pairs. The driver corpus has no natural pairs
+    above 0.95 cosine at any sf, so the query plants a deterministic
+    near-duplicate of each of the first 8 vectors (seeded perturbation,
+    cosine ≈ 0.9999, new ids +10_000_000) — the operator must recover
+    the planted pairs end-to-end through bucketing + verify."""
+    import ray.data
+
     from pdf_table_extractor_ray.stages.similarity import embedding_dup_pairs
 
-    return embedding_dup_pairs(_read(sf_dir, "embeddings", ["vec_id", "embedding"]), threshold=0.95)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    seeds = ds.limit(8).take_all()
+    rng = np.random.RandomState(42)
+    planted = []
+    for r in seeds:
+        v = np.asarray(r["embedding"], np.float64)
+        v = v / np.linalg.norm(v)
+        v2 = v + 0.002 * rng.standard_normal(v.shape)
+        planted.append({"vec_id": int(r["vec_id"]) + 10_000_000, "embedding": v2.tolist()})
+    full = ds.union(ray.data.from_items(planted))
+    return embedding_dup_pairs(full, threshold=0.95)
 
 
 def _q_top_revenue_orders(sf_dir: str):
@@ -452,6 +481,85 @@ def _q_revenue_by_region(sf_dir: str):
     )
 
 
+def _q_profit_by_nation_year(sf_dir: str):
+    """TPC-H Q9 flavor over the previously-unused part/supplier tables:
+    PROMO-part line items, profit = disc. revenue − 10% retail cost,
+    by supplier nation and order year.
+
+    Join plan (the 100-TB shapes): part/supplier/nation are dimensions
+    → broadcast; lineitem ⋈ orders is fact ⋈ fact → hash-shuffle join
+    (both sides partitioned on the order key).
+    """
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type", "p_retailprice"])
+
+    def promo_only(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("p_type"), "PROMO")).select(
+            ["p_partkey", "p_retailprice"]
+        )
+
+    li = broadcast_join(
+        li, part.map_batches(promo_only, batch_format="pyarrow", zero_copy_batch=True),
+        key="l_partkey", build_key="p_partkey",
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    supp_nation = broadcast_join(supp, nation, key="s_nationkey", build_key="n_nationkey")
+    li = broadcast_join(li, supp_nation, key="l_suppkey", build_key="s_suppkey", build_cols=["n_name"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def with_year(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("o_orderkey"), pc.cast(pc.year(b.column("o_orderdate")), pa.int64())],
+            names=["o_orderkey", "o_year"],
+        )
+
+    orders_y = orders.map_batches(with_year, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_shuffle_join(li, orders_y, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        retail = b.column("p_retailprice").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64) - np.floor(
+            retail * qty * 10
+        ).astype(np.int64)
+        t = pa.table({"nation": b.column("n_name"), "o_year": b.column("o_year"), "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["nation", "o_year"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["nation", "o_year", "cents", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nation", "o_year"])
+        .aggregate(Sum("cents"), Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("nation"),
+                b.column("o_year"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+            ],
+            names=["nation", "o_year", "n_items", "profit"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_corpus_prep(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.corpus_prep import (
         corpus_token_totals,
@@ -470,6 +578,40 @@ def _q_knn_ivf(sf_dir: str):
     q = np.array([r["embedding"] for r in qrows], np.float64)
     qids = np.array([r["vec_id"] for r in qrows])
     return knn_ivf(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
+
+
+def _q_dup_clusters(sf_dir: str):
+    """The distributed connected-components operator under a SQL
+    oracle: star edges (min orderkey → each other order) within every
+    multi-order customer → label propagation → (node, root). Group
+    membership is a SQL window partition, so CC's fixed point is
+    exactly checkable. (Exact-dup clusters over documents would be the
+    production use, but the driver corpus has no exact dups at any sf
+    — orders-per-customer gives real multi-member clusters.)"""
+    from pdf_table_extractor_ray.stages.dedup import connected_components
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def star_edges(group: pa.Table) -> pa.Table:
+        ids = np.sort(group.column("o_orderkey").to_numpy(zero_copy_only=False))
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())], names=["doc_a", "doc_b"]
+        )
+        if len(ids) < 2:
+            return empty
+        keeper = np.full(len(ids) - 1, ids[0], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(keeper), pa.array(ids[1:].astype(np.int64))], names=["doc_a", "doc_b"]
+        )
+
+    pairs = ds.groupby("o_custkey").map_groups(star_edges, batch_format="pyarrow")
+    return connected_components(pairs).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [pc.cast(b.column("node"), pa.int64()), pc.cast(b.column("root"), pa.int64())],
+            names=["node", "root"],
+        ),
+        batch_format="pyarrow",
+    )
 
 
 def _q_near_dedup_docs(sf_dir: str):
@@ -627,14 +769,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": _q_langid,
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
+        "fingerprints_sketch": _q_fingerprints_sketch,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "knn_top5": _q_knn_top5,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
         "near_dedup_docs": _q_near_dedup_docs,
+        "dup_clusters": _q_dup_clusters,
         "corpus_prep": _q_corpus_prep,
         "top_revenue_orders": _q_top_revenue_orders,
+        "profit_by_nation_year": _q_profit_by_nation_year,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -697,9 +842,48 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT * FROM documents WHERE source = 'src2') GROUP BY lang"
         ),
         "distinct_users": "SELECT DISTINCT user_id FROM events",
+        # langid/quality: the engine's kernels are pyarrow RE2 regex
+        # counts — DuckDB regexp_extract_all is the same RE2, and the
+        # float feature math is written in the identical IEEE op order
+        "langid": (
+            "SELECT doc_id, CASE "
+            "WHEN len(regexp_extract_all(text, '(?i)\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')) "
+            "   > len(regexp_extract_all(text, '(?i)\\b(?:de|que|não|uma|para|com|os|do|da|em)\\b')) THEN 'en' "
+            "WHEN len(regexp_extract_all(text, '(?i)\\b(?:de|que|não|uma|para|com|os|do|da|em)\\b')) "
+            "   > len(regexp_extract_all(text, '(?i)\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')) THEN 'pt' "
+            "ELSE 'unknown' END AS pred_lang FROM documents"
+        ),
+        "quality": (
+            "WITH feats AS (SELECT doc_id, "
+            "  CAST(length(text) AS DOUBLE) AS nc, "
+            "  CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS nt, "
+            "  CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS DOUBLE) AS np, "
+            "  CAST(len(regexp_extract_all(text, '(?i)\\b(?:the|and|of|to|in|is|that|for|with|was)\\b')) "
+            "   + len(regexp_extract_all(text, '(?i)\\b(?:de|que|não|uma|para|com|os|do|da|em)\\b')) AS DOUBLE) AS ns, "
+            "  CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) AS nns "
+            "  FROM documents), "
+            "ratios AS (SELECT doc_id, nc, nt, "
+            "  np / greatest(nc, 1.0) AS punct_ratio, "
+            "  ns / greatest(nt, 1.0) AS stopword_ratio, "
+            "  nns / greatest(nt, 1.0) AS mean_token_len FROM feats) "
+            "SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nt AS BIGINT) AS n_tokens, "
+            "  punct_ratio, stopword_ratio, mean_token_len, "
+            "  least(greatest(nt / 100.0, 0), 1) * 0.4 "
+            "  + least(greatest(1.0 - abs(mean_token_len - 5.0) / 5.0, 0), 1) * 0.3 "
+            "  + least(greatest(stopword_ratio * 5.0, 0), 1) * 0.2 "
+            "  + least(greatest(1.0 - punct_ratio * 10.0, 0), 1) * 0.1 AS quality_score "
+            "FROM ratios"
+        ),
+        "fingerprints": ("SELECT doc_id, md5(text) AS content_md5 FROM documents"),
         "events_hourly": (
             "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
             "count(*) AS n_events FROM events GROUP BY user_id, hour_bucket"
+        ),
+        "dup_clusters": (
+            "SELECT o_orderkey AS node, "
+            "CAST(min(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT) AS root "
+            "FROM orders "
+            "QUALIFY count(*) OVER (PARTITION BY o_custkey) > 1"
         ),
         "customer_nation": (
             "SELECT c_custkey, c_acctbal, n_name FROM customer "
@@ -711,6 +895,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
             "WHERE o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "profit_by_nation_year": (
+            "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "count(*) AS n_items, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) "
+            "  - CAST(floor(p_retailprice*l_quantity*10) AS BIGINT))/100.0 AS profit "
+            "FROM lineitem "
+            "JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_type = 'PROMO' "
+            "GROUP BY n_name, o_year"
         ),
         "revenue_by_region": (
             "SELECT r_name, count(*) AS n_items, "

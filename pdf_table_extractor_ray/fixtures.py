@@ -46,8 +46,12 @@ FAMILIES = (
     "malformed",
 )
 
+# families that can appear in generated corpora: the rotation above
+# plus the encrypted sub-family carved out of lattice_table docs
+ALL_FAMILIES = FAMILIES + ("encrypted",)
+
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -452,6 +456,16 @@ def generate_doc(i: int, seed: int = SEED) -> Dict:
     rng = random.Random((seed << 32) ^ i)
     size = _size_class(rng)
     text, html = _GENERATORS[family](rng, size)
+    if family == "lattice_table" and rng.random() < 0.25:
+        # a quarter of the lattice docs ship password-protected (the
+        # conversor_c6.py:36 shape): payload encrypted with the default
+        # fixture credential, no plaintext text channel
+        from pdf_table_extractor_ray.stages.config import DEFAULT_CREDENTIALS
+        from pdf_table_extractor_ray.stages.encrypted import encrypt_payload
+
+        html = encrypt_payload(bytes(html), DEFAULT_CREDENTIALS["default"])
+        text = ""
+        family = "encrypted"
     return {
         "url": f"https://fixtures.test/{family}/{i:08d}",
         "warc_ts": EPOCH_US + i * 1_000_000,

@@ -19,7 +19,11 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Sum
 
-from pdf_table_extractor_ray.stages.dedup import exact_dedup_ids, near_dedup_keep_ids
+from pdf_table_extractor_ray.stages.dedup import (
+    drop_by_ids,
+    exact_dup_drop_ids,
+    near_dedup_keep_ids,
+)
 from pdf_table_extractor_ray.stages.textstats import langid_batch, quality_batch
 
 
@@ -50,14 +54,10 @@ def prepare_corpus(
 
     filtered = annotated.map_batches(keep_quality, batch_format="pyarrow", zero_copy_batch=True)
 
-    # exact dedup keeper ids → broadcast filter
-    keepers = {r["doc_id"] for r in exact_dedup_ids(filtered).take_all()}
-    keep_arr = pa.array(sorted(keepers), pa.int64())
-
-    def keep_exact(batch: pa.Table) -> pa.Table:
-        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=keep_arr))
-
-    exact_unique = filtered.map_batches(keep_exact, batch_format="pyarrow", zero_copy_batch=True)
+    # exact dedup via the DROP set (bounded by duplicate count) — the
+    # keeper set is ~the whole surviving corpus and must never be
+    # driver-materialized; drop_by_ids escalates broadcast → anti-join
+    exact_unique = drop_by_ids(filtered, exact_dup_drop_ids(filtered))
     survivors = near_dedup_keep_ids(exact_unique)
     return survivors.select_columns(["doc_id", "pred_lang", "quality_score", "n_tokens"])
 

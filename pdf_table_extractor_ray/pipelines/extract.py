@@ -101,6 +101,7 @@ def build_extracted_dataset(
     batch_size: int = DEFAULT_BATCH_SIZE,
     concurrency=None,
     strategy_key: Optional[str] = None,
+    config=None,
     shard_keys: bool = True,
     actor_num_cpus: Optional[float] = None,
 ) -> "ray.data.Dataset":
@@ -127,7 +128,7 @@ def build_extracted_dataset(
         ds = ds.map_batches(_add_shard_keys, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
         WarmExtractor,
-        fn_constructor_kwargs={"strategy_key": strategy_key},
+        fn_constructor_kwargs={"strategy_key": strategy_key, "config": config},
         batch_size=batch_size,
         batch_format="pyarrow",
         zero_copy_batch=True,

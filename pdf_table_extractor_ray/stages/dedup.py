@@ -73,6 +73,176 @@ def exact_dup_groups(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.dat
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def exact_dup_drop_ids(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """doc_ids to DROP after exact dedup (everything but min(doc_id)
+    per content hash). Output is bounded by the duplicate count — the
+    scale-safe complement of ``exact_dedup_ids`` (whose keeper set is
+    ~the whole surviving corpus and must never be driver-materialized)."""
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = add_md5_batch(batch, text_col)
+        return b.select(["content_md5", "doc_id"])
+
+    hashed = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def non_keepers(group: pa.Table) -> pa.Table:
+        ids = group.column("doc_id")
+        keeper = pc.min(ids)
+        mask = pc.not_equal(ids, keeper)
+        return pa.Table.from_arrays([ids.filter(mask)], names=["doc_id"])
+
+    return hashed.groupby("content_md5").map_groups(non_keepers, batch_format="pyarrow")
+
+
+def drop_by_ids(
+    ds: "ray.data.Dataset",
+    drop_ids: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Remove rows whose ``id_col`` appears in ``drop_ids``.
+
+    Adaptive plan: when the drop set is small (the common case — bounded
+    by duplicate count) it is collected once and broadcast as an Arrow
+    ``is_in`` filter (no shuffle of ``ds``). When it exceeds
+    ``broadcast_limit`` the filter becomes a hash-shuffle anti-join —
+    nothing O(corpus) ever lands on the driver, even on a dup-heavy
+    web corpus where near-dup count ~ O(corpus)."""
+    n = drop_ids.count()
+    if n == 0:
+        return ds
+    if n <= broadcast_limit:
+        drop_arr = pa.array(
+            sorted(r[id_col] for r in drop_ids.take_all()),
+            ds.schema().base_schema.field(id_col).type,
+        )
+
+        def keep(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(pc.is_in(batch.column(id_col), value_set=drop_arr))
+            return batch.filter(mask)
+
+        return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    return hash_shuffle_join(ds, drop_ids, on=id_col, how="left_anti")
+
+
+# ---------------------------------------------------------------------------
+# distributed connected components (pairs → cluster roots)
+
+
+def connected_components(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 50,
+) -> "ray.data.Dataset":
+    """(node, root) for every node in the edge list, root = min id of
+    its connected component — fully distributed min-label flooding:
+
+    each round unions the (static, materialized-once) adjacency rows
+    with the current label table, floods every node's min label to its
+    neighbors inside a ``groupby(node).map_groups``, and takes a
+    groupby-min. Labels only ever decrease; a scalar label-sum
+    detects the fixed point, so the driver sees ONE integer per round
+    — never the edge list or the label table. Converges in
+    O(component diameter) rounds (near-dup clusters are clique-like,
+    so 1-2 in practice); ``max_iters`` bounds adversarial chains.
+
+    (Deliberately groupby-only: a join-per-round formulation trips
+    Ray 2.49's hash-shuffle join on schema-less empty blocks emitted
+    by upstream operators, and needs 2 joins + 1 groupby per round vs
+    2 groupbys here.)"""
+    from ray.data.aggregate import Min, Sum
+
+    def to_adj(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        # kind 1 = neighbor row, kind 0 = label row (below)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([a, bb])),
+                pa.array(np.concatenate([bb, a])),
+                pa.array(np.ones(2 * len(a), dtype=np.int8)),
+            ],
+            names=["node", "val", "kind"],
+        )
+
+    adj = pairs.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def init_labels(b: pa.Table) -> pa.Table:
+        # every node's first label: min(self, smallest neighbor seen here)
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        val = b.column("val").to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(node), pa.array(np.minimum(node, val))], names=["node", "label"]
+        )
+
+    def finish_min(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"), b.column("min(label)")], names=["node", "label"]
+        )
+
+    labels = (
+        adj.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("label"))
+        .map_batches(finish_min, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def label_sum(lab) -> int:
+        row = lab.aggregate(Sum("label"))
+        v = row.get("sum(label)") if row else None
+        return int(v) if v is not None else 0
+
+    def as_label_rows(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("node"), pa.int64()),
+                pc.cast(b.column("label"), pa.int64()),
+                pa.array(np.zeros(n, dtype=np.int8)),
+            ],
+            names=["node", "val", "kind"],
+        )
+
+    def flood(group: pa.Table) -> pa.Table:
+        val = group.column("val").to_numpy(zero_copy_only=False)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        node = int(group.column("node")[0].as_py())
+        m = int(val[kind == 0].min())  # current min label of this node
+        neighbors = val[kind == 1]
+        out_nodes = np.concatenate([[node], neighbors]).astype(np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(out_nodes), pa.array(np.full(len(out_nodes), m, dtype=np.int64))],
+            names=["node", "label"],
+        )
+
+    prev = label_sum(labels)
+    for _ in range(max_iters):
+        rows = adj.union(
+            labels.map_batches(as_label_rows, batch_format="pyarrow", zero_copy_batch=True)
+        )
+        candidates = rows.groupby("node").map_groups(flood, batch_format="pyarrow")
+        labels = (
+            candidates.groupby("node")
+            .aggregate(Min("label"))
+            .map_batches(finish_min, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev:
+            break
+        prev = cur
+    return labels.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"), b.column("label")], names=["node", "root"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH
 
@@ -154,12 +324,24 @@ def minhash_lsh_pairs(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     threshold: float = 0.7,
+    emit: str = "pairs",
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
     shingle → minhash → band → bucket groupby → within-bucket signature
     agreement → pair dedup across buckets. Signatures (K·8 bytes)
     shuffle; raw text never does.
+
+    Hot-bucket mitigation: within a bucket, identical signatures are
+    collapsed first (``np.unique`` rows), so the pairwise verify is
+    O(u²) over *unique* signatures — a template-heavy bucket where one
+    page shape dominates costs O(u² + output), not O(n²). ``emit``:
+
+    - ``"pairs"`` (default): every qualifying pair — output itself is
+      O(clique²) on a degenerate corpus (that's the query's contract).
+    - ``"star"``: a connectivity-equivalent spanning star per identical
+      group + one representative edge per qualifying group pair —
+      linear output, the right input for connected-components dedup.
     """
 
     def to_bands(batch: pa.Table) -> pa.Table:
@@ -200,15 +382,38 @@ def minhash_lsh_pairs(
         )
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, sigs = doc_ids[order], sigs[order]
+        # collapse identical signatures: verify cost O(u²), not O(n²)
+        uniq, inverse = np.unique(sigs, axis=0, return_inverse=True)
+        members = [doc_ids[inverse == g] for g in range(len(uniq))]
         a_out, b_out, j_out = [], [], []
-        for i in range(len(doc_ids) - 1):
-            agree = (sigs[i + 1 :] == sigs[i][None, :]).mean(axis=1)
-            hit = np.nonzero(agree >= threshold)[0]
-            for j in hit:
-                if doc_ids[i] != doc_ids[i + 1 + j]:
-                    a_out.append(int(doc_ids[i]))
-                    b_out.append(int(doc_ids[i + 1 + j]))
-                    j_out.append(float(agree[j]))
+
+        def add(a: int, b: int, j: float) -> None:
+            if a != b:
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
+                j_out.append(j)
+
+        for m in members:  # identical-signature groups: est_jaccard 1.0
+            if len(m) < 2:
+                continue
+            if emit == "star":
+                for x in m[1:]:
+                    add(int(m[0]), int(x), 1.0)
+            else:
+                iu, ju = np.triu_indices(len(m), 1)
+                for i, j in zip(iu, ju):
+                    add(int(m[i]), int(m[j]), 1.0)
+        for gi in range(len(uniq) - 1):  # cross-group: one compare per pair of uniques
+            agree = (uniq[gi + 1 :] == uniq[gi][None, :]).mean(axis=1)
+            for gj in np.nonzero(agree >= threshold)[0]:
+                other = members[gi + 1 + gj]
+                est = float(agree[gj])
+                if emit == "star":
+                    add(int(members[gi][0]), int(other[0]), est)
+                else:
+                    for x in members[gi]:
+                        for y in other:
+                            add(int(x), int(y), est)
         if not a_out:
             return empty
         return pa.Table.from_arrays(
@@ -243,18 +448,22 @@ def simhash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
 
 def simhash_pairs(
-    ds: "ray.data.Dataset", text_col: str = "text", max_hamming: int = 3
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    emit: str = "pairs",
 ) -> "ray.data.Dataset":
     """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
     chunks (any pair within hamming ≤3 must agree on ≥1 chunk — the
     pigeonhole banding of Manku et al. 2007), bucket-groupby, verify
     hamming inside buckets.
 
-    Partitioning assumption: chunk buckets stay small (pairwise verify
-    is O(bucket²)). Degenerate corpora (millions of near-identical or
-    empty texts hashing to one bucket) need a hot-bucket split on a
-    second chunk before the verify — the MinHash path's banding has the
-    same property; exact dedup first removes the worst offenders."""
+    Hot-bucket mitigation: identical hashes collapse via ``np.unique``
+    before the pairwise verify, so a degenerate bucket (millions of
+    near-identical or empty texts) costs O(u² + output) instead of
+    O(bucket²). ``emit="star"`` additionally caps the *output* at a
+    connectivity-equivalent spanning set (for dedup/CC consumers);
+    the default ``"pairs"`` keeps the full pair contract."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         t = simhash_batch(batch, text_col)
@@ -290,15 +499,38 @@ def simhash_pairs(
         h = group.column("simhash64").to_numpy(zero_copy_only=False)
         order = np.argsort(doc, kind="stable")
         doc, h = doc[order], h[order]
+        uniq, inverse = np.unique(h, return_inverse=True)
+        members = [doc[inverse == g] for g in range(len(uniq))]
         a_out, b_out, d_out = [], [], []
-        for i in range(len(doc) - 1):
-            x = h[i + 1 :] ^ h[i]
+
+        def add(a: int, b: int, d: int) -> None:
+            if a != b:
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
+                d_out.append(d)
+
+        for m in members:  # identical hashes: hamming 0
+            if len(m) < 2:
+                continue
+            if emit == "star":
+                for x in m[1:]:
+                    add(int(m[0]), int(x), 0)
+            else:
+                iu, ju = np.triu_indices(len(m), 1)
+                for i, j in zip(iu, ju):
+                    add(int(m[i]), int(m[j]), 0)
+        for gi in range(len(uniq) - 1):
+            x = uniq[gi + 1 :] ^ uniq[gi]
             dist = np.array([bin(int(v)).count("1") for v in x])
-            for j in np.nonzero(dist <= max_hamming)[0]:
-                if doc[i] != doc[i + 1 + j]:
-                    a_out.append(int(doc[i]))
-                    b_out.append(int(doc[i + 1 + j]))
-                    d_out.append(int(dist[j]))
+            for gj in np.nonzero(dist <= max_hamming)[0]:
+                other = members[gi + 1 + gj]
+                d = int(dist[gj])
+                if emit == "star":
+                    add(int(members[gi][0]), int(other[0]), d)
+                else:
+                    for xx in members[gi]:
+                        for y in other:
+                            add(int(xx), int(y), d)
         if not a_out:
             return empty
         return pa.Table.from_arrays(
@@ -324,34 +556,31 @@ def near_dedup_keep_ids(
     ds: "ray.data.Dataset",
     text_col: str = "text",
     threshold: float = 0.7,
+    broadcast_limit: int = 1_000_000,
 ) -> "ray.data.Dataset":
     """Documents surviving MinHash-LSH near-dedup: duplicate pairs →
-    connected components (union-find on the driver — the pair list is
-    the *already-reduced* output of LSH, tiny relative to the corpus)
-    → keep min(doc_id) per cluster → broadcast drop-set filter."""
-    pairs = minhash_lsh_pairs(ds, text_col, threshold).take_all()
-    parent: dict = {}
+    distributed connected components (label propagation; the driver
+    sees only one scalar per round) → drop every non-root node.
 
-    def find(x):
-        while parent.get(x, x) != x:
-            parent[x] = parent.get(parent[x], parent[x])
-            x = parent[x]
-        return x
+    Scale shape: the pair list and the label table live in the object
+    store throughout; the final drop set is broadcast when small and
+    becomes a hash-shuffle anti-join when it isn't (``drop_by_ids``) —
+    no O(corpus) driver materialization even on a template-heavy web
+    corpus where near-dup pairs ~ O(corpus)."""
+    # star emission: connectivity-equivalent spanning edges — linear
+    # output even when one template dominates the corpus (CC only
+    # needs connectivity, not the full O(clique²) pair list)
+    pairs = minhash_lsh_pairs(ds, text_col, threshold, emit="star").materialize()
+    if pairs.count() == 0:
+        return ds
+    cc = connected_components(pairs)
 
-    for p in pairs:
-        a, b = find(p["doc_a"]), find(p["doc_b"])
-        if a != b:
-            if a > b:
-                a, b = b, a
-            parent[b] = a  # root = smallest id → keeper
-    drop = sorted(x for x in parent if find(x) != x)
-    drop_arr = pa.array(drop, pa.int64())
+    def non_roots(b: pa.Table) -> pa.Table:
+        mask = pc.not_equal(b.column("node"), b.column("root"))
+        return pa.Table.from_arrays([b.column("node").filter(mask)], names=["doc_id"])
 
-    def keep(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(pc.is_in(batch.column("doc_id"), value_set=drop_arr))
-        return batch.filter(mask)
-
-    return ds.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    drop = cc.map_batches(non_roots, batch_format="pyarrow", zero_copy_batch=True)
+    return drop_by_ids(ds, drop, broadcast_limit=broadcast_limit)
 
 
 # ---------------------------------------------------------------------------

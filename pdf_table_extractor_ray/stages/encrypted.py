@@ -1,0 +1,68 @@
+"""Encrypted-payload seam (S6).
+
+The reference opens password-protected PDFs before parsing
+(conversor_c6.py:36,109 — pikepdf ``open(password=...)`` then the
+normal pipeline). The engine's analog: payloads carrying the
+``XENC1`` magic are decrypted with a credential from the job's
+``StrategyConfig`` and then routed through normal detection.
+
+The cipher is a deterministic XOR keystream (sha256-counter) with a
+plaintext crc32 in the header — NOT real cryptography, and not meant
+to be: no crypto libs exist in this environment, and what the seam
+must prove is the *plumbing* (credentials reach every warm actor via
+``fn_constructor_kwargs``; wrong/missing passwords surface as in-band
+row errors, never job failures). A production deployment would swap
+``decrypt_payload`` for its real KMS-backed equivalent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+
+MAGIC = b"XENC1\x00"
+_HEADER_LEN = len(MAGIC) + 4  # magic + crc32(plaintext)
+
+
+class WrongPassword(ValueError):
+    pass
+
+
+def _keystream(password: str, n: int) -> bytes:
+    out = bytearray()
+    counter = 0
+    seed = password.encode()
+    while len(out) < n:
+        out.extend(hashlib.sha256(seed + counter.to_bytes(8, "big")).digest())
+        counter += 1
+    return bytes(out[:n])
+
+
+def is_encrypted(payload) -> bool:
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        return bytes(payload[: len(MAGIC)]) == MAGIC
+    return False
+
+
+def encrypt_payload(plain: bytes, password: str) -> bytes:
+    ks = _keystream(password, len(plain))
+    cipher = bytes(a ^ b for a, b in zip(plain, ks))
+    return MAGIC + zlib.crc32(plain).to_bytes(4, "big") + cipher
+
+
+def decrypt_payload(payload: bytes, password: str | None) -> bytes:
+    """Plaintext bytes, or raise: ``WrongPassword`` when the crc check
+    fails (bad/missing credential), ``ValueError`` on a non-encrypted
+    payload."""
+    payload = bytes(payload)
+    if not is_encrypted(payload):
+        raise ValueError("payload is not XENC1-encrypted")
+    if password is None:
+        raise WrongPassword("no credential configured for encrypted payload")
+    want_crc = int.from_bytes(payload[len(MAGIC) : _HEADER_LEN], "big")
+    cipher = payload[_HEADER_LEN:]
+    ks = _keystream(password, len(cipher))
+    plain = bytes(a ^ b for a, b in zip(cipher, ks))
+    if zlib.crc32(plain) != want_crc:
+        raise WrongPassword("credential does not decrypt payload")
+    return plain

@@ -68,3 +68,46 @@ def broadcast_join(
         return out
 
     return probe.map_batches(probe_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_JOIN_TYPES = {
+    "inner": "inner",
+    "left": "left_outer",
+    "right": "right_outer",
+    "full": "full_outer",
+    "left_semi": "left_semi",
+    "left_anti": "left_anti",
+}
+
+
+def hash_shuffle_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Large-large join: hash-partition BOTH sides on the key (one
+    all-to-all exchange each) and join per partition.
+
+    The relational primitive broadcast_join can't cover: when neither
+    side fits in a worker heap (fact ⋈ fact, e.g. lineitem ⋈ orders at
+    100 TB), the only scalable plan is a co-partitioned shuffle join.
+    Delegates to ``ray.data.Dataset.join`` (hash-shuffle aggregators)
+    with engine defaults; ``num_partitions`` should be ≈ total cluster
+    cores at real scale so each partition's build side fits in memory —
+    skewed keys should be pre-salted or routed to broadcast_join.
+
+    ``how``: inner | left | right | full | left_semi | left_anti.
+    """
+    if num_partitions is None:
+        # default to cluster CPU count (each partition joined by one task)
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(
+        right,
+        join_type=_JOIN_TYPES[how],
+        num_partitions=num_partitions,
+        on=(on,),
+        right_on=(right_on,) if right_on else None,
+    )

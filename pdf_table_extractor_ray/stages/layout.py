@@ -44,11 +44,17 @@ _VALUE_CLEAN_RE = re.compile(r"[^\d,-]")
 _DEBIT_KEYWORDS = ("Pix Enviado", "Pagamento", "Tarifa", "Cesta")
 
 
-def extract_coordinate_columns(html: str) -> ExtractResult:
+def extract_coordinate_columns(
+    html: str,
+    date_end_x: float = COLUMN_DATE_END_X,
+    value_start_x: float = COLUMN_VALUE_START_X,
+) -> ExtractResult:
     """Word boxes clustered into lines by round(top), sorted by x0,
     assigned to date/description/value columns by x thresholds; carried
     2-digit day context; keyword-driven negation
-    (conversor_banestes.py:23-91)."""
+    (conversor_banestes.py:23-91). The thresholds are per-strategy
+    config (``StrategyConfig``) — the reference hardcodes them per
+    converter (conversor_banestes.py:30-31, conversor_itau.py:187-199)."""
     transacoes = []
     dia_atual = ""
     for page_html in _PAGE_SPLIT_RE.split(html):
@@ -64,9 +70,9 @@ def extract_coordinate_columns(html: str) -> ExtractResult:
             palavras = sorted(linhas[y], key=lambda w: w[0])
             col_data, col_desc, col_valor = "", "", ""
             for x0, text in palavras:
-                if x0 < COLUMN_DATE_END_X:
+                if x0 < date_end_x:
                     col_data += text
-                elif x0 > COLUMN_VALUE_START_X:
+                elif x0 > value_start_x:
                     col_valor += text
                 else:
                     col_desc += text + " "

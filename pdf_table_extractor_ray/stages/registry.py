@@ -49,23 +49,61 @@ def _html_strategy(fn):
     return wrapper
 
 
-STRATEGIES: Dict[str, Callable[[dict], ExtractResult]] = {
-    "regex_listing": _text_strategy(st.extract_regex_listing),
-    "santander_merge": _text_strategy(st.extract_santander),
-    "bb1_buffer": _text_strategy(st.extract_bb1),
-    "bb2_nextdate": _text_strategy(st.extract_bb2),
-    "sicoob1_lines": _text_strategy(st.extract_sicoob1),
-    "sicoob2_blocks": _text_strategy(st.extract_sicoob2),
-    "c6_date_context": _text_strategy(st.extract_c6),
-    "inter_months": _text_strategy(st.extract_inter),
-    "cef_simple": _text_strategy(st.extract_cef),
-    "pagbank_findall": _text_strategy(st.extract_pagbank),
-    "bradesco_triples": _text_strategy(st.extract_bradesco),
-    "coordinate_columns": _html_strategy(extract_coordinate_columns),
-    "lattice_table": _html_strategy(extract_lattice_table),
-    "boilerplate_strip": _html_strategy(extract_boilerplate),
-    "ofx": _text_strategy(extract_ofx),
-}
+def make_strategies(
+    config: Optional["StrategyConfig"] = None,
+) -> Dict[str, Callable[[dict], ExtractResult]]:
+    """Build the strategy table for one job's ``StrategyConfig``.
+
+    Config-sensitive strategies close over the config values ONCE here
+    (the warm actor calls this in ``__init__``); config-free strategies
+    are shared plain callables. The encrypted strategy (S6) decrypts
+    with the config credential, then routes the plaintext through
+    normal detection — the conversor_c6.py:36 open-then-parse shape."""
+    from pdf_table_extractor_ray.stages.config import DEFAULT_CONFIG
+
+    cfg = config or DEFAULT_CONFIG
+
+    def coordinate_with_config(doc: dict) -> ExtractResult:
+        html = doc.get("html") or b""
+        if isinstance(html, (bytes, bytearray, memoryview)):
+            html = bytes(html).decode("utf-8", errors="replace")
+        return extract_coordinate_columns(
+            html, cfg.column_date_end_x, cfg.column_value_start_x
+        )
+
+    strategies: Dict[str, Callable[[dict], ExtractResult]] = {
+        "regex_listing": _text_strategy(st.extract_regex_listing),
+        "santander_merge": _text_strategy(st.extract_santander),
+        "bb1_buffer": _text_strategy(st.extract_bb1),
+        "bb2_nextdate": _text_strategy(st.extract_bb2),
+        "sicoob1_lines": _text_strategy(st.extract_sicoob1),
+        "sicoob2_blocks": _text_strategy(st.extract_sicoob2),
+        "c6_date_context": _text_strategy(st.extract_c6),
+        "inter_months": _text_strategy(st.extract_inter),
+        "cef_simple": _text_strategy(st.extract_cef),
+        "pagbank_findall": _text_strategy(st.extract_pagbank),
+        "bradesco_triples": _text_strategy(st.extract_bradesco),
+        "coordinate_columns": coordinate_with_config,
+        "lattice_table": _html_strategy(extract_lattice_table),
+        "boilerplate_strip": _html_strategy(extract_boilerplate),
+        "ofx": _text_strategy(extract_ofx),
+    }
+
+    def encrypted_strategy(doc: dict) -> ExtractResult:
+        from pdf_table_extractor_ray.stages.encrypted import decrypt_payload
+
+        plain = decrypt_payload(doc.get("html"), cfg.password_for(doc.get("url")))
+        inner = {"url": doc.get("url"), "html": plain, "text": doc.get("text")}
+        key = detect_format(inner["html"], inner["text"])
+        if key is None or key == "encrypted":
+            return ExtractResult(status="error", error="no strategy for decrypted payload")
+        return strategies[key](inner)
+
+    strategies["encrypted"] = encrypted_strategy
+    return strategies
+
+
+STRATEGIES: Dict[str, Callable[[dict], ExtractResult]] = make_strategies()
 
 
 def register_strategy(key: str, fn: Callable[[dict], ExtractResult]) -> None:
@@ -95,6 +133,10 @@ def detect_format(html, text: Optional[str]) -> Optional[str]:
     distinctive header markers and value-sign conventions.
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
+        from pdf_table_extractor_ray.stages.encrypted import is_encrypted
+
+        if is_encrypted(html):
+            return "encrypted"
         html = bytes(html).decode("utf-8", errors="replace")
     html = html or ""
     text = text or ""
@@ -137,18 +179,23 @@ _BB2_HEADER_RE = re.compile(r"Extrato de conta corrente|G336")
 _BRADESCO_HEADER_RE = re.compile(r"Bradesco|Data Histórico Dcto")
 
 
-def extract_document(doc: dict) -> tuple:
+def extract_document(doc: dict, strategies: Optional[Dict] = None) -> tuple:
     """Detect + extract one document with in-band fault capture.
 
     Returns ``(strategy_key, ExtractResult)``; never raises — the
     generalization of the reference's per-file try/except accumulation
-    (conversor_bbmod1.py:154-169).
+    (conversor_bbmod1.py:154-169). ``strategies`` lets a warm actor
+    pass its config-bound table (``make_strategies(cfg)``).
     """
+    table = strategies if strategies is not None else STRATEGIES
+    key = None
     try:
         key = detect_format(doc.get("html"), doc.get("text"))
         if key is None:
             return "unknown", ExtractResult(status="error", error="no strategy detected")
-        result = STRATEGIES[key](doc)
+        result = table[key](doc)
         return key, result
     except Exception as exc:  # noqa: BLE001 — in-band fault isolation
-        return "unknown", ExtractResult(status="error", error=f"{type(exc).__name__}: {exc}")
+        return key or "unknown", ExtractResult(
+            status="error", error=f"{type(exc).__name__}: {exc}"
+        )

@@ -23,7 +23,7 @@ from typing import Optional
 import pyarrow as pa
 
 from pdf_table_extractor_ray.schemas import EXTRACTED_SCHEMA, RECORD_TYPE, SPAN_TYPE
-from pdf_table_extractor_ray.stages.registry import STRATEGIES, detect_format, extract_document
+from pdf_table_extractor_ray.stages.registry import detect_format, extract_document, make_strategies
 from pdf_table_extractor_ray.stages.result import ExtractResult
 
 
@@ -31,15 +31,19 @@ class WarmExtractor:
     """Callable-class stage: detection + strategy execution with
     in-band fault capture. ``strategy_key`` pins a single strategy
     (≈ the reference user picking a bank, Conversor.py:153-174);
-    default is per-row content detection."""
+    default is per-row content detection. ``config`` is the job's
+    ``StrategyConfig`` (column thresholds, skip words, credentials) —
+    bound ONCE per actor here, shipped via ``fn_constructor_kwargs``,
+    never per batch."""
 
-    def __init__(self, strategy_key: Optional[str] = None):
-        if strategy_key is not None and strategy_key not in STRATEGIES:
+    def __init__(self, strategy_key: Optional[str] = None, config=None):
+        # build the config-bound strategy table now so all strategy
+        # modules (and their compiled regexes) are resident before the
+        # first batch
+        self._strategies = make_strategies(config)
+        if strategy_key is not None and strategy_key not in self._strategies:
             raise KeyError(f"unknown strategy {strategy_key!r}")
         self.strategy_key = strategy_key
-        # touch the registry so all strategy modules (and their compiled
-        # regexes) are resident before the first batch
-        self._strategies = STRATEGIES
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -60,7 +64,7 @@ class WarmExtractor:
         for url, html, text in zip(urls, htmls, texts):
             doc = {"url": url, "html": html, "text": text}
             if self.strategy_key is None:
-                key, res = extract_document(doc)
+                key, res = extract_document(doc, self._strategies)
             else:
                 key = self.strategy_key
                 try:

@@ -267,6 +267,27 @@ def test_broadcast_join(ray_session):
     assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
 
 
+def test_hash_shuffle_join(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    left = ray.data.from_items([{"k": i % 10, "v": i} for i in range(100)])
+    right = ray.data.from_items([{"rk": i, "name": f"n{i}"} for i in range(5)])
+    inner = hash_shuffle_join(left, right, on="k", right_on="rk", num_partitions=4)
+    rows = inner.take_all()
+    assert len(rows) == 50  # keys 0-4 × 10 rows each
+    assert all(r["name"] == f"n{r['k']}" for r in rows)
+    anti = hash_shuffle_join(
+        left, right, on="k", right_on="rk", how="left_anti", num_partitions=4
+    )
+    assert sorted({r["k"] for r in anti.take_all()}) == [5, 6, 7, 8, 9]
+    semi = hash_shuffle_join(
+        left, right, on="k", right_on="rk", how="left_semi", num_partitions=4
+    )
+    assert semi.count() == 50 and "name" not in semi.schema().names
+
+
 def test_near_dedup_keep_ids(docs_with_dups):
     from pdf_table_extractor_ray.stages.dedup import near_dedup_keep_ids
 
@@ -276,6 +297,125 @@ def test_near_dedup_keep_ids(docs_with_dups):
     rows = docs_with_dups.take(3)
     for r in rows:
         assert r["doc_id"] in kept
+
+
+def test_connected_components_distributed(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import connected_components
+
+    # a long chain (worst case for flooding), a triangle, an isolated pair
+    pairs = ray.data.from_items(
+        [{"doc_a": i, "doc_b": i + 1} for i in range(50, 60)]
+        + [{"doc_a": 1, "doc_b": 2}, {"doc_a": 2, "doc_b": 3}, {"doc_a": 1, "doc_b": 3}]
+        + [{"doc_a": 100, "doc_b": 101}]
+    )
+    roots = {r["node"]: r["root"] for r in connected_components(pairs).take_all()}
+    assert all(roots[n] == 50 for n in range(50, 61))
+    assert roots[1] == roots[2] == roots[3] == 1
+    assert roots[100] == roots[101] == 100
+
+
+@pytest.fixture(scope="module")
+def dup_heavy_docs(ray_session):
+    """≥50% duplicates: 40 base docs, each exact-cloned once and
+    near-cloned once (120 rows, 80 redundant)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet")
+    rows = ds.take(40)
+    out = []
+    for i, r in enumerate(rows):
+        out.append(dict(r))
+        out.append({**r, "doc_id": 200000 + i})  # exact clone
+        near = dict(r)
+        near["doc_id"] = 300000 + i
+        near["text"] = r["text"] + " tail"
+        out.append(near)
+    return ray.data.from_items(out)
+
+
+def test_dup_heavy_near_dedup_both_paths(dup_heavy_docs):
+    """Dup-heavy corpus through BOTH drop paths: broadcast (default)
+    and the hash-shuffle anti-join (broadcast_limit=0) — proving no
+    O(corpus) driver materialization is required for correctness."""
+    from pdf_table_extractor_ray.stages.dedup import near_dedup_keep_ids
+
+    import ray.data
+
+    base_rows = [r for r in dup_heavy_docs.take_all() if r["doc_id"] < 200000]
+    # expected: near-dedup of the base docs alone (the driver corpus has
+    # natural near-dup pairs of its own, e.g. docs 8/12 at sf0.001)
+    expected = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep_ids(ray.data.from_items(base_rows)).take_all()
+    )
+    kept_bc = sorted(r["doc_id"] for r in near_dedup_keep_ids(dup_heavy_docs).take_all())
+    assert kept_bc == expected  # every planted clone family collapses to its base
+    kept_aj = sorted(
+        r["doc_id"]
+        for r in near_dedup_keep_ids(dup_heavy_docs, broadcast_limit=0).take_all()
+    )
+    assert kept_aj == kept_bc
+
+
+def test_hot_bucket_skew(ray_session):
+    """Skew-adversarial: 10%+ of the corpus is ONE template (identical
+    text → one LSH bucket per band). Unique-signature compression makes
+    the verify O(u²); star emission keeps the output linear — the run
+    must finish quickly instead of emitting ~2M pairs."""
+    import time
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs, simhash_pairs
+
+    template = "the quick brown fox jumps over the lazy dog " * 20
+    n_hot = 2000
+    docs = [{"doc_id": i, "text": template} for i in range(n_hot)]
+    docs += [
+        {"doc_id": 10000 + i, "text": f"unique document number {i} " + "filler words " * i}
+        for i in range(50)
+    ]
+    ds = ray.data.from_items(docs)
+    t0 = time.monotonic()
+    star = minhash_lsh_pairs(ds, emit="star").take_all()
+    elapsed = time.monotonic() - t0
+    # spanning star over the 2000-clique: n-1 edges, not n(n-1)/2
+    hot = [p for p in star if p["doc_a"] < 10000 and p["doc_b"] < 10000]
+    assert len(hot) == n_hot - 1
+    assert all(p["doc_a"] == 0 for p in hot)
+    assert elapsed < 60, f"hot bucket took {elapsed:.1f}s — O(n²) blowup?"
+    sh = simhash_pairs(ds, emit="star").take_all()
+    sh_hot = [p for p in sh if p["doc_a"] < 10000 and p["doc_b"] < 10000]
+    assert len(sh_hot) == n_hot - 1
+
+
+def test_star_pairs_connectivity_equivalence(docs_with_dups, ray_session):
+    """emit='star' must yield the same connected components (hence the
+    same dedup keep-set) as the full pair emission."""
+    from pdf_table_extractor_ray.stages.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    full = minhash_lsh_pairs(docs_with_dups, emit="pairs")
+    star = minhash_lsh_pairs(docs_with_dups, emit="star")
+    cc_full = {r["node"]: r["root"] for r in connected_components(full).take_all()}
+    cc_star = {r["node"]: r["root"] for r in connected_components(star).take_all()}
+    assert cc_full == cc_star
+
+
+def test_corpus_prep_drop_set_path(dup_heavy_docs):
+    """corpus_prep survives a dup-heavy corpus and keeps one doc per
+    clone family (drop-set built from dup groups, not a keeper-set
+    take_all)."""
+    from pdf_table_extractor_ray.pipelines.corpus_prep import prepare_corpus
+
+    docs = dup_heavy_docs.select_columns(["doc_id", "text"])
+    survivors = sorted(r["doc_id"] for r in prepare_corpus(docs).take_all())
+    assert len(survivors) > 0
+    assert all(d < 200000 for d in survivors)  # no clone survives
 
 
 def test_knn_ivf_self_is_top1(ray_session):

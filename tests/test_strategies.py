@@ -4,6 +4,8 @@ families."""
 
 from collections import Counter
 
+import pytest
+
 from pdf_table_extractor_ray.fixtures import FAMILIES, generate_doc
 from pdf_table_extractor_ray.stages import statements as st
 from pdf_table_extractor_ray.stages.boilerplate import extract_boilerplate
@@ -228,7 +230,9 @@ class TestDetectionSweep:
                 assert res.status == "ok", (d["url"], res.error)
                 assert res.extracted_text
             stats[d["family"]] += 1
-        assert set(stats) == set(FAMILIES)
+        from pdf_table_extractor_ray.fixtures import ALL_FAMILIES
+
+        assert set(stats) == set(ALL_FAMILIES)
 
     def test_detect_unknown(self):
         assert detect_format(b"", "") is None
@@ -246,6 +250,79 @@ class TestDetectionSweep:
         assert detect_format(b"", no_values) == "regex_listing"
         # header only, no values, no dates → undetected
         assert detect_format(b"", "Data Lançamento apenas") is None
+
+
+class TestEncryptedAndConfig:
+    def test_encrypted_roundtrip_and_wrong_password(self):
+        from pdf_table_extractor_ray.stages.encrypted import (
+            WrongPassword,
+            decrypt_payload,
+            encrypt_payload,
+            is_encrypted,
+        )
+
+        plain = b"<html><table><tr><td>x</td></tr></table></html>"
+        enc = encrypt_payload(plain, "sekret")
+        assert is_encrypted(enc) and not is_encrypted(plain)
+        assert decrypt_payload(enc, "sekret") == plain
+        with pytest.raises(WrongPassword):
+            decrypt_payload(enc, "nope")
+        with pytest.raises(WrongPassword):
+            decrypt_payload(enc, None)
+
+    def test_encrypted_detection_and_extraction(self):
+        from pdf_table_extractor_ray.fixtures import generate_doc
+        from pdf_table_extractor_ray.stages.config import StrategyConfig
+        from pdf_table_extractor_ray.stages.registry import make_strategies
+
+        d = next(
+            generate_doc(i)
+            for i in range(400)
+            if generate_doc(i)["family"] == "encrypted"
+        )
+        assert detect_format(d["html"], d["text"]) == "encrypted"
+        key, res = extract_document(d)  # default config has the credential
+        assert key == "encrypted" and res.status == "ok" and res.extracted_text
+        # wrong credential → in-band row error, never a raise
+        bad = make_strategies(StrategyConfig(credentials={"default": "wrong"}))
+        key, res = extract_document(d, bad)
+        assert key == "encrypted" and res.status == "error"
+        assert "credential" in (res.error or "")
+
+    def test_custom_column_config_changes_layout_parse(self, ray_session):
+        """A strategy with NON-DEFAULT config (shifted column x
+        thresholds, the conversor_itau table_areas analog) through the
+        real actor-pool pipeline: a word box at x=90 is description
+        under the default config but date under x_date_end=120."""
+        import ray.data
+
+        from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+        from pdf_table_extractor_ray.stages.config import StrategyConfig
+
+        html = (
+            '<div class="page">'
+            '<span data-x0="90.0" data-top="10">05</span>'
+            '<span data-x0="200.0" data-top="10">PAGAMENTO CONTA</span>'
+            '<span data-x0="500.0" data-top="10">123,45</span>'
+            "</div>"
+        ).encode()
+        ds = ray.data.from_items([{"url": "u1", "html": html, "text": ""}])
+        cfg = StrategyConfig(column_date_end_x=120.0)
+        out_custom = build_extracted_dataset(
+            ds, config=cfg, shard_keys=False, concurrency=(1, 1), batch_size=4
+        ).take_all()
+        assert out_custom[0]["strategy"] == "coordinate_columns"
+        assert out_custom[0]["status"] == "ok"
+        rec = out_custom[0]["records"][0]
+        assert rec["date"].startswith("05/")  # x=90 classified as date column
+        out_default = build_extracted_dataset(
+            ds, shard_keys=False, concurrency=(1, 1), batch_size=4
+        ).take_all()
+        # default thresholds: the 05 box lands in the description column
+        # → no day context → record with empty day prefix
+        rec_d = out_default[0]["records"][0]
+        assert rec_d["date"] == "/JUN/25"
+        assert rec_d["description"].startswith("05")
 
 
 class TestTableParserEquivalence:
