@@ -343,13 +343,39 @@ def _q_simhash_pairs(sf_dir: str):
     return simhash_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _query_vectors(sf_dir: str, n: int = 3):
+    """The ``n`` smallest vec_ids + their embeddings WITHOUT a global
+    sort shuffle: a pruned id-only scan pre-reduces to ≤n ids per
+    batch, the driver merges the tiny partials, and one pushed-down
+    ``is_in`` filter fetches exactly those rows."""
+    ids_only = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def partial_min(b: pa.Table) -> pa.Table:
+        ids = np.sort(b.column("vec_id").to_numpy(zero_copy_only=False))[:n]
+        return pa.Table.from_arrays([pa.array(ids.astype(np.int64))], names=["vec_id"])
+
+    cand = ids_only.map_batches(partial_min, batch_format="pyarrow", zero_copy_batch=True)
+    want = sorted(r["vec_id"] for r in cand.take_all())[:n]
+    want_arr = pa.array(want, pa.int64())
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("vec_id"), value_set=want_arr))
+
+    qrows = sorted(
+        ds.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).take_all(),
+        key=lambda r: r["vec_id"],
+    )
+    q = np.array([r["embedding"] for r in qrows], np.float64)
+    qids = np.array([r["vec_id"] for r in qrows])
+    return ds, q, qids
+
+
 def _q_knn_top5(sf_dir: str):
     from pdf_table_extractor_ray.stages.similarity import knn_bruteforce
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.sort("vec_id").take(3)
-    q = np.array([r["embedding"] for r in qrows], np.float64)
-    qids = np.array([r["vec_id"] for r in qrows])
+    ds, q, qids = _query_vectors(sf_dir)
     out = knn_bruteforce(ds, q, qids, k=5)
     return out.select_columns(["query_id", "rank", "vec_id"])
 
@@ -357,10 +383,7 @@ def _q_knn_top5(sf_dir: str):
 def _q_knn_lsh(sf_dir: str):
     from pdf_table_extractor_ray.stages.similarity import knn_lsh
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.sort("vec_id").take(3)
-    q = np.array([r["embedding"] for r in qrows], np.float64)
-    qids = np.array([r["vec_id"] for r in qrows])
+    ds, q, qids = _query_vectors(sf_dir)
     return knn_lsh(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
 
 
@@ -560,6 +583,40 @@ def _q_profit_by_nation_year(sf_dir: str):
     )
 
 
+def _urgent_order_custkeys(sf_dir: str):
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+    def urgent(b: pa.Table) -> pa.Table:
+        return b.filter(pc.equal(b.column("o_orderpriority"), "1-URGENT")).select(
+            ["o_custkey"]
+        )
+
+    return orders.map_batches(urgent, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_urgent_customers(sf_dir: str):
+    """left_semi hash-shuffle join: customers with ≥1 URGENT order."""
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return hash_shuffle_join(
+        cust, _urgent_order_custkeys(sf_dir), on="c_custkey", right_on="o_custkey",
+        how="left_semi",
+    )
+
+
+def _q_quiet_customers(sf_dir: str):
+    """left_anti hash-shuffle join: customers with NO urgent order —
+    the distributed complement used by drop_by_ids at scale."""
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+    return hash_shuffle_join(
+        cust, _urgent_order_custkeys(sf_dir), on="c_custkey", right_on="o_custkey",
+        how="left_anti",
+    )
+
+
 def _q_corpus_prep(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.corpus_prep import (
         corpus_token_totals,
@@ -573,10 +630,7 @@ def _q_corpus_prep(sf_dir: str):
 def _q_knn_ivf(sf_dir: str):
     from pdf_table_extractor_ray.stages.similarity import knn_ivf
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    qrows = ds.sort("vec_id").take(3)
-    q = np.array([r["embedding"] for r in qrows], np.float64)
-    qids = np.array([r["vec_id"] for r in qrows])
+    ds, q, qids = _query_vectors(sf_dir)
     return knn_ivf(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
 
 
@@ -780,6 +834,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep": _q_corpus_prep,
         "top_revenue_orders": _q_top_revenue_orders,
         "profit_by_nation_year": _q_profit_by_nation_year,
+        "urgent_customers": _q_urgent_customers,
+        "quiet_customers": _q_quiet_customers,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -908,6 +964,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON l_orderkey = o_orderkey "
             "WHERE p_type = 'PROMO' "
             "GROUP BY n_name, o_year"
+        ),
+        "urgent_customers": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "quiet_customers": (
+            "SELECT c_custkey, c_name, c_acctbal FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "WHERE o_orderpriority = '1-URGENT')"
         ),
         "revenue_by_region": (
             "SELECT r_name, count(*) AS n_items, "

@@ -97,7 +97,14 @@ def _bench_queries(sf_dir: str) -> dict:
 
     qs = entrymod.queries()
     out = {}
-    for name in ("lineitem_pricing", "exact_dedup_docs", "minhash_pairs", "knn_top5", "token_counts"):
+    for name in (
+        "lineitem_pricing",
+        "exact_dedup_docs",
+        "minhash_pairs",
+        "knn_top5",
+        "token_counts",
+        "profit_by_nation_year",  # fact-fact hash-shuffle join
+    ):
         t0 = time.time()
         res = qs[name](sf_dir)
         # consume the stream without materializing to the driver

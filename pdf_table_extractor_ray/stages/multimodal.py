@@ -1,17 +1,25 @@
 """Multimodal-column plumbing: opaque binary payloads with typed
 metadata, processed by actor-pool ``map_batches`` stages.
 
-The decode kernels themselves are STUBBED (no image/audio libraries in
-this environment): ``mode="fake"`` produces a deterministic
-feature/thumbnail derived from the payload bytes so the Ray-side
-plumbing — schema, batch sizing, actor signature, output layout — is
-real and testable; ``mode="real"`` raises ``NotImplementedError`` at
-the exact seam where PIL/ffmpeg would plug in.
+Two decode modes:
+
+- ``mode="fake"``: deterministic feature/thumbnail derived from the
+  payload digest — exercises the Ray-side plumbing (schema, batch
+  sizing, actor signature, output layout) independent of any codec.
+- ``mode="real"``: actual decoders for the formats this environment
+  can handle WITHOUT external libraries — binary PPM (P6) and
+  uncompressed 24-bit BMP images via numpy, PCM WAV audio via the
+  stdlib ``wave`` module. Compressed formats (JPEG/PNG/MP3/video)
+  still raise ``NotImplementedError`` at the same seam — that is
+  where PIL/ffmpeg would plug in (neither exists in this container,
+  verified round 2).
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
 
 import numpy as np
 import pyarrow as pa
@@ -28,6 +36,103 @@ def _fake_decode(payload: bytes) -> np.ndarray:
     return rng.randint(0, 256, size=(THUMB_H, THUMB_W, 3), dtype=np.uint8)
 
 
+# ---------------------------------------------------------------------------
+# real decoders (stdlib + numpy only)
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6): 'P6\\n<w> <h>\\n<maxval>\\n' + raw RGB rows."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    # header = 4 whitespace-separated tokens (magic, w, h, maxval);
+    # comments (#...) allowed between tokens
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PPM unsupported")
+    data = np.frombuffer(payload, np.uint8, count=w * h * 3, offset=pos)
+    return data.reshape(h, w, 3)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): bottom-up BGR rows,
+    4-byte padded."""
+    if not payload.startswith(b"BM"):
+        raise ValueError("not a BMP")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    comp = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only uncompressed 24-bit BMP supported (bpp={bpp}, comp={comp})")
+    flip = h > 0
+    h = abs(h)
+    row_bytes = (w * 3 + 3) & ~3
+    rows = np.frombuffer(payload, np.uint8, count=row_bytes * h, offset=data_off)
+    img = rows.reshape(h, row_bytes)[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR→RGB
+    return img[::-1] if flip else img
+
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV → mono float32 samples in [-1, 1] (stdlib ``wave``)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        n, ch, width = f.getnframes(), f.getnchannels(), f.getsampwidth()
+        raw = f.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        raise ValueError(f"{8 * width}-bit WAV unsupported")
+    return x.reshape(-1, ch).mean(axis=1) if ch > 1 else x
+
+
+def _axis_bins(n: int, k: int):
+    """k non-empty index bins covering [0, n): area blocks when n ≥ k,
+    nearest-neighbor repeats when n < k (tiny images upscale instead of
+    producing empty bins → NaN means)."""
+    if n >= k:
+        return np.array_split(np.arange(n), k)
+    return [np.array([min((i * n) // k, n - 1)]) for i in range(k)]
+
+
+def _pool_image(img: np.ndarray) -> np.ndarray:
+    """Area-average resize to THUMB_H×THUMB_W (uint8)."""
+    h, w = img.shape[:2]
+    out = np.empty((THUMB_H, THUMB_W, 3), np.uint8)
+    ys = _axis_bins(h, THUMB_H)
+    xs = _axis_bins(w, THUMB_W)
+    for i, yy in enumerate(ys):
+        band = img[yy]
+        for j, xx in enumerate(xs):
+            out[i, j] = band[:, xx].reshape(-1, 3).mean(axis=0)
+    return out
+
+
+def _sniff(payload: bytes) -> str:
+    if payload.startswith(b"P6"):
+        return "ppm"
+    if payload.startswith(b"BM"):
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return "unknown"
+
+
 class DecodeFeaturize:
     """Actor-pool stage: binary media column → fixed-dim feature vector
     + thumbnail bytes. Use small ``batch_size`` (media payloads are
@@ -40,23 +145,58 @@ class DecodeFeaturize:
         self.media_col = media_col
         # real mode would load codecs/models HERE (once per actor)
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        if self.mode == "real":
-            raise NotImplementedError(
-                "real media decode requires an image/audio library not present "
-                "in this environment; plug PIL/torchvision/ffmpeg in here"
+    def _decode_real(self, payload: bytes):
+        """(feature float32[FEATURE_DIM], thumbnail bytes) for one
+        stdlib-decodable payload; NotImplementedError on compressed
+        formats (the PIL/ffmpeg seam)."""
+        kind = _sniff(payload or b"")
+        if kind == "ppm":
+            img = decode_ppm(payload)
+        elif kind == "bmp":
+            img = decode_bmp(payload)
+        elif kind == "wav":
+            x = decode_wav(payload)
+            # 32-bin mean-|amplitude| envelope as the audio feature
+            bins = np.array_split(np.abs(x), FEATURE_DIM) if len(x) else []
+            feat = np.array(
+                [b.mean() if len(b) else 0.0 for b in bins]
+                + [0.0] * (FEATURE_DIM - len(bins)),
+                np.float32,
             )
+            # thumbnail = 8×8×3 grayscale envelope visualization
+            vis = (np.clip(feat[: THUMB_H * THUMB_W // 2], 0, 1) * 255).astype(np.uint8)
+            thumb = np.repeat(
+                np.resize(vis, THUMB_H * THUMB_W), 3
+            ).astype(np.uint8).tobytes()
+            return feat, thumb
+        else:
+            raise NotImplementedError(
+                f"real decode supports PPM/BMP/WAV (stdlib-only environment); "
+                f"got {payload[:4]!r} — plug PIL/torchvision/ffmpeg in here"
+            )
+        thumb_img = _pool_image(img)
+        flat = thumb_img.astype(np.float32).ravel()
+        feat = flat[: FEATURE_DIM * (flat.size // FEATURE_DIM)].reshape(
+            FEATURE_DIM, -1
+        ).mean(axis=1) / 255.0
+        return feat.astype(np.float32), thumb_img.tobytes()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.media_col).to_pylist()
         feats = np.zeros((len(payloads), FEATURE_DIM), np.float32)
         thumbs = []
         for i, p in enumerate(payloads):
-            img = _fake_decode(p)
-            flat = img.astype(np.float32).ravel()
-            # 'feature' = bucketed mean pooling of the fake decode
-            feats[i] = flat[: FEATURE_DIM * (flat.size // FEATURE_DIM)].reshape(
-                FEATURE_DIM, -1
-            ).mean(axis=1) / 255.0
-            thumbs.append(img.tobytes())
+            if self.mode == "real":
+                feats[i], thumb = self._decode_real(p)
+                thumbs.append(thumb)
+            else:
+                img = _fake_decode(p)
+                flat = img.astype(np.float32).ravel()
+                # 'feature' = bucketed mean pooling of the fake decode
+                feats[i] = flat[: FEATURE_DIM * (flat.size // FEATURE_DIM)].reshape(
+                    FEATURE_DIM, -1
+                ).mean(axis=1) / 255.0
+                thumbs.append(img.tobytes())
         feat_arr = pa.FixedSizeListArray.from_arrays(
             pa.array(feats.ravel(), pa.float32()), FEATURE_DIM
         )

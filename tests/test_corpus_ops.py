@@ -188,12 +188,97 @@ def test_multimodal_fake_decode(ray_session):
     assert list(a["feature"]) == list(b["feature"])
 
 
-def test_multimodal_real_raises(ray_session):
+def test_multimodal_real_unsupported_raises(ray_session):
     from pdf_table_extractor_ray.stages.multimodal import DecodeFeaturize
 
     stage = DecodeFeaturize(mode="real")
+    # compressed/unknown formats still hit the PIL/ffmpeg seam
     with pytest.raises(NotImplementedError):
-        stage(pa.table({"payload": pa.array([b"x"], pa.binary())}))
+        stage(pa.table({"payload": pa.array([b"\x89PNG\r\n"], pa.binary())}))
+
+
+def _make_ppm(w, h, rgb):
+    import numpy as np
+
+    img = np.tile(np.array(rgb, np.uint8), (h, w, 1))
+    return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes(), img
+
+
+def _make_bmp(w, h, rgb):
+    import struct
+
+    import numpy as np
+
+    img = np.tile(np.array(rgb, np.uint8), (h, w, 1))
+    row = (w * 3 + 3) & ~3
+    pix = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        r = img[y, :, ::-1].tobytes()  # BGR
+        pix += r + b"\x00" * (row - len(r))
+    data_off = 54
+    hdr = b"BM" + struct.pack("<IHHI", data_off + len(pix), 0, 0, data_off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return hdr + bytes(pix), img
+
+
+def _make_wav(freq=440, seconds=0.1, rate=8000):
+    import io
+    import wave
+
+    import numpy as np
+
+    t = np.arange(int(rate * seconds)) / rate
+    x = (np.sin(2 * np.pi * freq * t) * 20000).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
+def test_multimodal_real_decode_stdlib_formats(ray_session):
+    """mode='real' end-to-end over actual PPM/BMP/WAV payloads through
+    the actor-pool stage (stdlib-only decoders)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import FEATURE_DIM, featurize_media
+
+    ppm, _ = _make_ppm(13, 9, (200, 10, 30))
+    bmp, _ = _make_bmp(10, 7, (10, 200, 30))
+    wav = _make_wav()
+    ds = ray.data.from_items(
+        [
+            {"media_id": 0, "payload": ppm},
+            {"media_id": 1, "payload": bmp},
+            {"media_id": 2, "payload": wav},
+        ]
+    )
+    out = {r["media_id"]: r for r in featurize_media(ds, mode="real", concurrency=(1, 2)).take_all()}
+    assert len(out) == 3
+    # solid-color images: every pooled feature bucket == channel mean
+    f_ppm = np.array(out[0]["feature"])
+    assert f_ppm.shape == (FEATURE_DIM,) and 0.2 < f_ppm.mean() < 0.4
+    assert len(out[0]["thumbnail"]) == 8 * 8 * 3
+    f_bmp = np.array(out[1]["feature"])
+    assert abs(f_bmp.mean() - f_ppm.mean()) < 0.05  # same channel set, permuted
+    f_wav = np.array(out[2]["feature"])
+    assert f_wav.shape == (FEATURE_DIM,) and f_wav.max() > 0.3  # sine envelope
+
+
+def test_multimodal_decoders_roundtrip():
+    """Decoders recover exact pixel/sample data."""
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.multimodal import decode_bmp, decode_ppm, decode_wav
+
+    ppm, img = _make_ppm(5, 4, (1, 2, 3))
+    assert (decode_ppm(ppm) == img).all()
+    bmp, img2 = _make_bmp(5, 4, (9, 8, 7))
+    assert (decode_bmp(bmp) == img2).all()
+    x = decode_wav(_make_wav(freq=100, seconds=0.05))
+    assert len(x) == 400 and abs(x).max() <= 1.0
 
 
 def test_winnow_fingerprints_shared_substring():

@@ -154,6 +154,44 @@ def test_csv_sink(extracted, tmp_path):
     assert n == totals["records"]
 
 
+def test_xlsx_sink(extracted, tmp_path):
+    """K2/K3: records → one workbook per partition; reread via the
+    stdlib oracle and check counts + cell values survive."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import explode_records
+    from pdf_table_extractor_ray.pipelines.sinks import read_xlsx_file, write_records_xlsx
+
+    out, totals = extracted
+    flat = explode_records(ray.data.read_parquet(out))
+    xlsx_dir = str(tmp_path / "xlsx")
+    manifest = write_records_xlsx(flat, xlsx_dir)
+    assert manifest
+    n = 0
+    for path, rows_declared in manifest:
+        header, rows = read_xlsx_file(path)
+        assert header[:3] == ["url", "record_idx", "date"]
+        assert len(rows) == rows_declared
+        n += len(rows)
+    assert n == totals["records"]
+
+
+def test_xlsx_file_roundtrip(tmp_path):
+    from pdf_table_extractor_ray.pipelines.sinks import read_xlsx_file, write_xlsx_file
+
+    p = str(tmp_path / "t.xlsx")
+    write_xlsx_file(
+        p,
+        ["a", "b", "c"],
+        [["x<&>", 1.5, None], ["çãé", -2, "ok"]],
+        sheet_name="records",
+    )
+    header, rows = read_xlsx_file(p)
+    assert header == ["a", "b", "c"]
+    assert rows[0] == ["x<&>", 1.5, None]
+    assert rows[1][0] == "çãé" and rows[1][1] == -2.0 and rows[1][2] == "ok"
+
+
 def test_zero_row_shard_finishes(ray_session, tmp_path):
     import pyarrow as pa
     import pyarrow.parquet as pq_
