@@ -617,6 +617,66 @@ def _q_quiet_customers(sf_dir: str):
     )
 
 
+def _q_last_order_asof(sf_dir: str):
+    """As-of join under a native DuckDB ASOF JOIN oracle: each event ⋈
+    the user's most recent order at-or-before the event time. Orders
+    are first reduced to one row per (custkey, orderdate) — max
+    orderkey wins — because as-of semantics are undefined on timestamp
+    ties (both engines would pick arbitrarily)."""
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_day(group: pa.Table) -> pa.Table:
+        keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        i = int(np.argmax(keys))
+        return group.take(pa.array([i], pa.int64()))
+
+    orders_1 = orders.groupby(["o_custkey", "o_orderdate"]).map_groups(
+        per_day, batch_format="pyarrow"
+    )
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+    joined = asof_join(
+        ev,
+        orders_1,
+        on="user_id",
+        right_on="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                b.column("event_id"),
+                b.column("user_id"),
+                pc.cast(b.column("ts"), pa.int64()),
+                b.column("o_orderkey"),
+                b.column("o_totalprice"),
+            ],
+            names=["event_id", "user_id", "ts_us", "o_orderkey", "o_totalprice"],
+        )
+        # DuckDB ASOF JOIN is inner: drop unmatched left rows
+        return t.filter(pc.is_valid(t.column("o_orderkey")))
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_top_orders_per_cust(sf_dir: str):
+    """Top-3 orders per customer (windowed top-k: groupby.map_groups
+    sort+head — the QUALIFY row_number() pattern)."""
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def top3(group: pa.Table) -> pa.Table:
+        price = group.column("o_totalprice").to_numpy(zero_copy_only=False)
+        key = group.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, -price))[:3]
+        return group.take(pa.array(order.astype(np.int64)))
+
+    return ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
+
+
 def _q_corpus_prep(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.corpus_prep import (
         corpus_token_totals,
@@ -836,6 +896,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation_year": _q_profit_by_nation_year,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
+        "last_order_asof": _q_last_order_asof,
+        "top_orders_per_cust": _q_top_orders_per_cust,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -969,6 +1031,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "last_order_asof": (
+            "WITH o AS (SELECT o_custkey, o_orderdate, "
+            "  max(o_orderkey) AS o_orderkey, "
+            "  max_by(o_totalprice, o_orderkey) AS o_totalprice "
+            "  FROM orders GROUP BY o_custkey, o_orderdate) "
+            "SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us, "
+            "  o.o_orderkey, o.o_totalprice "
+            "FROM events e ASOF JOIN o "
+            "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "top_orders_per_cust": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
         ),
         "quiet_customers": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer "

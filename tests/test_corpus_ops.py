@@ -352,6 +352,48 @@ def test_broadcast_join(ray_session):
     assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
 
 
+def test_asof_join_backward_forward(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lt": 10, "ev": "a"},
+            {"k": 1, "lt": 25, "ev": "b"},
+            {"k": 1, "lt": 5, "ev": "c"},   # before any right row → miss
+            {"k": 2, "lt": 100, "ev": "d"},  # key with no right rows at all
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"rk": 1, "rt": 7, "px": 70},
+            {"rk": 1, "rt": 20, "px": 200},
+            {"rk": 1, "rt": 30, "px": 300},
+        ]
+    )
+    back = {
+        (r["k"], r["lt"]): r["px"]
+        for r in asof_join(
+            left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt"
+        ).take_all()
+    }
+    assert back[(1, 10)] == 70      # latest rt ≤ 10 is 7
+    assert back[(1, 25)] == 200     # latest rt ≤ 25 is 20
+    assert back[(1, 5)] is None     # no earlier right row
+    assert back[(2, 100)] is None   # key absent on right
+    fwd = {
+        (r["k"], r["lt"]): r["px"]
+        for r in asof_join(
+            left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt",
+            direction="forward",
+        ).take_all()
+    }
+    assert fwd[(1, 10)] == 200      # earliest rt ≥ 10 is 20
+    assert fwd[(1, 25)] == 300
+    assert fwd[(1, 5)] == 70
+
+
 def test_hash_shuffle_join(ray_session):
     import ray.data
 
