@@ -677,6 +677,39 @@ def _q_top_orders_per_cust(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
 
 
+def _q_lm_familiarity(sf_dir: str):
+    """Unigram-LM train + score (CCNet-style quality filtering) with an
+    integer-exact SQL oracle: distributed token counts → top-1000
+    vocab → broadcast → vectorized per-doc vocabulary statistics."""
+    from pdf_table_extractor_ray.stages.lm import (
+        familiarity_scores,
+        top_vocab,
+        train_token_counts,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = train_token_counts(docs)
+    vocab = top_vocab(counts)
+    return familiarity_scores(docs, vocab)
+
+
+def _q_lm_perplexity(sf_dir: str):
+    """Float leg of the LM pipeline (rows-only: ln() differs in the
+    last ulp between numpy and DuckDB — measured on this host)."""
+    from pdf_table_extractor_ray.stages.lm import (
+        perplexity_scores,
+        top_vocab,
+        total_tokens,
+        train_token_counts,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = train_token_counts(docs)
+    vocab = top_vocab(counts)
+    total = total_tokens(counts)
+    return perplexity_scores(docs, vocab, total)
+
+
 def _q_corpus_prep(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.corpus_prep import (
         corpus_token_totals,
@@ -898,6 +931,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_customers": _q_quiet_customers,
         "last_order_asof": _q_last_order_asof,
         "top_orders_per_cust": _q_top_orders_per_cust,
+        "lm_familiarity": _q_lm_familiarity,
+        "lm_perplexity": _q_lm_perplexity,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -1046,6 +1081,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
             "QUALIFY row_number() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "lm_familiarity": (
+            "WITH tok AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents), "
+            "counts AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY t), "
+            "vocab AS (SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 1000) "
+            "SELECT doc_id, count(*) AS n_tokens, "
+            "  CAST(sum(CASE WHEN v.t IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+            "  CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS vocab_mass "
+            "FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id"
         ),
         "quiet_customers": (
             "SELECT c_custkey, c_name, c_acctbal FROM customer "

@@ -1,0 +1,189 @@
+"""Unigram language-model training + scoring over a documents table —
+the CCNet-style quality-filtering step of a pretraining data pipeline
+(score each document against a corpus-level LM; filter/bucket on
+perplexity).
+
+Shapes at 100 TB:
+
+- **train**: per-batch token ``value_counts`` pre-reduce (only
+  (token, n) partials shuffle — never token streams), global
+  ``groupby(token).sum``, then ONE sort+limit over the
+  *distinct-token* table (vocab-table-sized, not corpus-sized) for the
+  top-V vocabulary. Only V rows ever reach the driver.
+- **score**: the (token → count) model broadcasts once via
+  ``ray.put``; scoring is fully vectorized per batch
+  (``split_pattern_regex`` → ``index_in`` vocab → ``np.bincount``
+  segment sums) — no per-token Python.
+
+Integer outputs (n_tokens, n_oov, vocab_mass) are exactly
+SQL-checkable; the float nats/perplexity are not (DuckDB's ``ln`` and
+numpy's ``log`` differ in the last ulp on this host — measured:
+ln(3.0) mismatches), so they are verified by a straight-line unit
+oracle instead.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+VOCAB_SIZE = 1000
+_WS = r"\s+"
+
+
+def _flat_tokens(text_col) -> Tuple[pa.Array, np.ndarray]:
+    """(flattened tokens incl. boundary empties, per-doc list lengths)."""
+    lists = pc.split_pattern_regex(text_col, pattern=_WS)
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    lens = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+    return lists.flatten(), lens
+
+
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (token, n) partial counts — the combiner before the
+    global token groupby. Boundary empties ("" from leading/trailing
+    whitespace) are dropped."""
+    flat, _ = _flat_tokens(batch.column(text_col))
+    flat = flat.filter(pc.not_equal(flat, ""))
+    vc = flat.value_counts()
+    if len(vc) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())], names=["token", "n"]
+        )
+    return pa.Table.from_arrays(
+        [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())], names=["token", "n"]
+    )
+
+
+def train_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(token, n) global counts."""
+    partials = ds.map_batches(
+        lambda b: token_count_partials(b, text_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = partials.groupby("token").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("token"), pc.cast(b.column("sum(n)"), pa.int64())], names=["token", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_vocab(counts: "ray.data.Dataset", v: int = VOCAB_SIZE) -> pa.Table:
+    """Top-``v`` tokens by (count desc, token asc) — the only
+    driver-materialized artifact, bounded by ``v``. Also returns the
+    grand total token count (for smoothing) via a scalar aggregate."""
+    rows = counts.sort(["n", "token"], descending=[True, False]).limit(v).take_all()
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["token"] for r in rows], pa.string()),
+            pa.array([r["n"] for r in rows], pa.int64()),
+        ],
+        names=["token", "n"],
+    )
+
+
+def total_tokens(counts: "ray.data.Dataset") -> int:
+    row = counts.aggregate(Sum("n"))
+    v = row.get("sum(n)") if row else None
+    return int(v) if v is not None else 0
+
+
+def familiarity_scores(
+    ds: "ray.data.Dataset",
+    vocab: pa.Table,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, n_oov, vocab_mass): integer-exact per-doc
+    vocabulary statistics — vocab_mass = Σ global count of every
+    in-vocab token occurrence. Docs with zero tokens emit no row
+    (matches the SQL unnest oracle)."""
+    vocab_ref = ray.put((vocab.column("token").combine_chunks(), vocab.column("n").to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tokens, counts_np = ray.get(vocab_ref)
+        flat, lens = _flat_tokens(batch.column(text_col))
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n), lens)
+        is_empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=tokens)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)  # NaN for miss
+        hit = ~np.isnan(idx_np)
+        mass = np.zeros(len(flat), np.int64)
+        mass[hit] = counts_np[idx_np[hit].astype(np.int64)]
+        n_tok = np.bincount(doc_idx, weights=(~is_empty).astype(np.int64), minlength=n).astype(np.int64)
+        n_hit = np.bincount(doc_idx, weights=hit.astype(np.int64), minlength=n).astype(np.int64)
+        doc_mass = np.bincount(doc_idx, weights=mass, minlength=n).astype(np.int64)
+        keep = n_tok > 0
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(keep)),
+                pa.array(n_tok[keep]),
+                pa.array((n_tok - n_hit)[keep]),
+                pa.array(doc_mass[keep]),
+            ],
+            names=["doc_id", "n_tokens", "n_oov", "vocab_mass"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def perplexity_scores(
+    ds: "ray.data.Dataset",
+    vocab: pa.Table,
+    total: int,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, n_tokens, nats, ppl): add-one-smoothed unigram
+    cross-entropy per document — ``p(t) = (c_t + 1) / (total + V + 1)``
+    for in-vocab tokens, ``1 / (total + V + 1)`` for OOV. Floats —
+    verified against a straight-line unit oracle, not SQL (ln differs
+    in the last ulp across engines)."""
+    v = vocab.num_rows
+    denom = float(total + v + 1)
+    logp = np.log((vocab.column("n").to_numpy().astype(np.float64) + 1.0) / denom)
+    oov_logp = float(np.log(1.0 / denom))
+    vocab_ref = ray.put((vocab.column("token").combine_chunks(), logp))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tokens, logp_np = ray.get(vocab_ref)
+        flat, lens = _flat_tokens(batch.column(text_col))
+        n = batch.num_rows
+        doc_idx = np.repeat(np.arange(n), lens)
+        is_empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=tokens)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        hit = ~np.isnan(idx_np)
+        tok_lp = np.full(len(flat), oov_logp, np.float64)
+        tok_lp[hit] = logp_np[idx_np[hit].astype(np.int64)]
+        tok_lp[is_empty] = 0.0
+        n_tok = np.bincount(doc_idx, weights=(~is_empty).astype(np.int64), minlength=n).astype(np.int64)
+        nats = -np.bincount(doc_idx, weights=tok_lp, minlength=n)
+        keep = n_tok > 0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.exp(nats[keep] / n_tok[keep])
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(keep)),
+                pa.array(n_tok[keep]),
+                pa.array(nats[keep]),
+                pa.array(ppl),
+            ],
+            names=["doc_id", "n_tokens", "nats", "ppl"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

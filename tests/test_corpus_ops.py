@@ -352,6 +352,53 @@ def test_broadcast_join(ray_session):
     assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
 
 
+def test_unigram_lm_perplexity_matches_straightline(ray_session):
+    """Distributed LM train+score == single-process reference (exact:
+    same float ops in both paths)."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.lm import (
+        perplexity_scores,
+        top_vocab,
+        total_tokens,
+        train_token_counts,
+    )
+
+    docs = [
+        {"doc_id": 0, "text": "the cat sat on the mat"},
+        {"doc_id": 1, "text": "the dog  ate the cat"},
+        {"doc_id": 2, "text": "  zebra quux  "},
+        {"doc_id": 3, "text": ""},  # zero tokens → no output row
+        {"doc_id": 4, "text": "the the the"},
+    ]
+    ds = ray.data.from_items(docs)
+    counts = train_token_counts(ds)
+    vocab = top_vocab(counts, v=4)  # force OOV on the tail
+    total = total_tokens(counts)
+    out = {r["doc_id"]: r for r in perplexity_scores(ds, vocab, total).take_all()}
+    assert 3 not in out and len(out) == 4
+
+    # straight-line reference
+    cnt = Counter(t for d in docs for t in d["text"].split())
+    assert total == sum(cnt.values())
+    vv = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:4]
+    denom = total + len(vv) + 1
+    lp = {t: math.log((c + 1) / denom) for t, c in vv}
+    oov = math.log(1 / denom)
+    for d in docs:
+        toks = d["text"].split()
+        if not toks:
+            continue
+        nats = -sum(lp.get(t, oov) for t in toks)
+        r = out[d["doc_id"]]
+        assert r["n_tokens"] == len(toks)
+        assert abs(r["nats"] - nats) < 1e-12, (d["doc_id"], r["nats"], nats)
+        assert abs(r["ppl"] - math.exp(nats / len(toks))) < 1e-9
+
+
 def test_asof_join_backward_forward(ray_session):
     import ray.data
 
