@@ -677,6 +677,16 @@ def _q_top_orders_per_cust(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
 
 
+def _q_doc_sample(sf_dir: str):
+    """Deterministic 25% content-hash sample (md5 prefix) — same rows
+    on every run and at every cluster size; SQL-exact."""
+    from pdf_table_extractor_ray.stages.dedup import sample_by_content_hash
+
+    return sample_by_content_hash(
+        _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    )
+
+
 def _q_lm_familiarity(sf_dir: str):
     """Unigram-LM train + score (CCNet-style quality filtering) with an
     integer-exact SQL oracle: distributed token counts → top-1000
@@ -933,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "lm_familiarity": _q_lm_familiarity,
         "lm_perplexity": _q_lm_perplexity,
+        "doc_sample": _q_doc_sample,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -1081,6 +1092,10 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
             "QUALIFY row_number() OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice DESC, o_orderkey) <= 3"
+        ),
+        "doc_sample": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents "
+            "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
         ),
         "lm_familiarity": (
             "WITH tok AS (SELECT doc_id, "

@@ -37,6 +37,26 @@ def add_md5_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column("content_md5", pa.array(md5s, pa.string()))
 
 
+def sample_by_content_hash(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    keep_hex_chars: tuple = ("0", "1", "2", "3"),
+) -> "ray.data.Dataset":
+    """Deterministic content-hash sampling (rate = len(chars)/16): keep
+    rows whose md5(text) starts with one of ``keep_hex_chars``. The
+    standard web-pipeline sample — stable across runs, cluster sizes
+    and row order (unlike ``random_sample``), and consistent for
+    duplicate content (a page and its clone land in the same half)."""
+    keep_arr = pa.array(list(keep_hex_chars), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = add_md5_batch(batch, text_col)
+        first = pc.utf8_slice_codeunits(b.column("content_md5"), 0, 1)
+        return batch.filter(pc.is_in(first, value_set=keep_arr))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     """Keeper doc_ids after exact text dedup: min(doc_id) per content
     hash. Hash computed batch-side; only (hash, doc_id) shuffles."""
@@ -141,13 +161,17 @@ def connected_components(
     its connected component — fully distributed min-label flooding:
 
     each round unions the (static, materialized-once) adjacency rows
-    with the current label table, floods every node's min label to its
-    neighbors inside a ``groupby(node).map_groups``, and takes a
-    groupby-min. Labels only ever decrease; a scalar label-sum
-    detects the fixed point, so the driver sees ONE integer per round
-    — never the edge list or the label table. Converges in
-    O(component diameter) rounds (near-dup clusters are clique-like,
-    so 1-2 in practice); ``max_iters`` bounds adversarial chains.
+    with the current label table AND a request row per node addressed
+    to its label-node, floods every node's min label to its neighbors
+    and requesters inside one ``groupby(node).map_groups``, and takes
+    a groupby-min. The request/answer leg is pointer jumping —
+    ``label(x) ← min(label(x), label(label(x)))`` — so label chains
+    halve per round: convergence is O(log diameter) rounds (near-dup
+    clusters are clique-like, so 1-2 in practice); ``max_iters``
+    bounds adversarial graphs, and a capped run only over-segments
+    (keeps extra docs — conservative). Labels only ever decrease; a
+    scalar label-sum detects the fixed point, so the driver sees ONE
+    integer per round — never the edge list or the label table.
 
     (Deliberately groupby-only: a join-per-round formulation trips
     Ray 2.49's hash-shuffle join on schema-less empty blocks emitted
@@ -168,7 +192,23 @@ def connected_components(
             names=["node", "val", "kind"],
         )
 
-    adj = pairs.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    import ray
+
+    # Bound block counts: Ray's groupby emits one output block per input
+    # block, and each round unions adj + 2×labels — without a cap the
+    # label table's block count (and with it the per-round task count)
+    # grows ~3× per round (measured 30 → 90 → 210 → 450 on a 30-edge
+    # chain, round wall-time growing in lockstep). Repartitioning the
+    # small label table to ≤P blocks keeps every round flat.
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bounded(ds_in):
+        m = ds_in.materialize()
+        if m.num_blocks() > P:
+            m = m.repartition(P).materialize()
+        return m
+
+    adj = bounded(pairs.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True))
 
     def init_labels(b: pa.Table) -> pa.Table:
         # every node's first label: min(self, smallest neighbor seen here)
@@ -183,12 +223,11 @@ def connected_components(
             [b.column("node"), b.column("min(label)")], names=["node", "label"]
         )
 
-    labels = (
+    labels = bounded(
         adj.map_batches(init_labels, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("node")
         .aggregate(Min("label"))
         .map_batches(finish_min, batch_format="pyarrow")
-        .materialize()
     )
 
     def label_sum(lab) -> int:
@@ -207,13 +246,32 @@ def connected_components(
             names=["node", "val", "kind"],
         )
 
+    def as_request_rows(b: pa.Table) -> pa.Table:
+        # pointer-jumping: node x sends a request TO its label-node L
+        # (key = L, val = x, kind = 2); L answers with ITS min label →
+        # label(x) ← min(label(x), label(label(x))) — chains halve per
+        # round, so convergence is O(log diameter), not O(diameter)
+        n = b.num_rows
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("label"), pa.int64()),
+                pc.cast(b.column("node"), pa.int64()),
+                pa.array(np.full(n, 2, dtype=np.int8)),
+            ],
+            names=["node", "val", "kind"],
+        )
+
     def flood(group: pa.Table) -> pa.Table:
         val = group.column("val").to_numpy(zero_copy_only=False)
         kind = group.column("kind").to_numpy(zero_copy_only=False)
         node = int(group.column("node")[0].as_py())
-        m = int(val[kind == 0].min())  # current min label of this node
+        own = val[kind == 0]
+        # a pure request target always has a label row (labels cover all
+        # nodes, and requests go to label values, which are node ids)
+        m = int(own.min()) if len(own) else node
         neighbors = val[kind == 1]
-        out_nodes = np.concatenate([[node], neighbors]).astype(np.int64)
+        requesters = val[kind == 2]
+        out_nodes = np.concatenate([[node], neighbors, requesters]).astype(np.int64)
         return pa.Table.from_arrays(
             [pa.array(out_nodes), pa.array(np.full(len(out_nodes), m, dtype=np.int64))],
             names=["node", "label"],
@@ -221,15 +279,18 @@ def connected_components(
 
     prev = label_sum(labels)
     for _ in range(max_iters):
-        rows = adj.union(
-            labels.map_batches(as_label_rows, batch_format="pyarrow", zero_copy_batch=True)
+        label_rows = labels.map_batches(
+            as_label_rows, batch_format="pyarrow", zero_copy_batch=True
         )
+        request_rows = labels.map_batches(
+            as_request_rows, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows = adj.union(label_rows).union(request_rows)
         candidates = rows.groupby("node").map_groups(flood, batch_format="pyarrow")
-        labels = (
+        labels = bounded(
             candidates.groupby("node")
             .aggregate(Min("label"))
             .map_batches(finish_min, batch_format="pyarrow")
-            .materialize()
         )
         cur = label_sum(labels)
         if cur == prev:

@@ -441,6 +441,84 @@ def test_asof_join_backward_forward(ray_session):
     assert fwd[(1, 5)] == 70
 
 
+def test_connected_components_matches_union_find_random(ray_session):
+    """Distributed CC == driver union-find on seeded random graphs
+    (same partition into components, same min-id roots)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import connected_components
+
+    rng = np.random.RandomState(7)
+    for _ in range(1):
+        # dense graph (avg degree ~5 → diameter ~3): each CC round costs
+        # ~10s of fixed shuffle overhead in this sandbox regardless of
+        # data size, so the test keeps the round count small; long-chain
+        # convergence is covered by test_connected_components_distributed
+        n_nodes = 50
+        edges = {
+            tuple(sorted(p))
+            for p in rng.randint(0, n_nodes, size=(120, 2)).tolist()
+            if p[0] != p[1]
+        }
+        pairs = ray.data.from_items([{"doc_a": a, "doc_b": b} for a, b in sorted(edges)])
+        got = {r["node"]: r["root"] for r in connected_components(pairs).take_all()}
+
+        parent = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {x: find(x) for x in parent}
+        assert got == want
+
+
+def test_asof_matches_bruteforce_random(ray_session):
+    """asof_join == per-row brute force on seeded random inputs (both
+    directions, sparse keys → misses included)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    rng = np.random.RandomState(11)
+    lrows = [
+        {"k": int(rng.randint(0, 6)), "lt": int(rng.randint(0, 1000)), "lid": i}
+        for i in range(80)
+    ]
+    # unique (k, rt) on the right — as-of is undefined on ties
+    seen = set()
+    rrows = []
+    for _ in range(60):
+        k, rt = int(rng.randint(0, 4)), int(rng.randint(0, 1000))
+        if (k, rt) not in seen:
+            seen.add((k, rt))
+            rrows.append({"rk": k, "rt": rt, "pay": len(rrows)})
+    left = ray.data.from_items(lrows)
+    right = ray.data.from_items(rrows)
+    for direction in ("backward", "forward"):
+        got = {
+            r["lid"]: r["pay"]
+            for r in asof_join(
+                left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt",
+                direction=direction,
+            ).take_all()
+        }
+        for lr in lrows:
+            if direction == "backward":
+                cand = [r for r in rrows if r["rk"] == lr["k"] and r["rt"] <= lr["lt"]]
+                want = max(cand, key=lambda r: r["rt"])["pay"] if cand else None
+            else:
+                cand = [r for r in rrows if r["rk"] == lr["k"] and r["rt"] >= lr["lt"]]
+                want = min(cand, key=lambda r: r["rt"])["pay"] if cand else None
+            assert got[lr["lid"]] == want, (direction, lr)
+
+
 def test_hash_shuffle_join(ray_session):
     import ray.data
 
