@@ -677,6 +677,60 @@ def _q_top_orders_per_cust(sf_dir: str):
     return ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
 
 
+def _q_order_price_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p25/p50/p75 of order price
+    per priority class) — groupby.map_groups sorted index pick, matching
+    DuckDB quantile_disc (element at ceil(q·n)−1 of the sorted
+    multiset — the textbook discrete quantile; verified empirically)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def qs(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("o_totalprice").to_numpy(zero_copy_only=False))
+        n = len(v)
+        pick = lambda q: float(v[int(np.ceil(q * n)) - 1])  # noqa: E731
+        return pa.Table.from_arrays(
+            [
+                pa.array([group.column("o_orderpriority")[0].as_py()]),
+                pa.array([pick(0.25)], pa.float64()),
+                pa.array([pick(0.5)], pa.float64()),
+                pa.array([pick(0.75)], pa.float64()),
+            ],
+            names=["o_orderpriority", "p25", "p50", "p75"],
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(qs, batch_format="pyarrow")
+
+
+def _q_user_value_rolling(sf_dir: str):
+    """Per-user rolling 3-event sum of value (integer cents) ordered by
+    time — the ROWS BETWEEN 2 PRECEDING AND CURRENT ROW window."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def roll(group: pa.Table) -> pa.Table:
+        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid_all = group.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid_all, ts))  # event_id breaks ts ties
+        eid = eid_all[order]
+        cents = np.floor(
+            group.column("value").to_numpy(zero_copy_only=False)[order] * 100
+        ).astype(np.int64)
+        csum = np.cumsum(cents)
+        shifted = np.zeros(len(csum), np.int64)
+        shifted[3:] = csum[:-3]
+        roll3 = csum - shifted
+        return pa.Table.from_arrays(
+            [
+                pa.array(eid.astype(np.int64)),
+                pa.array(np.full(len(eid), int(group.column("user_id")[0].as_py()), np.int64)),
+                pa.array(ts[order]),
+                pa.array(roll3),
+            ],
+            names=["event_id", "user_id", "ts_us", "roll3_cents"],
+        )
+
+    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic 25% content-hash sample (md5 prefix) — same rows
     on every run and at every cluster size; SQL-exact."""
@@ -944,6 +998,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": _q_lm_familiarity,
         "lm_perplexity": _q_lm_perplexity,
         "doc_sample": _q_doc_sample,
+        "order_price_quantiles": _q_order_price_quantiles,
+        "user_value_rolling": _q_user_value_rolling,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -1096,6 +1152,20 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
+        ),
+        "order_price_quantiles": (
+            "SELECT o_orderpriority, "
+            "quantile_disc(o_totalprice, 0.25) AS p25, "
+            "quantile_disc(o_totalprice, 0.5) AS p50, "
+            "quantile_disc(o_totalprice, 0.75) AS p75 "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "user_value_rolling": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(sum(CAST(floor(value*100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents "
+            "FROM events"
         ),
         "lm_familiarity": (
             "WITH tok AS (SELECT doc_id, "
