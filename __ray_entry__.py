@@ -939,6 +939,33 @@ def _q_extract_records(sf_dir: str):
     return explode_records(build_extracted_dataset(read_pages(pages, include_paths=True)))
 
 
+def _q_extract_routed(sf_dir: str):
+    """Heterogeneous-pool routed extraction (heavy statement families →
+    warm actor pool, light markup families → task pool); same outputs
+    as the flagship path (asserted byte-identical in tests)."""
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.pipelines.routed import build_extracted_dataset_routed
+
+    pages = _fixture_pages(sf_dir)
+    agg = (
+        build_extracted_dataset_routed(pages)
+        .groupby("strategy")
+        .aggregate(Count(), Sum("n_records"))
+    )
+    return agg.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [
+                t.column("strategy"),
+                pc.cast(t.column("count()"), pa.int64()),
+                pc.cast(t.column("sum(n_records)"), pa.int64()),
+            ],
+            names=["strategy", "n_docs", "n_records"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_extract_by_strategy(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1009,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
+        "extract_routed": _q_extract_routed,
     }
 
 

@@ -154,6 +154,36 @@ def test_csv_sink(extracted, tmp_path):
     assert n == totals["records"]
 
 
+def test_routed_pipeline_matches_flagship(ray_session):
+    """Heterogeneous-pool routing (heavy actor pool / light task pool)
+    must produce byte-identical rows per url to the single-pool
+    flagship path."""
+    import ray.data
+
+    from pdf_table_extractor_ray.fixtures import docs_to_table
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+    from pdf_table_extractor_ray.pipelines.routed import build_extracted_dataset_routed
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs_to_table(list(range(96))), os.path.join(d, "pages.parquet"))
+
+        flagship = {
+            r["url"]: (r["strategy"], r["extracted_text"], r["status"])
+            for r in build_extracted_dataset(
+                __import__("ray").data.read_parquet(d, include_paths=True),
+                concurrency=(2, 2),
+            ).take_all()
+        }
+        routed = {
+            r["url"]: (r["strategy"], r["extracted_text"], r["status"])
+            for r in build_extracted_dataset_routed(d, concurrency=(2, 2)).take_all()
+        }
+        assert routed == flagship
+        assert len(routed) == 96
+
+
 def test_xlsx_sink(extracted, tmp_path):
     """K2/K3: records → one workbook per partition; reread via the
     stdlib oracle and check counts + cell values survive."""
