@@ -731,6 +731,17 @@ def _q_user_value_rolling(sf_dir: str):
     return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
 
 
+def _q_distinct_users_approx(sf_dir: str):
+    """HyperLogLog distinct-user estimate — rows-only by nature
+    (approximate; DuckDB's approx_count_distinct is a different HLL
+    implementation), accuracy-tested against the exact count in
+    test_corpus_ops. Deterministic across block orders/cluster sizes
+    (register max-merge is commutative)."""
+    from pdf_table_extractor_ray.stages.sketches import hll_count_distinct
+
+    return hll_count_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic 25% content-hash sample (md5 prefix) — same rows
     on every run and at every cluster size; SQL-exact."""
@@ -1025,6 +1036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": _q_lm_familiarity,
         "lm_perplexity": _q_lm_perplexity,
         "doc_sample": _q_doc_sample,
+        "distinct_users_approx": _q_distinct_users_approx,
         "order_price_quantiles": _q_order_price_quantiles,
         "user_value_rolling": _q_user_value_rolling,
         "revenue_by_region": _q_revenue_by_region,

@@ -352,6 +352,25 @@ def test_broadcast_join(ray_session):
     assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
 
 
+def test_hll_accuracy_and_determinism(ray_session):
+    """HLL estimate within the sketch's error band at several
+    cardinalities; identical estimate regardless of block layout."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import hll_count_distinct
+
+    for true_n in (50, 150, 5000):
+        items = [{"k": f"key-{i % true_n}"} for i in range(true_n * 2)]
+        ds = ray.data.from_items(items)
+        est = hll_count_distinct(ds, "k").take_all()[0]["approx_distinct"]
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+        # different block layout → same registers → same estimate
+        est2 = hll_count_distinct(
+            ds.repartition(7), "k"
+        ).take_all()[0]["approx_distinct"]
+        assert est2 == est
+
+
 def test_unigram_lm_perplexity_matches_straightline(ray_session):
     """Distributed LM train+score == single-process reference (exact:
     same float ops in both paths)."""
