@@ -102,6 +102,7 @@ def build_extracted_dataset(
     concurrency=None,
     strategy_key: Optional[str] = None,
     config=None,
+    extra_strategies=None,
     shard_keys: bool = True,
     actor_num_cpus: Optional[float] = None,
 ) -> "ray.data.Dataset":
@@ -128,7 +129,11 @@ def build_extracted_dataset(
         ds = ds.map_batches(_add_shard_keys, batch_format="pyarrow", zero_copy_batch=True)
     return ds.map_batches(
         WarmExtractor,
-        fn_constructor_kwargs={"strategy_key": strategy_key, "config": config},
+        fn_constructor_kwargs={
+            "strategy_key": strategy_key,
+            "config": config,
+            "extra_strategies": extra_strategies,
+        },
         batch_size=batch_size,
         batch_format="pyarrow",
         zero_copy_batch=True,

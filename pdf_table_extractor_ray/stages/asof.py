@@ -61,6 +61,11 @@ def asof_join(
     }
 
     def ts_int(col) -> pa.Array:
+        # normalize mixed timestamp units to microseconds BEFORE the
+        # integer cast — a unit-blind cast would compare raw counts in
+        # different units without any error
+        if pa.types.is_timestamp(col.type):
+            col = pc.cast(col, pa.timestamp("us"))
         return pc.cast(col, pa.int64())
 
     def tag_left(b: pa.Table) -> pa.Table:
@@ -92,15 +97,19 @@ def asof_join(
 
     def merge(group: pa.Table) -> pa.Table:
         side = group.column(_SIDE).to_numpy(zero_copy_only=False)
-        ts = group.column(_TS).to_numpy(zero_copy_only=False)
+        # nulls make to_numpy produce float64 + NaN; force that dtype so
+        # the NaN masks below are well-defined either way
+        ts = group.column(_TS).to_numpy(zero_copy_only=False).astype(np.float64)
         l_mask = side == 0
-        r_mask = ~l_mask
+        # right rows with a null timestamp can never match
+        r_mask = (~l_mask) & ~np.isnan(ts)
         lt = group.filter(pa.array(l_mask))
         if lt.num_rows == 0:
             return pa.Table.from_arrays(
                 [pa.array([], lt.schema.field(c).type) for c in out_names], names=out_names
             )
         l_ts = ts[l_mask]
+        l_null = np.isnan(l_ts)  # null left ts → miss, never a match
         if not r_mask.any():  # key has no right rows → all misses
             arrays = [lt.column(c) for c in left_cols] + [
                 pa.nulls(lt.num_rows, right_types[c]) for c in right_cols
@@ -111,10 +120,11 @@ def asof_join(
         rt = group.filter(pa.array(r_mask)).take(pa.array(r_order, pa.int64()))
         if direction == "backward":
             idx = np.searchsorted(r_ts, l_ts, side="right") - 1
-            valid = idx >= 0
+            valid = (idx >= 0) & ~l_null
         else:
             idx = np.searchsorted(r_ts, l_ts, side="left")
-            valid = idx < len(r_ts)
+            valid = (idx < len(r_ts)) & ~l_null
+        idx = np.where(valid, idx, 0)
         # clipped take + vectorized null-out for misses
         picked = rt.select(right_cols).take(
             pa.array(np.where(valid, idx, 0).astype(np.int64), pa.int64())

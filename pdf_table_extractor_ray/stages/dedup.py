@@ -128,13 +128,20 @@ def drop_by_ids(
     ``broadcast_limit`` the filter becomes a hash-shuffle anti-join —
     nothing O(corpus) ever lands on the driver, even on a dup-heavy
     web corpus where near-dup count ~ O(corpus)."""
+    # materialize once: the drop set is bounded by duplicate count (this
+    # function's contract), and both the count and the filter below
+    # consume it — without this the whole upstream dedup pipeline would
+    # execute twice
+    drop_ids = drop_ids.materialize()
     n = drop_ids.count()
     if n == 0:
         return ds
     if n <= broadcast_limit:
+        # id type read from the (materialized) drop set — ds.schema()
+        # would trigger a partial execution of the big side
         drop_arr = pa.array(
             sorted(r[id_col] for r in drop_ids.take_all()),
-            ds.schema().base_schema.field(id_col).type,
+            drop_ids.schema().base_schema.field(id_col).type,
         )
 
         def keep(batch: pa.Table) -> pa.Table:

@@ -39,7 +39,16 @@ _WS = r"\s+"
 
 
 def _flat_tokens(text_col) -> Tuple[pa.Array, np.ndarray]:
-    """(flattened tokens incl. boundary empties, per-doc list lengths)."""
+    """(flattened tokens incl. boundary empties, per-doc list lengths).
+
+    Null texts are treated as empty strings — otherwise
+    ``split_pattern_regex`` yields null sublists, which both poison the
+    length array (NaN) and silently vanish from ``flatten()``,
+    misaligning the per-doc offsets."""
+    if pa.types.is_null(text_col.type):  # an all-null block types as null
+        text_col = pa.array([""] * len(text_col), pa.string())
+    else:
+        text_col = pc.fill_null(text_col, "")
     lists = pc.split_pattern_regex(text_col, pattern=_WS)
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()

@@ -100,15 +100,23 @@ def make_strategies(
         return strategies[key](inner)
 
     strategies["encrypted"] = encrypted_strategy
+    strategies.update(_USER_STRATEGIES)  # registered extensions win
     return strategies
 
+
+# user-registered strategies, merged into every make_strategies() table
+# (so warm actors built AFTER registration see them, with any config)
+_USER_STRATEGIES: Dict[str, Callable[[dict], ExtractResult]] = {}
 
 STRATEGIES: Dict[str, Callable[[dict], ExtractResult]] = make_strategies()
 
 
 def register_strategy(key: str, fn: Callable[[dict], ExtractResult]) -> None:
     """User-extension point (≈ adding an entry to CONVERTERS,
-    Conversor.py:20-47)."""
+    Conversor.py:20-47). Takes effect in the module-level ``STRATEGIES``
+    immediately and in every subsequently built per-config table
+    (``make_strategies`` / ``WarmExtractor.__init__``)."""
+    _USER_STRATEGIES[key] = fn
     STRATEGIES[key] = fn
 
 

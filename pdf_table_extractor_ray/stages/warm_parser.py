@@ -34,13 +34,23 @@ class WarmExtractor:
     default is per-row content detection. ``config`` is the job's
     ``StrategyConfig`` (column thresholds, skip words, credentials) —
     bound ONCE per actor here, shipped via ``fn_constructor_kwargs``,
-    never per batch."""
+    never per batch. ``extra_strategies`` ships user-registered
+    strategies to the worker process (driver-side
+    ``register_strategy`` mutates driver module state only — actor
+    processes need the callables cloudpickled through the ctor)."""
 
-    def __init__(self, strategy_key: Optional[str] = None, config=None):
+    def __init__(
+        self,
+        strategy_key: Optional[str] = None,
+        config=None,
+        extra_strategies: Optional[dict] = None,
+    ):
         # build the config-bound strategy table now so all strategy
         # modules (and their compiled regexes) are resident before the
         # first batch
         self._strategies = make_strategies(config)
+        if extra_strategies:
+            self._strategies.update(extra_strategies)
         if strategy_key is not None and strategy_key not in self._strategies:
             raise KeyError(f"unknown strategy {strategy_key!r}")
         self.strategy_key = strategy_key

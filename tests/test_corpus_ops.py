@@ -538,6 +538,106 @@ def test_asof_matches_bruteforce_random(ray_session):
             assert got[lr["lid"]] == want, (direction, lr)
 
 
+def test_asof_join_null_timestamps(ray_session):
+    """Null left ts → miss (never 'latest right row'); null right ts
+    rows are never match candidates. Mixed timestamp units normalize
+    to microseconds."""
+    import datetime
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lt": 100, "ev": "ok"},
+            {"k": 1, "lt": None, "ev": "null-ts"},
+        ]
+    )
+    right = ray.data.from_items(
+        [{"rk": 1, "rt": 50, "pay": 5}, {"rk": 1, "rt": None, "pay": 99}]
+    )
+    out = {
+        r["ev"]: r["pay"]
+        for r in asof_join(
+            left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt"
+        ).take_all()
+    }
+    assert out["ok"] == 5          # the null-rt row (pay=99) is not a candidate
+    assert out["null-ts"] is None  # null left ts is a miss, not "latest"
+
+    # unit normalization: timestamp[s] right vs timestamp[us] left
+    t = datetime.datetime(2024, 1, 1)
+    lt = ray.data.from_arrow(
+        pa.table({"k": [1], "lts": pa.array([t], pa.timestamp("us"))})
+    )
+    rt = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": [1, 1],
+                "rts": pa.array(
+                    [t - datetime.timedelta(days=1), t + datetime.timedelta(days=1)],
+                    pa.timestamp("s"),
+                ),
+                "pay": [7, 8],
+            }
+        )
+    )
+    got = asof_join(lt, rt, on="k", right_on="rk", left_ts="lts", right_ts="rts").take_all()
+    assert got[0]["pay"] == 7  # day-earlier row, not a unit-mangled compare
+
+
+def test_lm_null_text(ray_session):
+    """Null text rows behave like empty strings (no crash, no row)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.lm import (
+        familiarity_scores,
+        top_vocab,
+        train_token_counts,
+    )
+
+    ds = ray.data.from_items(
+        [{"doc_id": 0, "text": "a b"}, {"doc_id": 1, "text": None}, {"doc_id": 2, "text": "c"}]
+    )
+    counts = train_token_counts(ds)
+    out = {r["doc_id"]: r["n_tokens"] for r in familiarity_scores(ds, top_vocab(counts, 10)).take_all()}
+    assert out == {0: 2, 2: 1}  # null-text doc emits no row
+
+
+def test_register_strategy_reaches_warm_actor(ray_session):
+    """A user-registered strategy must be usable by WarmExtractor —
+    driver-side registration plus explicit extra_strategies shipping."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset
+    from pdf_table_extractor_ray.stages.registry import STRATEGIES, register_strategy, make_strategies
+    from pdf_table_extractor_ray.stages.result import ExtractResult
+
+    def custom(doc):
+        return ExtractResult(status="ok", extracted_text="CUSTOM:" + (doc.get("text") or ""))
+
+    register_strategy("custom_x", custom)
+    try:
+        assert "custom_x" in STRATEGIES
+        assert "custom_x" in make_strategies(None)  # fresh config-bound tables see it
+        ds = ray.data.from_items([{"url": "u", "html": b"", "text": "hello"}])
+        out = build_extracted_dataset(
+            ds,
+            strategy_key="custom_x",
+            extra_strategies={"custom_x": custom},  # ships to actor processes
+            shard_keys=False,
+            concurrency=(1, 1),
+        ).take_all()
+        assert out[0]["strategy"] == "custom_x"
+        assert out[0]["extracted_text"] == "CUSTOM:hello"
+    finally:
+        from pdf_table_extractor_ray.stages import registry
+
+        registry._USER_STRATEGIES.pop("custom_x", None)
+        STRATEGIES.pop("custom_x", None)
+
+
 def test_hash_shuffle_join(ray_session):
     import ray.data
 
