@@ -331,6 +331,36 @@ def _q_fingerprints_sketch(sf_dir: str):
     return out.select_columns(["doc_id", "crc32", "simhash64"])
 
 
+def _q_winnow_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (Schleimer et al. 2003): per-doc
+    selected-hash count + min/max hash — rows-only (rolling-hash
+    selection is not SQL-expressible); the selection itself is
+    unit-tested for the shared-substring property."""
+    from pdf_table_extractor_ray.stages.textstats import winnow_fingerprints
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts, lo, hi = [], [], []
+        for t in texts:
+            fps = winnow_fingerprints(t or "")
+            counts.append(len(fps))
+            lo.append(min(fps) if fps else None)
+            hi.append(max(fps) if fps else None)
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(counts, pa.int64()),
+                pa.array(lo, pa.uint64()),
+                pa.array(hi, pa.uint64()),
+            ],
+            names=["doc_id", "n_fingerprints", "min_fp", "max_fp"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_minhash_pairs(sf_dir: str):
     from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
 
@@ -742,6 +772,52 @@ def _q_distinct_users_approx(sf_dir: str):
     return hll_count_distinct(_read(sf_dir, "events", ["user_id"]), "user_id")
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _q_events_pivot(sf_dir: str):
+    """Pivot: per-user event counts spread to one fixed column per
+    event type (long → wide). Pre-reduced per batch — only
+    (users × types) count rows shuffle — then a small groupby-sum and a
+    vectorized widening."""
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"user_id": b.column("user_id"), "event_type": b.column("event_type")})
+        return (
+            pa.TableGroupBy(t, ["user_id", "event_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["user_id", "event_type", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(
+            lambda g: pa.Table.from_arrays(
+                [pa.array([g.column("user_id")[0].as_py()], pa.int64())]
+                + [
+                    pa.array(
+                        [
+                            int(
+                                pc.sum(
+                                    g.filter(pc.equal(g.column("event_type"), et)).column("n")
+                                ).as_py()
+                                or 0
+                            )
+                        ],
+                        pa.int64(),
+                    )
+                    for et in _EVENT_TYPES
+                ],
+                names=["user_id"] + [f"n_{et}" for et in _EVENT_TYPES],
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return agg
+
+
 def _q_doc_sample(sf_dir: str):
     """Deterministic 25% content-hash sample (md5 prefix) — same rows
     on every run and at every cluster size; SQL-exact."""
@@ -1019,6 +1095,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality": _q_quality,
         "fingerprints": _q_fingerprints,
         "fingerprints_sketch": _q_fingerprints_sketch,
+        "winnow_fingerprints": _q_winnow_fingerprints,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "knn_top5": _q_knn_top5,
@@ -1036,6 +1113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": _q_lm_familiarity,
         "lm_perplexity": _q_lm_perplexity,
         "doc_sample": _q_doc_sample,
+        "events_pivot": _q_events_pivot,
         "distinct_users_approx": _q_distinct_users_approx,
         "order_price_quantiles": _q_order_price_quantiles,
         "user_value_rolling": _q_user_value_rolling,
@@ -1192,6 +1270,15 @@ def oracle_sql() -> dict[str, str]:
         "doc_sample": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents "
             "WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')"
+        ),
+        "events_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view "
+            "FROM events GROUP BY user_id"
         ),
         "order_price_quantiles": (
             "SELECT o_orderpriority, "

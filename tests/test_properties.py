@@ -46,6 +46,41 @@ def test_date_detect_parse_property(d, m, y):
     assert (dt2.year, dt2.month, dt2.day) == (y, m, d)
 
 
+@given(
+    cells=hs.lists(
+        hs.one_of(
+            hs.text(max_size=40),
+            hs.integers(min_value=-(10**9), max_value=10**9),
+            hs.floats(allow_nan=False, allow_infinity=False, width=32),
+            hs.none(),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_xlsx_roundtrip_property(cells, tmp_path_factory):
+    """Any row of strings/ints/floats/nulls survives the stdlib OOXML
+    writer → reader (numbers come back as float, strings exactly)."""
+    import os
+
+    from pdf_table_extractor_ray.pipelines.sinks import read_xlsx_file, write_xlsx_file
+
+    d = tmp_path_factory.mktemp("xlsx")
+    p = os.path.join(str(d), "t.xlsx")
+    header = [f"c{i}" for i in range(len(cells))]
+    write_xlsx_file(p, header, [cells])
+    got_header, rows = read_xlsx_file(p)
+    assert got_header == header
+    for want, got in zip(cells, rows[0]):
+        if want is None:
+            assert got is None
+        elif isinstance(want, str):
+            assert got == want
+        else:
+            assert got == float(want)
+
+
 @given(text=hs.text(max_size=200))
 @settings(max_examples=300, deadline=None)
 def test_clean_monetary_never_raises(text):
