@@ -95,15 +95,19 @@ def hash_shuffle_join(
     side fits in a worker heap (fact ⋈ fact, e.g. lineitem ⋈ orders at
     100 TB), the only scalable plan is a co-partitioned shuffle join.
     Delegates to ``ray.data.Dataset.join`` (hash-shuffle aggregators)
-    with engine defaults; ``num_partitions`` should be ≈ total cluster
-    cores at real scale so each partition's build side fits in memory —
-    skewed keys should be pre-salted or routed to broadcast_join.
+    with engine defaults. ``num_partitions`` trades aggregator-actor
+    startup against per-partition memory: each partition must fit in
+    one aggregator's heap, but every partition spins an actor
+    (measured: 600k⋈150k rows takes 9.3 s at 32 partitions vs 3.9 s at
+    8 — startup dominates mid-size inputs). Default is half the
+    cluster CPUs; at true 100-TB scale SET IT ≈ total cluster cores so
+    partitions stay heap-sized. Skewed keys should be pre-salted or
+    routed to broadcast_join.
 
     ``how``: inner | left | right | full | left_semi | left_anti.
     """
     if num_partitions is None:
-        # default to cluster CPU count (each partition joined by one task)
-        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)))
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
     return left.join(
         right,
         join_type=_JOIN_TYPES[how],
