@@ -777,45 +777,48 @@ _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 def _q_events_pivot(sf_dir: str):
     """Pivot: per-user event counts spread to one fixed column per
-    event type (long → wide). Pre-reduced per batch — only
-    (users × types) count rows shuffle — then a small groupby-sum and a
-    vectorized widening."""
+    event type (long → wide). Widened *inside* the per-batch combiner
+    (vectorized `if_else` scatter per type column), so the shuffle moves
+    one wide row per (user, batch) and the reduce is a plain Sum
+    aggregate — no per-group Python anywhere (at 10^8 users a per-group
+    lambda would mean 10^8 interpreter invocations)."""
+    from ray.data.aggregate import Sum
+
     ds = _read(sf_dir, "events", ["user_id", "event_type"])
 
-    def partial(b: pa.Table) -> pa.Table:
-        t = pa.table({"user_id": b.column("user_id"), "event_type": b.column("event_type")})
-        return (
-            pa.TableGroupBy(t, ["user_id", "event_type"])
+    def partial_wide(b: pa.Table) -> pa.Table:
+        t = (
+            pa.TableGroupBy(
+                pa.table({"user_id": b.column("user_id"), "event_type": b.column("event_type")}),
+                ["user_id", "event_type"],
+            )
             .aggregate([([], "count_all")])
             .rename_columns(["user_id", "event_type", "n"])
         )
+        et_col = t.column("event_type")
+        n_col = pc.cast(t.column("n"), pa.int64())
+        zero = pa.scalar(0, pa.int64())
+        arrays = [pc.cast(t.column("user_id"), pa.int64())]
+        for et in _EVENT_TYPES:
+            arrays.append(pc.if_else(pc.equal(et_col, et), n_col, zero))
+        return pa.Table.from_arrays(
+            arrays, names=["user_id"] + [f"n_{et}" for et in _EVENT_TYPES]
+        )
 
     agg = (
-        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        ds.map_batches(partial_wide, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("user_id")
-        .map_groups(
-            lambda g: pa.Table.from_arrays(
-                [pa.array([g.column("user_id")[0].as_py()], pa.int64())]
-                + [
-                    pa.array(
-                        [
-                            int(
-                                pc.sum(
-                                    g.filter(pc.equal(g.column("event_type"), et)).column("n")
-                                ).as_py()
-                                or 0
-                            )
-                        ],
-                        pa.int64(),
-                    )
-                    for et in _EVENT_TYPES
-                ],
-                names=["user_id"] + [f"n_{et}" for et in _EVENT_TYPES],
-            ),
-            batch_format="pyarrow",
-        )
+        .aggregate(*[Sum(f"n_{et}") for et in _EVENT_TYPES])
     )
-    return agg
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pc.cast(b.column("user_id"), pa.int64())]
+            + [pc.cast(b.column(f"sum(n_{et})"), pa.int64()) for et in _EVENT_TYPES],
+            names=["user_id"] + [f"n_{et}" for et in _EVENT_TYPES],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def _q_doc_sample(sf_dir: str):
