@@ -47,9 +47,18 @@ def _fixture_pages(sf_dir: str) -> str:
 
 
 def _read(sf_dir: str, table: str, columns=None):
+    import pyarrow.parquet as pq
+
     import ray.data
 
-    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+    path = f"{sf_dir}/{table}.parquet"
+    # pass a metadata-free schema: the driver-written files carry pandas
+    # key-value metadata whose dict makes pa.Schema unhashable, and Ray's
+    # schema-dedup (unify_schemas) then logs a warning per block — at
+    # cluster scale that drowns the job logs
+    full = pq.read_schema(path).remove_metadata()
+    schema = pa.schema([full.field(c) for c in columns]) if columns else full
+    return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
 # ---------------------------------------------------------------------------

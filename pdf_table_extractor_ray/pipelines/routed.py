@@ -16,7 +16,10 @@ Routing without a mid-pipeline materialization: each branch is its own
 column-pruned parquet scan + cheap detect + filter — re-scanning the
 input twice is deliberate (a streamed re-read costs far less than the
 extraction itself at 100 TB, while materializing the tagged corpus
-would stage the whole input through the object store). Outputs are
+would stage the whole input through the object store). Within a
+branch, detection runs ONCE per row (``DetectOnly`` tags the batch,
+the filter reads the tag, and the extractor honors it via
+``use_strategy_column`` instead of re-sniffing). Outputs are
 byte-identical per url to the flagship path (asserted in tests).
 """
 
@@ -25,11 +28,12 @@ from __future__ import annotations
 from typing import Optional
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
 from pdf_table_extractor_ray.pipelines.extract import _add_shard_keys, default_concurrency
-from pdf_table_extractor_ray.stages.warm_parser import WarmExtractor
+from pdf_table_extractor_ray.stages.warm_parser import DetectOnly, WarmExtractor
 
 # statement families carry per-document scan state and dominate CPU;
 # markup families are single-pass extractors
@@ -51,16 +55,14 @@ HEAVY_KEYS = frozenset(
 )
 
 
-def _detect_mask(batch: pa.Table, want_heavy: bool) -> pa.Table:
-    from pdf_table_extractor_ray.stages.registry import detect_format
+_HEAVY_SET = pa.array(sorted(HEAVY_KEYS), pa.string())
 
-    htmls = batch.column("html").to_pylist()
-    texts = batch.column("text").to_pylist()
-    keep = [
-        ((detect_format(h, t) or "unknown") in HEAVY_KEYS) == want_heavy
-        for h, t in zip(htmls, texts)
-    ]
-    return batch.filter(pa.array(keep))
+
+def _branch_filter(batch: pa.Table, want_heavy: bool) -> pa.Table:
+    """Keep the branch's rows using the ``strategy`` tag DetectOnly
+    already computed — vectorized, no re-detection."""
+    is_heavy = pc.is_in(batch.column("strategy"), value_set=_HEAVY_SET)
+    return batch.filter(is_heavy if want_heavy else pc.invert(is_heavy))
 
 
 def build_extracted_dataset_routed(
@@ -84,18 +86,25 @@ def build_extracted_dataset_routed(
         heavy_n = max(2, (3 * n) // 4)
         concurrency = (heavy_n, heavy_n)
 
+    detect = DetectOnly()
+
     def branch(want_heavy: bool):
         ds = reader(pages_path, include_paths=True)
         ds = ds.map_batches(_add_shard_keys, batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(detect, batch_format="pyarrow", zero_copy_batch=True)
         ds = ds.map_batches(
-            lambda b, w=want_heavy: _detect_mask(b, w),
+            lambda b, w=want_heavy: _branch_filter(b, w),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
         if want_heavy:
             return ds.map_batches(
                 WarmExtractor,
-                fn_constructor_kwargs={"strategy_key": None, "config": config},
+                fn_constructor_kwargs={
+                    "strategy_key": None,
+                    "config": config,
+                    "use_strategy_column": True,
+                },
                 batch_size=heavy_batch_size,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -105,7 +114,7 @@ def build_extracted_dataset_routed(
         # light branch: stateless task pool (strategy table rebuilt per
         # task is acceptable — markup strategies hold no warm state
         # beyond module imports, which worker processes cache anyway)
-        extractor = WarmExtractor(strategy_key=None, config=config)
+        extractor = WarmExtractor(strategy_key=None, config=config, use_strategy_column=True)
         return ds.map_batches(
             extractor,
             batch_size=light_batch_size,

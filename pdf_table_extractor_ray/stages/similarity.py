@@ -297,29 +297,59 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     dim: Optional[int] = None,
+    n_bandings: int = 3,
+    emit: str = "pairs",
 ) -> "ray.data.Dataset":
     """Embedding-cosine near-dup pairs via hyperplane bucketing +
-    within-bucket pairwise cosine."""
+    within-bucket pairwise cosine.
 
-    planes_holder = {}
+    Recall hardening: ``n_bandings`` independent hyperplane sets (the
+    union of their buckets), so a 0.95-cosine pair that straddles one
+    hyperplane in banding 0 still collides in banding 1/2; the same
+    pair surfacing from several bandings is deduped by a final
+    (id_a, id_b) groupby-max.
+
+    Hot-bucket mitigation (matches minhash/simhash): within a bucket,
+    byte-identical vectors are collapsed first, so the pairwise matmul
+    is O(u²) over *unique* vectors — a degenerate bucket where one
+    vector dominates costs O(u² + output), not O(n²). ``emit``:
+
+    - ``"pairs"`` (default): every qualifying pair — output is
+      O(clique²) on a degenerate corpus (the query's contract).
+    - ``"star"``: spanning star per identical group + one
+      representative edge per qualifying unique pair — linear output,
+      the right input for connected-components dedup.
+    """
+
+    planes_holder: dict = {}
 
     def to_buckets(batch: pa.Table) -> pa.Table:
         m = _matrix(batch.column(vec_col))
         if m.shape[0] == 0:
             return pa.Table.from_arrays(
-                [pa.array([], pa.uint32()), pa.array([], pa.int64()),
-                 pa.array([], pa.list_(pa.float64()))],
-                names=["bucket", id_col, "vec"],
+                [pa.array([], pa.int32()), pa.array([], pa.uint32()),
+                 pa.array([], pa.int64()), pa.array([], pa.list_(pa.float64()))],
+                names=["banding", "bucket", id_col, "vec"],
             )
         if "p" not in planes_holder:
-            planes_holder["p"] = _planes(m.shape[1])
+            planes_holder["p"] = [_planes(m.shape[1], seed=11 + b) for b in range(n_bandings)]
         mn = _normalize(m)
-        buckets = _bucket_of(mn, planes_holder["p"])
         vec_list = pa.array(list(mn), pa.list_(pa.float64()))
-        return pa.Table.from_arrays(
-            [pa.array(buckets, pa.uint32()), batch.column(id_col), vec_list],
-            names=["bucket", id_col, "vec"],
-        )
+        parts = []
+        for b, pl in enumerate(planes_holder["p"]):
+            buckets = _bucket_of(mn, pl)
+            parts.append(
+                pa.Table.from_arrays(
+                    [
+                        pa.array(np.full(m.shape[0], b, np.int32)),
+                        pa.array(buckets, pa.uint32()),
+                        batch.column(id_col),
+                        vec_list,
+                    ],
+                    names=["banding", "bucket", id_col, "vec"],
+                )
+            )
+        return pa.concat_tables(parts)
 
     bucketed = ds.map_batches(to_buckets, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -334,18 +364,57 @@ def embedding_dup_pairs(
         m = _matrix(group.column("vec"))
         order = np.argsort(ids, kind="stable")
         ids, m = ids[order], m[order]
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), 1)
-        mask = sims[iu, ju] >= threshold
-        if not mask.any():
+        uniq, inverse = np.unique(m, axis=0, return_inverse=True)
+        members = [ids[inverse == g] for g in range(len(uniq))]
+        a_out: list = []
+        b_out: list = []
+        c_out: list = []
+
+        def add_block(a: np.ndarray, b: np.ndarray, cos: float) -> None:
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+            a_out.append(lo)
+            b_out.append(hi)
+            c_out.append(np.full(len(lo), cos))
+
+        for mem in members:  # identical-vector groups: cosine exactly 1.0
+            if len(mem) < 2:
+                continue
+            if emit == "star":
+                add_block(np.full(len(mem) - 1, mem[0]), mem[1:], 1.0)
+            else:
+                iu, ju = np.triu_indices(len(mem), 1)
+                add_block(mem[iu], mem[ju], 1.0)
+        if len(uniq) > 1:
+            sims = uniq @ uniq.T
+            gi, gj = np.nonzero(np.triu(sims >= threshold, 1))
+            for i, j in zip(gi, gj):
+                cos = float(sims[i, j])
+                if emit == "star":
+                    add_block(members[i][:1], members[j][:1], cos)
+                else:
+                    x, y = members[i], members[j]
+                    add_block(np.repeat(x, len(y)), np.tile(y, len(x)), cos)
+        if not a_out:
             return empty
         return pa.Table.from_arrays(
             [
-                pa.array(ids[iu[mask]], pa.int64()),
-                pa.array(ids[ju[mask]], pa.int64()),
-                pa.array(sims[iu[mask], ju[mask]], pa.float64()),
+                pa.array(np.concatenate(a_out).astype(np.int64)),
+                pa.array(np.concatenate(b_out).astype(np.int64)),
+                pa.array(np.concatenate(c_out), pa.float64()),
             ],
             names=["id_a", "id_b", "cosine"],
         )
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = bucketed.groupby(["banding", "bucket"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # same pair can surface from several bandings/buckets → keep one
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("cosine")).map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("id_a"), b.column("id_b"), b.column("max(cosine)")],
+            names=["id_a", "id_b", "cosine"],
+        ),
+        batch_format="pyarrow",
+    )

@@ -44,6 +44,7 @@ class WarmExtractor:
         strategy_key: Optional[str] = None,
         config=None,
         extra_strategies: Optional[dict] = None,
+        use_strategy_column: bool = False,
     ):
         # build the config-bound strategy table now so all strategy
         # modules (and their compiled regexes) are resident before the
@@ -54,6 +55,10 @@ class WarmExtractor:
         if strategy_key is not None and strategy_key not in self._strategies:
             raise KeyError(f"unknown strategy {strategy_key!r}")
         self.strategy_key = strategy_key
+        # honor a precomputed per-row "strategy" column (DetectOnly
+        # upstream) instead of re-detecting — the routed pipeline's
+        # detect-once path
+        self.use_strategy_column = use_strategy_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -63,6 +68,11 @@ class WarmExtractor:
         has_keys = "part_id" in batch.column_names
         part_ids = batch.column("part_id") if has_keys else pa.nulls(n, pa.int64())
         size_classes = batch.column("size_class") if has_keys else pa.nulls(n, pa.int32())
+        keys_in = (
+            batch.column("strategy").to_pylist()
+            if self.use_strategy_column and "strategy" in batch.column_names
+            else None
+        )
 
         strategy_out, text_out = [], []
         n_records, n_chars, status_out, error_out = [], [], [], []
@@ -71,9 +81,23 @@ class WarmExtractor:
         rec_offsets = [0]
         rec_date, rec_desc, rec_amount, rec_doc = [], [], [], []
 
-        for url, html, text in zip(urls, htmls, texts):
+        for i, (url, html, text) in enumerate(zip(urls, htmls, texts)):
             doc = {"url": url, "html": html, "text": text}
-            if self.strategy_key is None:
+            if keys_in is not None:
+                # pinned by the upstream detect — same fault semantics
+                # as extract_document (in-band, never raises)
+                key = keys_in[i]
+                if key == "unknown" or key not in self._strategies:
+                    key = "unknown"
+                    res = ExtractResult(status="error", error="no strategy detected")
+                else:
+                    try:
+                        res = self._strategies[key](doc)
+                    except Exception as exc:  # noqa: BLE001 — in-band faults
+                        res = ExtractResult(
+                            status="error", error=f"{type(exc).__name__}: {exc}"
+                        )
+            elif self.strategy_key is None:
                 key, res = extract_document(doc, self._strategies)
             else:
                 key = self.strategy_key
@@ -143,10 +167,17 @@ class WarmExtractor:
 
 class DetectOnly:
     """Cheap format-sniff stage: adds a ``strategy`` column without
-    extracting — used when routing to per-strategy pools."""
+    extracting — the routed pipeline runs it once per row, filters on
+    the column, and the downstream ``WarmExtractor`` (with
+    ``use_strategy_column=True``) extracts without re-detecting."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         htmls = batch.column("html").to_pylist()
         texts = batch.column("text").to_pylist()
-        keys = [detect_format(h, t) or "unknown" for h, t in zip(htmls, texts)]
+        keys = []
+        for h, t in zip(htmls, texts):
+            try:
+                keys.append(detect_format(h, t) or "unknown")
+            except Exception:  # noqa: BLE001 — in-band: route to error row
+                keys.append("unknown")
         return batch.append_column("strategy", pa.array(keys, pa.string()))

@@ -169,6 +169,29 @@ def test_embedding_dup_pairs(ray_session):
     )
 
 
+def test_embedding_dup_pairs_degenerate_bucket(ray_session):
+    """10% byte-identical vectors: the within-bucket verify must collapse
+    identical vectors (O(u²) over uniques, not O(n²)), emit the exact
+    clique in pairs mode, and a linear spanning star in star mode."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import embedding_dup_pairs
+
+    rng = np.random.RandomState(0)
+    vecs = rng.standard_normal((1000, 16))
+    vecs[:100] = vecs[0]
+    ds = ray.data.from_items(
+        [{"vec_id": i, "embedding": vecs[i].tolist()} for i in range(1000)]
+    )
+    pairs = embedding_dup_pairs(ds, threshold=0.999).take_all()
+    clique = [p for p in pairs if p["id_a"] < 100 and p["id_b"] < 100]
+    assert len(clique) == 100 * 99 // 2
+    assert all(p["cosine"] == 1.0 for p in clique)
+    star = embedding_dup_pairs(ds, threshold=0.999, emit="star").take_all()
+    star_clique = [p for p in star if p["id_a"] < 100 and p["id_b"] < 100]
+    assert len(star_clique) == 99
+
+
 def test_multimodal_fake_decode(ray_session):
     import ray.data
 
