@@ -702,6 +702,45 @@ def _q_last_order_asof(sf_dir: str):
     return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_first_event_after_order(sf_dir: str):
+    """Forward-direction as-of join (smallest right ts ≥ left ts) under
+    a native DuckDB ASOF oracle: each order ⋈ the customer's first
+    event at-or-after the order date (most custkeys have no events →
+    real inner-join misses). Events are pre-reduced to one row per
+    (user_id, ts) — max event_id wins — because as-of semantics are
+    undefined on timestamp ties."""
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def per_ts(group: pa.Table) -> pa.Table:
+        keys = group.column("event_id").to_numpy(zero_copy_only=False)
+        return group.take(pa.array([int(np.argmax(keys))], pa.int64()))
+
+    ev1 = ev.groupby(["user_id", "ts"]).map_groups(per_ts, batch_format="pyarrow")
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    joined = asof_join(
+        orders,
+        ev1,
+        on="o_custkey",
+        right_on="user_id",
+        left_ts="o_orderdate",
+        right_ts="ts",
+        direction="forward",
+        right_cols=["event_id"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [b.column("o_orderkey"), b.column("o_custkey"), b.column("event_id")],
+            names=["o_orderkey", "o_custkey", "event_id"],
+        )
+        # DuckDB ASOF JOIN is inner: drop unmatched left rows
+        return t.filter(pc.is_valid(t.column("event_id")))
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_top_orders_per_cust(sf_dir: str):
     """Top-3 orders per customer (windowed top-k: groupby.map_groups
     sort+head — the QUALIFY row_number() pattern)."""
@@ -1121,6 +1160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "last_order_asof": _q_last_order_asof,
+        "first_event_after_order": _q_first_event_after_order,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "lm_familiarity": _q_lm_familiarity,
         "lm_perplexity": _q_lm_perplexity,
@@ -1273,6 +1313,13 @@ def oracle_sql() -> dict[str, str]:
             "  o.o_orderkey, o.o_totalprice "
             "FROM events e ASOF JOIN o "
             "ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"
+        ),
+        "first_event_after_order": (
+            "WITH e AS (SELECT user_id, ts, max(event_id) AS event_id "
+            "  FROM events GROUP BY user_id, ts) "
+            "SELECT o.o_orderkey, o.o_custkey, e.event_id "
+            "FROM orders o ASOF JOIN e "
+            "ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts"
         ),
         "top_orders_per_cust": (
             "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "

@@ -16,6 +16,8 @@ conversor_ofx.py:44-55). The engine's analogs, written distributed:
 
 from __future__ import annotations
 
+import math
+
 import pyarrow as pa
 
 import ray.data
@@ -74,6 +76,25 @@ def _xml_escape(s: str) -> str:
     )
 
 
+# XML 1.0 forbids these code points even escaped; OOXML's convention is
+# the _xHHHH_ encoding (ECMA-376 §22.4.2.4). Literal "_xHHHH_" text must
+# itself be escaped (_x005F_xHHHH_) so decoding is unambiguous.
+import re as _re
+
+_XML_INVALID_RE = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f￾￿]")
+_X_LITERAL_RE = _re.compile(r"_(?=x[0-9A-Fa-f]{4}_)")
+_X_DECODE_RE = _re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _ooxml_encode(s: str) -> str:
+    s = _X_LITERAL_RE.sub("_x005F_", s)
+    return _XML_INVALID_RE.sub(lambda m: f"_x{ord(m.group()):04X}_", s)
+
+
+def _ooxml_decode(s: str) -> str:
+    return _X_DECODE_RE.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 _XLSX_CONTENT_TYPES = (
     '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
     '<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">'
@@ -115,9 +136,13 @@ def _sheet_xml(header, rows) -> str:
             return "<c/>"
         if isinstance(v, bool):
             return f'<c t="b"><v>{int(v)}</v></c>'
+        if isinstance(v, float) and not math.isfinite(v):
+            # Excel has no NaN/inf numeric cell — <v>nan</v> is rejected
+            # by Excel/LibreOffice/openpyxl; keep the info as text
+            return f'<c t="inlineStr"><is><t>{str(v)}</t></is></c>'
         if isinstance(v, (int, float)):
             return f"<c><v>{v!r}</v></c>"
-        return f'<c t="inlineStr"><is><t>{_xml_escape(str(v))}</t></is></c>'
+        return f'<c t="inlineStr"><is><t>{_xml_escape(_ooxml_encode(str(v)))}</t></is></c>'
 
     parts.append("<row>" + "".join(cell(h) for h in header) + "</row>")
     for row in rows:
@@ -156,10 +181,11 @@ def read_xlsx_file(path: str) -> tuple:
             elif 't="inlineStr"' in c:
                 m = re.search(r"<t>(.*?)</t>", c, re.S)
                 s = m.group(1) if m else ""
-                vals.append(
+                s = (
                     s.replace("&lt;", "<").replace("&gt;", ">")
                     .replace("&quot;", '"').replace("&amp;", "&")
                 )
+                vals.append(_ooxml_decode(s))
             else:
                 m = re.search(r"<v>(.*?)</v>", c)
                 vals.append(float(m.group(1)) if m else None)

@@ -97,19 +97,22 @@ def asof_join(
 
     def merge(group: pa.Table) -> pa.Table:
         side = group.column(_SIDE).to_numpy(zero_copy_only=False)
-        # nulls make to_numpy produce float64 + NaN; force that dtype so
-        # the NaN masks below are well-defined either way
-        ts = group.column(_TS).to_numpy(zero_copy_only=False).astype(np.float64)
+        # keep timestamps int64 and carry nulls as a separate boolean
+        # mask — a float64+NaN encoding would silently lose precision
+        # above 2^53 (nanosecond-epoch ints already exceed it)
+        ts_col = group.column(_TS)
+        ts_null = pc.is_null(ts_col).to_numpy(zero_copy_only=False)
+        ts = pc.fill_null(ts_col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
         l_mask = side == 0
         # right rows with a null timestamp can never match
-        r_mask = (~l_mask) & ~np.isnan(ts)
+        r_mask = (~l_mask) & ~ts_null
         lt = group.filter(pa.array(l_mask))
         if lt.num_rows == 0:
             return pa.Table.from_arrays(
                 [pa.array([], lt.schema.field(c).type) for c in out_names], names=out_names
             )
         l_ts = ts[l_mask]
-        l_null = np.isnan(l_ts)  # null left ts → miss, never a match
+        l_null = ts_null[l_mask]  # null left ts → miss, never a match
         if not r_mask.any():  # key has no right rows → all misses
             arrays = [lt.column(c) for c in left_cols] + [
                 pa.nulls(lt.num_rows, right_types[c]) for c in right_cols

@@ -47,6 +47,13 @@ def broadcast_join(
     uniq = pc.unique(keys_arr)
     first_pos = pc.index_in(uniq, value_set=keys_arr)
     payload_tbl = build_tbl.select(build_cols).take(first_pos)
+    # SQL join semantics: NULL never equals NULL — drop a null build key
+    # so null probe keys always miss (index_in would otherwise match
+    # null → null and attach that payload)
+    valid_keys = pc.is_valid(uniq)
+    uniq = uniq.filter(valid_keys)
+    if build_cols:  # a 0-column payload (semi-join use) has no row count to filter
+        payload_tbl = payload_tbl.filter(valid_keys)
     handle = ray.put((uniq, payload_tbl, build_cols))
 
     def probe_batch(batch: pa.Table) -> pa.Table:

@@ -121,16 +121,24 @@ def knn_lsh(
     k: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_tables: int = 4,
 ) -> "ray.data.Dataset":
     """Approximate top-k: scan only rows whose hyperplane bucket matches
-    a query bucket. Recall < 1 by design; the scale path."""
+    a query bucket in at least one of ``n_tables`` independent hash
+    tables (the standard L-table LSH recall lever — one table's 12-bit
+    bucket misses any neighbor that straddles a hyperplane; the union
+    of independent tables recovers it). Recall < 1 by design; the
+    scale path. Measured recall@5 vs brute force is asserted in
+    test_corpus_ops on a clustered corpus."""
     q = np.asarray(query_vecs, np.float64)
-    planes = _planes(q.shape[1])
-    q_buckets = set(_bucket_of(_normalize(q), planes).tolist())
+    planes_list = [_planes(q.shape[1], seed=11 + t) for t in range(n_tables)]
+    q_bucket_arrays = [
+        np.unique(_bucket_of(_normalize(q), pl)) for pl in planes_list
+    ]
     qn_ref = ray.put(_normalize(q))
     qid_ref = ray.put(np.asarray(query_ids))
-    bucket_ref = ray.put(q_buckets)
-    planes_ref = ray.put(planes)
+    bucket_ref = ray.put(q_bucket_arrays)
+    planes_ref = ray.put(planes_list)
 
     def partial_topk(batch: pa.Table) -> pa.Table:
         m = _matrix(batch.column(vec_col))
@@ -142,8 +150,10 @@ def knn_lsh(
         if m.shape[0] == 0:
             return empty
         mn = _normalize(m)
-        buckets = _bucket_of(mn, ray.get(planes_ref))
-        mask = np.isin(buckets, list(ray.get(bucket_ref)))
+        q_buckets = ray.get(bucket_ref)
+        mask = np.zeros(mn.shape[0], bool)
+        for pl, qb in zip(ray.get(planes_ref), q_buckets):
+            mask |= np.isin(_bucket_of(mn, pl), qb)
         if not mask.any():
             return empty
         mn, ids = mn[mask], ids[mask]

@@ -154,6 +154,51 @@ def test_knn_lsh_subset_of_bruteforce_quality(ray_session):
         assert top["vec_id"] == qid
 
 
+def test_ann_recall_vs_bruteforce(ray_session):
+    """Quantified 'approximate': recall@5 of knn_lsh (multi-table) and
+    knn_ivf against exact brute force on a clustered corpus (the regime
+    ANN indexes exist for — on pure gaussian noise every neighbor is
+    near-orthogonal and no LSH family can bucket it)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import (
+        knn_bruteforce,
+        knn_ivf,
+        knn_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    dim, n_clusters, per = 32, 20, 40
+    centers = rng.standard_normal((n_clusters, dim)) * 3
+    vecs = np.repeat(centers, per, axis=0) + 0.15 * rng.standard_normal(
+        (n_clusters * per, dim)
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(len(vecs)), pa.int64()),
+                "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+            }
+        )
+    ).repartition(4)
+    q = centers[:8] + 0.1 * rng.standard_normal((8, dim))
+    qids = np.arange(1000, 1008)
+
+    def top(out):
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return by_q
+
+    bf = top(knn_bruteforce(ds, q, qids, k=5).take_all())
+    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf)):
+        approx = top(fn(ds, q, qids, k=5).take_all())
+        recall = np.mean(
+            [len(bf[qid] & approx.get(qid, set())) / len(bf[qid]) for qid in bf]
+        )
+        assert recall >= 0.8, (name, recall)
+
+
 def test_embedding_dup_pairs(ray_session):
     import ray.data
 
@@ -373,6 +418,28 @@ def test_broadcast_join(ray_session):
         key=lambda r: r["k"],
     )
     assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (2, "two"), (9, None)]
+
+
+def test_broadcast_join_null_keys_never_match(ray_session):
+    """SQL semantics: a NULL probe key joins nothing even when the
+    build side contains a NULL key."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    probe = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None], pa.int64()), "v": ["a", "b"]})
+    )
+    build = ray.data.from_arrow(
+        pa.table({"bk": pa.array([1, None], pa.int64()), "name": ["one", "NULLROW"]})
+    )
+    inner = broadcast_join(probe, build, key="k", build_key="bk").take_all()
+    assert [(r["k"], r["name"]) for r in inner] == [(1, "one")]
+    left = sorted(
+        broadcast_join(probe, build, key="k", build_key="bk", how="left").take_all(),
+        key=lambda r: (r["k"] is None, r["k"]),
+    )
+    assert [(r["k"], r["name"]) for r in left] == [(1, "one"), (None, None)]
 
 
 def test_hll_accuracy_and_determinism(ray_session):
@@ -608,6 +675,29 @@ def test_asof_join_null_timestamps(ray_session):
     )
     got = asof_join(lt, rt, on="k", right_on="rk", left_ts="lts", right_ts="rts").take_all()
     assert got[0]["pay"] == 7  # day-earlier row, not a unit-mangled compare
+
+
+def test_asof_join_int64_above_2pow53(ray_session):
+    """Nanosecond-epoch-scale int timestamps (> 2^53) must compare
+    exactly — a float64 null-encoding would collapse adjacent values
+    and pick the wrong as-of match."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    base = 1 << 60
+    left = ray.data.from_items([{"k": 1, "lt": base + 1, "ev": "x"}])
+    right = ray.data.from_items(
+        [
+            {"rk": 1, "rt": base, "pay": 1},
+            {"rk": 1, "rt": base + 1, "pay": 2},
+            {"rk": 1, "rt": base + 2, "pay": 3},
+        ]
+    )
+    out = asof_join(
+        left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt"
+    ).take_all()
+    assert out[0]["pay"] == 2  # exact ≤ match, not a rounded neighbor
 
 
 def test_lm_null_text(ray_session):

@@ -70,6 +70,7 @@ def test_xlsx_roundtrip_property(cells, tmp_path_factory):
     p = os.path.join(str(d), "t.xlsx")
     header = [f"c{i}" for i in range(len(cells))]
     write_xlsx_file(p, header, [cells])
+    _assert_valid_sheet_xml(p)
     got_header, rows = read_xlsx_file(p)
     assert got_header == header
     for want, got in zip(cells, rows[0]):
@@ -79,6 +80,37 @@ def test_xlsx_roundtrip_property(cells, tmp_path_factory):
             assert got == want
         else:
             assert got == float(want)
+
+
+def _assert_valid_sheet_xml(path):
+    """A real XML parser must accept the sheet (the regex reader would
+    happily read back raw control chars Excel rejects)."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        ET.fromstring(z.read("xl/worksheets/sheet1.xml"))
+
+
+def test_xlsx_control_chars_and_nonfinite(tmp_path):
+    """XML-invalid control chars are _xHHHH_-encoded (and literal
+    _xHHHH_ text survives); NaN/inf become inline strings — never a
+    numeric <v> Excel would reject."""
+    import os
+
+    from pdf_table_extractor_ray.pipelines.sinks import read_xlsx_file, write_xlsx_file
+
+    p = os.path.join(str(tmp_path), "c.xlsx")
+    cells = ["a\x00b\x01", "_x0041_", "tab\tok\nnl", float("nan"), float("inf"), float("-inf"), 1.5]
+    write_xlsx_file(p, [f"c{i}" for i in range(len(cells))], [cells])
+    _assert_valid_sheet_xml(p)
+    _, rows = read_xlsx_file(p)
+    got = rows[0]
+    assert got[0] == "a\x00b\x01"      # control chars round-trip via _xHHHH_
+    assert got[1] == "_x0041_"          # literal _xHHHH_ text is not mangled
+    assert got[2] == "tab\tok\nnl"      # \t and \n are valid XML, kept raw
+    assert got[3] == "nan" and got[4] == "inf" and got[5] == "-inf"
+    assert got[6] == 1.5
 
 
 @given(text=hs.text(max_size=200))
