@@ -24,7 +24,7 @@ def oracle_extract_row(doc: Dict, num_partitions: int = 64) -> Dict:
         "url": doc["url"],
         "strategy": key,
         "extracted_text": res.extracted_text,
-        "spans": res.spans,
+        "spans": [{"start": s, "end": e, "kind": k} for s, e, k in res.spans],
         "records": [
             {"date": r.date, "description": r.description, "amount": r.amount, "doc": r.doc}
             for r in res.records

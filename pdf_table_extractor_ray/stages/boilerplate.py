@@ -124,6 +124,6 @@ def extract_boilerplate(html: str) -> ExtractResult:
     spans = []
     offset = 0
     for t in kept:
-        spans.append({"start": offset, "end": offset + len(t), "kind": "paragraph"})
+        spans.append((offset, offset + len(t), "paragraph"))
         offset += len(t) + 2
     return ExtractResult(extracted_text=text, spans=spans)

@@ -324,6 +324,6 @@ def extract_lattice_table(html: str) -> ExtractResult:
     offset = 0
     for line in csv_text.split("\n"):
         if line:
-            res.spans.append({"start": offset, "end": offset + len(line), "kind": "row"})
+            res.spans.append((offset, offset + len(line), "row"))
         offset += len(line) + 1
     return res

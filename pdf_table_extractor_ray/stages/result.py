@@ -28,7 +28,7 @@ class Record:
 @dataclass
 class ExtractResult:
     extracted_text: str = ""
-    spans: List[dict] = field(default_factory=list)  # {start,end,kind}
+    spans: List[tuple] = field(default_factory=list)  # (start, end, kind)
     records: List[Record] = field(default_factory=list)
     status: str = "ok"  # ok | empty | error
     error: Optional[str] = None
@@ -47,15 +47,18 @@ def render_records(
     parity target.
     """
     lines = []
-    spans: List[dict] = []
+    spans: List[tuple] = []
+    add_span = spans.append
+    add_line = lines.append
     offset = 0
     for row in rows:
-        line = ";".join(row)
         pos = offset
         for kind, fieldval in zip(kinds, row):
-            spans.append({"start": pos, "end": pos + len(fieldval), "kind": kind})
-            pos += len(fieldval) + 1  # skip ';'
-        offset += len(line) + 1  # '\n'
-        lines.append(line)
+            end = pos + len(fieldval)
+            add_span((pos, end, kind))
+            pos = end + 1  # skip ';'
+        # pos now == offset + len(line) + 1 (the trailing '+1' covers '\n')
+        offset = pos
+        add_line(";".join(row))
     res = ExtractResult(extracted_text="\n".join(lines), spans=spans)
     return res

@@ -188,13 +188,17 @@ def _std_extract_fields(linha: str, data_corrente: str):
 def _std_prepare_line(linhas: List[str], idx: int):
     """conversor_santander.py:50-73 (preparar_linha): merge up to two
     continuation lines iff the current line has no money value and the
-    next line does not open a new dated record."""
-    linha = linhas[idx].strip().replace("\t", " ")
+    next line does not open a new dated record.
+
+    ``linhas`` must be pre-stripped and tab-normalized (the caller does
+    it once per page — a per-call strip would re-process every line up
+    to 3× as base + lookahead, measurably dominating this parser)."""
+    linha = linhas[idx]
     linhas_usadas = 1
     for offset in range(1, 3):
         if idx + offset >= len(linhas):
             break
-        extra = linhas[idx + offset].strip().replace("\t", " ")
+        extra = linhas[idx + offset]
         if (
             not _STD_VALUE_RE.search(linha)
             and not _STD_DATE_RE.match(extra)
@@ -219,10 +223,12 @@ def extract_santander(text: str) -> ExtractResult:
     for page_text in _pages(text):
         if not page_text:
             continue
-        linhas = page_text.split("\n")
+        # strip + tab-normalize each line ONCE (used as base and as
+        # lookahead by _std_prepare_line)
+        linhas = [l.strip().replace("\t", " ") for l in page_text.split("\n")]
         idx = 0
         while idx < len(linhas):
-            linha_base = linhas[idx].strip()
+            linha_base = linhas[idx]
             if "Movimentação" in linha_base:
                 start_extract = True
                 for skip_idx in range(idx + 1, min(idx + 4, len(linhas))):
@@ -243,7 +249,8 @@ def extract_santander(text: str) -> ExtractResult:
             match_data = _STD_DATE_RE.match(linha_completa)
             if match_data:
                 current_date = match_data.group(1)
-                linha_completa = _STD_DATE_RE.sub("", linha_completa, 1).strip()
+                # the pattern is ^-anchored, so sub(count=1) == slice
+                linha_completa = linha_completa[match_data.end() :].strip()
             if current_date:
                 entrada = _std_extract_fields(linha_completa, current_date)
                 if entrada:

@@ -112,10 +112,11 @@ class WarmExtractor:
             n_chars.append(len(res.extracted_text))
             status_out.append(res.status)
             error_out.append(res.error)
-            for s in res.spans:
-                span_start.append(s["start"])
-                span_end.append(s["end"])
-                span_kind.append(s["kind"])
+            if res.spans:
+                a, b, c = zip(*res.spans)  # C-speed columnarization
+                span_start.extend(a)
+                span_end.extend(b)
+                span_kind.extend(c)
             span_offsets.append(len(span_start))
             for r in res.records:
                 rec_date.append(r.date)
