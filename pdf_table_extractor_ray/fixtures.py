@@ -47,11 +47,13 @@ FAMILIES = (
 )
 
 # families that can appear in generated corpora: the rotation above
-# plus the encrypted sub-family carved out of lattice_table docs
-ALL_FAMILIES = FAMILIES + ("encrypted",)
+# plus the sub-families carved out of it — encrypted (from
+# lattice_table docs) and pdf_native (real binary PDFs carved from
+# coordinate_columns docs)
+ALL_FAMILIES = FAMILIES + ("encrypted", "pdf_native")
 
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -450,12 +452,37 @@ _GENERATORS = {
 }
 
 
+def _html_wordboxes_to_pdf(html: str) -> bytes:
+    """Re-serialize a coordinate-columns markup doc as a real PDF with
+    the identical word boxes (page per ``<div class="page">``)."""
+    from pdf_table_extractor_ray.stages.layout import _PAGE_SPLIT_RE, _WORDBOX_RE
+    from pdf_table_extractor_ray.stages.pdf_native import build_pdf
+
+    pages = []
+    for page_html in _PAGE_SPLIT_RE.split(html):
+        words = [
+            (float(x0), float(top), text)
+            for x0, top, text in _WORDBOX_RE.findall(page_html)
+        ]
+        if words:
+            pages.append(words)
+    return build_pdf(pages)
+
+
 def generate_doc(i: int, seed: int = SEED) -> Dict:
     """Pure per-id page-row generator (url, warc_ts, html, text, lang)."""
     family = FAMILIES[i % len(FAMILIES)]
     rng = random.Random((seed << 32) ^ i)
     size = _size_class(rng)
     text, html = _GENERATORS[family](rng, size)
+    if family == "coordinate_columns" and rng.random() < 0.30:
+        # ~a third of the word-box docs ship as REAL binary PDFs (the
+        # conversor_banestes.py:23 pdfplumber shape): same word boxes,
+        # serialized through the deterministic stdlib PDF writer; no
+        # plaintext text channel, like a real crawl PDF capture
+        html = _html_wordboxes_to_pdf(bytes(html).decode())
+        text = ""
+        family = "pdf_native"
     if family == "lattice_table" and rng.random() < 0.25:
         # a quarter of the lattice docs ship password-protected (the
         # conversor_c6.py:36 shape): payload encrypted with the default

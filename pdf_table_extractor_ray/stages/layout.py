@@ -55,16 +55,31 @@ def extract_coordinate_columns(
     (conversor_banestes.py:23-91). The thresholds are per-strategy
     config (``StrategyConfig``) — the reference hardcodes them per
     converter (conversor_banestes.py:30-31, conversor_itau.py:187-199)."""
+    pages = (
+        [(float(x0_s), float(top_s), text) for x0_s, top_s, text in _WORDBOX_RE.findall(page_html)]
+        for page_html in _PAGE_SPLIT_RE.split(html)
+    )
+    return cluster_words_to_result(pages, date_end_x, value_start_x)
+
+
+def cluster_words_to_result(
+    pages,
+    date_end_x: float = COLUMN_DATE_END_X,
+    value_start_x: float = COLUMN_VALUE_START_X,
+) -> ExtractResult:
+    """Shared core of S2/P7 over any word-box source (markup spans or
+    the native PDF parser, ``pdf_native.parse_pdf_words``): ``pages``
+    is an iterable of per-page ``(x0, top, text)`` lists; day context
+    is carried across pages."""
     transacoes = []
     dia_atual = ""
-    for page_html in _PAGE_SPLIT_RE.split(html):
-        words = _WORDBOX_RE.findall(page_html)
+    for words in pages:
         if not words:
             continue
         linhas = defaultdict(list)
-        for x0_s, top_s, text in words:
+        for x0, top, text in words:
             # round(word['top'], 0) of conversor_banestes.py:43
-            linhas[round(float(top_s), 0)].append((float(x0_s), text))
+            linhas[round(top, 0)].append((x0, text))
 
         for y in sorted(linhas.keys()):
             palavras = sorted(linhas[y], key=lambda w: w[0])

@@ -1,0 +1,384 @@
+"""Native binary-PDF word-box parser (the real ``pdf_bytes → word
+boxes`` seam).
+
+The reference feeds real PDFs through pdfplumber ``extract_words``
+(conversor_banestes.py:23-43) / camelot lattice (conversor_itau.py:99)
+and consumes positioned words. The engine's other layout strategies
+parse markup *analogs* of those layouts; this module closes the gap
+with an actual byte-level PDF reader built on the stdlib only (no
+pdfplumber/pikepdf in this container):
+
+- object scanner with exact ``/Length``-based stream skipping (a
+  naive ``endobj`` regex would tear FlateDecode streams that happen
+  to contain the token),
+- zlib FlateDecode,
+- page tree walk (``/Root → /Pages → /Kids`` order),
+- content-stream text interpreter (``BT/ET Tm Td TD TL T* Tj ' " TJ``
+  with literal/hex string decoding) tracking the text matrix, so each
+  show op yields one word box ``(x0, top, text)`` in pdfplumber's
+  top-left coordinate convention (``top = page_height − y``).
+
+Declared limitations (documented, not hidden): no font-metric glyph
+advance (every word must be positioned absolutely, which is how the
+deterministic fixture writer below emits them — real bank PDFs from
+pdfplumber do the same per-word positioning), Latin-1/PDFDoc text
+encoding only (no /ToUnicode CMaps), no xref-stream (PDF 1.5+)
+cross-reference parsing — the scanner finds objects by walking the
+byte stream, so classic xref tables are not even required.
+
+The extraction strategy reuses the exact y-cluster + x-threshold
+column logic of ``layout.extract_coordinate_columns`` — a PDF doc and
+its word-box-markup twin produce byte-identical ``ExtractResult``s.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Dict, List, Optional, Tuple
+
+from pdf_table_extractor_ray.stages.result import ExtractResult
+
+Word = Tuple[float, float, str]  # (x0, top, text)
+
+DEFAULT_PAGE_SIZE = (612.0, 842.0)
+
+# ---------------------------------------------------------------------------
+# writer (deterministic; used by the fixture generator and tests)
+
+_LIT_ESCAPE = {ord("\\"): "\\\\", ord("("): "\\(", ord(")"): "\\)",
+               10: "\\n", 13: "\\r", 9: "\\t"}
+
+
+def _lit_string(text: str) -> str:
+    raw = text.encode("latin-1", errors="replace").decode("latin-1")
+    return "(" + raw.translate(_LIT_ESCAPE) + ")"
+
+
+def build_pdf(
+    pages: List[List[Word]],
+    page_size: Tuple[float, float] = DEFAULT_PAGE_SIZE,
+    compress: bool = True,
+) -> bytes:
+    """Serialize word boxes into a real, standards-valid PDF: one
+    absolutely-positioned ``Tm … Tj`` per word, FlateDecode content
+    streams, classic xref table. Deterministic for fixed input (zlib
+    level fixed), so fixture corpora mint identically everywhere."""
+    w, h = page_size
+    n_pages = max(1, len(pages))
+    # object numbering: 1=Catalog 2=Pages 3=Font, then (page,content) pairs
+    first_page_obj = 4
+    objs: Dict[int, bytes] = {}
+    kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
+        f"/MediaBox [0 0 {w:.2f} {h:.2f}] >>"
+    ).encode("latin-1")
+    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    for i in range(n_pages):
+        words = pages[i] if i < len(pages) else []
+        parts = ["BT", "/F1 10 Tf"]
+        for x0, top, text in words:
+            parts.append(f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm {_lit_string(text)} Tj")
+        parts.append("ET")
+        content = "\n".join(parts).encode("latin-1")
+        filt = b""
+        if compress:
+            content = zlib.compress(content, 6)
+            filt = b"/Filter /FlateDecode "
+        page_obj = first_page_obj + 2 * i
+        objs[page_obj] = (
+            f"<< /Type /Page /Parent 2 0 R /Contents {page_obj + 1} 0 R "
+            f"/Resources << /Font << /F1 3 0 R >> >> >>"
+        ).encode("latin-1")
+        objs[page_obj + 1] = (
+            b"<< " + filt + b"/Length " + str(len(content)).encode() + b" >>"
+            b"\nstream\n" + content + b"\nendstream"
+        )
+
+    out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    max_obj = max(objs)
+    out += f"xref\n0 {max_obj + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for num in range(1, max_obj + 1):
+        out += f"{offsets[num]:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {max_obj + 1} /Root 1 0 R >>\n"
+        f"startxref\n{xref_at}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# object scanner
+
+_OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+
+
+def is_pdf(payload) -> bool:
+    if isinstance(payload, (bytes, bytearray, memoryview)):
+        return bytes(payload[:5]) == b"%PDF-"
+    return False
+
+
+def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
+    """``{obj_num: (dict_bytes, stream_bytes | None)}`` by sequential
+    scan. Streams are skipped by their declared ``/Length`` so binary
+    stream content can never be misread as object structure."""
+    objs: Dict[int, Tuple[bytes, Optional[bytes]]] = {}
+    i = 0
+    while True:
+        m = _OBJ_HEAD_RE.search(data, i)
+        if not m:
+            break
+        num = int(m.group(1))
+        j = m.end()
+        s = data.find(b"stream", j)
+        e = data.find(b"endobj", j)
+        if e == -1:
+            break
+        if s != -1 and s < e:
+            head = data[j:s]
+            lm = _LENGTH_RE.search(head)
+            k = s + len(b"stream")
+            if data[k : k + 2] == b"\r\n":
+                k += 2
+            elif data[k : k + 1] == b"\n":
+                k += 1
+            if lm:
+                end = k + int(lm.group(1))
+            else:  # tolerate a missing /Length on uncompressed streams
+                end = data.find(b"endstream", k)
+                if end == -1:
+                    raise ValueError("unterminated PDF stream")
+            objs[num] = (head, data[k:end])
+            e = data.find(b"endobj", end)
+            if e == -1:
+                break
+        else:
+            objs[num] = (data[j:e], None)
+        i = e + len(b"endobj")
+    if not objs:
+        raise ValueError("no PDF objects found")
+    return objs
+
+
+_REF_RE_T = r"(\d+)\s+\d+\s+R"
+_PAGES_REF_RE = re.compile(rb"/Pages\s+" + _REF_RE_T.encode())
+_KIDS_RE = re.compile(rb"/Kids\s*\[([^\]]*)\]")
+_CONTENTS_RE = re.compile(rb"/Contents\s+" + _REF_RE_T.encode())
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)\s*\]"
+)
+_REF_RE = re.compile(_REF_RE_T.encode())
+
+
+def _page_objects(objs: Dict[int, Tuple[bytes, Optional[bytes]]]) -> List[int]:
+    """Page object numbers in document order (Catalog → Pages → Kids;
+    nested page trees flattened depth-first)."""
+    root_pages = None
+    for head, _ in objs.values():
+        if b"/Type" in head and b"/Catalog" in head:
+            m = _PAGES_REF_RE.search(head)
+            if m:
+                root_pages = int(m.group(1))
+            break
+    order: List[int] = []
+
+    def walk(num: int):
+        head, _ = objs.get(num, (b"", None))
+        if b"/Kids" in head:
+            m = _KIDS_RE.search(head)
+            if m:
+                for r in _REF_RE.finditer(m.group(1)):
+                    walk(int(r.group(1)))
+        elif b"/Page" in head:
+            order.append(num)
+
+    if root_pages is not None and root_pages in objs:
+        walk(root_pages)
+    if not order:  # xref-less / damaged tree: fall back to object order
+        order = sorted(
+            n for n, (h, _) in objs.items() if b"/Type" in h and b"/Page" in h and b"/Pages" not in h
+        )
+    return order
+
+
+def _decode_stream(head: bytes, stream: bytes) -> bytes:
+    if b"/FlateDecode" in head:
+        return zlib.decompress(stream)
+    return stream
+
+
+# ---------------------------------------------------------------------------
+# content-stream text interpreter
+
+_TOKEN_RE = re.compile(
+    r"\((?:\\.|[^\\()])*\)"  # literal string
+    r"|<[0-9A-Fa-f\s]*>"  # hex string
+    r"|/[^\s/<>()\[\]{}%]*"  # name
+    r"|[-+]?(?:\d+\.?\d*|\.\d+)"  # number
+    r"|\[|\]"
+    r"|[A-Za-z'\"*]+"  # operator
+)
+
+_ESC_RE = re.compile(r"\\([0-7]{1,3}|.)")
+_ESC_MAP = {"n": "\n", "r": "\r", "t": "\t", "b": "\b", "f": "\f"}
+
+
+def _decode_literal(tok: str) -> str:
+    def sub(m):
+        g = m.group(1)
+        if g[0] in "01234567":
+            return chr(int(g, 8))
+        return _ESC_MAP.get(g, g)
+
+    return _ESC_RE.sub(sub, tok[1:-1])
+
+
+def _decode_hex(tok: str) -> str:
+    digits = re.sub(r"\s", "", tok[1:-1])
+    if len(digits) % 2:
+        digits += "0"
+    return bytes.fromhex(digits).decode("latin-1")
+
+
+class _Str(str):
+    """PDF string operand — distinct from structural tokens ('[', ']',
+    '/Name' are plain str), so a literal string whose *content* happens
+    to be '[' can never be mistaken for an array delimiter."""
+
+
+def _interpret_text(content: str, page_height: float) -> List[Word]:
+    """Run the text operators, emitting one word box per show op at the
+    current text-matrix origin (top-left convention)."""
+    words: List[Word] = []
+    stack: List = []
+    # text matrix / line matrix as affine (a, b, c, d, e, f); leading
+    tm = lm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    leading = 0.0
+
+    def emit(s: str):
+        nonlocal tm
+        if s:
+            words.append((tm[4], page_height - tm[5], s))
+
+    def translate_line(tx: float, ty: float):
+        nonlocal tm, lm
+        a, b, c, d, e, f = lm
+        lm = (a, b, c, d, tx * a + ty * c + e, tx * b + ty * d + f)
+        tm = lm
+
+    for m in _TOKEN_RE.finditer(content):
+        tok = m.group(0)
+        ch = tok[0]
+        if ch == "(":
+            stack.append(_Str(_decode_literal(tok)))
+        elif ch == "<":
+            stack.append(_Str(_decode_hex(tok)))
+        elif ch == "/" or ch == "[" or ch == "]":
+            stack.append(tok)
+        elif ch in "-+.0123456789":
+            stack.append(float(tok))
+        else:  # operator
+            if tok == "BT":
+                tm = lm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+            elif tok == "Tm" and len(stack) >= 6:
+                tm = lm = tuple(stack[-6:])  # type: ignore[assignment]
+            elif tok == "Td" and len(stack) >= 2:
+                translate_line(stack[-2], stack[-1])
+            elif tok == "TD" and len(stack) >= 2:
+                leading = -stack[-1]
+                translate_line(stack[-2], stack[-1])
+            elif tok == "TL" and stack:
+                leading = stack[-1]
+            elif tok == "T*":
+                translate_line(0.0, -leading)
+            elif tok == "Tj" and stack:
+                emit(stack[-1] if isinstance(stack[-1], _Str) else "")
+            elif tok == "'" and stack:
+                translate_line(0.0, -leading)
+                emit(stack[-1] if isinstance(stack[-1], _Str) else "")
+            elif tok == '"' and stack:
+                translate_line(0.0, -leading)
+                emit(stack[-1] if isinstance(stack[-1], _Str) else "")
+            elif tok == "TJ":
+                # strings between the enclosing [ ]; kerning numbers are
+                # ignored (no font metrics — declared limitation)
+                depth_items: List[str] = []
+                for it in reversed(stack):
+                    if isinstance(it, _Str):
+                        depth_items.append(it)
+                    elif it == "[":
+                        break
+                for s in reversed(depth_items):
+                    emit(s)
+            stack.clear()
+    return words
+
+
+def parse_pdf_words(data: bytes) -> List[List[Word]]:
+    """``pdf bytes → [page][(x0, top, text)]`` (pdfplumber
+    ``page.extract_words`` analog for absolutely-positioned text)."""
+    data = bytes(data)
+    if not is_pdf(data):
+        raise ValueError("payload is not a PDF (missing %PDF- magic)")
+    objs = _scan_objects(data)
+    default_h = DEFAULT_PAGE_SIZE[1]
+    # MediaBox may live on the page or be inherited from the page tree
+    inherited_h = default_h
+    for head, _ in objs.values():
+        if b"/Type" in head and b"/Pages" in head:
+            mb = _MEDIABOX_RE.search(head)
+            if mb:
+                inherited_h = float(mb.group(4)) - float(mb.group(2))
+            break
+    pages: List[List[Word]] = []
+    for pnum in _page_objects(objs):
+        head, _ = objs[pnum]
+        mb = _MEDIABOX_RE.search(head)
+        h = float(mb.group(4)) - float(mb.group(2)) if mb else inherited_h
+        cm = _CONTENTS_RE.search(head)
+        if not cm:
+            pages.append([])
+            continue
+        chead, cstream = objs.get(int(cm.group(1)), (b"", None))
+        if cstream is None:
+            pages.append([])
+            continue
+        content = _decode_stream(chead, cstream).decode("latin-1")
+        pages.append(_interpret_text(content, h))
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# extraction strategy
+
+def extract_pdf_native(
+    data: bytes,
+    date_end_x: Optional[float] = None,
+    value_start_x: Optional[float] = None,
+) -> ExtractResult:
+    """S2/P7 over real PDF bytes: parse word boxes, then the exact
+    y-cluster + x-threshold column pipeline of
+    ``layout.extract_coordinate_columns`` (conversor_banestes.py:23-91
+    semantics) — byte-identical output to the markup twin."""
+    from pdf_table_extractor_ray.stages.layout import (
+        COLUMN_DATE_END_X,
+        COLUMN_VALUE_START_X,
+        cluster_words_to_result,
+    )
+
+    pages = parse_pdf_words(data)
+    return cluster_words_to_result(
+        pages,
+        COLUMN_DATE_END_X if date_end_x is None else date_end_x,
+        COLUMN_VALUE_START_X if value_start_x is None else value_start_x,
+    )

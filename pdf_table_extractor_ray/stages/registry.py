@@ -71,6 +71,14 @@ def make_strategies(
             html, cfg.column_date_end_x, cfg.column_value_start_x
         )
 
+    def pdf_with_config(doc: dict) -> ExtractResult:
+        # raw bytes, never decoded — the S2 native-PDF path
+        from pdf_table_extractor_ray.stages.pdf_native import extract_pdf_native
+
+        return extract_pdf_native(
+            bytes(doc.get("html") or b""), cfg.column_date_end_x, cfg.column_value_start_x
+        )
+
     strategies: Dict[str, Callable[[dict], ExtractResult]] = {
         "regex_listing": _text_strategy(st.extract_regex_listing),
         "santander_merge": _text_strategy(st.extract_santander),
@@ -84,6 +92,7 @@ def make_strategies(
         "pagbank_findall": _text_strategy(st.extract_pagbank),
         "bradesco_triples": _text_strategy(st.extract_bradesco),
         "coordinate_columns": coordinate_with_config,
+        "pdf_native": pdf_with_config,
         "lattice_table": _html_strategy(extract_lattice_table),
         "boilerplate_strip": _html_strategy(extract_boilerplate),
         "ofx": _text_strategy(extract_ofx),
@@ -142,7 +151,10 @@ def detect_format(html, text: Optional[str]) -> Optional[str]:
     """
     if isinstance(html, (bytes, bytearray, memoryview)):
         from pdf_table_extractor_ray.stages.encrypted import is_encrypted
+        from pdf_table_extractor_ray.stages.pdf_native import is_pdf
 
+        if is_pdf(html):
+            return "pdf_native"
         if is_encrypted(html):
             return "encrypted"
         html = bytes(html).decode("utf-8", errors="replace")

@@ -355,3 +355,101 @@ class TestTableParserEquivalence:
         # fallback still parses them
         assert parse_tables('<table class="x"><tr><td>a</td></tr></table>') == [[["a"]]]
         assert parse_tables("<table><tr><td>a&amp;b</td></tr></table>") == [[["a&b"]]]
+
+
+class TestPdfNative:
+    """The real pdf_bytes → word boxes seam (stages/pdf_native.py)."""
+
+    def test_writer_parser_roundtrip(self):
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        pages = [
+            [(30.7, 52.3, "05"), (100.0, 52.3, "Pix Enviado"), (500.4, 52.3, "1.234,56")],
+            [(30.0, 40.0, "ç(par)\\esc"), (501.0, 40.0, "-9,99")],
+        ]
+        got = parse_pdf_words(build_pdf(pages))
+        assert len(got) == 2
+        for orig, page in zip(pages, got):
+            assert [t for _, _, t in page] == [t for _, _, t in orig]
+            for (x, top, _), (gx, gtop, _) in zip(orig, page):
+                assert abs(x - gx) < 1e-6 and abs(top - gtop) < 1e-6
+
+    def test_uncompressed_and_text_operators(self):
+        """Hand-written content stream exercising Td/TD/T*/'/TJ (not
+        just the writer's absolute-Tm shape)."""
+        import zlib
+        from pdf_table_extractor_ray.stages.pdf_native import parse_pdf_words
+
+        content = (
+            b"BT /F1 10 Tf 12 TL 1 0 0 1 50 800 Tm (first) Tj "
+            b"10 -20 TD (second) Tj T* (third) Tj (fourth) ' "
+            b"[(a) -120 (b)] TJ ET"
+        )
+        pdf = (
+            b"%PDF-1.4\n"
+            b"1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n"
+            b"2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 /MediaBox [0 0 612 842] >> endobj\n"
+            b"3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n"
+            b"4 0 obj << /Length " + str(len(content)).encode() + b" >>\nstream\n"
+            + content + b"\nendstream endobj\n"
+            b"trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n"
+        )
+        (page,) = parse_pdf_words(pdf)
+        texts = [t for _, _, t in page]
+        assert texts == ["first", "second", "third", "fourth", "a", "b"]
+        xs = [x for x, _, _ in page]
+        tops = [t for _, t, _ in page]
+        assert (xs[0], tops[0]) == (50.0, 42.0)           # Tm absolute
+        assert (xs[1], tops[1]) == (60.0, 62.0)           # TD translate
+        assert (xs[2], tops[2]) == (60.0, 82.0)           # T* uses TL=20 (set by TD)
+        assert tops[3] == 102.0                            # ' advances a line
+
+    def test_flate_stream_containing_endobj_token(self):
+        """The /Length-based scanner must not tear a compressed stream
+        whose bytes happen to contain 'endobj'."""
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        # craft words until the compressed payload contains the token
+        for salt in range(2000):
+            pages = [[(10.0, 10.0, f"endobj {salt} " * 3)]]
+            pdf = build_pdf(pages)
+            body = pdf[pdf.find(b"stream") : pdf.find(b"endstream")]
+            if b"endobj" in body:
+                break
+        (page,) = parse_pdf_words(pdf)
+        assert page[0][2] == f"endobj {salt} " * 3
+
+    def test_strategy_parity_with_markup_twin(self):
+        """A pdf_native doc and its word-box-markup twin must produce
+        byte-identical ExtractResults (shared cluster core)."""
+        import random
+        from pdf_table_extractor_ray.fixtures import _gen_coordinate, _html_wordboxes_to_pdf
+        from pdf_table_extractor_ray.stages.pdf_native import extract_pdf_native
+
+        rng = random.Random(7)
+        _, html = _gen_coordinate(rng, "small")
+        a = extract_coordinate_columns(html.decode())
+        b = extract_pdf_native(_html_wordboxes_to_pdf(html.decode()))
+        assert a.extracted_text == b.extracted_text
+        assert a.spans == b.spans
+        assert [(r.date, r.description, r.amount) for r in a.records] == [
+            (r.date, r.description, r.amount) for r in b.records
+        ]
+
+    def test_detection_and_extraction_in_corpus(self):
+        from pdf_table_extractor_ray.fixtures import generate_doc
+
+        docs = [
+            generate_doc(i)
+            for i in range(480)
+        ]
+        pdf_docs = [d for d in docs if d["family"] == "pdf_native"]
+        assert len(pdf_docs) >= 3
+        for d in pdf_docs:
+            assert detect_format(d["html"], d["text"]) == "pdf_native"
+            key, res = extract_document(d)
+            assert key == "pdf_native" and res.status == "ok" and res.extracted_text
+
+    def test_malformed_pdf_is_inband_error(self):
+        key, res = extract_document({"url": "u", "html": b"%PDF-1.4 garbage", "text": ""})
+        assert key == "pdf_native" and res.status == "error"
