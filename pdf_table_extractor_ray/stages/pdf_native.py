@@ -250,6 +250,33 @@ def _decode_hex(tok: str) -> str:
     return bytes.fromhex(digits).decode("latin-1")
 
 
+# Fast path: absolutely-positioned show ops — `a b c d e f Tm (s) Tj`
+# — the shape print pipelines (and the fixture writer) emit. One C-speed
+# findall replaces the per-token Python interpreter (~10× on large
+# pages). Guard: the count of fast matches must equal the count of ALL
+# show ops and no line-translate ops may appear, else fall back.
+_FAST_TM_TJ_RE = re.compile(
+    r"[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+([\d.+-]+)\s+([\d.+-]+)\s+Tm\s*"
+    r"(\((?:\\.|[^\\()])*\))\s*Tj"
+)
+def _interpret_text_fast(content: str, page_height: float) -> Optional[List[Word]]:
+    matches = _FAST_TM_TJ_RE.findall(content)
+    # guards are plain substring counts (C memchr — a second regex pass
+    # here measurably doubled parse cost): every show op must be a fast
+    # match and no line-translate ops may appear anywhere. A string
+    # literal *containing* 'Tj'/'Td'/quote chars only over-counts, which
+    # fails conservative (falls back to the full interpreter).
+    n_show = content.count("Tj") + content.count("TJ") + content.count("'") + content.count('"')
+    if len(matches) != n_show or "Td" in content or "TD" in content or "T*" in content:
+        return None
+    words: List[Word] = []
+    for x, y, lit in matches:
+        s = _decode_literal(lit) if "\\" in lit else lit[1:-1]
+        if s:
+            words.append((float(x), page_height - float(y), s))
+    return words
+
+
 class _Str(str):
     """PDF string operand — distinct from structural tokens ('[', ']',
     '/Name' are plain str), so a literal string whose *content* happens
@@ -354,7 +381,8 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
             pages.append([])
             continue
         content = _decode_stream(chead, cstream).decode("latin-1")
-        pages.append(_interpret_text(content, h))
+        fast = _interpret_text_fast(content, h)
+        pages.append(fast if fast is not None else _interpret_text(content, h))
     return pages
 
 
