@@ -1058,6 +1058,114 @@ def _q_sessionize(sf_dir: str):
     return sessionize(_read(sf_dir, "events", ["user_id", "ts"]))
 
 
+def _interval_orders(sf_dir: str, with_cents: bool):
+    """Orders as [o_orderdate, o_orderdate+7d) µs intervals."""
+    from pdf_table_extractor_ray.stages.intervals import US_PER_DAY
+
+    cols = ["o_orderkey", "o_orderdate"] + (["o_totalprice"] if with_cents else [])
+    orders = _read(sf_dir, "orders", cols)
+
+    def prep(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column("o_orderdate"), pa.int64())
+        out = {
+            "o_orderkey": b.column("o_orderkey"),
+            "_start": s,
+            "_end": pc.add(s, 7 * US_PER_DAY),
+        }
+        if with_cents:
+            out["cents"] = pc.cast(
+                pc.floor(pc.multiply(b.column("o_totalprice"), 100.0)), pa.int64()
+            )
+        return pa.table(out)
+
+    return orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_ship_window_value(sf_dir: str):
+    """Range join, per-point weighted: for every lineitem ship event,
+    the total value (integer cents — SQL-exact) of ALL orders placed
+    within the 7 days up to the ship date. Bucket-replicated interval
+    join with prefix-sum stabbing kernels — pairs never enumerated."""
+    from pdf_table_extractor_ray.stages.intervals import US_PER_DAY, count_matches_per_point
+
+    points = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"])
+    return count_matches_per_point(
+        points,
+        _interval_orders(sf_dir, with_cents=True),
+        point_col="l_shipdate",
+        start_col="_start",
+        end_col="_end",
+        bucket_width=7 * US_PER_DAY,
+        point_cols=("l_orderkey", "l_linenumber"),
+        weight_col="cents",
+        out_col="week_order_value_cents",
+    )
+
+
+def _q_order_week_shipments(sf_dir: str):
+    """Range join, per-interval count: shipments (any order's) landing
+    inside each order's first week — LEFT semantics, 0 for quiet
+    weeks. Per-bucket partials → one small keyed groupby-sum."""
+    from pdf_table_extractor_ray.stages.intervals import US_PER_DAY, count_points_per_interval
+
+    points = _read(sf_dir, "lineitem", ["l_shipdate"])
+    return count_points_per_interval(
+        points,
+        _interval_orders(sf_dir, with_cents=False),
+        point_col="l_shipdate",
+        start_col="_start",
+        end_col="_end",
+        bucket_width=7 * US_PER_DAY,
+        interval_keys=("o_orderkey",),
+        out_col="n_shipments",
+    )
+
+
+def _q_ship_week_pairs(sf_dir: str):
+    """Enumerated range join (one month of ship events × order week
+    windows): every (lineitem, order) pair with the ship date inside
+    [o_orderdate, o_orderdate+7d)."""
+    from datetime import date
+
+    from pdf_table_extractor_ray.stages.intervals import US_PER_DAY, interval_join
+
+    lo = (date(1995, 1, 1) - date(1970, 1, 1)).days * US_PER_DAY
+    hi = (date(1995, 2, 1) - date(1970, 1, 1)).days * US_PER_DAY
+
+    def in_jan95(b: pa.Table) -> pa.Table:
+        t = pc.cast(b.column("l_shipdate"), pa.int64())
+        return b.filter(pc.and_(pc.greater_equal(t, lo), pc.less(t, hi)))
+
+    points = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_shipdate"]).map_batches(
+        in_jan95, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = interval_join(
+        points,
+        _interval_orders(sf_dir, with_cents=False),
+        point_col="l_shipdate",
+        start_col="_start",
+        end_col="_end",
+        bucket_width=7 * US_PER_DAY,
+        point_cols=("l_orderkey", "l_linenumber"),
+        interval_cols=("o_orderkey",),
+    )
+    return out.select_columns(["l_orderkey", "l_linenumber", "o_orderkey"])
+
+
+def _q_jaccard_pairs(sf_dir: str):
+    """EXACT n-gram Jaccard similarity pairs (distributed inverted
+    index) over the deterministic 25% content-hash sample — the
+    exact-resemblance complement to minhash_pairs, with a full SQL
+    oracle. Threshold is corpus-tuned: this synthetic corpus has no
+    clones, so 0.02 exposes the real tail of the resemblance
+    distribution (top pair ≈ 0.037 at sf0.01)."""
+    from pdf_table_extractor_ray.stages.dedup import ngram_jaccard_pairs, sample_by_content_hash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sample = sample_by_content_hash(docs)
+    return ngram_jaccard_pairs(sample, width=3, threshold=0.02)
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -1175,6 +1283,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_nation": _q_customer_nation,
         "orders_by_nation": _q_orders_by_nation,
         "sessionize": _q_sessionize,
+        "ship_window_value": _q_ship_window_value,
+        "order_week_shipments": _q_order_week_shipments,
+        "ship_week_pairs": _q_ship_week_pairs,
+        "jaccard_pairs": _q_jaccard_pairs,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
@@ -1396,6 +1508,52 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n_events, "
             "  min(ts_us) AS start_ts_us, max(ts_us) AS end_ts_us "
             "FROM tagged GROUP BY user_id, session_id"
+        ),
+        # correlated form (not LEFT JOIN + GROUP BY): lineitem's
+        # (l_orderkey, l_linenumber) is NOT unique in this corpus, and
+        # the engine emits one row per input row
+        "ship_window_value": (
+            "SELECT l.l_orderkey, l.l_linenumber, "
+            "(SELECT CAST(coalesce(sum(CAST(floor(o.o_totalprice*100) AS BIGINT)), 0) AS BIGINT) "
+            "   FROM orders o WHERE l.l_shipdate >= o.o_orderdate "
+            "    AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY) AS week_order_value_cents "
+            "FROM lineitem l"
+        ),
+        "order_week_shipments": (
+            "SELECT o.o_orderkey, count(l.l_shipdate) AS n_shipments "
+            "FROM orders o LEFT JOIN lineitem l "
+            "  ON l.l_shipdate >= o.o_orderdate "
+            " AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+            "GROUP BY o.o_orderkey"
+        ),
+        "ship_week_pairs": (
+            "SELECT l.l_orderkey, l.l_linenumber, o.o_orderkey "
+            "FROM lineitem l JOIN orders o "
+            "  ON l.l_shipdate >= o.o_orderdate "
+            " AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY "
+            "WHERE l.l_shipdate >= DATE '1995-01-01' AND l.l_shipdate < DATE '1995-02-01'"
+        ),
+        "jaccard_pairs": (
+            "WITH sample AS (SELECT doc_id, text FROM documents "
+            "  WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')), "
+            "toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM sample), "
+            "sh AS ("
+            "  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3 "
+            "  UNION "
+            "  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks "
+            "  WHERE len(w) BETWEEN 1 AND 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+            "  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id) "
+            "SELECT i.doc_a, i.doc_b, CAST(i.c AS BIGINT) AS n_common, "
+            "  CAST(i.c AS DOUBLE)/(sa.n + sb.n - i.c) AS jaccard "
+            "FROM inter i "
+            "JOIN sizes sa ON sa.doc_id = i.doc_a "
+            "JOIN sizes sb ON sb.doc_id = i.doc_b "
+            "WHERE CAST(i.c AS DOUBLE)/(sa.n + sb.n - i.c) >= 0.02"
         ),
         "knn_top5": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "

@@ -695,3 +695,140 @@ def verify_pairs_jaccard(
         [pa.array(a_out, pa.int64()), pa.array(b_out, pa.int64()), pa.array(j_out, pa.float64())],
         names=["doc_a", "doc_b", "jaccard"],
     )
+
+
+def ngram_jaccard_pairs(
+    docs: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 5,
+    threshold: float = 0.2,
+    num_partitions: int = 64,
+    max_df: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard near-dup pairs via a distributed inverted
+    index (the count-filter half of PPJoin, SIGMOD'08, without the
+    prefix filter): doc → distinct word-``width``-gram shingles →
+    hash-partition by shingle → within-partition vectorized pair
+    partial counts → one small (doc_a, doc_b) groupby-sum →
+    ``jaccard = |∩| / (|A|+|B|−|∩|)``.
+
+    Complements the *estimated* Jaccard of ``minhash_lsh_pairs``: this
+    one is exact (shingles shuffle as strings — no hash collisions)
+    and is meant for bounded candidate sets — a content-hash sample,
+    or the member set of an LSH bucket family. Scale contract: the
+    per-doc shingle-count side (one int per doc) is broadcast, and the
+    shingle rows are materialized once (sample-scale by contract,
+    mirroring ``drop_by_ids``); the pair-partial shuffle only carries
+    (doc_a, doc_b, count) rows. ``max_df`` drops shingles shared by
+    more than ``max_df`` docs — the standard stopword-shingle cap at
+    corpus scale (None = exact). Partition count bounds the
+    ``map_groups`` group count (NOT O(#shingles) Python groups); the
+    within-group kernel is numpy run-length over dictionary codes.
+    """
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_pylist()
+        texts = batch.column(text_col).to_pylist()
+        out_id: list = []
+        out_part: list = []
+        out_sh: list = []
+        for d, t in zip(ids, texts):
+            for g in ngram_set(t or "", width):
+                out_id.append(d)
+                out_part.append(zlib.crc32(g.encode()) % num_partitions)
+                out_sh.append(g)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "_part": pa.array(out_part, pa.int32()),
+                "sh": pa.array(out_sh, pa.string()),
+            }
+        )
+
+    shingles = docs.map_batches(
+        shingle_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # per-doc distinct-shingle counts: one int per doc → broadcast side
+    sizes_tbl = shingles.groupby("doc_id").aggregate(Count()).take_all()
+    size_keys = pa.array([r["doc_id"] for r in sizes_tbl], pa.int64())
+    size_vals = np.array([r["count()"] for r in sizes_tbl], dtype=np.int64)
+
+    _EMPTY = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "c_partial": pa.array([], pa.int64()),
+        }
+    )
+
+    def pair_partials(g: pa.Table) -> pa.Table:
+        sh_col = g.column("sh")
+        if isinstance(sh_col, pa.ChunkedArray):
+            # encode ONE array so codes share a single dictionary
+            combined = sh_col.combine_chunks()
+            if isinstance(combined, pa.ChunkedArray):
+                combined = (
+                    combined.chunk(0) if combined.num_chunks else pa.array([], pa.string())
+                )
+            sh_col = combined
+        codes = pc.dictionary_encode(sh_col).indices.to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, codes))
+        c_sorted, id_sorted = codes[order], ids[order]
+        starts = np.flatnonzero(np.r_[True, c_sorted[1:] != c_sorted[:-1]])
+        ends = np.r_[starts[1:], len(c_sorted)]
+        a_parts, b_parts = [], []
+        for s0, e0 in zip(starts, ends):
+            d = e0 - s0
+            if d < 2 or (max_df is not None and d > max_df):
+                continue
+            grp = id_sorted[s0:e0]  # ascending → doc_a < doc_b for free
+            ia, ib = np.triu_indices(d, k=1)
+            a_parts.append(grp[ia])
+            b_parts.append(grp[ib])
+        if not a_parts:
+            return _EMPTY
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        # within-partition pre-reduce: run-length over sorted pairs
+        po = np.lexsort((b, a))
+        a, b = a[po], b[po]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        run_starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[run_starts, len(a)])
+        return pa.table(
+            {
+                "doc_a": pa.array(a[run_starts], pa.int64()),
+                "doc_b": pa.array(b[run_starts], pa.int64()),
+                "c_partial": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    counts = (
+        shingles.groupby("_part")
+        .map_groups(pair_partials, batch_format="pyarrow")
+        .groupby(["doc_a", "doc_b"])
+        .aggregate(Sum("c_partial"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        c = b.column("sum(c_partial)").to_numpy(zero_copy_only=False)
+        ia = pc.index_in(b.column("doc_a"), value_set=size_keys).to_numpy(zero_copy_only=False)
+        ib = pc.index_in(b.column("doc_b"), value_set=size_keys).to_numpy(zero_copy_only=False)
+        denom = size_vals[ia] + size_vals[ib] - c
+        j = c.astype(np.float64) / denom  # double/int64 — matches SQL op order
+        keep = j >= threshold
+        return pa.table(
+            {
+                "doc_a": b.column("doc_a").filter(pa.array(keep)),
+                "doc_b": b.column("doc_b").filter(pa.array(keep)),
+                "n_common": pa.array(c[keep], pa.int64()),
+                "jaccard": pa.array(j[keep], pa.float64()),
+            }
+        )
+
+    return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -70,6 +70,69 @@ def test_ngram_jaccard_verification(docs_with_dups):
     assert 0.5 < t[1]["jaccard"] < 1.0
 
 
+def test_ngram_jaccard_pairs_exact(docs_with_dups):
+    """The distributed inverted-index pairs match brute-force set
+    Jaccard over every doc pair, at a threshold low enough to expose
+    non-planted background pairs too."""
+    from pdf_table_extractor_ray.stages.dedup import ngram_jaccard_pairs, ngram_set
+
+    rows = docs_with_dups.take_all()
+    sets = {r["doc_id"]: ngram_set(r["text"] or "", 3) for r in rows}
+    want = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            j = inter / (len(sets[a]) + len(sets[b]) - inter)
+            if j >= 0.05:
+                want[(a, b)] = (inter, j)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs_with_dups, width=3, threshold=0.05, num_partitions=8
+        ).take_all()
+    }
+    assert set(got) == set(want)
+    for k, (n, j) in want.items():
+        assert got[k][0] == n
+        assert got[k][1] == pytest.approx(j, abs=1e-12)
+    # planted exact copies must surface at jaccard 1.0
+    assert got[(rows[0]["doc_id"], 100000)][1] == 1.0
+
+
+def test_ngram_jaccard_max_df_drops_stop_shingles(ray_session):
+    """max_df prunes shingles shared by too many docs (stopword-shingle
+    cap): with a shingle common to all docs capped out, only the truly
+    similar pair survives."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import ngram_jaccard_pairs
+
+    common = "the quick brown"
+    docs = ray.data.from_items(
+        [
+            {"doc_id": 1, "text": f"{common} alpha beta gamma delta"},
+            {"doc_id": 2, "text": f"{common} alpha beta gamma epsilon"},
+            {"doc_id": 3, "text": f"{common} zeta eta theta iota"},
+            {"doc_id": 4, "text": f"{common} kappa lambda mu nu"},
+        ]
+    )
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(docs, width=3, threshold=0.01, num_partitions=4).take_all()
+    }
+    assert (3, 4) in uncapped  # joined only via the stop-shingle
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(
+            docs, width=3, threshold=0.01, num_partitions=4, max_df=2
+        ).take_all()
+    }
+    assert (1, 2) in capped and (3, 4) not in capped
+
+
 def test_token_count_matches_split(ray_session):
     import ray.data
 
