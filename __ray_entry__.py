@@ -1166,6 +1166,56 @@ def _q_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(sample, width=3, threshold=0.02)
 
 
+_BM25_TERMS = ("hash", "vector", "window")
+
+
+def _q_bm25_top10(sf_dir: str):
+    """BM25 keyword search (Okapi/Lucene variant): two streaming
+    passes — per-block (n_docs, total_len, df) partials reduced by one
+    Dataset.sum, then fully-vectorized per-batch scoring — and a
+    k-bounded top-k. Ids/ranks only (float scores are ulp-sensitive
+    across engines; ordering is the product)."""
+    from pdf_table_extractor_ray.stages.search import bm25_topk
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(docs, _BM25_TERMS, k=10)
+
+
+def _q_top_tokens(sf_dir: str):
+    """Corpus wordcount → exact top-50 heavy hitters: per-batch
+    (token, n) value-count partials (the combiner), one token
+    groupby-sum, one sort+limit over the distinct-token table."""
+    from pdf_table_extractor_ray.stages.lm import train_token_counts
+
+    docs = _read(sf_dir, "documents", ["text"])
+    counts = train_token_counts(docs)
+    return counts.sort(["n", "token"], descending=[True, False]).limit(50)
+
+
+def _q_frequent_users_sketch(sf_dir: str):
+    """Mergeable heavy-hitter sketch (per-block exact top-m + residual
+    bound): top-10 users by event count. SQL-exact HERE because every
+    block holds ≤ m distinct users (bt=0 ⇒ est is exact, err=0); the
+    >m approximate regime is covered by the zipf bound test."""
+    from pdf_table_extractor_ray.stages.sketches import heavy_hitters
+
+    ev = _read(sf_dir, "events", ["user_id"])
+    return heavy_hitters(ev, "user_id", k=10, m=256)
+
+
+def _q_order_price_quantiles_approx(sf_dir: str):
+    """Histogram-sketch quantiles over order prices: Min/Max pass +
+    slim (bin, cnt) partial shuffle; ≤ bins rows to the driver; value
+    error ≤ one bin width (bracket test asserts it). Rows-only: the
+    lo/hi edges are linspace floats with no SQL twin."""
+    from pdf_table_extractor_ray.stages.sketches import approx_quantiles
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return approx_quantiles(
+        orders, "o_totalprice", (0.25, 0.5, 0.75, 0.9, 0.99), bins=4096
+    )
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -1287,6 +1337,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_week_shipments": _q_order_week_shipments,
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "bm25_top10": _q_bm25_top10,
+        "top_tokens": _q_top_tokens,
+        "frequent_users_sketch": _q_frequent_users_sketch,
+        "order_price_quantiles_approx": _q_order_price_quantiles_approx,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
@@ -1554,6 +1608,38 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sa ON sa.doc_id = i.doc_a "
             "JOIN sizes sb ON sb.doc_id = i.doc_b "
             "WHERE CAST(i.c AS DOUBLE)/(sa.n + sb.n - i.c) >= 0.02"
+        ),
+        # same float op order as stages/search.py: idf·tf·(k1+1)/(tf+norm)
+        # summed in fixed term order; ids/ranks only cross the hash gate
+        "bm25_top10": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "tf AS (SELECT doc_id, len(w) AS dl, "
+            "  len(list_filter(w, x -> x = 'hash')) AS tf0, "
+            "  len(list_filter(w, x -> x = 'vector')) AS tf1, "
+            "  len(list_filter(w, x -> x = 'window')) AS tf2 FROM toks), "
+            "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, "
+            "  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, "
+            "  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+            "  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tf), "
+            "scored AS (SELECT t.doc_id, "
+            "  ln((s.n - s.df0 + 0.5)/(s.df0 + 0.5) + 1.0)*(t.tf0*(1.2+1.0))/(t.tf0 + 1.2*(1.0 - 0.75 + 0.75*(t.dl/s.avgdl))) "
+            "+ ln((s.n - s.df1 + 0.5)/(s.df1 + 0.5) + 1.0)*(t.tf1*(1.2+1.0))/(t.tf1 + 1.2*(1.0 - 0.75 + 0.75*(t.dl/s.avgdl))) "
+            "+ ln((s.n - s.df2 + 0.5)/(s.df2 + 0.5) + 1.0)*(t.tf2*(1.2+1.0))/(t.tf2 + 1.2*(1.0 - 0.75 + 0.75*(t.dl/s.avgdl))) "
+            "  AS score FROM tf t, stats s) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
+            "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "top_tokens": (
+            "SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM ("
+            "  SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents) "
+            "GROUP BY t ORDER BY n DESC, t LIMIT 50"
+        ),
+        # sketch is exact on this corpus (per-block distinct ≤ m ⇒ bt=0)
+        "frequent_users_sketch": (
+            "SELECT CAST(user_id AS VARCHAR) AS item, "
+            "CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err "
+            "FROM events GROUP BY user_id "
+            "ORDER BY est DESC, item LIMIT 10"
         ),
         "knn_top5": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "

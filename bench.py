@@ -104,6 +104,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "knn_top5",
         "token_counts",
         "profit_by_nation_year",  # fact-fact hash-shuffle join
+        "ship_window_value",  # bucketed interval join, weighted stab sums
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

@@ -1,0 +1,153 @@
+"""Keyword search scoring over the documents table — BM25 (Robertson
+et al., TREC-3; the Okapi formulation used by Lucene/ES) as a two-pass
+Ray Data pipeline.
+
+Shapes at 100 TB:
+
+- **pass 1 (corpus stats)**: each batch emits ONE partial row
+  (n_docs, total_len, df per query term) — a fixed-width integer
+  vector, reduced with a single `Dataset.sum`. Only O(#blocks) tiny
+  rows ever move; document text never leaves its block.
+- **pass 2 (score)**: the stats (a handful of scalars) ship inside the
+  task closure; per-batch scoring is fully vectorized — one
+  `split_pattern_regex` tokenize, one `index_in` against the query
+  terms, one `bincount` scatter into the (doc × term) tf matrix, one
+  numpy expression for the score. No per-token Python.
+- **top-k**: `sort(score desc, id).limit(k)` — k is user-bounded, so
+  the driver materialization is O(k).
+
+The reference has no search/ranking surface (it is a per-file
+extractor); this belongs to the engine's corpus-analysis family next
+to `stages/textstats.py` and `stages/lm.py`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from pdf_table_extractor_ray.stages.lm import _flat_tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def _tf_matrix(batch: pa.Table, terms: pa.Array, text_col: str):
+    """Vectorized (docs × terms) term-frequency matrix + per-doc token
+    length (whitespace tokens, boundary empties excluded — matches the
+    SQL ``regexp_extract_all(text, '\\S+')`` tokenizer)."""
+    n = batch.num_rows
+    t = len(terms)
+    flat, lens = _flat_tokens(batch.column(text_col))
+    doc_idx = np.repeat(np.arange(n), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    dl = np.bincount(doc_idx, weights=nonempty.astype(np.int64), minlength=n).astype(np.int64)
+    idx = pc.index_in(flat, value_set=terms)
+    if isinstance(idx, pa.ChunkedArray):
+        idx = idx.combine_chunks()
+    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)  # NaN on miss
+    hit = ~np.isnan(idx_np)
+    tf = np.bincount(
+        doc_idx[hit] * t + idx_np[hit].astype(np.int64), minlength=n * t
+    ).reshape(n, t)
+    return tf.astype(np.int64), dl
+
+
+def corpus_stats(
+    ds: "ray.data.Dataset", terms: Sequence[str], text_col: str = "text"
+) -> Dict[str, float]:
+    """One streaming pass → ``{n_docs, total_len, avgdl, df}`` where
+    ``df[i]`` counts documents containing ``terms[i]`` at least once.
+    Every doc counts toward ``n_docs`` (empty ones contribute 0
+    length), mirroring the SQL oracle's denominator."""
+    term_arr = pa.array(list(terms), pa.string())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tf, dl = _tf_matrix(batch, term_arr, text_col)
+        cols = {
+            "n_docs": pa.array([batch.num_rows], pa.int64()),
+            "total_len": pa.array([int(dl.sum())], pa.int64()),
+        }
+        present = (tf > 0).sum(axis=0)
+        for i in range(len(terms)):
+            cols[f"df_{i}"] = pa.array([int(present[i])], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    names = ["n_docs", "total_len"] + [f"df_{i}" for i in range(len(terms))]
+    sums = partials.sum(names)
+    n_docs = int(sums[f"sum({names[0]})"])
+    total_len = int(sums[f"sum({names[1]})"])
+    return {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": total_len / n_docs if n_docs else 0.0,
+        "df": np.array([int(sums[f"sum(df_{i})"]) for i in range(len(terms))], np.int64),
+    }
+
+
+def bm25_scores(
+    ds: "ray.data.Dataset",
+    terms: Sequence[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+    stats: Dict | None = None,
+) -> "ray.data.Dataset":
+    """Per-document BM25 score against ``terms``:
+
+    ``score = Σ_t ln((N − df_t + 0.5)/(df_t + 0.5) + 1) ·
+    tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+
+    (the Lucene variant — the ``+1`` keeps idf non-negative). Term
+    order inside the sum is the ``terms`` order; keep it fixed when an
+    oracle must reproduce the float op-for-op."""
+    st = stats or corpus_stats(ds, terms, text_col)
+    term_arr = pa.array(list(terms), pa.string())
+    n_docs, avgdl, df = st["n_docs"], st["avgdl"], st["df"]
+    idf = np.log((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tf_int, dl = _tf_matrix(batch, term_arr, text_col)
+        tf = tf_int.astype(np.float64)
+        norm = k1 * (1.0 - b + b * (dl / avgdl))  # (docs,)
+        contrib = idf[None, :] * (tf * (k1 + 1.0)) / (tf + norm[:, None])
+        s = np.zeros(len(dl), np.float64)
+        for i in range(len(idf)):  # fixed term order == SQL's explicit sum
+            s += contrib[:, i]
+        return pa.Table.from_arrays(
+            [batch.column(id_col), pa.array(s, pa.float64())], names=[id_col, "score"]
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    terms: Sequence[str],
+    k: int = 10,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = K1,
+    b: float = B,
+) -> pa.Table:
+    """Top-``k`` documents by (score desc, id asc) → ``(id, rank)``.
+    Only ids/ranks are returned (float scores are engine-ulp-sensitive;
+    the ordering is what search consumers need). Driver holds k rows."""
+    scored = bm25_scores(ds, terms, text_col=text_col, id_col=id_col, k1=k1, b=b)
+    rows = scored.sort(["score", id_col], descending=[True, False]).limit(k).take_all()
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[id_col] for r in rows], pa.int64()),
+            pa.array(np.arange(1, len(rows) + 1), pa.int64()),
+        ],
+        names=[id_col, "rank"],
+    )

@@ -132,3 +132,170 @@ def hll_count_distinct(
         merged = np.maximum(merged, np.frombuffer(r["regs"], np.uint8))
     est = int(round(hll_estimate(merged)))
     return ray.data.from_items([{"approx_distinct": est}])
+
+
+def heavy_hitters(
+    ds: "ray.data.Dataset", col: str, k: int = 10, m: int = 256
+) -> "ray.data.Dataset":
+    """Approximate top-``k`` frequent items (mergeable per-block
+    summaries, Misra-Gries/Space-Saving merge theorem — Agarwal et al.
+    PODS'12): each block keeps its EXACT top-``m`` item counts plus a
+    residual threshold ``bt`` (the largest dropped count; 0 when the
+    block has ≤ m distinct items). Merging sums per-item counts; an
+    item absent from a block can hide at most ``bt`` occurrences
+    there, so
+
+        true_count ∈ [est, est + (T_total − Σ bt over blocks where
+        present)] = [est, est + err]
+
+    Only (item, n, bt) rows for m items per block ever shuffle; the
+    driver sees k rows and one scalar. With uniform blocks the error
+    is ≤ N/m per item — tighten by raising ``m``, not by moving data.
+
+    Output: (item, est, err) sorted by (est desc, item asc), where
+    ``err`` is the per-item worst-case undercount.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = batch.column(col)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        vc = c.drop_null().value_counts()
+        items = vc.field("values")
+        counts = pc.cast(vc.field("counts"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(-counts, kind="stable")
+        top = order[:m]
+        bt = int(counts[order[m]]) if len(order) > m else 0
+        take = pa.array(top, pa.int64())
+        # one extra null-item row per block carries bt so T_total can be
+        # summed without a second pass over the data
+        return pa.concat_tables(
+            [
+                pa.table(
+                    {
+                        "item": pc.cast(items.take(take), pa.string()),
+                        "n": pa.array(counts[top], pa.int64()),
+                        "bt": pa.array(np.full(len(top), bt, np.int64)),
+                    }
+                ),
+                pa.table(
+                    {
+                        "item": pa.array([None], pa.string()),
+                        "n": pa.array([0], pa.int64()),
+                        "bt": pa.array([bt], pa.int64()),
+                    }
+                ),
+            ]
+        )
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers: T_total scalar + item groupby
+
+    def thresh_rows(b: pa.Table) -> pa.Table:
+        mask = pc.is_null(b.column("item"))
+        return pa.table({"bt": b.filter(mask).column("bt")})
+
+    t_row = partials.map_batches(thresh_rows, batch_format="pyarrow").sum("bt")
+    t_total = int(t_row) if t_row is not None else 0
+
+    def item_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("item")))
+
+    agg = (
+        partials.map_batches(item_rows, batch_format="pyarrow")
+        .groupby("item")
+        .aggregate(Sum("n"), Sum("bt"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        est = b.column("sum(n)")
+        present = b.column("sum(bt)").to_numpy(zero_copy_only=False)
+        err = np.maximum(t_total - present, 0)
+        return pa.table(
+            {
+                "item": b.column("item"),
+                "est": pc.cast(est, pa.int64()),
+                "err": pa.array(err.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return out.sort(["est", "item"], descending=[True, False]).limit(k)
+
+
+def approx_quantiles(
+    ds: "ray.data.Dataset",
+    col: str,
+    qs,
+    bins: int = 4096,
+) -> "pa.Table":
+    """Deterministic approximate quantiles via a two-pass fixed-width
+    histogram: pass 1 = Min/Max aggregate; pass 2 = per-batch
+    ``np.histogram`` partials shuffled as slim (bin, cnt) rows and
+    merged by one groupby-sum. The driver sees ≤ ``bins`` rows.
+
+    Value error ≤ one bin width = (max−min)/bins — exact for any
+    distribution (no sampling variance), merge-order-invariant, and
+    unchanged by cluster size. Quantile indexing matches the engine's
+    exact-quantile convention (``ceil(q·n)−1``, quantile_disc): the
+    returned value is the upper edge of the bin holding that index
+    (lower edge for q=0).
+
+    Output columns: (q, lo, hi) — the bin bounds bracketing the exact
+    quantile value.
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    mm = ds.aggregate(Min(col), Max(col))
+    mn, mx = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    if mx <= mn:
+        return pa.table(
+            {
+                "q": pa.array([float(q) for q in qs], pa.float64()),
+                "lo": pa.array([mn] * len(qs), pa.float64()),
+                "hi": pa.array([mx] * len(qs), pa.float64()),
+            }
+        )
+    edges = np.linspace(mn, mx, bins + 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.drop_null().to_numpy(zero_copy_only=False).astype(np.float64)
+        cnt, _ = np.histogram(x, bins=edges)
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bin": pa.array(nz.astype(np.int64), pa.int64()),
+                "cnt": pa.array(cnt[nz].astype(np.int64), pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("cnt"))
+        .take_all()
+    )
+    counts = np.zeros(bins, np.int64)
+    for r in hist:
+        counts[r["bin"]] = r["sum(cnt)"]
+    n = int(counts.sum())
+    cum = np.cumsum(counts)
+    q_arr, lo_arr, hi_arr = [], [], []
+    for q in qs:
+        idx = max(int(np.ceil(q * n)) - 1, 0)  # ceil(q·n)−1, clamped
+        b = int(np.searchsorted(cum, idx + 1, "left"))
+        q_arr.append(float(q))
+        lo_arr.append(float(edges[b]))
+        hi_arr.append(float(edges[b + 1]))
+    return pa.table(
+        {
+            "q": pa.array(q_arr, pa.float64()),
+            "lo": pa.array(lo_arr, pa.float64()),
+            "hi": pa.array(hi_arr, pa.float64()),
+        }
+    )

@@ -524,6 +524,97 @@ def test_hll_accuracy_and_determinism(ray_session):
         assert est2 == est
 
 
+def test_heavy_hitters_bounds_and_recall(ray_session):
+    """Mergeable top-m heavy-hitter sketch on a zipf stream with far
+    more distinct items than the per-block budget: every reported
+    estimate is a lower bound, est+err an upper bound, and the true
+    top-k items are all recovered."""
+    from collections import Counter
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import heavy_hitters
+
+    rng = np.random.default_rng(11)
+    vals = rng.zipf(1.3, 20_000)
+    vals = vals[vals < 5_000]  # ~thousands of distinct items
+    truth = Counter(int(v) for v in vals)
+    ds = ray.data.from_arrow(
+        pa.table({"item": pa.array([str(v) for v in vals], pa.string())})
+    ).repartition(8)
+    out = heavy_hitters(ds, "item", k=10, m=64).take_all()
+    assert len(out) == 10
+    for r in out:
+        true_n = truth[int(r["item"])]
+        assert r["est"] <= true_n <= r["est"] + r["err"], r
+    # true top-10 all surface (zipf head is far above the error bound)
+    true_top = {str(v) for v, _ in truth.most_common(10)}
+    assert {r["item"] for r in out} == true_top
+    # layout-invariance of the exact-per-block path: one block → exact
+    exact = heavy_hitters(ds.repartition(1), "item", k=10, m=10_000).take_all()
+    for r in exact:
+        assert r["est"] == truth[int(r["item"])] and r["err"] == 0
+
+
+def test_approx_quantiles_bracket_exact(ray_session):
+    """Histogram-sketch quantiles bracket the exact ceil(q·n)−1
+    order statistic, and the bracket is one bin wide."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import approx_quantiles
+
+    rng = np.random.default_rng(5)
+    x = np.concatenate([rng.lognormal(3, 1, 30_000), rng.uniform(0, 5, 1000)])
+    ds = ray.data.from_arrow(pa.table({"v": x})).repartition(6)
+    qs = (0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+    out = approx_quantiles(ds, "v", qs, bins=2048).to_pylist()
+    xs = np.sort(x)
+    width = (xs[-1] - xs[0]) / 2048
+    for r in out:
+        idx = max(int(np.ceil(r["q"] * len(xs))) - 1, 0)
+        exact = xs[idx]
+        assert r["lo"] - 1e-9 <= exact <= r["hi"] + 1e-9, (r, exact)
+        assert r["hi"] - r["lo"] <= width * 1.0001
+
+
+def test_bm25_matches_straightline(ray_session):
+    """Distributed two-pass BM25 == single-process reference formula
+    (same float op order), and the ranking surfaces the obvious hit."""
+    import math
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.search import bm25_scores, bm25_topk
+
+    docs = [
+        {"doc_id": 1, "text": "cat dog cat"},
+        {"doc_id": 2, "text": "dog dog dog dog"},
+        {"doc_id": 3, "text": "fish"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": "cat cat cat cat cat"},
+    ]
+    terms = ["cat", "dog"]
+    ds = ray.data.from_items(docs).repartition(3)
+    got = {r["doc_id"]: r["score"] for r in bm25_scores(ds, terms).take_all()}
+
+    toks = {d["doc_id"]: d["text"].split() for d in docs}
+    n = len(docs)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    df = [sum(1 for t in toks.values() if w in t) for w in terms]
+    for d in docs:
+        dl = len(toks[d["doc_id"]])
+        want = 0.0
+        for i, w in enumerate(terms):
+            tf = float(toks[d["doc_id"]].count(w))
+            idf = math.log((n - df[i] + 0.5) / (df[i] + 0.5) + 1.0)
+            want += idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * (dl / avgdl)))
+        assert got[d["doc_id"]] == want, (d["doc_id"], got[d["doc_id"]], want)
+
+    top = bm25_topk(ds, ["cat"], k=2).to_pylist()
+    assert [r["doc_id"] for r in top] == [5, 1]
+    assert [r["rank"] for r in top] == [1, 2]
+
+
 def test_unigram_lm_perplexity_matches_straightline(ray_session):
     """Distributed LM train+score == single-process reference (exact:
     same float ops in both paths)."""
