@@ -1216,6 +1216,93 @@ def _q_order_price_quantiles_approx(sf_dir: str):
     )
 
 
+def _day_col(ds, src: str):
+    return ds.map_batches(
+        lambda b: pa.table({"day": b.column(src)}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _q_active_ship_days(sf_dir: str):
+    """Distinct set INTERSECT (days with both an order placed and a
+    shipment): slim tagged union + one groupby — never a join."""
+    from pdf_table_extractor_ray.stages.setops import distinct_intersect
+
+    ship = _day_col(_read(sf_dir, "lineitem", ["l_shipdate"]), "l_shipdate")
+    order = _day_col(_read(sf_dir, "orders", ["o_orderdate"]), "o_orderdate")
+    return distinct_intersect(ship, order, ["day"])
+
+
+def _q_quiet_ship_days(sf_dir: str):
+    """Distinct set EXCEPT: ship days on which no order was placed."""
+    from pdf_table_extractor_ray.stages.setops import distinct_except
+
+    ship = _day_col(_read(sf_dir, "lineitem", ["l_shipdate"]), "l_shipdate")
+    order = _day_col(_read(sf_dir, "orders", ["o_orderdate"]), "o_orderdate")
+    return distinct_except(ship, order, ["day"])
+
+
+def _q_revenue_rollup(sf_dir: str):
+    """GROUP BY ROLLUP(region, nation): the Q5-flavor join pre-reduces
+    to integer cents at the finest level once; region subtotals and the
+    grand total re-aggregate that materialized base (no second corpus
+    pass). Null level columns mark rolled-up rows, as in SQL."""
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+    from pdf_table_extractor_ray.stages.setops import rollup_sum
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name", "n_regionkey"])
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+
+    j = broadcast_join(li, orders, key="l_orderkey", build_key="o_orderkey")
+    j = broadcast_join(j, cust, key="o_custkey", build_key="c_custkey")
+    j = broadcast_join(j, nation, key="c_nationkey", build_key="n_nationkey")
+    j = broadcast_join(j, region, key="n_regionkey", build_key="r_regionkey")
+
+    def cents(b: pa.Table) -> pa.Table:
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        c = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        return pa.table(
+            {"r_name": b.column("r_name"), "n_name": b.column("n_name"), "cents": c}
+        )
+
+    rolled = rollup_sum(
+        j.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["r_name", "n_name"],
+        "cents",
+    )
+    return rolled.map_batches(
+        lambda b: pa.table(
+            {
+                "r_name": b.column("r_name"),
+                "n_name": b.column("n_name"),
+                "revenue": pc.divide(pc.cast(b.column("cents"), pa.float64()), 100.0),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_stratified_doc_sample(sf_dir: str):
+    """Per-stratum deterministic rate sampling (the web-pipeline
+    downsample-by-language step): keep rate depends on ``lang`` via
+    md5(text) hex-prefix buckets — reproducible across runs, cluster
+    sizes and row orders, no window function needed."""
+    from pdf_table_extractor_ray.stages.dedup import stratified_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return stratified_sample(
+        docs,
+        stratum_col="lang",
+        rates={"en": ("0", "1"), "pt": ("0", "1", "2", "3", "4", "5", "6", "7")},
+        default=("0", "1", "2", "3"),
+    ).select_columns(["doc_id", "lang"])
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -1341,6 +1428,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": _q_top_tokens,
         "frequent_users_sketch": _q_frequent_users_sketch,
         "order_price_quantiles_approx": _q_order_price_quantiles_approx,
+        "active_ship_days": _q_active_ship_days,
+        "quiet_ship_days": _q_quiet_ship_days,
+        "revenue_rollup": _q_revenue_rollup,
+        "stratified_doc_sample": _q_stratified_doc_sample,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
@@ -1633,6 +1724,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM ("
             "  SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents) "
             "GROUP BY t ORDER BY n DESC, t LIMIT 50"
+        ),
+        "active_ship_days": (
+            "SELECT DISTINCT l_shipdate AS day FROM lineitem "
+            "INTERSECT SELECT DISTINCT o_orderdate AS day FROM orders"
+        ),
+        "quiet_ship_days": (
+            "SELECT DISTINCT l_shipdate AS day FROM lineitem "
+            "EXCEPT SELECT DISTINCT o_orderdate AS day FROM orders"
+        ),
+        "revenue_rollup": (
+            "WITH j AS (SELECT r.r_name, n.n_name, "
+            "  CAST(floor(l.l_extendedprice*(1-l.l_discount)*100) AS BIGINT) AS cents "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey) "
+            "SELECT r_name, n_name, CAST(sum(cents) AS BIGINT)/100.0 AS revenue "
+            "FROM j GROUP BY ROLLUP(r_name, n_name)"
+        ),
+        "stratified_doc_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "(lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1')) OR "
+            "(lang = 'pt' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR "
+            "(lang NOT IN ('en','pt') AND substr(md5(text), 1, 1) IN ('0','1','2','3'))"
         ),
         # sketch is exact on this corpus (per-block distinct ≤ m ⇒ bt=0)
         "frequent_users_sketch": (

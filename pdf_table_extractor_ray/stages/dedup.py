@@ -57,6 +57,44 @@ def sample_by_content_hash(
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(
+    ds: "ray.data.Dataset",
+    stratum_col: str,
+    rates: dict,
+    default: tuple = ("0", "1", "2", "3"),
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Per-stratum deterministic rate sampling: rows in stratum ``s``
+    keep iff md5(text)'s first hex char ∈ ``rates[s]`` (strata absent
+    from ``rates`` use ``default``) — i.e. each stratum keeps
+    len(chars)/16 of its rows. The standard downsample-by-language /
+    rebalance-by-source step of a web pipeline, with the same
+    stability guarantees as ``sample_by_content_hash`` (run-, order-
+    and cluster-size-invariant; duplicates land together). Vectorized:
+    one md5 pass + one Arrow mask per *stratum* (not per row)."""
+    known = pa.array(list(rates.keys()), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        b = add_md5_batch(batch, text_col)
+        first = pc.utf8_slice_codeunits(b.column("content_md5"), 0, 1)
+        stratum = batch.column(stratum_col)
+        keep = pc.and_(
+            pc.invert(pc.is_in(stratum, value_set=known)),
+            pc.is_in(first, value_set=pa.array(list(default), pa.string())),
+        )
+        for s, chars in rates.items():
+            keep = pc.or_(
+                keep,
+                pc.and_(
+                    pc.equal(stratum, s),
+                    pc.is_in(first, value_set=pa.array(list(chars), pa.string())),
+                ),
+            )
+        return batch.filter(keep)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     """Keeper doc_ids after exact text dedup: min(doc_id) per content
     hash. Hash computed batch-side; only (hash, doc_id) shuffles."""

@@ -1,0 +1,173 @@
+"""Distinct set operations (INTERSECT / EXCEPT) and ROLLUP
+aggregation — the relational set surface the reference lacks
+(SURVEY.md §2.6 "absent in the reference" list), expressed as single
+keyed shuffles.
+
+Set ops: tag each side with presence indicators, union the slim
+(key-columns + two int8 flags) projections, and resolve membership
+with ONE ``groupby(keys).aggregate(Max(in_a), Max(in_b))`` — the same
+shuffle cost as a distinct, never a join. NULL keys compare equal
+(one null group), matching SQL set-operation semantics (IS NOT
+DISTINCT FROM), unlike join ON clauses.
+
+Rollup: pre-reduce to the finest (level₁…levelₙ, measure-sum) table
+ONCE (the only corpus-sized shuffle), materialize that small base,
+then derive every coarser level by re-aggregating the base —
+O(|distinct key combos|) work per level, not another corpus pass.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Max, Sum
+
+
+def _fill_value(t: pa.DataType):
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return pa.scalar("", t)
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return pa.scalar(b"", t)
+    if pa.types.is_boolean(t):
+        return pa.scalar(False, t)
+    return pa.scalar(0, t)  # ints / floats / timestamps (epoch)
+
+
+def _tagged(
+    ds: "ray.data.Dataset", cols: Sequence[str], a: int, b: int, types: dict
+) -> "ray.data.Dataset":
+    """Project to (null-encoded keys, presence flags). Keys are cast
+    to the dataset-unified type (an all-null block types as `null`),
+    then nulls are encoded as (valid-flag=0, type-default fill) so the
+    groupby shuffle never sorts raw nulls (Ray's sort chokes on
+    None-vs-value blocks) and so NULL = NULL, per SQL set-op
+    semantics."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = {}
+        for c in cols:
+            col = pc.cast(batch.column(c), types[c])
+            out[f"_nn_{c}"] = pc.cast(pc.is_valid(col), pa.int8())
+            out[c] = pc.fill_null(col, _fill_value(col.type))
+        out["_in_a"] = pa.array(np.full(n, a, np.int8))
+        out["_in_b"] = pa.array(np.full(n, b, np.int8))
+        return pa.table(out)
+
+    return ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _membership(
+    a: "ray.data.Dataset", b: "ray.data.Dataset", cols: Sequence[str], types: dict
+) -> "ray.data.Dataset":
+    both = _tagged(a, cols, 1, 0, types).union(_tagged(b, cols, 0, 1, types))
+    keys = [f"_nn_{c}" for c in cols] + list(cols)
+    return both.groupby(keys).aggregate(Max("_in_a"), Max("_in_b"))
+
+
+def _keep(
+    mem: "ray.data.Dataset",
+    cols: Sequence[str],
+    need_a: int,
+    need_b: int,
+    types: dict,
+):
+    def f(batch: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.equal(batch.column("max(_in_a)"), need_a),
+            pc.equal(batch.column("max(_in_b)"), need_b),
+        )
+        kept = batch.filter(m)
+        arrays = []
+        for c in cols:
+            col = kept.column(c)
+            # decode nulls, then restore input types (the groupby
+            # shuffle may coarsen temporal units, timestamp[us] → [s])
+            col = pc.if_else(
+                pc.equal(kept.column(f"_nn_{c}"), 0), pa.scalar(None, col.type), col
+            )
+            if col.type != types[c]:
+                col = pc.cast(col, types[c])
+            arrays.append(col)
+        return pa.Table.from_arrays(arrays, names=list(cols))
+
+    return mem.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _col_types(ds: "ray.data.Dataset", cols: Sequence[str]) -> dict:
+    sch = ds.schema().base_schema
+    return {c: sch.field(c).type for c in cols}
+
+
+def distinct_intersect(
+    a: "ray.data.Dataset", b: "ray.data.Dataset", cols: Sequence[str]
+) -> "ray.data.Dataset":
+    """SQL ``SELECT DISTINCT cols FROM a INTERSECT SELECT ... FROM b``."""
+    types = _col_types(a, cols)
+    return _keep(_membership(a, b, cols, types), cols, 1, 1, types)
+
+
+def distinct_except(
+    a: "ray.data.Dataset", b: "ray.data.Dataset", cols: Sequence[str]
+) -> "ray.data.Dataset":
+    """SQL ``SELECT DISTINCT cols FROM a EXCEPT SELECT ... FROM b``."""
+    types = _col_types(a, cols)
+    return _keep(_membership(a, b, cols, types), cols, 1, 0, types)
+
+
+def rollup_sum(
+    ds: "ray.data.Dataset", levels: Sequence[str], measure: str
+) -> "ray.data.Dataset":
+    """``GROUP BY ROLLUP(levels)`` over an int64 ``measure``: one
+    corpus shuffle for the finest level, then cheap re-aggregations of
+    the materialized base for each coarser prefix (incl. the grand
+    total). Coarser rows carry nulls in the rolled-up level columns.
+    Output: (*levels, measure) with measure = the int64 sum."""
+    levels = list(levels)
+    agg = ds.groupby(levels).aggregate(Sum(measure)).materialize()
+    raw = agg.schema().base_schema
+    base_schema = pa.schema(
+        [raw.field(c) for c in levels] + [pa.field(measure, pa.int64())]
+    )
+
+    def _std(b: pa.Table, present: List[str]) -> pa.Table:
+        cols = []
+        for f in base_schema:
+            if f.name in present:
+                c = b.column(f.name)
+                cols.append(pc.cast(c, f.type) if c.type != f.type else c)
+            elif f.name == measure:
+                cols.append(pc.cast(b.column(f"sum({measure})"), pa.int64()))
+            else:
+                cols.append(pa.nulls(b.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=base_schema)
+
+    # the one corpus-sized shuffle; everything coarser derives from it
+    base = agg.map_batches(
+        lambda b: _std(b, levels), batch_format="pyarrow"
+    ).materialize()
+    parts = [base]
+    for i in range(len(levels) - 1, 0, -1):
+        prefix = levels[:i]
+        sub = base.groupby(prefix).aggregate(Sum(measure))
+        parts.append(
+            sub.map_batches(
+                lambda b, p=tuple(prefix): _std(b, list(p)), batch_format="pyarrow"
+            )
+        )
+    total = base.sum(measure)
+    total_tbl = pa.Table.from_arrays(
+        [pa.nulls(1, base_schema.field(c).type) for c in levels]
+        + [pa.array([int(total or 0)], pa.int64())],
+        schema=base_schema,
+    )
+    parts.append(ray.data.from_arrow(total_tbl))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out

@@ -1,0 +1,113 @@
+"""Distinct set operations, ROLLUP aggregation, stratified sampling."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def two_sets(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 50, 200)  # with duplicates
+    b = rng.integers(25, 75, 200)
+    ds_a = ray.data.from_arrow(pa.table({"k": a, "tag": a % 3})).repartition(4)
+    ds_b = ray.data.from_arrow(pa.table({"k": b, "tag": b % 3})).repartition(3)
+    return a, b, ds_a, ds_b
+
+
+def test_distinct_intersect_and_except(two_sets):
+    from pdf_table_extractor_ray.stages.setops import distinct_except, distinct_intersect
+
+    a, b, ds_a, ds_b = two_sets
+    sa = {(int(k), int(k % 3)) for k in a}
+    sb = {(int(k), int(k % 3)) for k in b}
+    got_i = {
+        (r["k"], r["tag"]) for r in distinct_intersect(ds_a, ds_b, ["k", "tag"]).take_all()
+    }
+    assert got_i == sa & sb
+    got_e = {
+        (r["k"], r["tag"]) for r in distinct_except(ds_a, ds_b, ["k", "tag"]).take_all()
+    }
+    assert got_e == sa - sb
+
+
+def test_set_ops_null_keys_match_sql_semantics(ray_session):
+    """NULL keys compare equal in SQL set operations (unlike joins):
+    a null row present on both sides survives INTERSECT once."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.setops import distinct_except, distinct_intersect
+
+    ds_a = ray.data.from_items([{"k": 1}, {"k": None}, {"k": None}, {"k": 2}])
+    ds_b = ray.data.from_items([{"k": None}, {"k": 2}])
+    got = sorted(
+        (r["k"] for r in distinct_intersect(ds_a, ds_b, ["k"]).take_all()),
+        key=lambda v: (v is None, v),
+    )
+    assert got == [2, None]
+    got_e = [r["k"] for r in distinct_except(ds_a, ds_b, ["k"]).take_all()]
+    assert got_e == [1]
+
+
+def test_rollup_sum(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.setops import rollup_sum
+
+    rows = [
+        {"r": "EU", "n": "FR", "v": 10},
+        {"r": "EU", "n": "FR", "v": 5},
+        {"r": "EU", "n": "DE", "v": 7},
+        {"r": "AM", "n": "BR", "v": 2},
+    ]
+    out = rollup_sum(ray.data.from_items(rows).repartition(3), ["r", "n"], "v").take_all()
+    got = {(r["r"], r["n"]): r["v"] for r in out}
+    assert got == {
+        ("EU", "FR"): 15,
+        ("EU", "DE"): 7,
+        ("AM", "BR"): 2,
+        ("EU", None): 22,
+        ("AM", None): 2,
+        (None, None): 24,
+    }
+
+
+def test_stratified_sample_rates_and_determinism(ray_session):
+    """Per-stratum keep sets match the md5-prefix rule exactly and are
+    layout-invariant."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import stratified_sample
+
+    rng = np.random.default_rng(9)
+    langs = ["en", "pt", "es"]
+    rows = [
+        {"doc_id": i, "lang": langs[int(rng.integers(0, 3))], "text": f"doc body {i}"}
+        for i in range(600)
+    ]
+    rates = {"en": ("0", "1"), "pt": ("0", "1", "2", "3", "4", "5", "6", "7")}
+    default = ("0", "1", "2", "3")
+    want = {
+        r["doc_id"]
+        for r in rows
+        if hashlib.md5(r["text"].encode()).hexdigest()[0]
+        in rates.get(r["lang"], default)
+    }
+    ds = ray.data.from_items(rows).repartition(5)
+    got = {r["doc_id"] for r in stratified_sample(ds, "lang", rates, default).take_all()}
+    assert got == want
+    got2 = {r["doc_id"] for r in stratified_sample(ds.repartition(2), "lang", rates, default).take_all()}
+    assert got2 == want
+    # rates actually differ per stratum: pt keeps ~8/16, en ~2/16
+    kept_by_lang = {}
+    for r in rows:
+        if r["doc_id"] in want:
+            kept_by_lang[r["lang"]] = kept_by_lang.get(r["lang"], 0) + 1
+    n_by_lang = {}
+    for r in rows:
+        n_by_lang[r["lang"]] = n_by_lang.get(r["lang"], 0) + 1
+    assert kept_by_lang["pt"] / n_by_lang["pt"] > kept_by_lang["en"] / n_by_lang["en"]
