@@ -1303,6 +1303,53 @@ def _q_stratified_doc_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_chunk_dedup_docs(sf_dir: str):
+    """Corpus-wide exact chunk (paragraph-analog) dedup with per-doc
+    reassembly — CCNet-style: keep the first (doc_id, chunk_idx)
+    occurrence of each distinct 10-token chunk, rebuild each doc from
+    its surviving chunks. Two partition-level shuffles, vectorized
+    bucket kernels (stages/chunks.py)."""
+    from pdf_table_extractor_ray.stages.chunks import chunk_dedup
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return chunk_dedup(docs)
+
+
+def _q_gopher_quality(sf_dir: str):
+    """Gopher-style per-doc repetition stats (dup-word fraction,
+    top-word char fraction, dup-bigram fraction) — map-only,
+    bit-exact float fractions vs the SQL oracle."""
+    from pdf_table_extractor_ray.stages.chunks import gopher_stats_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs.map_batches(gopher_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_contamination_screen(sf_dir: str):
+    """Benchmark-decontamination screen: per-doc count of 10-token
+    chunks that appear in the 'benchmark' subset (docs with
+    doc_id % 41 == 0 stand in for a held-out eval suite). The
+    benchmark chunk set is bounded by contract and broadcast once
+    (ray.put); the probe is one vectorized is_in per batch."""
+    import ray
+
+    from pdf_table_extractor_ray.stages.chunks import benchmark_chunk_set, contamination_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_bench(batch):  # vectorized predicate, no per-row filter fn
+        doc = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(doc % 41 == 0))
+
+    bench = benchmark_chunk_set(docs.map_batches(is_bench, batch_format="pyarrow", zero_copy_batch=True))
+    handle = ray.put(bench)
+
+    def probe(batch):
+        return contamination_batch(batch, ray.get(handle))
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -1432,6 +1479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_ship_days": _q_quiet_ship_days,
         "revenue_rollup": _q_revenue_rollup,
         "stratified_doc_sample": _q_stratified_doc_sample,
+        "chunk_dedup_docs": _q_chunk_dedup_docs,
+        "gopher_quality": _q_gopher_quality,
+        "contamination_screen": _q_contamination_screen,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
@@ -1748,6 +1798,56 @@ def oracle_sql() -> dict[str, str]:
             "(lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1')) OR "
             "(lang = 'pt' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR "
             "(lang NOT IN ('en','pt') AND substr(md5(text), 1, 1) IN ('0','1','2','3'))"
+        ),
+        # shared chunking CTE: non-overlapping 10-token chunks, tail
+        # (<10 tokens) dropped — mirrors stages/chunks.py chunk_batch
+        "chunk_dedup_docs": (
+            "WITH tok AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS w, "
+            "  unnest(range(len(regexp_extract_all(text, '\\S+')))) AS i FROM documents), "
+            "chunks AS (SELECT doc_id, i // 10 AS chunk_idx, "
+            "  string_agg(w, ' ' ORDER BY i) AS chunk "
+            "  FROM tok GROUP BY doc_id, i // 10 HAVING count(*) = 10), "
+            "kept AS (SELECT doc_id, chunk_idx, chunk, "
+            "  row_number() OVER (PARTITION BY chunk ORDER BY doc_id, chunk_idx) AS rn "
+            "  FROM chunks) "
+            "SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup, "
+            "  CAST(count(*) AS BIGINT) AS n_kept "
+            "FROM kept WHERE rn = 1 GROUP BY doc_id"
+        ),
+        "gopher_quality": (
+            "WITH tok AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS w, "
+            "  unnest(range(len(regexp_extract_all(text, '\\S+')))) AS i FROM documents), "
+            "wc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w), "
+            "tops AS (SELECT doc_id, c AS top_c, len(w) AS top_len, "
+            "  row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, w) AS rn FROM wc), "
+            "stats AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+            "  CAST(count(*) AS BIGINT) AS n_distinct_words, "
+            "  CAST(sum(c * len(w)) AS BIGINT) AS total_chars FROM wc GROUP BY doc_id), "
+            "big AS (SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS bg "
+            "  FROM tok QUALIFY bg IS NOT NULL), "
+            "bstats AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bi, "
+            "  CAST(count(DISTINCT bg) AS BIGINT) AS nd_bi FROM big GROUP BY doc_id) "
+            "SELECT s.doc_id, s.n_words, s.n_distinct_words, "
+            "  CAST(s.n_words - s.n_distinct_words AS DOUBLE)/CAST(s.n_words AS DOUBLE) AS dup_word_frac, "
+            "  CAST(t.top_c * t.top_len AS DOUBLE)/CAST(s.total_chars AS DOUBLE) AS top_word_char_frac, "
+            "  CASE WHEN coalesce(b.n_bi, 0) = 0 THEN 0.0 "
+            "       ELSE CAST(b.n_bi - b.nd_bi AS DOUBLE)/CAST(b.n_bi AS DOUBLE) END AS dup_bigram_frac "
+            "FROM stats s JOIN tops t ON s.doc_id = t.doc_id AND t.rn = 1 "
+            "LEFT JOIN bstats b ON s.doc_id = b.doc_id"
+        ),
+        "contamination_screen": (
+            "WITH tok AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS w, "
+            "  unnest(range(len(regexp_extract_all(text, '\\S+')))) AS i FROM documents), "
+            "chunks AS (SELECT doc_id, i // 10 AS chunk_idx, "
+            "  string_agg(w, ' ' ORDER BY i) AS chunk "
+            "  FROM tok GROUP BY doc_id, i // 10 HAVING count(*) = 10), "
+            "bench AS (SELECT DISTINCT chunk FROM chunks WHERE doc_id % 41 = 0) "
+            "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "  CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated "
+            "FROM chunks c LEFT JOIN bench b USING (chunk) GROUP BY c.doc_id"
         ),
         # sketch is exact on this corpus (per-block distinct ≤ m ⇒ bt=0)
         "frequent_users_sketch": (

@@ -1,0 +1,154 @@
+"""Chunk-level corpus ops: chunker, corpus chunk-dedup, Gopher
+repetition stats, benchmark-contamination screen (stages/chunks.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from pdf_table_extractor_ray.stages.chunks import (
+    CHUNK_W,
+    benchmark_chunk_set,
+    chunk_batch,
+    chunk_dedup,
+    contamination_batch,
+    gopher_stats_batch,
+)
+
+
+def _brute_chunks(text: str, width: int = CHUNK_W):
+    words = text.split()
+    return [
+        " ".join(words[k * width : (k + 1) * width]) for k in range(len(words) // width)
+    ]
+
+
+WORDS = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu nu xi".split()
+
+
+def _mk_text(rng, n_words):
+    return " ".join(rng.choice(WORDS) for _ in range(n_words))
+
+
+class TestChunker:
+    def test_matches_brute_force(self):
+        rng = np.random.default_rng(11)
+        texts = [_mk_text(rng, n) for n in (0, 3, 10, 17, 25, 40)]
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+        got = chunk_batch(batch).to_pydict()
+        want = []
+        for d, t in enumerate(texts):
+            for k, ch in enumerate(_brute_chunks(t)):
+                want.append((d, k, ch))
+        assert list(zip(got["doc_id"], got["chunk_idx"], got["chunk"])) == want
+
+    def test_whitespace_and_null_robust(self):
+        batch = pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    ["  a b\tc d e f g h i j  ", None, "one two"], pa.string()
+                ),
+            }
+        )
+        got = chunk_batch(batch)
+        assert got.num_rows == 1
+        assert got.column("chunk")[0].as_py() == "a b c d e f g h i j"
+
+    def test_custom_width(self):
+        batch = pa.table({"doc_id": pa.array([7], pa.int64()), "text": ["a b c d e"]})
+        got = chunk_batch(batch, width=2)
+        assert got.column("chunk").to_pylist() == ["a b", "c d"]
+
+
+class TestChunkDedup:
+    def test_corpus_dedup_matches_brute_force(self, ray_session):
+        import ray.data
+
+        rng = np.random.default_rng(5)
+        texts = [_mk_text(rng, int(n)) for n in rng.integers(8, 60, 40)]
+        # plant cross-doc duplicate chunks: doc i repeats doc 0's first chunk
+        base = _brute_chunks(texts[0])[0]
+        for i in (3, 9, 21):
+            texts[i] = base + " " + texts[i]
+        batch = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts})
+        ds = ray.data.from_arrow(batch).repartition(5)
+        got = {r["doc_id"]: (r["text_dedup"], r["n_kept"]) for r in chunk_dedup(ds, num_buckets=7).take_all()}
+
+        seen, want = set(), {}
+        for d, t in enumerate(texts):
+            kept = []
+            for ch in _brute_chunks(t):
+                if ch not in seen:
+                    seen.add(ch)
+                    kept.append(ch)
+            if kept:
+                want[d] = (" ".join(kept), len(kept))
+        assert got == want
+
+    def test_within_doc_duplicates_collapse(self, ray_session):
+        import ray.data
+
+        ch = " ".join(f"w{i}" for i in range(CHUNK_W))
+        ds = ray.data.from_arrow(
+            pa.table({"doc_id": pa.array([4], pa.int64()), "text": [ch + " " + ch]})
+        )
+        out = chunk_dedup(ds).take_all()
+        assert out == [{"doc_id": 4, "text_dedup": ch, "n_kept": 1}]
+
+
+class TestGopherStats:
+    def test_brute_force_parity(self):
+        rng = np.random.default_rng(17)
+        texts = [_mk_text(rng, int(n)) for n in rng.integers(1, 80, 50)]
+        texts += ["solo", "rep rep rep rep", "tie tie ab ab"]  # tie → smaller word wins
+        batch = pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+        got = gopher_stats_batch(batch).to_pydict()
+        for row in range(len(got["doc_id"])):
+            d = got["doc_id"][row]
+            words = texts[d].split()
+            n = len(words)
+            distinct = sorted(set(words))
+            counts = {w: words.count(w) for w in distinct}
+            # tie-break: max count, then lexicographically smallest
+            best = max(counts.values())
+            top_w = min(w for w in distinct if counts[w] == best)
+            bigrams = [(a, b) for a, b in zip(words, words[1:])]
+            assert got["n_words"][row] == n
+            assert got["n_distinct_words"][row] == len(distinct)
+            assert got["dup_word_frac"][row] == pytest.approx((n - len(distinct)) / n, abs=0)
+            total_chars = sum(len(w) for w in words)
+            assert got["top_word_char_frac"][row] == pytest.approx(
+                counts[top_w] * len(top_w) / total_chars, abs=0
+            )
+            nb = len(bigrams)
+            want_bi = 0.0 if nb == 0 else (nb - len(set(bigrams))) / nb
+            assert got["dup_bigram_frac"][row] == pytest.approx(want_bi, abs=0)
+
+    def test_empty_docs_absent(self):
+        batch = pa.table(
+            {"doc_id": pa.array([0, 1], pa.int64()), "text": pa.array(["", "a b"], pa.string())}
+        )
+        got = gopher_stats_batch(batch)
+        assert got.column("doc_id").to_pylist() == [1]
+
+
+class TestContamination:
+    def test_planted_overlap(self, ray_session):
+        import ray.data
+
+        bench_chunk = " ".join(f"b{i}" for i in range(CHUNK_W))
+        clean = " ".join(f"c{i}" for i in range(CHUNK_W))
+        texts = [bench_chunk, bench_chunk + " " + clean, clean, "tiny"]
+        bench = benchmark_chunk_set(
+            ray.data.from_arrow(
+                pa.table({"doc_id": pa.array([0], pa.int64()), "text": [bench_chunk]})
+            )
+        )
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_contaminated"])
+            for b in [contamination_batch(pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts}), bench)]
+            for r in b.to_pylist()
+        }
+        assert got == {0: (1, 1), 1: (2, 1), 2: (1, 0)}
