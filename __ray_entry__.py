@@ -1303,6 +1303,85 @@ def _q_stratified_doc_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_tfidf_top3(sf_dir: str):
+    """Per-doc top-3 TF-IDF terms (score = tf·ln(N/df), ties → term
+    asc). df is a vocab-sized streaming aggregate broadcast once;
+    scoring is map-only and float-op-order-matched to the oracle."""
+    from pdf_table_extractor_ray.stages.search import tfidf_top_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return tfidf_top_terms(docs, k=3)
+
+
+def _q_revenue_cube(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus) over integer cents:
+    all four grouping sets derived from ONE corpus shuffle to the
+    finest (flag, status) level — coarser sets re-aggregate the
+    materialized base (stages/setops.py:grouping_sets_sum)."""
+    from pdf_table_extractor_ray.stages.setops import cube_sum
+
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "l_linestatus": b.column("l_linestatus"),
+                "cents": c,
+            }
+        )
+
+    return cube_sum(
+        li.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_returnflag", "l_linestatus"],
+        "cents",
+    )
+
+
+def _q_event_gaps(sf_dir: str):
+    """Per-user lead/lag: microseconds since the user's previous event
+    (NULL for the first). One shuffle by user-id BUCKET (not per-user
+    groups): each map_groups call handles a whole bucket of users and
+    computes every gap with one lexsort + one vectorized diff — no
+    per-user Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((u % 64).astype(np.int64), pa.int64()))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        su, st, se = uid[order], ts[order], eid[order]
+        gap = np.empty(len(st), np.int64)
+        gap[1:] = st[1:] - st[:-1]
+        first = np.empty(len(st), bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        gap[first] = 0  # masked below; keep the buffer defined
+        return pa.Table.from_arrays(
+            [
+                pa.array(se.astype(np.int64)),
+                pa.array(su.astype(np.int64)),
+                pa.array(st),
+                pa.array(gap, pa.int64(), mask=first),  # first event → NULL
+            ],
+            names=["event_id", "user_id", "ts_us", "gap_us"],
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(gaps, batch_format="pyarrow")
+    )
+
+
 def _q_chunk_dedup_docs(sf_dir: str):
     """Corpus-wide exact chunk (paragraph-analog) dedup with per-doc
     reassembly — CCNet-style: keep the first (doc_id, chunk_idx)
@@ -1479,6 +1558,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_ship_days": _q_quiet_ship_days,
         "revenue_rollup": _q_revenue_rollup,
         "stratified_doc_sample": _q_stratified_doc_sample,
+        "tfidf_top3": _q_tfidf_top3,
+        "revenue_cube": _q_revenue_cube,
+        "event_gaps": _q_event_gaps,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "gopher_quality": _q_gopher_quality,
         "contamination_screen": _q_contamination_screen,
@@ -1798,6 +1880,32 @@ def oracle_sql() -> dict[str, str]:
             "(lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1')) OR "
             "(lang = 'pt' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR "
             "(lang NOT IN ('en','pt') AND substr(md5(text), 1, 1) IN ('0','1','2','3'))"
+        ),
+        "tfidf_top3": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf "
+            "  FROM tok GROUP BY doc_id, t), "
+            "df AS (SELECT t, CAST(count(*) AS BIGINT) AS df "
+            "  FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+            "scored AS (SELECT tf.doc_id, tf.t, "
+            "  CAST(tf.tf AS DOUBLE) * ln(CAST(n.n AS DOUBLE)/CAST(df.df AS DOUBLE)) AS s "
+            "  FROM tf JOIN df USING (t) CROSS JOIN n) "
+            "SELECT doc_id, t AS term, CAST(row_number() OVER ("
+            "  PARTITION BY doc_id ORDER BY s DESC, t) AS BIGINT) AS rank "
+            "FROM scored QUALIFY rank <= 3"
+        ),
+        "revenue_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(floor(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "event_gaps": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS gap_us "
+            "FROM events"
         ),
         # shared chunking CTE: non-overlapping 10-token chunks, tail
         # (<10 tokens) dropped — mirrors stages/chunks.py chunk_batch

@@ -151,3 +151,118 @@ def bm25_topk(
         ],
         names=[id_col, "rank"],
     )
+
+
+def doc_frequency(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(token, df) corpus document frequencies: per batch, distinct
+    (doc, token) pairs are reduced to (token, partial-df) rows — the
+    combiner — then ONE vocab-sized ``groupby(token).sum``. Document
+    text never leaves its block; only the (token, int) partials
+    shuffle. At 100 TB cap the broadcast consumer with a top-V vocab
+    (as stages/lm.py does) — df itself stays a streaming aggregate."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(text_col))
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(dic.dictionary)
+        if V == 0:
+            return pa.table({"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+        upair = np.unique(doc_idx * V + codes)
+        df_part = np.bincount(upair % V, minlength=V).astype(np.int64)
+        return pa.table({"token": dic.dictionary, "df": pa.array(df_part, pa.int64())})
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby("token").sum("df")
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("token"), pc.cast(b.column("sum(df)"), pa.int64())],
+            names=["token", "df"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    k: int = 3,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_docs: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document top-k TF-IDF terms: (doc_id, term, rank).
+
+    score = tf · ln(N / df), ranked DESC with ties broken by term
+    (ascending) — op order matches the DuckDB oracle float-for-float
+    (same divide → log → multiply per value, same IEEE doubles).
+
+    Two streaming passes: ``doc_frequency`` (vocab-sized shuffle,
+    broadcast via ``ray.put``) then a map-only scoring pass — per
+    batch one dictionary-encode, one ``index_in`` df lookup, one
+    ``np.unique`` tf reduction and one lexsort for the per-doc top-k.
+    Docs with no tokens are absent (== SQL GROUP BY over tokens).
+    """
+    import ray
+
+    if n_docs is None:
+        n_docs = ds.count()
+    df_tbl = pa.Table.from_pylist(doc_frequency(ds, text_col).take_all())
+    handle = ray.put((df_tbl.column("token").combine_chunks(), df_tbl.column("df").combine_chunks()))
+    n_f = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        df_tokens, df_vals = ray.get(handle)
+        df_np = df_vals.to_numpy(zero_copy_only=False).astype(np.float64)
+        flat, lens = _flat_tokens(batch.column(text_col))
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = dic.dictionary
+        V = len(vocab)
+        if V == 0:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "term": pa.array([], pa.string()),
+                 "rank": pa.array([], pa.int64())}
+            )
+        pair = doc_idx * V + codes
+        upair, tf = np.unique(pair, return_counts=True)
+        udoc, ucode = upair // V, upair % V
+        # per-vocab-word idf: divide → log (same op order as the oracle)
+        pos = pc.index_in(vocab, value_set=df_tokens).to_numpy(zero_copy_only=False)
+        idf_vocab = np.log(n_f / df_np[pos.astype(np.int64)])
+        s = tf.astype(np.float64) * idf_vocab[ucode]
+        # ties: score DESC, term ASC — rank vocab lexicographically once
+        vocab_np = np.asarray(vocab.to_pylist(), dtype=object)
+        rank_of = np.empty(V, np.int64)
+        rank_of[np.argsort(vocab_np, kind="stable")] = np.arange(V)
+        order = np.lexsort((rank_of[ucode], -s, udoc))
+        sdoc = udoc[order]
+        newdoc = np.empty(len(sdoc), bool)
+        if len(sdoc):
+            newdoc[0] = True
+            newdoc[1:] = sdoc[1:] != sdoc[:-1]
+        pos_in_doc = np.arange(len(sdoc)) - np.maximum.accumulate(
+            np.where(newdoc, np.arange(len(sdoc)), 0)
+        )
+        keep = pos_in_doc < k
+        sel = order[keep]
+        doc_ids = batch.column(id_col).to_numpy()
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc_ids[udoc[sel]], pa.int64()),
+                pc.take(vocab, pa.array(ucode[sel])),
+                pa.array((pos_in_doc[keep] + 1).astype(np.int64), pa.int64()),
+            ],
+            names=[id_col, "term", "rank"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

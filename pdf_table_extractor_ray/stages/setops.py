@@ -171,3 +171,85 @@ def rollup_sum(
     for p in parts[1:]:
         out = out.union(p)
     return out
+
+
+def grouping_sets_sum(
+    ds: "ray.data.Dataset",
+    levels: Sequence[str],
+    measure: str,
+    sets: Sequence[Sequence[str]],
+) -> "ray.data.Dataset":
+    """``GROUP BY GROUPING SETS(sets)`` over an int64 ``measure``.
+
+    Same plan shape as ``rollup_sum``: ONE corpus-sized shuffle to the
+    finest level (all of ``levels``), materialize that small base, then
+    derive every grouping set by re-aggregating the base — each set
+    costs O(|distinct level combos|), never another corpus pass. Every
+    set must be a subset of ``levels``; absent columns are null in that
+    set's rows (SQL GROUPING SETS semantics).
+    """
+    levels = list(levels)
+    for s in sets:
+        if not set(s) <= set(levels):
+            raise ValueError(f"grouping set {s!r} not a subset of levels {levels!r}")
+    agg = ds.groupby(levels).aggregate(Sum(measure)).materialize()
+    raw = agg.schema().base_schema
+    base_schema = pa.schema(
+        [raw.field(c) for c in levels] + [pa.field(measure, pa.int64())]
+    )
+
+    def _std(b: pa.Table, present: List[str]) -> pa.Table:
+        cols = []
+        for f in base_schema:
+            if f.name in present:
+                c = b.column(f.name)
+                cols.append(pc.cast(c, f.type) if c.type != f.type else c)
+            elif f.name == measure:
+                src = f"sum({measure})" if f"sum({measure})" in b.column_names else measure
+                cols.append(pc.cast(b.column(src), pa.int64()))
+            else:
+                cols.append(pa.nulls(b.num_rows, f.type))
+        return pa.Table.from_arrays(cols, schema=base_schema)
+
+    base = agg.map_batches(
+        lambda b: _std(b, levels), batch_format="pyarrow"
+    ).materialize()
+    parts = []
+    for s in sets:
+        s = list(s)
+        if s == levels:
+            parts.append(base)
+        elif s:
+            sub = base.groupby(s).aggregate(Sum(measure))
+            parts.append(
+                sub.map_batches(
+                    lambda b, p=tuple(s): _std(b, list(p)), batch_format="pyarrow"
+                )
+            )
+        else:  # () — the grand total
+            total = base.sum(measure)
+            total_tbl = pa.Table.from_arrays(
+                [pa.nulls(1, base_schema.field(c).type) for c in levels]
+                + [pa.array([int(total or 0)], pa.int64())],
+                schema=base_schema,
+            )
+            parts.append(ray.data.from_arrow(total_tbl))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+def cube_sum(
+    ds: "ray.data.Dataset", levels: Sequence[str], measure: str
+) -> "ray.data.Dataset":
+    """``GROUP BY CUBE(levels)``: all 2^n grouping sets (n is small by
+    contract — CUBE over many columns is a modeling error, not an
+    engine problem)."""
+    levels = list(levels)
+    sets: List[List[str]] = []
+    for mask in range(1 << len(levels)):
+        sets.append([c for i, c in enumerate(levels) if mask & (1 << i)])
+    # deterministic order: finest first so grouping_sets_sum reuses base
+    sets.sort(key=len, reverse=True)
+    return grouping_sets_sum(ds, levels, measure, sets)

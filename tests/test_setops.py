@@ -111,3 +111,61 @@ def test_stratified_sample_rates_and_determinism(ray_session):
     for r in rows:
         n_by_lang[r["lang"]] = n_by_lang.get(r["lang"], 0) + 1
     assert kept_by_lang["pt"] / n_by_lang["pt"] > kept_by_lang["en"] / n_by_lang["en"]
+
+
+class TestGroupingSets:
+    def test_cube_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.setops import cube_sum
+
+        rng = np.random.default_rng(9)
+        a = rng.choice(["x", "y", "z"], 300)
+        b = rng.choice(["p", "q"], 300)
+        m = rng.integers(-50, 100, 300)
+        ds = ray.data.from_arrow(
+            pa.table({"a": a, "b": b, "m": pa.array(m, pa.int64())})
+        ).repartition(4)
+        got = {
+            (r["a"], r["b"]): r["m"] for r in cube_sum(ds, ["a", "b"], "m").take_all()
+        }
+        want = {}
+        import itertools
+
+        for keys in itertools.product([True, False], repeat=2):
+            agg = {}
+            for ai, bi, mi in zip(a, b, m):
+                k = (ai if keys[0] else None, bi if keys[1] else None)
+                agg[k] = agg.get(k, 0) + int(mi)
+            want.update(agg)
+        assert got == want
+
+    def test_grouping_sets_subset_validation(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.setops import grouping_sets_sum
+
+        ds = ray.data.from_arrow(pa.table({"a": ["x"], "m": pa.array([1], pa.int64())}))
+        with pytest.raises(ValueError):
+            grouping_sets_sum(ds, ["a"], "m", [["nope"]])
+
+    def test_grouping_sets_explicit(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.setops import grouping_sets_sum
+
+        tbl = pa.table(
+            {
+                "a": ["x", "x", "y"],
+                "b": ["p", "q", "p"],
+                "m": pa.array([1, 2, 4], pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl)
+        # GROUPING SETS ((a), ()) — no finest level in the output
+        rows = [
+            (r["a"], r["b"], r["m"])
+            for r in grouping_sets_sum(ds, ["a", "b"], "m", [["a"], []]).take_all()
+        ]
+        got = sorted(rows, key=lambda t: (t[0] is None, t[0] or "", t[2]))
+        assert got == [("x", None, 3), ("y", None, 4), (None, None, 7)]
