@@ -1303,6 +1303,44 @@ def _q_stratified_doc_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_orders_upsert(sf_dir: str):
+    """CDC merge: a deterministic 'update feed' (every 7th order,
+    doubled price; every 14th carries a STALE version that must lose)
+    upserted into the orders snapshot — per key the highest version
+    wins, updates win ties. One bucket shuffle, vectorized winner
+    resolution (stages/setops.py:merge_upsert)."""
+    from pdf_table_extractor_ray.stages.setops import merge_upsert
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def as_base(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_totalprice": b.column("o_totalprice"),
+                "version": pa.array(np.ones(b.num_rows, np.int64), pa.int64()),
+            }
+        )
+
+    def as_updates(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_numpy()
+        sel = k % 7 == 0
+        k = k[sel]
+        price = b.column("o_totalprice").to_numpy(zero_copy_only=False)[sel] * 2
+        version = np.where(k % 14 == 0, 0, 2).astype(np.int64)  # stale vs fresh
+        return pa.table(
+            {
+                "o_orderkey": pa.array(k, pa.int64()),
+                "o_totalprice": pa.array(price, pa.float64()),
+                "version": pa.array(version, pa.int64()),
+            }
+        )
+
+    base = orders.map_batches(as_base, batch_format="pyarrow", zero_copy_batch=True)
+    upd = orders.map_batches(as_updates, batch_format="pyarrow", zero_copy_batch=True)
+    return merge_upsert(base, upd, "o_orderkey", "version")
+
+
 def _q_tfidf_top3(sf_dir: str):
     """Per-doc top-3 TF-IDF terms (score = tf·ln(N/df), ties → term
     asc). df is a vocab-sized streaming aggregate broadcast once;
@@ -1558,6 +1596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_ship_days": _q_quiet_ship_days,
         "revenue_rollup": _q_revenue_rollup,
         "stratified_doc_sample": _q_stratified_doc_sample,
+        "orders_upsert": _q_orders_upsert,
         "tfidf_top3": _q_tfidf_top3,
         "revenue_cube": _q_revenue_cube,
         "event_gaps": _q_event_gaps,
@@ -1880,6 +1919,17 @@ def oracle_sql() -> dict[str, str]:
             "(lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1')) OR "
             "(lang = 'pt' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR "
             "(lang NOT IN ('en','pt') AND substr(md5(text), 1, 1) IN ('0','1','2','3'))"
+        ),
+        "orders_upsert": (
+            "WITH base AS (SELECT o_orderkey, o_totalprice, "
+            "  CAST(1 AS BIGINT) AS version, 0 AS is_upd FROM orders), "
+            "upd AS (SELECT o_orderkey, o_totalprice * 2 AS o_totalprice, "
+            "  CAST(CASE WHEN o_orderkey % 14 = 0 THEN 0 ELSE 2 END AS BIGINT) AS version, "
+            "  1 AS is_upd FROM orders WHERE o_orderkey % 7 = 0), "
+            "all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM upd) "
+            "SELECT o_orderkey, o_totalprice, version FROM all_rows "
+            "QUALIFY row_number() OVER (PARTITION BY o_orderkey "
+            "  ORDER BY version DESC, is_upd DESC) = 1"
         ),
         "tfidf_top3": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "

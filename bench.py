@@ -105,6 +105,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "token_counts",
         "profit_by_nation_year",  # fact-fact hash-shuffle join
         "ship_window_value",  # bucketed interval join, weighted stab sums
+        "chunk_dedup_docs",  # corpus chunk dedup + text reassembly
+        "tfidf_top3",  # df broadcast + map-only float scoring
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

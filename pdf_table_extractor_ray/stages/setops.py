@@ -253,3 +253,63 @@ def cube_sum(
     # deterministic order: finest first so grouping_sets_sum reuses base
     sets.sort(key=len, reverse=True)
     return grouping_sets_sum(ds, levels, measure, sets)
+
+
+def merge_upsert(
+    base: "ray.data.Dataset",
+    updates: "ray.data.Dataset",
+    key: str,
+    version_col: str,
+    num_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """CDC-style upsert: union ``base`` with ``updates`` (same schema)
+    and keep, per ``key``, the single row with the highest
+    ``version_col`` — updates win ties (the SQL
+    ``row_number() OVER (PARTITION BY key ORDER BY version DESC,
+    is_update DESC) = 1`` merge).
+
+    Plan: tag each side with an int8 precedence flag, union, shuffle
+    ONCE by ``hash(key) % num_buckets`` and resolve winners with a
+    vectorized lexsort per bucket — groups are buckets, not keys, so
+    there is no per-key Python at corpus cardinality. At 100 TB set
+    ``num_buckets`` ≈ cluster cores.
+    """
+
+    def tag(flag: int):
+        def f(b: pa.Table) -> pa.Table:
+            return b.append_column("_upd", pa.repeat(pa.scalar(flag, pa.int8()), b.num_rows))
+
+        return f
+
+    u = base.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        updates.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        from pdf_table_extractor_ray.stages.sketches import _hash64_column
+
+        if b.column(key).null_count:
+            raise ValueError(f"merge_upsert key {key!r} must be non-null")
+        h = _hash64_column(b.column(key))
+        return b.append_column(
+            "_bkt", pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def resolve(g: pa.Table) -> pa.Table:
+        k = g.column(key).to_numpy(zero_copy_only=False)
+        v = g.column(version_col).to_numpy(zero_copy_only=False)
+        upd = g.column("_upd").to_numpy(zero_copy_only=False)
+        order = np.lexsort((-upd, -v, k))  # per key: version desc, updates first
+        sk = k[order]
+        first = np.empty(len(sk), bool)
+        first[0] = True
+        first[1:] = sk[1:] != sk[:-1]
+        keep = np.sort(order[first])
+        out = g.take(pa.array(keep))
+        return out.drop_columns(["_upd", "_bkt"])
+
+    return (
+        u.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_bkt")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

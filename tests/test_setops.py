@@ -169,3 +169,52 @@ class TestGroupingSets:
         ]
         got = sorted(rows, key=lambda t: (t[0] is None, t[0] or "", t[2]))
         assert got == [("x", None, 3), ("y", None, 4), (None, None, 7)]
+
+
+class TestMergeUpsert:
+    def test_upsert_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.setops import merge_upsert
+
+        rng = np.random.default_rng(31)
+        base_keys = np.arange(100, dtype=np.int64)
+        base = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(base_keys),
+                    "val": pa.array(base_keys * 10),
+                    "version": pa.array(np.ones(100, np.int64)),
+                }
+            )
+        ).repartition(4)
+        upd_keys = rng.choice(150, 60, replace=False).astype(np.int64)  # some new keys
+        versions = rng.integers(0, 3, 60)  # 0 loses to base, 1 ties (update wins), 2 wins
+        upd = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(upd_keys),
+                    "val": pa.array(upd_keys * 1000),
+                    "version": pa.array(versions, pa.int64()),
+                }
+            )
+        ).repartition(3)
+        got = {r["k"]: (r["val"], r["version"]) for r in merge_upsert(base, upd, "k", "version").take_all()}
+
+        want = {int(k): (int(k) * 10, 1) for k in base_keys}
+        for k, v in zip(upd_keys, versions):
+            k, v = int(k), int(v)
+            if k not in want or v >= want[k][1]:
+                want[k] = (k * 1000, v)
+        assert got == want
+
+    def test_null_key_rejected(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.setops import merge_upsert
+
+        ds = ray.data.from_arrow(
+            pa.table({"k": pa.array([1, None], pa.int64()), "version": pa.array([1, 1], pa.int64())})
+        )
+        with pytest.raises(Exception):
+            merge_upsert(ds, ds, "k", "version").take_all()
