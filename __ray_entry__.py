@@ -779,6 +779,38 @@ def _q_order_price_quantiles(sf_dir: str):
     return ds.groupby("o_orderpriority").map_groups(qs, batch_format="pyarrow")
 
 
+def _q_order_price_quantiles_cont(sf_dir: str):
+    """Interpolated (continuous) per-group quantiles — DuckDB
+    quantile_cont parity: position p = (n−1)·q, value =
+    v[⌊p⌋]·(1−frac) + v[⌈p⌉]·frac (the convex-combination op order is
+    what DuckDB computes — verified bit-exact, the `a+(b−a)·frac`
+    form is NOT)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def qs(group: pa.Table) -> pa.Table:
+        v = np.sort(group.column("o_totalprice").to_numpy(zero_copy_only=False))
+        n = len(v)
+
+        def pick(q: float) -> float:
+            p = (n - 1) * q
+            lo = int(np.floor(p))
+            hi = min(lo + 1, n - 1)
+            frac = p - lo
+            return float(v[lo] * (1.0 - frac) + v[hi] * frac)
+
+        return pa.Table.from_arrays(
+            [
+                pa.array([group.column("o_orderpriority")[0].as_py()]),
+                pa.array([pick(0.25)], pa.float64()),
+                pa.array([pick(0.5)], pa.float64()),
+                pa.array([pick(0.75)], pa.float64()),
+            ],
+            names=["o_orderpriority", "p25", "p50", "p75"],
+        )
+
+    return ds.groupby("o_orderpriority").map_groups(qs, batch_format="pyarrow")
+
+
 def _q_user_value_rolling(sf_dir: str):
     """Per-user rolling 3-event sum of value (integer cents) ordered by
     time — the ROWS BETWEEN 2 PRECEDING AND CURRENT ROW window."""
@@ -1577,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "distinct_users_approx": _q_distinct_users_approx,
         "order_price_quantiles": _q_order_price_quantiles,
+        "order_price_quantiles_cont": _q_order_price_quantiles_cont,
         "user_value_rolling": _q_user_value_rolling,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
@@ -1772,6 +1805,13 @@ def oracle_sql() -> dict[str, str]:
             "quantile_disc(o_totalprice, 0.25) AS p25, "
             "quantile_disc(o_totalprice, 0.5) AS p50, "
             "quantile_disc(o_totalprice, 0.75) AS p75 "
+            "FROM orders GROUP BY o_orderpriority"
+        ),
+        "order_price_quantiles_cont": (
+            "SELECT o_orderpriority, "
+            "quantile_cont(o_totalprice, 0.25) AS p25, "
+            "quantile_cont(o_totalprice, 0.5) AS p50, "
+            "quantile_cont(o_totalprice, 0.75) AS p75 "
             "FROM orders GROUP BY o_orderpriority"
         ),
         "user_value_rolling": (
