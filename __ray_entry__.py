@@ -779,6 +779,30 @@ def _q_order_price_quantiles(sf_dir: str):
     return ds.groupby("o_orderpriority").map_groups(qs, batch_format="pyarrow")
 
 
+def _q_corpus_prep_v2(sf_dir: str):
+    """Round-3 composite: Gopher repetition gate → benchmark
+    decontamination → corpus-wide chunk dedup; one summary row
+    (rows-only: composite of already-oracled stages)."""
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_v2_totals,
+        prepare_corpus_v2,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_v2_totals(prepare_corpus_v2(docs))
+
+
+def _q_distinct_users_by_type(sf_dir: str):
+    """Per-event-type approximate distinct users (HLL registers merged
+    per key — the COUNT(DISTINCT) GROUP BY shape where values never
+    shuffle, only 4 KB sketches). Rows-only by nature (approximate);
+    accuracy + layout-invariance tested in test_corpus_ops."""
+    from pdf_table_extractor_ray.stages.sketches import hll_count_distinct_by
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    return hll_count_distinct_by(ds, "event_type", "user_id")
+
+
 def _q_order_price_quantiles_cont(sf_dir: str):
     """Interpolated (continuous) per-group quantiles — DuckDB
     quantile_cont parity: position p = (n−1)·q, value =
@@ -1596,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dedup_docs": _q_near_dedup_docs,
         "dup_clusters": _q_dup_clusters,
         "corpus_prep": _q_corpus_prep,
+        "corpus_prep_v2": _q_corpus_prep_v2,
         "top_revenue_orders": _q_top_revenue_orders,
         "profit_by_nation_year": _q_profit_by_nation_year,
         "urgent_customers": _q_urgent_customers,
@@ -1608,6 +1633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "events_pivot": _q_events_pivot,
         "distinct_users_approx": _q_distinct_users_approx,
+        "distinct_users_by_type": _q_distinct_users_by_type,
         "order_price_quantiles": _q_order_price_quantiles,
         "order_price_quantiles_cont": _q_order_price_quantiles_cont,
         "user_value_rolling": _q_user_value_rolling,

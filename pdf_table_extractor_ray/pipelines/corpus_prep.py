@@ -91,3 +91,95 @@ def corpus_token_totals(prepared: "ray.data.Dataset") -> "ray.data.Dataset":
         ),
         batch_format="pyarrow",
     )
+
+
+def prepare_corpus_v2(
+    docs: "ray.data.Dataset",
+    bench_modulus: int = 41,
+    max_dup_word_frac: float = 0.95,
+    max_contamination_frac: float = 0.5,
+) -> "ray.data.Dataset":
+    """Round-3 composite (Gopher → decontaminate → chunk-dedup):
+
+        documents
+          → Gopher repetition filter              [map-only stats + predicate]
+          → benchmark-contamination screen        [broadcast set + map-only]
+          → corpus-wide chunk dedup + reassembly  [2 bucket shuffles]
+
+    Returns (doc_id, text_dedup, n_kept). The benchmark stand-in is
+    the doc_id % bench_modulus == 0 subset (those docs are dropped
+    outright, as a real decontamination pass drops eval documents).
+    Everything before the chunk-dedup shuffle streams map-only.
+    """
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.chunks import (
+        benchmark_chunk_set,
+        chunk_dedup,
+        contamination_batch,
+        gopher_stats_batch,
+    )
+
+    def is_bench(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(doc % bench_modulus == 0))
+
+    bench = benchmark_chunk_set(
+        docs.map_batches(is_bench, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    bench_ref = ray.put(bench)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        doc = batch.column("doc_id").to_numpy()
+        g = gopher_stats_batch(batch)
+        # align per-doc stats back to batch rows (docs with no tokens
+        # are absent from g → fail the repetition gate by default)
+        batch_doc_arr = pa.array(doc)
+        dup = np.ones(len(batch), np.float64)
+        idx = pc.index_in(
+            g.column("doc_id").combine_chunks(), value_set=batch_doc_arr
+        ).to_numpy(zero_copy_only=False)
+        dup[idx.astype(np.int64)] = g.column("dup_word_frac").to_numpy()
+        c = contamination_batch(batch, ray.get(bench_ref))
+        contam = np.ones(len(batch), np.float64)
+        cidx = pc.index_in(
+            c.column("doc_id").combine_chunks(), value_set=batch_doc_arr
+        ).to_numpy(zero_copy_only=False)
+        n_chunks = c.column("n_chunks").to_numpy().astype(np.float64)
+        n_bad = c.column("n_contaminated").to_numpy().astype(np.float64)
+        contam[cidx.astype(np.int64)] = np.where(n_chunks > 0, n_bad / np.where(n_chunks > 0, n_chunks, 1), 1.0)
+        mask = (
+            (dup <= max_dup_word_frac)
+            & (contam <= max_contamination_frac)
+            & (doc % bench_modulus != 0)
+        )
+        return batch.filter(pa.array(mask))
+
+    clean = docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+    return chunk_dedup(clean)
+
+
+def corpus_v2_totals(prepared: "ray.data.Dataset") -> "ray.data.Dataset":
+    """One-row summary: (n_docs, total_chunks_kept)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n_docs": pa.array([batch.num_rows], pa.int64()),
+                "total_chunks_kept": pa.array(
+                    [int(pc.sum(batch.column("n_kept")).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    sums = prepared.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(
+        ["n_docs", "total_chunks_kept"]
+    )
+    return ray.data.from_items(
+        [
+            {
+                "n_docs": int(sums["sum(n_docs)"]),
+                "total_chunks_kept": int(sums["sum(total_chunks_kept)"]),
+            }
+        ]
+    )

@@ -152,3 +152,40 @@ class TestContamination:
             for r in b.to_pylist()
         }
         assert got == {0: (1, 1), 1: (2, 1), 2: (1, 0)}
+
+
+class TestCorpusPrepV2:
+    def test_composite_matches_brute_force(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.pipelines.corpus_prep import (
+            corpus_v2_totals,
+            prepare_corpus_v2,
+        )
+
+        W = CHUNK_W
+        bench_chunk = " ".join(f"e{i}" for i in range(W))
+        fresh = lambda tag: " ".join(f"{tag}{i}" for i in range(W))  # noqa: E731
+        texts = {
+            0: bench_chunk + " " + fresh("z"),      # benchmark doc (id%41==0): dropped
+            1: fresh("a") + " " + fresh("b"),        # clean survivor, 2 chunks
+            2: "rep " * 30,                          # dup_word_frac 29/30 > 0.95? = 0.966 → dropped
+            3: bench_chunk + " " + bench_chunk,      # 100% contaminated → dropped
+            4: fresh("a") + " " + fresh("c"),        # chunk 'a' deduped vs doc 1
+            5: "tiny doc",                           # no chunks → absent after dedup
+        }
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), pa.int64()),
+                "text": [texts[k] for k in sorted(texts)],
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(3)
+        out = prepare_corpus_v2(ds).take_all()
+        got = {r["doc_id"]: (r["text_dedup"], r["n_kept"]) for r in out}
+        assert got == {
+            1: (fresh("a") + " " + fresh("b"), 2),
+            4: (fresh("c"), 1),
+        }
+        totals = corpus_v2_totals(prepare_corpus_v2(ds)).take_all()
+        assert totals == [{"n_docs": 2, "total_chunks_kept": 3}]

@@ -1087,3 +1087,36 @@ def test_corpus_prep_pipeline(docs_with_dups):
     totals = corpus_token_totals(prepared).take_all()
     assert sum(t["n_docs"] for t in totals) == len(rows)
     assert all(t["total_tokens"] > 0 for t in totals)
+
+
+def test_hll_by_key_accuracy_and_layout_invariance(ray_session):
+    """Per-key HLL: each key's estimate within the sketch's error band
+    of its exact distinct count; estimates identical across layouts."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import hll_count_distinct_by
+
+    rng = np.random.default_rng(7)
+    keys = rng.choice(["a", "b", "c"], 6000)
+    # distinct cardinality differs per key: a ~ 2000, b ~ 500, c ~ 50
+    spans = {"a": 2000, "b": 500, "c": 50}
+    vals = np.array([rng.integers(0, spans[k]) for k in keys], np.int64)
+    tbl = pa.table({"k": keys, "v": pa.array(vals, pa.int64())})
+    exact = {
+        k: len({int(v) for kk, v in zip(keys, vals) if kk == k}) for k in spans
+    }
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_count_distinct_by(ds, "k", "v").take_all()
+    }
+    assert set(got) == set(exact)
+    for k in exact:
+        assert abs(got[k] - exact[k]) / exact[k] < 0.08, (k, got[k], exact[k])
+    got2 = {
+        r["k"]: r["approx_distinct"]
+        for r in hll_count_distinct_by(
+            ray.data.from_arrow(tbl).repartition(2), "k", "v"
+        ).take_all()
+    }
+    assert got == got2
