@@ -792,6 +792,31 @@ def _q_corpus_prep_v2(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v2(docs))
 
 
+def _q_events_unpivot(sf_dir: str):
+    """Unpivot (wide → long): the inverse of events_pivot — each wide
+    per-user row explodes to one (user_id, event_type, n) row per type
+    column, vectorized with numpy repeat/tile per batch (zero cells
+    kept, SQL UNPIVOT INCLUDE NULLS semantics)."""
+    wide = _q_events_pivot(sf_dir)
+
+    def explode(b: pa.Table) -> pa.Table:
+        users = b.column("user_id").to_numpy()
+        k = len(_EVENT_TYPES)
+        n_mat = np.stack(
+            [b.column(f"n_{et}").to_numpy() for et in _EVENT_TYPES], axis=1
+        )  # (users, types)
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.repeat(users, k), pa.int64()),
+                pa.array(np.tile(np.asarray(_EVENT_TYPES, dtype=object), len(users))),
+                pa.array(n_mat.ravel(), pa.int64()),
+            ],
+            names=["user_id", "event_type", "n"],
+        )
+
+    return wide.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_distinct_users_by_type(sf_dir: str):
     """Per-event-type approximate distinct users (HLL registers merged
     per key — the COUNT(DISTINCT) GROUP BY shape where values never
@@ -1632,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_perplexity": _q_lm_perplexity,
         "doc_sample": _q_doc_sample,
         "events_pivot": _q_events_pivot,
+        "events_unpivot": _q_events_unpivot,
         "distinct_users_approx": _q_distinct_users_approx,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1825,6 +1851,17 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
             "count(*) FILTER (WHERE event_type = 'view') AS n_view "
             "FROM events GROUP BY user_id"
+        ),
+        # UNPIVOT INCLUDE NULLS semantics: every (user, type) cell, zeros kept
+        "events_unpivot": (
+            "WITH types(event_type) AS (VALUES ('click'), ('error'), "
+            "  ('purchase'), ('signup'), ('view')), "
+            "users AS (SELECT DISTINCT user_id FROM events), "
+            "counts AS (SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n "
+            "  FROM events GROUP BY user_id, event_type) "
+            "SELECT u.user_id, t.event_type, CAST(coalesce(c.n, 0) AS BIGINT) AS n "
+            "FROM users u CROSS JOIN types t "
+            "LEFT JOIN counts c ON c.user_id = u.user_id AND c.event_type = t.event_type"
         ),
         "order_price_quantiles": (
             "SELECT o_orderpriority, "
