@@ -792,6 +792,42 @@ def _q_corpus_prep_v2(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v2(docs))
 
 
+def _q_events_hopping(sf_dir: str):
+    """Hopping-window counts (1 h window, 30 min hop → each event in
+    exactly 2 overlapping windows): explode per batch with numpy
+    repeat (k = window/hop copies), pre-reduce (window_start, n)
+    partials, then a small-key groupby-sum. The window assignment
+    never shuffles raw events — only the per-batch partial counts."""
+    from ray.data.aggregate import Sum
+
+    HOP = 1_800_000_000  # 30 min in µs
+    K = 2  # window = K * hop
+
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts_us = pc.cast(b.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        base = ts_us // HOP
+        w_start = ((np.repeat(base, K) - np.tile(np.arange(K, dtype=np.int64), len(base))) * HOP)
+        uniq, n = np.unique(w_start, return_counts=True)
+        return pa.table(
+            {"w_start_us": pa.array(uniq, pa.int64()), "n": pa.array(n.astype(np.int64), pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("w_start_us")
+        .aggregate(Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("w_start_us"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["w_start_us", "n_events"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_events_unpivot(sf_dir: str):
     """Unpivot (wide → long): the inverse of events_pivot — each wide
     per-user row explodes to one (user_id, event_type, n) row per type
@@ -1658,6 +1694,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "events_pivot": _q_events_pivot,
         "events_unpivot": _q_events_unpivot,
+        "events_hopping": _q_events_hopping,
         "distinct_users_approx": _q_distinct_users_approx,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1851,6 +1888,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
             "count(*) FILTER (WHERE event_type = 'view') AS n_view "
             "FROM events GROUP BY user_id"
+        ),
+        "events_hopping": (
+            "WITH exploded AS (SELECT "
+            "  (epoch_us(ts) // 1800000000 - j) * 1800000000 AS w_start_us "
+            "  FROM events CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) AS h(j)) "
+            "SELECT w_start_us, CAST(count(*) AS BIGINT) AS n_events "
+            "FROM exploded GROUP BY w_start_us"
         ),
         # UNPIVOT INCLUDE NULLS semantics: every (user, type) cell, zeros kept
         "events_unpivot": (
