@@ -792,6 +792,65 @@ def _q_corpus_prep_v2(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v2(docs))
 
 
+def _q_user_value_timewin(sf_dir: str):
+    """RANGE-framed time window: per event, the sum of that user's
+    integer-cents values in the last 30 minutes (inclusive, value-based
+    frame — peers with equal ts are all included, unlike the ROWS
+    window in user_value_rolling).
+
+    One user-bucket shuffle; inside a bucket the whole window family is
+    TWO global ``np.searchsorted`` calls over a composite
+    (user-rank · span + relative-ts) key — no per-user loop. The span
+    guard keeps the composite in int64 (raise ``num_buckets`` if a
+    bucket ever holds > 2^63/span users)."""
+    HOP = 1_800_000_000  # 30 min in µs
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((u % 64).astype(np.int64), pa.int64()))
+
+    def window(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(g.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        su, st, se, sc = uid[order], ts[order], eid[order], cents[order]
+        # composite key: user-rank · span + ts-offset; span leaves HOP+1
+        # headroom below each user's range so an out-of-window query key
+        # never crosses into the previous user's key block
+        _, urank = np.unique(su, return_inverse=True)
+        t0 = st.min() if len(st) else 0
+        span = (st.max() - t0 if len(st) else 0) + HOP + 2
+        n_users = int(urank.max()) + 1 if len(su) else 0
+        if n_users and span > (2**62) // n_users:
+            raise ValueError("bucket too wide for int64 composite keys; raise num_buckets")
+        key = urank.astype(np.int64) * span + (st - t0)
+        qkey = key - HOP
+        prefix = np.zeros(len(sc) + 1, np.int64)
+        np.cumsum(sc, out=prefix[1:])
+        left = np.searchsorted(key, qkey, side="left")
+        right = np.searchsorted(key, key, side="right")
+        win = prefix[right] - prefix[left]
+        return pa.Table.from_arrays(
+            [
+                pa.array(se.astype(np.int64)),
+                pa.array(su.astype(np.int64)),
+                pa.array(st),
+                pa.array(win, pa.int64()),
+            ],
+            names=["event_id", "user_id", "ts_us", "win30_cents"],
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(window, batch_format="pyarrow")
+    )
+
+
 def _q_events_hopping(sf_dir: str):
     """Hopping-window counts (1 h window, 30 min hop → each event in
     exactly 2 overlapping windows): explode per batch with numpy
@@ -1695,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pivot": _q_events_pivot,
         "events_unpivot": _q_events_unpivot,
         "events_hopping": _q_events_hopping,
+        "user_value_timewin": _q_user_value_timewin,
         "distinct_users_approx": _q_distinct_users_approx,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1888,6 +1948,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
             "count(*) FILTER (WHERE event_type = 'view') AS n_view "
             "FROM events GROUP BY user_id"
+        ),
+        "user_value_timewin": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(sum(CAST(floor(value*100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS win30_cents FROM events"
         ),
         "events_hopping": (
             "WITH exploded AS (SELECT "
