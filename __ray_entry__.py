@@ -792,6 +792,39 @@ def _q_corpus_prep_v2(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v2(docs))
 
 
+def _q_customer_balance_rank(sf_dir: str):
+    """Ranking windows: per-nation percent_rank and ntile(4) quartile
+    of customers by account balance (ties broken by custkey, so
+    percent_rank = pos/(n−1) — one exact double division). Vectorized
+    per partition group: one lexsort + arange; ntile uses DuckDB's
+    ceil-first distribution (first n mod k tiles get the extra row)."""
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def rank(g: pa.Table) -> pa.Table:
+        bal = g.column("c_acctbal").to_numpy(zero_copy_only=False)
+        ck = g.column("c_custkey").to_numpy(zero_copy_only=False)
+        nk = int(g.column("c_nationkey")[0].as_py())
+        order = np.lexsort((ck, bal))
+        n = len(ck)
+        pos = np.arange(n, dtype=np.int64)
+        prank = pos.astype(np.float64) / (n - 1) if n > 1 else np.zeros(n, np.float64)
+        k = 4
+        big, rem = n // k, n % k
+        cut = rem * (big + 1)
+        tile = np.where(pos < cut, pos // max(big + 1, 1), rem + (pos - cut) // max(big, 1))
+        return pa.Table.from_arrays(
+            [
+                pa.array(ck[order].astype(np.int64), pa.int64()),
+                pa.array(np.full(n, nk, np.int64), pa.int64()),
+                pa.array(prank, pa.float64()),
+                pa.array((tile + 1).astype(np.int64), pa.int64()),
+            ],
+            names=["c_custkey", "c_nationkey", "prank", "quartile"],
+        )
+
+    return ds.groupby("c_nationkey").map_groups(rank, batch_format="pyarrow")
+
+
 def _q_user_value_timewin(sf_dir: str):
     """RANGE-framed time window: per event, the sum of that user's
     integer-cents values in the last 30 minutes (inclusive, value-based
@@ -1755,6 +1788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_unpivot": _q_events_unpivot,
         "events_hopping": _q_events_hopping,
         "user_value_timewin": _q_user_value_timewin,
+        "customer_balance_rank": _q_customer_balance_rank,
         "distinct_users_approx": _q_distinct_users_approx,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "order_price_quantiles": _q_order_price_quantiles,
@@ -1948,6 +1982,13 @@ def oracle_sql() -> dict[str, str]:
             "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
             "count(*) FILTER (WHERE event_type = 'view') AS n_view "
             "FROM events GROUP BY user_id"
+        ),
+        "customer_balance_rank": (
+            "SELECT c_custkey, c_nationkey, "
+            "percent_rank() OVER w AS prank, "
+            "CAST(ntile(4) OVER w AS BIGINT) AS quartile "
+            "FROM customer "
+            "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)"
         ),
         "user_value_timewin": (
             "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
