@@ -1120,3 +1120,52 @@ def test_hll_by_key_accuracy_and_layout_invariance(ray_session):
         ).take_all()
     }
     assert got == got2
+
+
+def test_event_gaps_and_timewin_brute_force(ray_session):
+    """Bucketized lag() and RANGE time-window queries vs per-user
+    brute force on a crafted events table with ties and sparse gaps."""
+    import os
+    import tempfile
+
+    import ray.data
+
+    import __ray_entry__ as em
+
+    rng = np.random.default_rng(13)
+    n = 400
+    users = rng.integers(0, 9, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10_000, n)).astype(np.int64) * 1_000_000  # µs, with ties
+    eid = np.arange(n, dtype=np.int64)
+    val = np.round(rng.uniform(0, 50, n), 2)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(eid),
+            "user_id": pa.array(users),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "value": pa.array(val, pa.float64()),
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        import pyarrow.parquet as pq
+
+        pq.write_table(tbl, os.path.join(d, "events.parquet"))
+        gaps = {r["event_id"]: r["gap_us"] for r in em.queries()["event_gaps"](d).take_all()}
+        win = {
+            r["event_id"]: r["win30_cents"]
+            for r in em.queries()["user_value_timewin"](d).take_all()
+        }
+
+    HOP = 1_800_000_000
+    for u in set(users.tolist()):
+        idx = np.flatnonzero(users == u)
+        order = idx[np.lexsort((eid[idx], ts[idx]))]
+        prev = None
+        for i in order:
+            want_gap = None if prev is None else int(ts[i] - ts[prev])
+            assert gaps[int(eid[i])] == want_gap, (u, int(eid[i]))
+            prev = i
+        cents = np.floor(val * 100).astype(np.int64)
+        for i in idx:
+            mask = (users == u) & (ts >= ts[i] - HOP) & (ts <= ts[i])
+            assert win[int(eid[i])] == int(cents[mask].sum()), (u, int(eid[i]))
