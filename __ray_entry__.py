@@ -792,6 +792,17 @@ def _q_corpus_prep_v2(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v2(docs))
 
 
+def _q_order_price_quantiles_by_approx(sf_dir: str):
+    """Per-key approximate quantiles (the 'p95 per user' shape):
+    keyed two-pass histogram sketch — only (key, bin, cnt) partials
+    shuffle. Rows-only by nature (brackets, not point values);
+    bracket-correctness tested in test_corpus_ops."""
+    from pdf_table_extractor_ray.stages.sketches import approx_quantiles_by
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    return approx_quantiles_by(ds, "o_orderpriority", "o_totalprice", [0.5, 0.95])
+
+
 def _q_customer_balance_rank(sf_dir: str):
     """Ranking windows: per-nation percent_rank and ntile(4) quartile
     of customers by account balance (ties broken by custkey, so
@@ -1789,6 +1800,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "user_value_timewin": _q_user_value_timewin,
         "customer_balance_rank": _q_customer_balance_rank,
+        "order_price_quantiles_by_approx": _q_order_price_quantiles_by_approx,
         "distinct_users_approx": _q_distinct_users_approx,
         "distinct_users_by_type": _q_distinct_users_by_type,
         "order_price_quantiles": _q_order_price_quantiles,

@@ -356,3 +356,86 @@ def hll_count_distinct_by(
         )
 
     return partials.groupby(key_col).map_groups(merge, batch_format="pyarrow")
+
+
+def approx_quantiles_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    qs,
+    bins: int = 512,
+) -> "ray.data.Dataset":
+    """Per-key approximate quantiles ("p95 per user" at 100 TB):
+    the same two-pass fixed-width histogram as ``approx_quantiles``,
+    keyed — pass 1 aggregates GLOBAL min/max (two scalars; shared
+    edges make every per-key histogram mergeable), pass 2 shuffles
+    slim (key, bin, cnt) partials through ONE groupby and finalizes
+    each key's quantiles from its ≤ ``bins`` counters, vectorized per
+    group batch. Raw values never shuffle.
+
+    Per-key value error ≤ (global max − min)/bins; same indexing
+    convention as the exact quantiles (ceil(q·n)−1). Output: one row
+    per key: (key, q{XX}_lo, q{XX}_hi per requested quantile).
+    """
+    from ray.data.aggregate import Max, Min, Sum
+
+    qs = [float(q) for q in qs]
+    mm = ds.aggregate(Min(col), Max(col))
+    mn, mx = float(mm[f"min({col})"]), float(mm[f"max({col})"])
+    span = mx - mn
+    edges = np.linspace(mn, mx, bins + 1) if span > 0 else None
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        if edges is None:  # degenerate corpus: every value identical
+            b = np.zeros(len(x), np.int64)
+        else:
+            b = np.clip(np.searchsorted(edges, x, "right") - 1, 0, bins - 1)
+        dic = keys.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        pair = codes * bins + b
+        upair, cnt = np.unique(pair, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pc.take(dic.dictionary, pa.array(upair // bins)),
+                pa.array(upair % bins, pa.int64()),
+                pa.array(cnt.astype(np.int64), pa.int64()),
+            ],
+            names=[key_col, "bin", "cnt"],
+        )
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key_col, "bin"])
+        .aggregate(Sum("cnt"))
+    )
+
+    names = [key_col] + [f"q{int(q * 100):02d}_{side}" for q in qs for side in ("lo", "hi")]
+
+    def finalize(g: pa.Table) -> pa.Table:
+        # one group batch = ALL (bin, cnt) rows of one key
+        b = g.column("bin").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = pc.cast(g.column("sum(cnt)"), pa.int64()).to_numpy(zero_copy_only=False)
+        counts = np.zeros(bins, np.int64)
+        counts[b] = c
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        cols = [g.column(key_col).slice(0, 1)]
+        for q in qs:
+            idx = max(int(np.ceil(q * n)) - 1, 0)
+            k = int(np.searchsorted(cum, idx + 1, "left"))
+            if edges is None:
+                lo = hi = mn
+            else:
+                lo, hi = float(edges[k]), float(edges[k + 1])
+            cols.append(pa.array([lo], pa.float64()))
+            cols.append(pa.array([hi], pa.float64()))
+        return pa.Table.from_arrays(cols, names=names)
+
+    return hist.groupby(key_col).map_groups(finalize, batch_format="pyarrow")

@@ -1169,3 +1169,32 @@ def test_event_gaps_and_timewin_brute_force(ray_session):
         for i in idx:
             mask = (users == u) & (ts >= ts[i] - HOP) & (ts <= ts[i])
             assert win[int(eid[i])] == int(cents[mask].sum()), (u, int(eid[i]))
+
+
+def test_approx_quantiles_by_brackets_exact_values(ray_session):
+    """Per-key histogram quantiles: every key's exact quantile value
+    (ceil(q*n)-1 of its sorted values) lies inside the [lo, hi]
+    bracket; deterministic across layouts."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import approx_quantiles_by
+
+    rng = np.random.default_rng(19)
+    keys = rng.choice(["p", "q", "r"], 3000)
+    # different distributions per key
+    scale = {"p": 10.0, "q": 1000.0, "r": 1.0}
+    vals = np.array([rng.uniform(0, scale[k]) for k in keys])
+    tbl = pa.table({"k": keys, "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    qs = [0.5, 0.95]
+    out = {r["k"]: r for r in approx_quantiles_by(ds, "k", "v", qs).take_all()}
+    assert set(out) == {"p", "q", "r"}
+    for k in out:
+        s = np.sort(vals[keys == k])
+        for q in qs:
+            exact = s[max(int(np.ceil(q * len(s))) - 1, 0)]
+            lo = out[k][f"q{int(q*100):02d}_lo"]
+            hi = out[k][f"q{int(q*100):02d}_hi"]
+            assert lo <= exact <= hi, (k, q, lo, exact, hi)
+    out2 = {r["k"]: r for r in approx_quantiles_by(ds.repartition(2), "k", "v", qs).take_all()}
+    assert out == out2
