@@ -115,6 +115,72 @@ def _q_exact_dedup_docs(sf_dir: str):
     return exact_dedup_ids(_read(sf_dir, "documents", ["doc_id", "text"]))
 
 
+def _q_normalized_dedup_docs(sf_dir: str):
+    from pdf_table_extractor_ray.stages.dedup import normalized_dedup_ids
+
+    return normalized_dedup_ids(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+
+def _q_props_value_by_type(sf_dir: str):
+    """Semi-structured field pull: extract the integer 'k' field from
+    the flat-JSON props payload (vectorized RE2, no per-row JSON
+    parse) and aggregate per event type."""
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.stages.semistructured import json_int_field_batch
+
+    ds = _read(sf_dir, "events", ["event_type", "props"])
+    extracted = ds.map_batches(
+        lambda b: json_int_field_batch(b, col="props", field="k", out="k", id_cols=("event_type",)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    agg = extracted.groupby("event_type").aggregate(Count(), Sum("k"))
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("event_type"),
+                pc.cast(b.column("count()"), pa.int64()),
+                pc.cast(b.column("sum(k)"), pa.int64()),
+            ],
+            names=["event_type", "n", "total_k"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_pii_scrub(sf_dir: str):
+    """PII-style global pattern redaction over the corpus: rewrite the
+    target words to <PII>, count redactions, fingerprint the scrubbed
+    text (md5) so the oracle compares content without shipping it."""
+    from pdf_table_extractor_ray.stages.dedup import add_md5_batch
+    from pdf_table_extractor_ray.stages.semistructured import scrub_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def f(b: pa.Table) -> pa.Table:
+        s = scrub_batch(b, col="text")
+        s = add_md5_batch(s, "scrubbed")
+        return pa.Table.from_arrays(
+            [s.column("doc_id"), s.column("n_redactions"), s.column("content_md5")],
+            names=["doc_id", "n_redactions", "scrub_md5"],
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_kmeans_clusters(sf_dir: str):
+    """Semantic k-means clustering of the embedding corpus (seeded
+    sample-trained centroids, broadcast assignment): per-cluster size
+    and integer mean cosine. Rows-only (iterative k-means isn't
+    SQL-expressible); determinism + assignment checked in tests."""
+    from pdf_table_extractor_ray.stages.similarity import kmeans_assign, kmeans_cluster_sizes
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kmeans_cluster_sizes(kmeans_assign(ds))
+
+
 def _q_token_counts(sf_dir: str):
     from pdf_table_extractor_ray.stages.textstats import token_count_batch
 
@@ -1762,6 +1828,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats_by_source": _q_doc_stats_by_source,
         "doc_filter_project": _q_doc_filter_project,
         "exact_dedup_docs": _q_exact_dedup_docs,
+        "normalized_dedup_docs": _q_normalized_dedup_docs,
+        "props_value_by_type": _q_props_value_by_type,
+        "pii_scrub": _q_pii_scrub,
+        "kmeans_clusters": _q_kmeans_clusters,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1849,6 +1919,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, n_chars FROM documents WHERE lang = 'en' AND n_chars > 500"
         ),
         "exact_dedup_docs": ("SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)"),
+        "normalized_dedup_docs": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        "props_value_by_type": (
+            "SELECT event_type, count(*) AS n, "
+            "CAST(sum(CAST(NULLIF(regexp_extract(props, '\"k\": (\\d+)', 1), '') AS BIGINT)) "
+            "AS BIGINT) AS total_k FROM events GROUP BY event_type"
+        ),
+        "pii_scrub": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\b(?:customer|user)\\b')) AS n_redactions, "
+            "md5(regexp_replace(text, '\\b(?:customer|user)\\b', '<PII>', 'g')) AS scrub_md5 "
+            "FROM documents"
+        ),
         "token_counts": (
             "SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens FROM documents"
         ),

@@ -111,6 +111,28 @@ def exact_dedup_ids(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data
     )
 
 
+def normalized_dedup_ids(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Keeper doc_ids after normalization-insensitive exact dedup:
+    min(doc_id) per md5 of the canonical form (lowercase, whitespace
+    runs collapsed, trimmed). Catches re-crawls that differ only in
+    case/spacing — the first rung of the near-dup ladder, at exact-dup
+    cost (one slim (hash, id) shuffle; the canonical text itself never
+    leaves the batch)."""
+    from pdf_table_extractor_ray.stages.semistructured import normalize_text_batch
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = normalize_text_batch(batch, col=text_col, out="__norm")
+        b = add_md5_batch(b, "__norm")
+        return b.select(["content_md5", "doc_id"])
+
+    hashed = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    agg = hashed.groupby("content_md5").aggregate(Min("doc_id"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays([b.column("min(doc_id)")], names=["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
 def exact_dup_groups(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     """(content_md5, n_copies, keeper) for groups with >1 copy."""
 

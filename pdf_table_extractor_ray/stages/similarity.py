@@ -15,6 +15,7 @@ from typing import Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 import ray.data
@@ -428,3 +429,76 @@ def embedding_dup_pairs(
         ),
         batch_format="pyarrow",
     )
+
+
+def kmeans_assign(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = IVF_CLUSTERS,
+    centroids: Optional[np.ndarray] = None,
+    seed: int = 13,
+) -> "ray.data.Dataset":
+    """Semantic clustering of an embedding corpus (the curation /
+    domain-mixing step of a training-data pipeline): seeded k-means
+    centroids trained on a driver-side sample (``train_ivf_centroids``),
+    broadcast once via ``ray.put``, then every row assigned to its
+    max-cosine centroid in one streaming vectorized pass (batch matmul
+    — no shuffle, no per-row Python). Output: (id, cluster, cosine).
+    Deterministic for a fixed corpus + seed."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col, n_clusters=n_clusters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=[id_col, "cluster", "cosine"],
+            )
+        sims = _normalize(m) @ ray.get(cent_ref).T
+        cell = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(cell)), cell]
+        return pa.Table.from_arrays(
+            [
+                batch.column(id_col),
+                pa.array(cell.astype(np.int64)),
+                pa.array(best, pa.float64()),
+            ],
+            names=[id_col, "cluster", "cosine"],
+        )
+
+    return ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def kmeans_cluster_sizes(assigned: "ray.data.Dataset") -> "ray.data.Dataset":
+    """(cluster, n_members, mean_cosine·1e6 as int) summary of a
+    ``kmeans_assign`` output — integer-microcosine mean so the result
+    is block-order-deterministic (float Mean() is not)."""
+    from ray.data.aggregate import Count, Sum
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        micro = pc.cast(
+            pc.floor(pc.multiply(batch.column("cosine"), pa.scalar(1e6))), pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [batch.column("cluster"), micro], names=["cluster", "micro"]
+        )
+
+    agg = (
+        assigned.map_batches(to_micro, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cluster")
+        .aggregate(Count(), Sum("micro"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("count()"), pa.int64())
+        tot = pc.cast(b.column("sum(micro)"), pa.int64())
+        mean_micro = pc.cast(pc.divide(tot, n), pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("cluster"), n, mean_micro],
+            names=["cluster", "n_members", "mean_cosine_micro"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

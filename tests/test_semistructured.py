@@ -1,0 +1,117 @@
+"""Semi-structured extraction, scrubbing, normalized dedup, k-means
+clustering — the round-3 additions."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from pdf_table_extractor_ray.stages.semistructured import (
+    json_int_field_batch,
+    normalize_text_batch,
+    scrub_batch,
+)
+
+
+def test_json_int_field_extracts_and_nulls():
+    batch = pa.table(
+        {
+            "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "props": ['{"k": 87}', '{"k": 0}', "{}", None, '{"j": 5}'],
+        }
+    )
+    out = json_int_field_batch(batch, col="props", field="k", out="k")
+    assert out.column_names == ["event_id", "k"]
+    assert out.column("k").to_pylist() == [87, 0, None, None, None]
+
+
+def test_scrub_batch_global_word_boundaries():
+    batch = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "the customer saw a user and customer",
+                "customers are not matched (substring)",
+                "no hit",
+            ],
+        }
+    )
+    out = scrub_batch(batch)
+    assert out.column("scrubbed").to_pylist() == [
+        "the <PII> saw a <PII> and <PII>",
+        "customers are not matched (substring)",
+        "no hit",
+    ]
+    assert out.column("n_redactions").to_pylist() == [3, 0, 0]
+
+
+def test_normalize_text_batch_canonical_form():
+    batch = pa.table({"text": ["  Hello   WORLD ", "a\tb\nc", "hello world"]})
+    out = normalize_text_batch(batch)
+    norm = out.column("norm_text").to_pylist()
+    assert norm == ["hello world", "a b c", "hello world"]
+
+
+def test_normalized_dedup_merges_case_and_whitespace(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import exact_dedup_ids, normalized_dedup_ids
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": ["Hello   World", "hello world", "HELLO WORLD ", "something else"],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    norm_keepers = sorted(r["doc_id"] for r in normalized_dedup_ids(ds).take_all())
+    assert norm_keepers == [1, 4]
+    # plain exact dedup keeps all four (texts differ byte-wise)
+    exact_keepers = sorted(r["doc_id"] for r in exact_dedup_ids(ds).take_all())
+    assert exact_keepers == [1, 2, 3, 4]
+
+
+def test_kmeans_assign_matches_bruteforce_and_is_layout_invariant(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import (
+        _normalize,
+        kmeans_assign,
+        kmeans_cluster_sizes,
+    )
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 400, 16, 8
+    vecs = rng.normal(size=(n, dim))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([v.tolist() for v in vecs.astype(np.float32)]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = {r["vec_id"]: r for r in kmeans_assign(ds, n_clusters=k).take_all()}
+    assert len(out) == n
+
+    # independent brute-force: retrain centroids the same deterministic
+    # way and verify every assignment is the argmax-cosine centroid
+    from pdf_table_extractor_ray.stages.similarity import train_ivf_centroids
+
+    cents = train_ivf_centroids(ds, n_clusters=k)
+    sims = _normalize(np.array([v.tolist() for v in vecs.astype(np.float32)], np.float64)) @ cents.T
+    expect = np.argmax(sims, axis=1)
+    for i in range(n):
+        assert out[i]["cluster"] == expect[i]
+        assert abs(out[i]["cosine"] - sims[i, expect[i]]) < 1e-12
+
+    # summary is deterministic across block layouts and sizes sum to n
+    s1 = sorted(
+        kmeans_cluster_sizes(kmeans_assign(ds, n_clusters=k)).take_all(),
+        key=lambda r: r["cluster"],
+    )
+    s2 = sorted(
+        kmeans_cluster_sizes(kmeans_assign(ds.repartition(2), n_clusters=k)).take_all(),
+        key=lambda r: r["cluster"],
+    )
+    assert s1 == s2
+    assert sum(r["n_members"] for r in s1) == n
