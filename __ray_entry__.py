@@ -181,6 +181,17 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_long_docs_p95(sf_dir: str):
+    """Outlier filter: docs above the EXACT global p95 length.
+    Threshold found via a slim (value, count) shuffle (distinct
+    lengths only), then a streaming filter — no sort, no raw-value
+    shuffle."""
+    from pdf_table_extractor_ray.stages.sketches import filter_above_quantile
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return filter_above_quantile(ds, "n_chars", 0.95)
+
+
 def _q_token_counts(sf_dir: str):
     from pdf_table_extractor_ray.stages.textstats import token_count_batch
 
@@ -1832,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_value_by_type": _q_props_value_by_type,
         "pii_scrub": _q_pii_scrub,
         "kmeans_clusters": _q_kmeans_clusters,
+        "long_docs_p95": _q_long_docs_p95,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1922,6 +1934,10 @@ def oracle_sql() -> dict[str, str]:
         "normalized_dedup_docs": (
             "SELECT min(doc_id) AS doc_id FROM documents "
             "GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+        ),
+        "long_docs_p95": (
+            "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
+            "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
         ),
         "props_value_by_type": (
             "SELECT event_type, count(*) AS n, "

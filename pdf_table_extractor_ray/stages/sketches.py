@@ -439,3 +439,46 @@ def approx_quantiles_by(
         return pa.Table.from_arrays(cols, names=names)
 
     return hist.groupby(key_col).map_groups(finalize, batch_format="pyarrow")
+
+
+def exact_quantile_disc(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float,
+) -> float:
+    """EXACT discrete quantile of an integer-like column, distributed:
+    value-counts groupby (only (value, count) pairs shuffle — bounded
+    by the column's distinct cardinality, the documented contract:
+    length-like / code-like ints, not arbitrary doubles), then one
+    driver-side cumsum over the distinct values. quantile_disc
+    semantics: element at ceil(q·n)−1 of the sorted multiset."""
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby(col).aggregate(Count()).take_all()
+    vals = np.array([r[col] for r in vc])
+    cnts = np.array([r["count()"] for r in vc], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    cum = np.cumsum(cnts)
+    n = int(cum[-1])
+    rank = max(int(np.ceil(q * n)), 1)  # 1-indexed position in sorted multiset
+    return float(vals[np.searchsorted(cum, rank, "left")])
+
+
+def filter_above_quantile(
+    ds: "ray.data.Dataset",
+    col: str,
+    q: float = 0.95,
+) -> "ray.data.Dataset":
+    """Outlier pass of a corpus-cleaning pipeline: keep rows whose
+    ``col`` exceeds the EXACT global q-quantile (e.g. inspect the
+    longest 5% of documents; flip the comparison to drop them). Two
+    stages: slim value-count shuffle to find the threshold, then a
+    streaming vectorized filter with the scalar broadcast in the
+    closure."""
+    thr = exact_quantile_disc(ds, col, q)
+
+    def f(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater(batch.column(col), pa.scalar(thr).cast(batch.schema.field(col).type)))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -115,3 +115,28 @@ def test_kmeans_assign_matches_bruteforce_and_is_layout_invariant(ray_session):
     )
     assert s1 == s2
     assert sum(r["n_members"] for r in s1) == n
+
+
+def test_exact_quantile_disc_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import (
+        exact_quantile_disc,
+        filter_above_quantile,
+    )
+
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 300, 5000).astype(np.int64)
+    tbl = pa.table({"doc_id": pa.array(np.arange(5000, dtype=np.int64)), "n_chars": vals})
+    ds = ray.data.from_arrow(tbl).repartition(7)
+    con = duckdb.connect()
+    con.register("t", tbl)
+    for q in (0.5, 0.95, 0.99, 1.0):
+        want = con.execute(f"SELECT quantile_disc(n_chars, {q}) FROM t").fetchone()[0]
+        assert exact_quantile_disc(ds, "n_chars", q) == float(want), q
+    kept = filter_above_quantile(ds, "n_chars", 0.95).take_all()
+    thr = con.execute("SELECT quantile_disc(n_chars, 0.95) FROM t").fetchone()[0]
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        int(i) for i in np.nonzero(vals > thr)[0]
+    )
