@@ -1764,6 +1764,35 @@ def _q_contamination_screen(sf_dir: str):
     return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_contamination_screen_bloom(sf_dir: str):
+    """Bloom-filter decontamination screen: same benchmark subset as
+    contamination_screen, but the membership structure is a fixed
+    128 KiB bitmap instead of the exact chunk set — the shape that
+    still broadcasts when the benchmark set has 10^9 n-grams. Zero
+    false negatives by construction; rows-only (false positives are
+    probabilistic), with superset-vs-exact and FP-rate tests."""
+    import ray
+
+    from pdf_table_extractor_ray.stages.bloom import bloom_from_values
+    from pdf_table_extractor_ray.stages.chunks import benchmark_chunk_set, contamination_bloom_batch
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_bench(batch):
+        doc = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(doc % 41 == 0))
+
+    bench = benchmark_chunk_set(
+        docs.map_batches(is_bench, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    handle = ray.put(bloom_from_values(bench))
+
+    def probe(batch):
+        return contamination_bloom_batch(batch, ray.get(handle))
+
+    return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -1913,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "gopher_quality": _q_gopher_quality,
         "contamination_screen": _q_contamination_screen,
+        "contamination_screen_bloom": _q_contamination_screen_bloom,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,

@@ -355,3 +355,40 @@ def contamination_batch(
         ],
         names=["doc_id", "n_chunks", "n_contaminated"],
     )
+
+
+def contamination_bloom_batch(
+    batch: pa.Table,
+    bloom_bits,
+    text_col: str = "text",
+    width: int = CHUNK_W,
+) -> pa.Table:
+    """Bloom-filter variant of ``contamination_batch`` — the shape that
+    survives a benchmark set too large to broadcast verbatim: probe
+    each chunk against a fixed-size bitmap instead of the exact value
+    set. Zero false negatives (every contaminated chunk is counted);
+    false positives can only over-count, so the screen stays safe
+    (``n_contaminated_bloom >= n_contaminated`` row-wise). Same output
+    schema/doc coverage as the exact screen."""
+    from pdf_table_extractor_ray.stages.bloom import bloom_contains
+
+    doc_rep, _chunk_idx, chunks = _chunk_arrays(batch, text_col, width)
+    n_docs = len(batch)
+    doc_ids = batch.column("doc_id").to_numpy()
+    if len(doc_rep) == 0:
+        return pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["doc_id", "n_chunks", "n_contaminated"],
+        )
+    hit = bloom_contains(chunks, bloom_bits)
+    n_chunks = np.bincount(doc_rep, minlength=n_docs).astype(np.int64)
+    n_bad = np.bincount(doc_rep[hit], minlength=n_docs).astype(np.int64)
+    present = np.flatnonzero(n_chunks > 0)
+    return pa.Table.from_arrays(
+        [
+            pa.array(doc_ids[present], pa.int64()),
+            pa.array(n_chunks[present], pa.int64()),
+            pa.array(n_bad[present], pa.int64()),
+        ],
+        names=["doc_id", "n_chunks", "n_contaminated"],
+    )
