@@ -181,6 +181,31 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_pagerank_dups(sf_dir: str):
+    """Centrality over the MinHash near-dup graph: distributed integer
+    PageRank (10 rounds, groupby-only iteration — no driver-side graph,
+    no per-round driver traffic). The canonical-representative-picking
+    step of a near-dup pipeline. Rows-only (iterative; not
+    SQL-expressible); float-PageRank parity + layout invariance
+    tested in test_graph."""
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_table_extractor_ray.stages.graph import pagerank
+
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return pagerank(pairs, "doc_a", "doc_b")
+
+
+def _q_weighted_doc_sample(sf_dir: str):
+    """Deterministic weighted sample (Efraimidis-Spirakis, hash
+    uniforms): 100 docs drawn with probability ∝ n_chars. Rows-only
+    (the draw is hash-seeded, not SQL-expressible); brute-force parity
+    and layout invariance tested in test_semistructured."""
+    from pdf_table_extractor_ray.stages.dedup import weighted_sample_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return weighted_sample_topk(ds, "doc_id", "n_chars", k=100)
+
+
 def _q_long_docs_p95(sf_dir: str):
     """Outlier filter: docs above the EXACT global p95 length.
     Threshold found via a slim (value, count) shuffle (distinct
@@ -1873,6 +1898,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "kmeans_clusters": _q_kmeans_clusters,
         "long_docs_p95": _q_long_docs_p95,
+        "weighted_doc_sample": _q_weighted_doc_sample,
+        "pagerank_dups": _q_pagerank_dups,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,

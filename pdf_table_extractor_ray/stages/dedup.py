@@ -892,3 +892,43 @@ def ngram_jaccard_pairs(
         )
 
     return counts.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample_topk(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    weight_col: str = "n_chars",
+    k: int = 100,
+    seed: int = 0x5EED,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis 2006): each row gets key = ln(u)/w with u a
+    hash-derived uniform in (0,1); the k LARGEST keys are the sample
+    (equivalent to u^(1/w)). Inclusion probability scales with weight,
+    yet the draw is reproducible across runs, block layouts and
+    cluster sizes — the property `random_sample` lacks and web-corpus
+    reweighting (sample long docs more) needs.
+
+    Scale shape: keys are computed vectorized per batch and each block
+    is pruned to its local top-k before the tiny global sort — only
+    k rows per block ever move."""
+    from pdf_table_extractor_ray.stages.sketches import _hash64_column
+
+    def score(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col)
+        h = _hash64_column(pc.cast(ids, pa.int64())) ^ np.uint64(seed)
+        # map to (0,1): (h + 1) / 2^64, never exactly 0 or 1
+        u = (_splash64(h).astype(np.float64) + 1.0) / 18446744073709551616.0
+        w = np.maximum(
+            batch.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64), 1e-12
+        )
+        key = np.log(u) / w
+        order = np.argsort(-key, kind="stable")[:k]  # local top-k prune
+        take = pa.array(order.astype(np.int64))
+        return pa.Table.from_arrays(
+            [pc.take(ids, take), pa.array(key[order], pa.float64())],
+            names=[id_col, "es_key"],
+        )
+
+    pruned = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return pruned.sort("es_key", descending=True).limit(k).drop_columns(["es_key"])

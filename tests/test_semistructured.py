@@ -140,3 +140,35 @@ def test_exact_quantile_disc_matches_duckdb(ray_session):
     assert sorted(r["doc_id"] for r in kept) == sorted(
         int(i) for i in np.nonzero(vals > thr)[0]
     )
+
+
+def test_weighted_sample_bruteforce_parity_and_bias(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import weighted_sample_topk
+    from pdf_table_extractor_ray.stages.sketches import _hash64_column
+    from pdf_table_extractor_ray.stages.textstats import _splash64
+
+    n, k = 4000, 200
+    rng = np.random.default_rng(3)
+    ids = np.arange(n, dtype=np.int64)
+    w = rng.integers(1, 1000, n).astype(np.int64)
+    tbl = pa.table({"doc_id": ids, "n_chars": w})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    got = [r["doc_id"] for r in weighted_sample_topk(ds, k=k).take_all()]
+    assert len(got) == k and len(set(got)) == k
+
+    # brute force the same E-S keys
+    h = _hash64_column(pa.array(ids)) ^ np.uint64(0x5EED)
+    u = (_splash64(h).astype(np.float64) + 1.0) / 2.0**64
+    key = np.log(u) / np.maximum(w.astype(np.float64), 1e-12)
+    expect = set(ids[np.argsort(-key, kind="stable")[:k]].tolist())
+    assert set(got) == expect
+
+    # layout invariance
+    got2 = [r["doc_id"] for r in weighted_sample_topk(ds.repartition(2), k=k).take_all()]
+    assert set(got2) == expect
+
+    # weight bias: sampled rows should skew heavy
+    assert w[np.isin(ids, got)].mean() > 1.3 * w.mean()
