@@ -181,6 +181,17 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_doc_length_pct_rank(sf_dir: str):
+    """Global window function WITHOUT a global sort: percent_rank of
+    every doc's length via a slim (value, count) groupby + broadcast
+    cumulative lookup. The sort-free plan for global rank statistics
+    on bounded-cardinality columns."""
+    from pdf_table_extractor_ray.stages.stats import global_percent_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    return global_percent_rank(ds, "n_chars")
+
+
 def _q_value_comoments_by_type(sf_dir: str):
     """Grouped co-moment statistics (the distributed corr/cov building
     block): per event type, integer-exact n/Σx/Σy/Σxy/Σx²/Σy² of
@@ -1922,6 +1933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_doc_sample": _q_weighted_doc_sample,
         "pagerank_dups": _q_pagerank_dups,
         "value_comoments_by_type": _q_value_comoments_by_type,
+        "doc_length_pct_rank": _q_doc_length_pct_rank,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2017,6 +2029,10 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "doc_length_pct_rank": (
+            "SELECT doc_id, n_chars, "
+            "percent_rank() OVER (ORDER BY n_chars) AS pct_rank FROM documents"
         ),
         "value_comoments_by_type": (
             "WITH t AS (SELECT event_type, "

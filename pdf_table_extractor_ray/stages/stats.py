@@ -108,3 +108,41 @@ def corr_from_comoments(row: dict) -> float:
     if dx <= 0 or dy <= 0:
         return float("nan")
     return num / (np.sqrt(float(dx)) * np.sqrt(float(dy)))
+
+
+def global_percent_rank(
+    ds: "ray.data.Dataset",
+    col: str,
+    out: str = "pct_rank",
+) -> "ray.data.Dataset":
+    """``percent_rank() OVER (ORDER BY col)`` for every row — WITHOUT
+    the global sort a naive window plan needs: one slim (value, count)
+    groupby (bounded by the column's distinct cardinality, same
+    contract as ``sketches.exact_quantile_disc``), a driver-side
+    cumsum, then a broadcast searchsorted lookup per batch. Rows never
+    shuffle or sort; at 100 TB the all-to-all a window sort implies is
+    replaced by a lookup table of distinct values.
+
+    percent_rank semantics (SQL): (count of rows strictly below) /
+    (n − 1); 0 for n == 1. Ties share the rank of their first peer —
+    exactly DuckDB's window result, bit-identical (one IEEE division
+    of exact integers).
+    """
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby(col).aggregate(Count()).take_all()
+    vals = np.array([r[col] for r in vc])
+    cnts = np.array([r["count()"] for r in vc], np.int64)
+    order = np.argsort(vals)
+    vals, cnts = vals[order], cnts[order]
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # rows strictly less
+    n = int(cnts.sum())
+    denom = float(n - 1) if n > 1 else 1.0
+
+    def f(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(vals, x, "left")
+        pr = below[idx] / denom
+        return batch.append_column(out, pa.array(pr, pa.float64()))
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

@@ -209,3 +209,28 @@ def test_grouped_comoments_bruteforce_and_nulls(ray_session):
     # derived corr: strong for 'a' (null-free x-sums ≈ pair sums at 5% nulls)
     assert corr_from_comoments(out["a"]) > 0.9
     assert abs(corr_from_comoments(out["b"])) < 0.2
+
+
+def test_global_percent_rank_matches_duckdb_with_ties(ray_session):
+    import duckdb
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.stats import global_percent_rank
+
+    rng = np.random.default_rng(31)
+    vals = rng.integers(0, 50, 2000).astype(np.int64)  # heavy ties
+    tbl = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64)), "n_chars": vals})
+    ds = ray.data.from_arrow(tbl).repartition(6)
+    got = {r["doc_id"]: r["pct_rank"] for r in global_percent_rank(ds, "n_chars").take_all()}
+    con = duckdb.connect()
+    con.register("t", tbl)
+    want = dict(
+        con.execute(
+            "SELECT doc_id, percent_rank() OVER (ORDER BY n_chars) FROM t"
+        ).fetchall()
+    )
+    assert got == want  # bit-identical, ties included
+
+    # single-row edge: percent_rank = 0
+    one = ray.data.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()), "n_chars": pa.array([7], pa.int64())}))
+    assert global_percent_rank(one, "n_chars").take_all()[0]["pct_rank"] == 0.0
