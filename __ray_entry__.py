@@ -181,6 +181,28 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_late_events(sf_dir: str):
+    """Watermark/late-data tagging (streaming semantics over the batch
+    replay): per user, arrival order = event_id; an event is late when
+    its event-time trails the user's running-max event-time by >30
+    minutes. Arrival order is a deterministic shuffle of event_id
+    (Knuth multiplicative hash — the synthetic table's event_ids are
+    time-ordered, which would make lateness degenerate) with event_id
+    tie-break. Bucket-sharded, fully vectorized (composite-key
+    cummax)."""
+    from pdf_table_extractor_ray.stages.sessions import tag_late_events
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_arrival(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = (eid * 2654435761) % 4294967296
+        return b.append_column("arrival", pa.array(arr, pa.int64()))
+
+    ds = ds.map_batches(add_arrival, batch_format="pyarrow", zero_copy_batch=True)
+    return tag_late_events(ds, arrival_col="arrival")
+
+
 def _q_doc_length_pct_rank(sf_dir: str):
     """Global window function WITHOUT a global sort: percent_rank of
     every doc's length via a slim (value, count) groupby + broadcast
@@ -1934,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_dups": _q_pagerank_dups,
         "value_comoments_by_type": _q_value_comoments_by_type,
         "doc_length_pct_rank": _q_doc_length_pct_rank,
+        "late_events": _q_late_events,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2029,6 +2052,14 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "late_events": (
+            "WITH t AS (SELECT event_id, user_id, ts, "
+            "(event_id * 2654435761) % 4294967296 AS arrival FROM events) "
+            "SELECT event_id, user_id, "
+            "CAST(COALESCE(ts < max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "- INTERVAL 30 MINUTE, FALSE) AS BIGINT) AS is_late FROM t"
         ),
         "doc_length_pct_rank": (
             "SELECT doc_id, n_chars, "

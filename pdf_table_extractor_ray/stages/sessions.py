@@ -69,3 +69,84 @@ def sessionize(
 
     projected = events.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return projected.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+
+
+def tag_late_events(
+    ds: "ray.data.Dataset",
+    user_col: str = "user_id",
+    order_col: str = "event_id",
+    ts_col: str = "ts",
+    lateness_us: int = 30 * 60 * 1_000_000,
+    n_buckets: int = 64,
+    arrival_col: str | None = None,
+) -> "ray.data.Dataset":
+    """Watermark / late-data tagging — the streaming-engine semantics
+    replayed over a batch table: events arrive per user in
+    ``order_col`` order; the user's watermark before an event is the
+    running max event-time of everything that arrived earlier; an
+    event is LATE when its timestamp trails the watermark by more
+    than ``lateness_us`` (the allowed lateness a window operator
+    would use to drop or side-output it).
+
+    Shape: ONE shuffle by user-id BUCKET (not per-user groups — group
+    count stays fixed at ``n_buckets`` whatever the user count), then
+    everything inside the bucket is vectorized: one lexsort, one
+    ``np.maximum.accumulate`` over a composite key
+    ``user_rank·span + ts`` (the rank stride makes the running max
+    reset at user boundaries without a Python loop), one compare.
+
+    ``arrival_col`` (defaults to ``order_col``) defines the arrival
+    sequence; ``order_col`` breaks its ties and labels the output.
+
+    Output: (order_col, user_col, is_late ∈ {0,1}; first event per
+    user is never late).
+    """
+    import pyarrow.compute as pc
+
+    arrival = arrival_col or order_col
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column(user_col).to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((u % n_buckets).astype(np.int64), pa.int64()))
+
+    def tag(g: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(g.column(ts_col), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        eid = g.column(order_col).to_numpy(zero_copy_only=False)
+        arr = g.column(arrival).to_numpy(zero_copy_only=False)
+        uid = g.column(user_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, arr, uid))  # arrival order within each user
+        su, st, se = uid[order], ts[order], eid[order]
+        first = np.empty(len(st), bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        # composite-key running max: rank·span strides prevent one
+        # user's max from leaking into the next user's segment
+        t0 = st.min()
+        span = np.int64(int(st.max()) - int(t0) + 2)
+        rank = np.cumsum(first) - 1
+        # int64 headroom: users-per-bucket × time-span must stay < 2^63
+        # (raise n_buckets if a bucket ever nears ~1e5 users × 1e13 µs)
+        assert int(rank[-1] + 1) * int(span) < (1 << 62), "raise n_buckets"
+        key = rank * span + (st - t0 + 1)
+        cummax = np.maximum.accumulate(key)
+        # exclusive (strictly-earlier) watermark: shift by one in arrival order
+        wm = np.empty(len(st), np.int64)
+        wm[1:] = cummax[:-1] - rank[1:] * span + t0 - 1
+        wm[0] = 0
+        is_late = (~first) & (st < wm - np.int64(lateness_us))
+        return pa.Table.from_arrays(
+            [
+                pa.array(se.astype(np.int64)),
+                pa.array(su.astype(np.int64)),
+                pa.array(is_late.astype(np.int64)),
+            ],
+            names=[order_col, user_col, "is_late"],
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(tag, batch_format="pyarrow")
+    )

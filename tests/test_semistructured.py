@@ -234,3 +234,49 @@ def test_global_percent_rank_matches_duckdb_with_ties(ray_session):
     # single-row edge: percent_rank = 0
     one = ray.data.from_arrow(pa.table({"doc_id": pa.array([1], pa.int64()), "n_chars": pa.array([7], pa.int64())}))
     assert global_percent_rank(one, "n_chars").take_all()[0]["pct_rank"] == 0.0
+
+
+def test_tag_late_events_bruteforce(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import tag_late_events
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    uid = rng.integers(0, 37, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)  # event times, µs
+    arrival = rng.permutation(n).astype(np.int64)  # shuffled arrival
+    eid = np.arange(n, dtype=np.int64)
+    L = 10**8
+    tbl = pa.table(
+        {
+            "event_id": eid,
+            "user_id": uid,
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "arrival": arrival,
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = {
+        r["event_id"]: r["is_late"]
+        for r in tag_late_events(ds, lateness_us=L, arrival_col="arrival").take_all()
+    }
+    assert len(got) == n
+
+    # brute force: per user, walk arrival order, running max watermark
+    expect = {}
+    for u in np.unique(uid):
+        idx = np.where(uid == u)[0]
+        idx = idx[np.argsort(arrival[idx], kind="stable")]
+        wm = None
+        for i in idx:
+            expect[int(eid[i])] = int(wm is not None and ts[i] < wm - L)
+            wm = ts[i] if wm is None else max(wm, int(ts[i]))
+    assert got == expect
+    assert sum(expect.values()) > 0  # scenario actually exercises lateness
+
+    got2 = {
+        r["event_id"]: r["is_late"]
+        for r in tag_late_events(ds.repartition(2), lateness_us=L, arrival_col="arrival").take_all()
+    }
+    assert got2 == expect
