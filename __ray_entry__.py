@@ -181,6 +181,25 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_media_features(sf_dir: str):
+    """Multimodal pipeline end-to-end: deterministic synthetic binary
+    media corpus (real PPM images + PCM WAV clips — no media files
+    ship with the test tables), real stdlib decode + featurize through
+    the actor-pool stage, per-kind integer feature summary. Rows-only
+    (binary media has no SQL analog); decode/feature correctness unit-
+    tested in test_corpus_ops."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        featurize_media,
+        media_feature_stats,
+        synth_media_corpus,
+    )
+
+    ds = ray.data.from_arrow(synth_media_corpus()).repartition(4)
+    return media_feature_stats(featurize_media(ds, mode="real", concurrency=(1, 4)))
+
+
 def _q_late_events(sf_dir: str):
     """Watermark/late-data tagging (streaming semantics over the batch
     replay): per user, arrival order = event_id; an event is late when
@@ -1957,6 +1976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_comoments_by_type": _q_value_comoments_by_type,
         "doc_length_pct_rank": _q_doc_length_pct_rank,
         "late_events": _q_late_events,
+        "media_features": _q_media_features,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,

@@ -224,3 +224,97 @@ def featurize_media(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Minimal binary-PPM (P6) encoder for synthetic corpora."""
+    h, w, _ = img.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + img.astype(np.uint8).tobytes()
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal PCM-16 mono WAV encoder for synthetic corpora."""
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(rate)
+        f.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
+    """Deterministic mixed media corpus: (media_id, kind, payload) —
+    seeded gradient PPM images and seeded sine-mix WAV clips, real
+    bytes through the real decoders. Stands in for the binary media
+    column a production table would carry (no image/audio files ship
+    with the test data)."""
+    rng = np.random.default_rng(seed)
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        if i % 2 == 0:
+            w, h = int(rng.integers(8, 24)), int(rng.integers(8, 24))
+            base = rng.integers(0, 200, 3)
+            gx = np.linspace(0, 55, w)[None, :, None]
+            img = np.clip(base[None, None, :] + gx, 0, 255).astype(np.uint8)
+            img = np.repeat(img, h, axis=0)
+            payloads.append(encode_ppm(img))
+            kinds.append("image")
+        else:
+            t = np.arange(800) / 8000.0
+            freq = float(rng.integers(100, 900))
+            x = np.sin(2 * np.pi * freq * t) * 15000 + np.sin(2 * np.pi * 3 * freq * t) * 4000
+            payloads.append(encode_wav(x))
+            kinds.append("audio")
+        ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+def media_feature_stats(features: "object") -> "object":
+    """Summarize a featurize_media output per kind: (kind, n,
+    sum_feat_milli) — feature sums quantized to int64 milli-units so
+    the summary is deterministic across block layouts."""
+    import pyarrow.compute as pc
+
+    import ray.data  # noqa: F401
+    from ray.data.aggregate import Count, Sum
+
+    def to_milli(batch: pa.Table) -> pa.Table:
+        fl = batch.column("feature")
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        # feature is FixedSizeList[FEATURE_DIM] — flatten + reshape
+        flat = np.floor(
+            fl.flatten().to_numpy(zero_copy_only=False).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        per_row = flat.reshape(len(fl), -1).sum(axis=1) if len(fl) else np.array([], np.int64)
+        return pa.Table.from_arrays(
+            [batch.column("kind"), pa.array(per_row.astype(np.int64))],
+            names=["kind", "feat_milli"],
+        )
+
+    agg = (
+        features.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("kind")
+        .aggregate(Count(), Sum("feat_milli"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("kind"),
+                pc.cast(b.column("count()"), pa.int64()),
+                pc.cast(b.column("sum(feat_milli)"), pa.int64()),
+            ],
+            names=["kind", "n", "sum_feat_milli"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

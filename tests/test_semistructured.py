@@ -280,3 +280,20 @@ def test_tag_late_events_bruteforce(ray_session):
         for r in tag_late_events(ds.repartition(2), lateness_us=L, arrival_col="arrival").take_all()
     }
     assert got2 == expect
+
+
+def test_media_features_query_deterministic(ray_session):
+    import __ray_entry__ as em
+
+    out1 = sorted(
+        em.queries()["media_features"]("/root/testdata/sf0.001").take_all(),
+        key=lambda r: r["kind"],
+    )
+    assert [r["kind"] for r in out1] == ["audio", "image"]
+    assert sum(r["n"] for r in out1) == 96
+    out2 = sorted(
+        em.queries()["media_features"]("/root/testdata/sf0.001").take_all(),
+        key=lambda r: r["kind"],
+    )
+    assert out1 == out2
+    assert all(r["sum_feat_milli"] > 0 for r in out1)
