@@ -181,6 +181,21 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_edit_distance_pairs(sf_dir: str):
+    """String-similarity verification: exact Levenshtein distance over
+    a deterministic candidate pair set (id-adjacent docs within id
+    buckets of the 1/16 content-hash sample) — the LSH-proposes /
+    edit-distance-confirms step of fuzzy dedup. DP batched per bucket
+    with the pair axis vectorized; SQL-verified against DuckDB
+    levenshtein()."""
+    from pdf_table_extractor_ray.stages.dedup import sample_by_content_hash
+    from pdf_table_extractor_ray.stages.textstats import adjacent_edit_distances
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sample = sample_by_content_hash(docs, keep_hex_chars=("0",))
+    return adjacent_edit_distances(sample)
+
+
 def _q_media_features(sf_dir: str):
     """Multimodal pipeline end-to-end: deterministic synthetic binary
     media corpus (real PPM images + PCM WAV clips — no media files
@@ -1977,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_pct_rank": _q_doc_length_pct_rank,
         "late_events": _q_late_events,
         "media_features": _q_media_features,
+        "edit_distance_pairs": _q_edit_distance_pairs,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2072,6 +2088,16 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "edit_distance_pairs": (
+            "WITH s AS (SELECT doc_id, text FROM documents "
+            "WHERE substr(md5(text), 1, 1) = '0'), "
+            "p AS (SELECT doc_id AS doc_a, "
+            "lead(doc_id) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS doc_b, "
+            "text AS ta, "
+            "lead(text) OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS tb FROM s) "
+            "SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS edit_dist "
+            "FROM p WHERE doc_b IS NOT NULL"
         ),
         "late_events": (
             "WITH t AS (SELECT event_id, user_id, ts, "

@@ -220,3 +220,89 @@ def simhash64(text: str) -> int:
     for b in np.nonzero(votes > 0)[0]:
         out |= np.uint64(1) << np.uint64(b)
     return int(out)
+
+
+def batched_levenshtein(A, B) -> np.ndarray:
+    """Unit-cost edit distances for N string pairs at once — the
+    Wagner-Fischer DP run row-by-row with the PAIR axis vectorized
+    (one (N, maxlen_b) numpy frame per row instead of N scalar DPs).
+    The in-row insertion recurrence cur[j] = min(cur[j], cur[j-1]+1)
+    collapses to a prefix-min of (cur − j) — no per-column Python.
+    Distances are over UTF-8 BYTES, matching DuckDB ``levenshtein()``
+    exactly (which is byte-based: levenshtein('ação','') = 6 — verified
+    incl. empty strings and multi-byte text). Cost
+    O(N·maxlen_a·maxlen_b): size the candidate batch, not the corpus."""
+    n = len(A)
+    if n == 0:
+        return np.array([], np.int64)
+    enc = lambda s: np.frombuffer((s or "").encode("utf-8"), np.uint8)  # noqa: E731
+    Ae = [enc(a) for a in A]
+    Be = [enc(b) for b in B]
+    la = np.array([len(x) for x in Ae])
+    lb = np.array([len(x) for x in Be])
+    maxa, maxb = int(la.max()), int(lb.max())
+    Aenc = np.zeros((n, max(maxa, 1)), np.uint8)
+    Benc = np.zeros((n, max(maxb, 1)), np.uint8)
+    for i, (x, y) in enumerate(zip(Ae, Be)):
+        Aenc[i, : len(x)] = x
+        Benc[i, : len(y)] = y
+    ar = np.arange(maxb + 1)
+    prev = np.tile(ar, (n, 1)).astype(np.int64)
+    res = np.empty(n, np.int64)
+    res[la == 0] = lb[la == 0]
+    for i in range(1, maxa + 1):
+        sub = prev[:, :-1] + (Aenc[:, i - 1][:, None] != Benc[:, :maxb] if maxb else prev[:, :0])
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        if maxb:
+            cur[:, 1:] = np.minimum(sub, prev[:, 1:] + 1)
+            cur = np.minimum.accumulate(cur - ar, axis=1) + ar
+        hit = la == i
+        if hit.any():
+            res[hit] = cur[hit, lb[hit]]
+        prev = cur
+    return res
+
+
+def adjacent_edit_distances(
+    ds: "object",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 16,
+) -> "object":
+    """(doc_a, doc_b, edit_dist) for id-adjacent document pairs within
+    each id-hash bucket — the candidate-verification shape of a fuzzy
+    dedup pipeline (LSH proposes, edit distance confirms), with a
+    deterministic SQL-expressible candidate set so the whole operator
+    is oracle-checkable. One bucket shuffle; DP batched per bucket."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((ids % n_buckets).astype(np.int64), pa.int64()))
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ids = g.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        texts = g.column(text_col).take(pa.array(order)).to_pylist()
+        if len(ids) < 2:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["doc_a", "doc_b", "edit_dist"],
+            )
+        d = batched_levenshtein(texts[:-1], texts[1:])
+        return pa.Table.from_arrays(
+            [
+                pa.array(ids[:-1].astype(np.int64)),
+                pa.array(ids[1:].astype(np.int64)),
+                pa.array(d),
+            ],
+            names=["doc_a", "doc_b", "edit_dist"],
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(pairs, batch_format="pyarrow")
+    )

@@ -297,3 +297,20 @@ def test_media_features_query_deterministic(ray_session):
     )
     assert out1 == out2
     assert all(r["sum_feat_milli"] > 0 for r in out1)
+
+
+def test_batched_levenshtein_matches_duckdb():
+    import duckdb
+
+    from pdf_table_extractor_ray.stages.textstats import batched_levenshtein
+
+    rng = np.random.default_rng(13)
+    words = ["hash", "join", "sort", "scan", "merge", "table", "ação"]
+    A = [" ".join(rng.choice(words, rng.integers(1, 40))) for _ in range(60)]
+    B = [" ".join(rng.choice(words, rng.integers(0, 40))) for _ in range(60)]
+    B[3] = ""
+    A[7] = ""
+    got = batched_levenshtein(A, B)
+    con = duckdb.connect()
+    want = [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0] for a, b in zip(A, B)]
+    assert [int(g) for g in got] == want
