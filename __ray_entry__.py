@@ -181,6 +181,15 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_doc_table_checksum(sf_dir: str):
+    """Order-invariant table checksum (replica/migration verification
+    without moving data): sum of 60-bit md5 prefixes mod 2^40 —
+    layout-, order- and cluster-size-invariant by mod-homomorphism."""
+    from pdf_table_extractor_ray.stages.sketches import table_checksum
+
+    return table_checksum(_read(sf_dir, "documents", ["text"]), "text")
+
+
 def _q_edit_distance_pairs(sf_dir: str):
     """String-similarity verification: exact Levenshtein distance over
     a deterministic candidate pair set (id-adjacent docs within id
@@ -1993,6 +2002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "media_features": _q_media_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
+        "doc_table_checksum": _q_doc_table_checksum,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2088,6 +2098,11 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "doc_table_checksum": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(sum(CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT)) "
+            "% 1099511627776 AS BIGINT) AS checksum FROM documents"
         ),
         "edit_distance_pairs": (
             "WITH s AS (SELECT doc_id, text FROM documents "

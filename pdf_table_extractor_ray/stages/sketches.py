@@ -482,3 +482,41 @@ def filter_above_quantile(
         return batch.filter(pc.greater(batch.column(col), pa.scalar(thr).cast(batch.schema.field(col).type)))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+CHECKSUM_MOD = 1 << 40  # keeps blocks × partials far inside int64
+
+
+def table_checksum(
+    ds: "ray.data.Dataset",
+    col: str = "text",
+) -> "ray.data.Dataset":
+    """Order-invariant content checksum of a whole table — the
+    "compare two replicas / verify a migration without moving data"
+    primitive: per row, the first 60 bits of md5(value); summed modulo
+    2^40 (mod is a sum homomorphism, so per-batch partial sums then a
+    global sum give exactly the row-wise result, independent of block
+    order/layout/cluster size). One row out: (n_rows, checksum).
+
+    Per-batch partials are Python-int exact (arbitrary precision)
+    before the mod, so no intermediate overflow; the global Sum sees
+    only values < 2^40."""
+    import hashlib
+
+    def partial(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_pylist()
+        s = 0
+        for v in vals:
+            s += int(hashlib.md5((v or "").encode()).hexdigest()[:15], 16)
+        return pa.Table.from_arrays(
+            [pa.array([len(vals)], pa.int64()), pa.array([s % CHECKSUM_MOD], pa.int64())],
+            names=["n_rows", "part"],
+        )
+
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    row = parts.aggregate(Sum("n_rows"), Sum("part"))
+    n = int(row["sum(n_rows)"] or 0)
+    chk = int(row["sum(part)"] or 0) % CHECKSUM_MOD
+    return ray.data.from_items([{"n_rows": n, "checksum": chk}])

@@ -314,3 +314,24 @@ def test_batched_levenshtein_matches_duckdb():
     con = duckdb.connect()
     want = [con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0] for a, b in zip(A, B)]
     assert [int(g) for g in got] == want
+
+
+def test_table_checksum_layout_invariant_and_content_sensitive(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import table_checksum
+
+    texts = [f"doc {i} body" for i in range(500)]
+    tbl = pa.table({"text": texts})
+    ds = ray.data.from_arrow(tbl)
+    c1 = table_checksum(ds.repartition(7), "text").take_all()[0]
+    # shuffled row order + different layout → identical checksum
+    rng = np.random.default_rng(2)
+    perm = rng.permutation(500)
+    tbl2 = pa.table({"text": [texts[i] for i in perm]})
+    c2 = table_checksum(ray.data.from_arrow(tbl2).repartition(3), "text").take_all()[0]
+    assert c1 == c2 and c1["n_rows"] == 500
+    # single-character change flips the checksum
+    tbl3 = pa.table({"text": texts[:-1] + [texts[-1] + "!"]})
+    c3 = table_checksum(ray.data.from_arrow(tbl3), "text").take_all()[0]
+    assert c3["checksum"] != c1["checksum"]
