@@ -239,7 +239,10 @@ def _q_late_events(sf_dir: str):
 
     def add_arrival(b: pa.Table) -> pa.Table:
         eid = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
-        arr = (eid * 2654435761) % 4294967296
+        # mask to 16 bits BEFORE the multiply so the product never
+        # exceeds int64 (numpy would wrap silently where DuckDB's
+        # overflow-checked BIGINT multiply raises); event_id breaks ties
+        arr = ((eid % 65536) * 2654435761) % 4294967296
         return b.append_column("arrival", pa.array(arr, pa.int64()))
 
     ds = ds.map_batches(add_arrival, batch_format="pyarrow", zero_copy_batch=True)
@@ -2116,7 +2119,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "late_events": (
             "WITH t AS (SELECT event_id, user_id, ts, "
-            "(event_id * 2654435761) % 4294967296 AS arrival FROM events) "
+            "((event_id % 65536) * 2654435761) % 4294967296 AS arrival FROM events) "
             "SELECT event_id, user_id, "
             "CAST(COALESCE(ts < max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id "
             "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "

@@ -77,5 +77,8 @@ def normalize_text_batch(
     """
     t = pc.utf8_lower(batch.column(col))
     t = pc.replace_substring_regex(t, r"\s+", " ")
-    t = pc.utf8_trim_whitespace(t)
+    # trim ASCII space ONLY: Arrow's utf8_trim_whitespace strips Unicode
+    # whitespace (\x0b,  , ...) that RE2's \s and DuckDB trim() do
+    # not touch, which would silently diverge from the oracle form
+    t = pc.utf8_trim(t, " ")
     return batch.append_column(out, t)

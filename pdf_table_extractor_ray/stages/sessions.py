@@ -127,8 +127,13 @@ def tag_late_events(
         span = np.int64(int(st.max()) - int(t0) + 2)
         rank = np.cumsum(first) - 1
         # int64 headroom: users-per-bucket × time-span must stay < 2^63
-        # (raise n_buckets if a bucket ever nears ~1e5 users × 1e13 µs)
-        assert int(rank[-1] + 1) * int(span) < (1 << 62), "raise n_buckets"
+        # (always-on check — an assert would be stripped under -O and
+        # the composite key would wrap silently into wrong tags)
+        if int(rank[-1] + 1) * int(span) >= (1 << 62):
+            raise ValueError(
+                "tag_late_events: users-per-bucket x time-span exceeds int64 "
+                "headroom; raise n_buckets"
+            )
         key = rank * span + (st - t0 + 1)
         cummax = np.maximum.accumulate(key)
         # exclusive (strictly-earlier) watermark: shift by one in arrival order

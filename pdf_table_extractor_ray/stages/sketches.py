@@ -381,6 +381,8 @@ def approx_quantiles_by(
 
     qs = [float(q) for q in qs]
     mm = ds.aggregate(Min(col), Max(col))
+    if not mm or mm.get(f"min({col})") is None:  # empty input
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
     mn, mx = float(mm[f"min({col})"]), float(mm[f"max({col})"])
     span = mx - mn
     edges = np.linspace(mn, mx, bins + 1) if span > 0 else None
@@ -441,6 +443,20 @@ def approx_quantiles_by(
     return hist.groupby(key_col).map_groups(finalize, batch_format="pyarrow")
 
 
+def sorted_value_counts(ds: "ray.data.Dataset", col: str):
+    """(sorted distinct values, counts) of a bounded-cardinality
+    column: one slim (value, count) groupby, driver-side sort. The
+    shared base of ``exact_quantile_disc`` and
+    ``stats.global_percent_rank``. Empty input → two empty arrays."""
+    from ray.data.aggregate import Count
+
+    vc = ds.groupby(col).aggregate(Count()).take_all()
+    vals = np.array([r[col] for r in vc])
+    cnts = np.array([r["count()"] for r in vc], np.int64)
+    order = np.argsort(vals)
+    return vals[order], cnts[order]
+
+
 def exact_quantile_disc(
     ds: "ray.data.Dataset",
     col: str,
@@ -451,14 +467,11 @@ def exact_quantile_disc(
     by the column's distinct cardinality, the documented contract:
     length-like / code-like ints, not arbitrary doubles), then one
     driver-side cumsum over the distinct values. quantile_disc
-    semantics: element at ceil(q·n)−1 of the sorted multiset."""
-    from ray.data.aggregate import Count
-
-    vc = ds.groupby(col).aggregate(Count()).take_all()
-    vals = np.array([r[col] for r in vc])
-    cnts = np.array([r["count()"] for r in vc], np.int64)
-    order = np.argsort(vals)
-    vals, cnts = vals[order], cnts[order]
+    semantics: element at ceil(q·n)−1 of the sorted multiset; NaN on
+    an empty input (matching SQL's NULL)."""
+    vals, cnts = sorted_value_counts(ds, col)
+    if len(vals) == 0:
+        return float("nan")
     cum = np.cumsum(cnts)
     n = int(cum[-1])
     rank = max(int(np.ceil(q * n)), 1)  # 1-indexed position in sorted multiset
@@ -475,8 +488,12 @@ def filter_above_quantile(
     longest 5% of documents; flip the comparison to drop them). Two
     stages: slim value-count shuffle to find the threshold, then a
     streaming vectorized filter with the scalar broadcast in the
-    closure."""
+    closure. Empty input → empty output (NaN threshold guard)."""
+    import math
+
     thr = exact_quantile_disc(ds, col, q)
+    if math.isnan(thr):  # empty input: nothing can exceed the quantile
+        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
 
     def f(batch: pa.Table) -> pa.Table:
         return batch.filter(pc.greater(batch.column(col), pa.scalar(thr).cast(batch.schema.field(col).type)))
@@ -507,7 +524,9 @@ def table_checksum(
         vals = batch.column(col).to_pylist()
         s = 0
         for v in vals:
-            s += int(hashlib.md5((v or "").encode()).hexdigest()[:15], 16)
+            if v is None:  # SQL sum skips NULL (md5(NULL) IS NULL); count(*) doesn't
+                continue
+            s += int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
         return pa.Table.from_arrays(
             [pa.array([len(vals)], pa.int64()), pa.array([s % CHECKSUM_MOD], pa.int64())],
             names=["n_rows", "part"],

@@ -53,7 +53,10 @@ def grouped_comoments(
         if isinstance(yc, pa.ChunkedArray):
             yc = yc.combine_chunks()
         yvalid = ~np.asarray(yc.is_null())
-        y = np.where(yvalid, yc.to_numpy(zero_copy_only=False), 0).astype(np.int64)
+        # fill nulls Arrow-side so the array stays int64: a null in the
+        # batch would otherwise route to_numpy through float64 (NaN) and
+        # corrupt |y| > 2^53 values
+        y = pc.fill_null(yc, 0).to_numpy(zero_copy_only=False).astype(np.int64)
 
         def agg(w, mask=None):
             # int64 scatter-add (bincount would route through float64
@@ -128,13 +131,14 @@ def global_percent_rank(
     exactly DuckDB's window result, bit-identical (one IEEE division
     of exact integers).
     """
-    from ray.data.aggregate import Count
+    from pdf_table_extractor_ray.stages.sketches import sorted_value_counts
 
-    vc = ds.groupby(col).aggregate(Count()).take_all()
-    vals = np.array([r[col] for r in vc])
-    cnts = np.array([r["count()"] for r in vc], np.int64)
-    order = np.argsort(vals)
-    vals, cnts = vals[order], cnts[order]
+    vals, cnts = sorted_value_counts(ds, col)
+    if len(vals) == 0:  # empty input: emit the (empty) rows unchanged shape
+        return ds.map_batches(
+            lambda b: b.append_column(out, pa.array([], pa.float64())),
+            batch_format="pyarrow",
+        )
     below = np.concatenate([[0], np.cumsum(cnts)[:-1]])  # rows strictly less
     n = int(cnts.sum())
     denom = float(n - 1) if n > 1 else 1.0

@@ -335,3 +335,62 @@ def test_table_checksum_layout_invariant_and_content_sensitive(ray_session):
     tbl3 = pa.table({"text": texts[:-1] + [texts[-1] + "!"]})
     c3 = table_checksum(ray.data.from_arrow(tbl3), "text").take_all()[0]
     assert c3["checksum"] != c1["checksum"]
+
+
+def test_review_fix_regressions(ray_session):
+    """Round-3 code-review fixes: oracle-parity and empty-input edges."""
+    import duckdb
+    import math
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.semistructured import normalize_text_batch
+    from pdf_table_extractor_ray.stages.sketches import (
+        approx_quantiles_by,
+        exact_quantile_disc,
+        filter_above_quantile,
+        table_checksum,
+    )
+    from pdf_table_extractor_ray.stages.stats import global_percent_rank, grouped_comoments
+
+    con = duckdb.connect()
+
+    # 1. normalize keeps non-RE2 whitespace (\x0b) exactly like DuckDB
+    nasty = ["\x0bHello  World\x0b ", " x  ", "  plain  "]
+    got = normalize_text_batch(pa.table({"text": nasty})).column("norm_text").to_pylist()
+    want = [
+        con.execute("SELECT trim(regexp_replace(lower(?), '\\s+', ' ', 'g'))", [t]).fetchone()[0]
+        for t in nasty
+    ]
+    assert got == want
+
+    # 2. comoments stay integer-exact for |y| > 2^53 with nulls present
+    big = 2**53 + 1
+    tbl = pa.table(
+        {
+            "k": ["a", "a"],
+            "x": pa.array([1, 1], pa.int64()),
+            "y": pa.array([big, None], pa.int64()),
+        }
+    )
+    row = grouped_comoments(ray.data.from_arrow(tbl), "k", "x", "y").take_all()[0]
+    assert row["sum_y"] == big and row["n_xy"] == 1
+
+    # 3. checksum skips NULL text like SQL sum (but counts the row)
+    tbl = pa.table({"text": pa.array(["a", None, "b"], pa.string())})
+    c = table_checksum(ray.data.from_arrow(tbl), "text").take_all()[0]
+    w = con.execute(
+        "SELECT CAST(count(*) AS BIGINT), "
+        "CAST(sum(CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT)) % 1099511627776 AS BIGINT) "
+        "FROM (SELECT unnest(?) AS t)",
+        [["a", None, "b"]],
+    ).fetchone()
+    assert (c["n_rows"], c["checksum"]) == (w[0], w[1])
+
+    # 4. empty-input guards return empties, not crashes
+    empty = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([], pa.int64()), "n_chars": pa.array([], pa.int64())})
+    )
+    assert math.isnan(exact_quantile_disc(empty, "n_chars", 0.95))
+    assert filter_above_quantile(empty, "n_chars", 0.95).take_all() == []
+    assert approx_quantiles_by(empty, "doc_id", "n_chars", [0.5]).take_all() == []
+    assert global_percent_rank(empty, "n_chars").take_all() == []
