@@ -1317,6 +1317,22 @@ def _q_lm_familiarity(sf_dir: str):
     return familiarity_scores(docs, vocab)
 
 
+def _q_lm_bigram_familiarity(sf_dir: str):
+    """Bigram-LM train + score (the 2-gram rung of CCNet-style
+    filtering): distributed bigram counts → top-1000 bigram vocab →
+    broadcast → per-doc integer-exact bigram statistics."""
+    from pdf_table_extractor_ray.stages.lm import (
+        bigram_familiarity_scores,
+        top_vocab,
+        train_bigram_counts,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = train_bigram_counts(docs)
+    vocab = top_vocab(counts)
+    return bigram_familiarity_scores(docs, vocab)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Float leg of the LM pipeline (rows-only: ln() differs in the
     last ulp between numpy and DuckDB — measured on this host)."""
@@ -2037,6 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_after_order": _q_first_event_after_order,
         "top_orders_per_cust": _q_top_orders_per_cust,
         "lm_familiarity": _q_lm_familiarity,
+        "lm_bigram_familiarity": _q_lm_bigram_familiarity,
         "lm_perplexity": _q_lm_perplexity,
         "doc_sample": _q_doc_sample,
         "events_pivot": _q_events_pivot,
@@ -2350,6 +2367,17 @@ def oracle_sql() -> dict[str, str]:
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents "
             "FROM events"
+        ),
+        "lm_bigram_familiarity": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS g "
+            "  FROM toks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2), "
+            "counts AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM bg GROUP BY g), "
+            "vocab AS (SELECT g, c FROM counts ORDER BY c DESC, g LIMIT 1000) "
+            "SELECT doc_id, count(*) AS n_bigrams, "
+            "  CAST(sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+            "  CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS bigram_mass "
+            "FROM bg LEFT JOIN vocab v USING (g) GROUP BY doc_id"
         ),
         "lm_familiarity": (
             "WITH tok AS (SELECT doc_id, "

@@ -196,3 +196,105 @@ def perplexity_scores(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str):
+    """(bigram strings, owning doc index, n_docs) for one batch —
+    adjacent whitespace-token pairs within each document, joined with a
+    single space (tokens cannot contain whitespace, so the join is
+    unambiguous and equals the SQL ``w[i] || ' ' || w[i+1]`` form).
+    Fully vectorized: one split, one boundary mask, one element-wise
+    binary join."""
+    flat, lens = _flat_tokens(batch.column(text_col))
+    n = batch.num_rows
+    doc_idx = np.repeat(np.arange(n), lens)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat_f = flat.filter(pa.array(keep))
+    di = doc_idx[keep]
+    if len(di) < 2:
+        return pa.array([], pa.string()), np.array([], np.int64), n
+    m = di[1:] == di[:-1]  # pair stays inside one document
+    a = flat_f.slice(0, len(flat_f) - 1).filter(pa.array(m))
+    b = flat_f.slice(1).filter(pa.array(m))
+    g = pc.binary_join_element_wise(a, b, " ")
+    return g, di[1:][m], n
+
+
+def train_bigram_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(token, n) global BIGRAM counts — same pre-reduce/groupby shape
+    as the unigram trainer (column named ``token`` so ``top_vocab``
+    and ``total_tokens`` work unchanged on bigram models)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        g, _, _ = _doc_bigrams(batch, text_col)
+        vc = g.value_counts() if len(g) else None
+        if vc is None or len(vc) == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.int64())], names=["token", "n"]
+            )
+        return pa.Table.from_arrays(
+            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())], names=["token", "n"]
+        )
+
+    agg = (
+        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("token")
+        .aggregate(Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("token"), pc.cast(b.column("sum(n)"), pa.int64())], names=["token", "n"]
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def bigram_familiarity_scores(
+    ds: "ray.data.Dataset",
+    vocab: pa.Table,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, n_bigrams, n_oov, bigram_mass): integer-exact per-doc
+    bigram-LM statistics against a broadcast top-V bigram vocabulary —
+    the 2-gram rung of CCNet-style LM filtering (the unigram rung is
+    ``familiarity_scores``). Docs with <2 tokens emit no row (matches
+    the SQL unnest oracle)."""
+    vocab_ref = ray.put((vocab.column("token").combine_chunks(), vocab.column("n").to_numpy()))
+
+    def score(batch: pa.Table) -> pa.Table:
+        grams, counts_np = ray.get(vocab_ref)
+        g, gdoc, n = _doc_bigrams(batch, text_col)
+        empty = pa.Table.from_arrays(
+            [
+                pa.array([], batch.schema.field("doc_id").type),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+                pa.array([], pa.int64()),
+            ],
+            names=["doc_id", "n_bigrams", "n_oov", "bigram_mass"],
+        )
+        if len(g) == 0:
+            return empty
+        idx = pc.index_in(g, value_set=grams)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)  # NaN = OOV
+        hit = ~np.isnan(idx_np)
+        mass = np.zeros(len(g), np.int64)
+        mass[hit] = counts_np[idx_np[hit].astype(np.int64)]
+        n_bg = np.bincount(gdoc, minlength=n).astype(np.int64)
+        n_hit = np.bincount(gdoc, weights=hit.astype(np.int64), minlength=n).astype(np.int64)
+        doc_mass = np.zeros(n, np.int64)
+        np.add.at(doc_mass, gdoc, mass)
+        keep = n_bg > 0
+        return pa.Table.from_arrays(
+            [
+                batch.column("doc_id").filter(pa.array(keep)),
+                pa.array(n_bg[keep]),
+                pa.array((n_bg - n_hit)[keep]),
+                pa.array(doc_mass[keep]),
+            ],
+            names=["doc_id", "n_bigrams", "n_oov", "bigram_mass"],
+        )
+
+    return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)

@@ -394,3 +394,30 @@ def test_review_fix_regressions(ray_session):
     assert filter_above_quantile(empty, "n_chars", 0.95).take_all() == []
     assert approx_quantiles_by(empty, "doc_id", "n_chars", [0.5]).take_all() == []
     assert global_percent_rank(empty, "n_chars").take_all() == []
+
+
+def test_bigram_lm_edges(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.lm import (
+        bigram_familiarity_scores,
+        top_vocab,
+        train_bigram_counts,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": ["a b a b", "b a", "single", None, "  a   b  "],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    counts = {r["token"]: r["n"] for r in train_bigram_counts(ds).take_all()}
+    # pairs never cross documents; whitespace runs don't create empties
+    assert counts == {"a b": 3, "b a": 2}
+    vocab = top_vocab(train_bigram_counts(ds), v=1)  # only "a b" in vocab
+    out = {r["doc_id"]: r for r in bigram_familiarity_scores(ds, vocab).take_all()}
+    assert set(out) == {1, 2, 5}  # <2 tokens → no row
+    assert out[1]["n_bigrams"] == 3 and out[1]["n_oov"] == 1 and out[1]["bigram_mass"] == 6
+    assert out[2]["n_bigrams"] == 1 and out[2]["n_oov"] == 1 and out[2]["bigram_mass"] == 0
+    assert out[5]["n_bigrams"] == 1 and out[5]["n_oov"] == 0 and out[5]["bigram_mass"] == 3
