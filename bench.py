@@ -107,6 +107,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "ship_window_value",  # bucketed interval join, weighted stab sums
         "chunk_dedup_docs",  # corpus chunk dedup + text reassembly
         "tfidf_top3",  # df broadcast + map-only float scoring
+        "late_events",  # watermark tagging: bucket shuffle + composite cummax
+        "value_comoments_by_type",  # one-pass grouped co-moments (corr/cov base)
     ):
         t0 = time.time()
         res = qs[name](sf_dir)
