@@ -56,14 +56,11 @@ def _flat_tokens(text_col) -> Tuple[pa.Array, np.ndarray]:
     return lists.flatten(), lens
 
 
-def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Per-batch (token, n) partial counts — the combiner before the
-    global token groupby. Boundary empties ("" from leading/trailing
-    whitespace) are dropped."""
-    flat, _ = _flat_tokens(batch.column(text_col))
-    flat = flat.filter(pc.not_equal(flat, ""))
-    vc = flat.value_counts()
-    if len(vc) == 0:
+def _counts_table(arr) -> pa.Table:
+    """(token, n) value counts of one batch's extracted units — shared
+    combiner of the unigram and bigram trainers."""
+    vc = arr.value_counts() if len(arr) else None
+    if vc is None or len(vc) == 0:
         return pa.Table.from_arrays(
             [pa.array([], pa.string()), pa.array([], pa.int64())], names=["token", "n"]
         )
@@ -72,13 +69,10 @@ def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
-def train_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
-    """(token, n) global counts."""
-    partials = ds.map_batches(
-        lambda b: token_count_partials(b, text_col),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+def _train_counts(ds: "ray.data.Dataset", partial_fn) -> "ray.data.Dataset":
+    """map_batches(partial) → groupby(token).sum — the shared
+    pre-reduce/shuffle shape of both n-gram trainers."""
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow", zero_copy_batch=True)
     agg = partials.groupby("token").aggregate(Sum("n"))
     return agg.map_batches(
         lambda b: pa.Table.from_arrays(
@@ -86,6 +80,30 @@ def train_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.d
         ),
         batch_format="pyarrow",
     )
+
+
+def _vocab_lookup(arr, value_set):
+    """(hit mask, int64 indices of hits into value_set): the shared
+    index_in plumbing of the familiarity/perplexity/bigram scorers."""
+    idx = pc.index_in(arr, value_set=value_set)
+    if isinstance(idx, pa.ChunkedArray):
+        idx = idx.combine_chunks()
+    idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)  # NaN = OOV
+    hit = ~np.isnan(idx_np)
+    return hit, idx_np[hit].astype(np.int64)
+
+
+def token_count_partials(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-batch (token, n) partial counts — the combiner before the
+    global token groupby. Boundary empties ("" from leading/trailing
+    whitespace) are dropped."""
+    flat, _ = _flat_tokens(batch.column(text_col))
+    return _counts_table(flat.filter(pc.not_equal(flat, "")))
+
+
+def train_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(token, n) global counts."""
+    return _train_counts(ds, lambda b: token_count_partials(b, text_col))
 
 
 def top_vocab(counts: "ray.data.Dataset", v: int = VOCAB_SIZE) -> pa.Table:
@@ -125,16 +143,15 @@ def familiarity_scores(
         n = batch.num_rows
         doc_idx = np.repeat(np.arange(n), lens)
         is_empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(flat, value_set=tokens)
-        if isinstance(idx, pa.ChunkedArray):
-            idx = idx.combine_chunks()
-        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)  # NaN for miss
-        hit = ~np.isnan(idx_np)
+        hit, hit_idx = _vocab_lookup(flat, tokens)
         mass = np.zeros(len(flat), np.int64)
-        mass[hit] = counts_np[idx_np[hit].astype(np.int64)]
+        mass[hit] = counts_np[hit_idx]
         n_tok = np.bincount(doc_idx, weights=(~is_empty).astype(np.int64), minlength=n).astype(np.int64)
         n_hit = np.bincount(doc_idx, weights=hit.astype(np.int64), minlength=n).astype(np.int64)
-        doc_mass = np.bincount(doc_idx, weights=mass, minlength=n).astype(np.int64)
+        # int64 scatter-add: bincount's float64 weights would round
+        # masses past 2^53, breaking the integer-exact oracle contract
+        doc_mass = np.zeros(n, np.int64)
+        np.add.at(doc_mass, doc_idx, mass)
         keep = n_tok > 0
         return pa.Table.from_arrays(
             [
@@ -172,13 +189,9 @@ def perplexity_scores(
         n = batch.num_rows
         doc_idx = np.repeat(np.arange(n), lens)
         is_empty = pc.equal(flat, "").to_numpy(zero_copy_only=False)
-        idx = pc.index_in(flat, value_set=tokens)
-        if isinstance(idx, pa.ChunkedArray):
-            idx = idx.combine_chunks()
-        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)
-        hit = ~np.isnan(idx_np)
+        hit, hit_idx = _vocab_lookup(flat, tokens)
         tok_lp = np.full(len(flat), oov_logp, np.float64)
-        tok_lp[hit] = logp_np[idx_np[hit].astype(np.int64)]
+        tok_lp[hit] = logp_np[hit_idx]
         tok_lp[is_empty] = 0.0
         n_tok = np.bincount(doc_idx, weights=(~is_empty).astype(np.int64), minlength=n).astype(np.int64)
         nats = -np.bincount(doc_idx, weights=tok_lp, minlength=n)
@@ -225,28 +238,7 @@ def train_bigram_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.
     as the unigram trainer (column named ``token`` so ``top_vocab``
     and ``total_tokens`` work unchanged on bigram models)."""
 
-    def partials(batch: pa.Table) -> pa.Table:
-        g, _, _ = _doc_bigrams(batch, text_col)
-        vc = g.value_counts() if len(g) else None
-        if vc is None or len(vc) == 0:
-            return pa.Table.from_arrays(
-                [pa.array([], pa.string()), pa.array([], pa.int64())], names=["token", "n"]
-            )
-        return pa.Table.from_arrays(
-            [vc.field("values"), pc.cast(vc.field("counts"), pa.int64())], names=["token", "n"]
-        )
-
-    agg = (
-        ds.map_batches(partials, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("token")
-        .aggregate(Sum("n"))
-    )
-    return agg.map_batches(
-        lambda b: pa.Table.from_arrays(
-            [b.column("token"), pc.cast(b.column("sum(n)"), pa.int64())], names=["token", "n"]
-        ),
-        batch_format="pyarrow",
-    )
+    return _train_counts(ds, lambda b: _counts_table(_doc_bigrams(b, text_col)[0]))
 
 
 def bigram_familiarity_scores(
@@ -264,24 +256,19 @@ def bigram_familiarity_scores(
     def score(batch: pa.Table) -> pa.Table:
         grams, counts_np = ray.get(vocab_ref)
         g, gdoc, n = _doc_bigrams(batch, text_col)
-        empty = pa.Table.from_arrays(
-            [
-                pa.array([], batch.schema.field("doc_id").type),
-                pa.array([], pa.int64()),
-                pa.array([], pa.int64()),
-                pa.array([], pa.int64()),
-            ],
-            names=["doc_id", "n_bigrams", "n_oov", "bigram_mass"],
-        )
         if len(g) == 0:
-            return empty
-        idx = pc.index_in(g, value_set=grams)
-        if isinstance(idx, pa.ChunkedArray):
-            idx = idx.combine_chunks()
-        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)  # NaN = OOV
-        hit = ~np.isnan(idx_np)
+            return pa.Table.from_arrays(
+                [
+                    pa.array([], batch.schema.field("doc_id").type),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                    pa.array([], pa.int64()),
+                ],
+                names=["doc_id", "n_bigrams", "n_oov", "bigram_mass"],
+            )
+        hit, hit_idx = _vocab_lookup(g, grams)
         mass = np.zeros(len(g), np.int64)
-        mass[hit] = counts_np[idx_np[hit].astype(np.int64)]
+        mass[hit] = counts_np[hit_idx]
         n_bg = np.bincount(gdoc, minlength=n).astype(np.int64)
         n_hit = np.bincount(gdoc, weights=hit.astype(np.int64), minlength=n).astype(np.int64)
         doc_mass = np.zeros(n, np.int64)

@@ -380,9 +380,17 @@ def approx_quantiles_by(
     from ray.data.aggregate import Max, Min, Sum
 
     qs = [float(q) for q in qs]
+    out_names = [key_col] + [f"q{int(q * 100):02d}_{s}" for q in qs for s in ("lo", "hi")]
     mm = ds.aggregate(Min(col), Max(col))
-    if not mm or mm.get(f"min({col})") is None:  # empty input
-        return ds.map_batches(lambda b: b.slice(0, 0), batch_format="pyarrow")
+    if not mm or mm.get(f"min({col})") is None:
+        # empty or all-null value column: no quantiles exist for any key;
+        # return an empty table with the documented OUTPUT schema
+        key_type = ds.schema().base_schema.field(key_col).type
+        empty = pa.Table.from_arrays(
+            [pa.array([], key_type)] + [pa.array([], pa.float64())] * (2 * len(qs)),
+            names=out_names,
+        )
+        return ray.data.from_arrow(empty)
     mn, mx = float(mm[f"min({col})"]), float(mm[f"max({col})"])
     span = mx - mn
     edges = np.linspace(mn, mx, bins + 1) if span > 0 else None
@@ -418,7 +426,7 @@ def approx_quantiles_by(
         .aggregate(Sum("cnt"))
     )
 
-    names = [key_col] + [f"q{int(q * 100):02d}_{side}" for q in qs for side in ("lo", "hi")]
+    names = out_names
 
     def finalize(g: pa.Table) -> pa.Table:
         # one group batch = ALL (bin, cnt) rows of one key

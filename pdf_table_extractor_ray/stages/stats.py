@@ -48,7 +48,14 @@ def grouped_comoments(
         dic = keys.dictionary_encode()
         codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         g = len(dic.dictionary)
-        x = batch.column(x_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        xc = batch.column(x_col)
+        if isinstance(xc, pa.ChunkedArray):
+            xc = xc.combine_chunks()
+        # x must be non-null (n counts every row) — a null would route
+        # to_numpy through float64 and silently corrupt |x| > 2^53
+        if xc.null_count:
+            raise ValueError(f"grouped_comoments: null values in x column {x_col!r}")
+        x = xc.to_numpy(zero_copy_only=False).astype(np.int64)
         yc = batch.column(y_col)
         if isinstance(yc, pa.ChunkedArray):
             yc = yc.combine_chunks()

@@ -1,9 +1,12 @@
 """The repo must keep passing its own scale-discipline audit."""
 
+import importlib.util
+import os
+
 
 def test_scale_audit_clean():
-    import sys, os
-    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    import audit_scale
-
-    assert audit_scale.audit() == []
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "audit_scale.py")
+    spec = importlib.util.spec_from_file_location("audit_scale", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.audit() == []
