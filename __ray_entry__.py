@@ -46,7 +46,7 @@ def _fixture_pages(sf_dir: str) -> str:
     return path
 
 
-def _read(sf_dir: str, table: str, columns=None):
+def _read(sf_dir: str, table: str, columns=None, filter=None):  # noqa: A002
     import pyarrow.parquet as pq
 
     import ray.data
@@ -57,6 +57,15 @@ def _read(sf_dir: str, table: str, columns=None):
     # schema-dedup (unify_schemas) then logs a warning per block — at
     # cluster scale that drowns the job logs
     full = pq.read_schema(path).remove_metadata()
+    if filter is not None:
+        # predicate pushdown: the scanner evaluates the expression against
+        # row-group statistics BEFORE decoding — at 100 TB a selective
+        # filter here skips whole row groups at the storage layer. The
+        # expression may reference columns outside the projection, so the
+        # explicit (pruned) schema cannot be passed on this path: an
+        # explicit schema must match the projected output, and Ray then
+        # resolves the filter against it. Inferred schema instead.
+        return ray.data.read_parquet(path, columns=columns, filter=filter)
     schema = pa.schema([full.field(c) for c in columns]) if columns else full
     return ray.data.read_parquet(path, columns=columns, schema=schema)
 
@@ -179,6 +188,22 @@ def _q_kmeans_clusters(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
     return kmeans_cluster_sizes(kmeans_assign(ds))
+
+
+def _q_urgent_bigticket(sf_dir: str):
+    """Predicate pushdown at the read: the priority+price filter is a
+    pyarrow dataset expression evaluated against parquet row-group
+    statistics before decode — the 'prune at the read' plan (no
+    map-side filter stage at all). Filter references a column outside
+    the projection."""
+    import pyarrow.dataset as pads
+
+    expr = (pads.field("o_orderpriority") == "1-URGENT") & (
+        pads.field("o_totalprice") > 200000.0
+    )
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"], filter=expr
+    )
 
 
 def _q_doc_table_checksum(sf_dir: str):
@@ -2022,6 +2047,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
+        "urgent_bigticket": _q_urgent_bigticket,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2118,6 +2144,10 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "urgent_bigticket": (
+            "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+            "WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000"
         ),
         "doc_table_checksum": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
