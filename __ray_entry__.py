@@ -190,6 +190,16 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_order_price_scaled(sf_dir: str):
+    """Per-group min-max feature scaling (ML preprocessing): two-pass
+    broadcast of one (min, max) row per priority class, then a single
+    vectorized map — no window sort, no data reshuffle."""
+    from pdf_table_extractor_ray.stages.stats import grouped_minmax_normalize
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_totalprice"])
+    return grouped_minmax_normalize(ds, "o_orderpriority", "o_totalprice")
+
+
 def _q_urgent_bigticket(sf_dir: str):
     """Predicate pushdown at the read: the priority+price filter is a
     pyarrow dataset expression evaluated against parquet row-group
@@ -2048,6 +2058,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
+        "order_price_scaled": _q_order_price_scaled,
         "token_counts": _q_token_counts,
         "token_counts_bpe": _q_token_counts_bpe,
         "lineitem_pricing": _q_lineitem_pricing,
@@ -2144,6 +2155,13 @@ def oracle_sql() -> dict[str, str]:
         "long_docs_p95": (
             "SELECT doc_id, n_chars FROM documents WHERE n_chars > "
             "(SELECT quantile_disc(n_chars, 0.95) FROM documents)"
+        ),
+        "order_price_scaled": (
+            "SELECT o_orderkey, o_orderpriority, o_totalprice, "
+            "CASE WHEN max(o_totalprice) OVER w = min(o_totalprice) OVER w THEN 0.0 "
+            "ELSE (o_totalprice - min(o_totalprice) OVER w) / "
+            "(max(o_totalprice) OVER w - min(o_totalprice) OVER w) END AS scaled "
+            "FROM orders WINDOW w AS (PARTITION BY o_orderpriority)"
         ),
         "urgent_bigticket": (
             "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "

@@ -157,3 +157,38 @@ def global_percent_rank(
         return batch.append_column(out, pa.array(pr, pa.float64()))
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_minmax_normalize(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    out: str = "scaled",
+) -> "ray.data.Dataset":
+    """Per-group min-max feature scaling — the two-pass broadcast
+    pattern (the ML-preprocessing twin of a window plan): pass 1 is a
+    tiny groupby producing one (min, max) row per group; pass 2 maps
+    the table once with the group-stats broadcast into the closure and
+    scales vectorized via a dictionary-encoded lookup. No window sort,
+    no second shuffle of the data. Degenerate groups (min == max)
+    scale to 0.0, mirroring SQL's NULLIF guard convention handled by
+    the caller's expression."""
+    from ray.data.aggregate import Max, Min
+
+    stats = ds.groupby(key_col).aggregate(Min(col), Max(col)).take_all()
+    keys = pa.array([r[key_col] for r in stats])
+    lo = np.array([r[f"min({col})"] for r in stats], np.float64)
+    hi = np.array([r[f"max({col})"] for r in stats], np.float64)
+
+    def scale(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        idx = pc.index_in(k, value_set=keys).to_numpy(zero_copy_only=False).astype(np.int64)
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        span = hi[idx] - lo[idx]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            scaled = np.where(span > 0, (x - lo[idx]) / span, 0.0)
+        return batch.append_column(out, pa.array(scaled, pa.float64()))
+
+    return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)

@@ -421,3 +421,22 @@ def test_bigram_lm_edges(ray_session):
     assert out[1]["n_bigrams"] == 3 and out[1]["n_oov"] == 1 and out[1]["bigram_mass"] == 6
     assert out[2]["n_bigrams"] == 1 and out[2]["n_oov"] == 1 and out[2]["bigram_mass"] == 0
     assert out[5]["n_bigrams"] == 1 and out[5]["n_oov"] == 0 and out[5]["bigram_mass"] == 3
+
+
+def test_grouped_minmax_normalize_degenerate_group(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.stats import grouped_minmax_normalize
+
+    tbl = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b"],
+            "v": pa.array([10.0, 20.0, 30.0, 7.0, 7.0], pa.float64()),
+        }
+    )
+    out = {
+        (r["k"], r["v"]): r["scaled"]
+        for r in grouped_minmax_normalize(ray.data.from_arrow(tbl).repartition(2), "k", "v").take_all()
+    }
+    assert out[("a", 10.0)] == 0.0 and out[("a", 30.0)] == 1.0 and out[("a", 20.0)] == 0.5
+    assert out[("b", 7.0)] == 0.0  # min == max group scales to 0
