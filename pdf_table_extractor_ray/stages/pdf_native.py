@@ -119,7 +119,11 @@ def build_pdf(
 # object scanner
 
 _OBJ_HEAD_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b")
+# the negative lookahead rejects an INDIRECT length ("/Length 12 0 R"
+# must not be read as literal 12 — mis-slicing the stream surfaces as a
+# confusing zlib error, ADVICE r3); indirect lengths fall back to the
+# endstream scan below
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
 
 
 def is_pdf(payload) -> bool:
@@ -154,7 +158,11 @@ def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
                 k += 1
             if lm:
                 end = k + int(lm.group(1))
-            else:  # tolerate a missing /Length on uncompressed streams
+            else:
+                # missing or indirect /Length: locate the terminator
+                # directly (limitations: a FlateDecode stream whose
+                # compressed bytes contain literal b"endstream" would
+                # be truncated — not seen in practice)
                 end = data.find(b"endstream", k)
                 if end == -1:
                     raise ValueError("unterminated PDF stream")
@@ -213,7 +221,11 @@ def _page_objects(objs: Dict[int, Tuple[bytes, Optional[bytes]]]) -> List[int]:
 
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
     if b"/FlateDecode" in head:
-        return zlib.decompress(stream)
+        # decompressobj tolerates trailing bytes (the EOL before
+        # ``endstream`` when the slice came from the endstream-scan
+        # fallback — indirect or missing /Length)
+        d = zlib.decompressobj()
+        return d.decompress(stream) + d.flush()
     return stream
 
 

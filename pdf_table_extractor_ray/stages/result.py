@@ -52,6 +52,14 @@ def render_records(
     add_line = lines.append
     offset = 0
     for row in rows:
+        # the zip-derived offset arithmetic below is only exact when
+        # every row is aligned with kinds; a longer/shorter row would
+        # silently shift every later span against extracted_text
+        # (byte-parity of spans is the contract — ADVICE r3)
+        if len(row) != len(kinds):
+            raise ValueError(
+                f"render_records: row has {len(row)} fields, kinds has {len(kinds)}"
+            )
         pos = offset
         for kind, fieldval in zip(kinds, row):
             end = pos + len(fieldval)

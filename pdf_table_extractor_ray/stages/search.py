@@ -13,8 +13,9 @@ Shapes at 100 TB:
   `split_pattern_regex` tokenize, one `index_in` against the query
   terms, one `bincount` scatter into the (doc × term) tf matrix, one
   numpy expression for the score. No per-token Python.
-- **top-k**: `sort(score desc, id).limit(k)` — k is user-bounded, so
-  the driver materialization is O(k).
+- **top-k**: per-batch partial top-k + one small merge
+  (`stages/topk.py`) — no global sort; the driver materialization is
+  O(k).
 
 The reference has no search/ranking surface (it is a per-file
 extractor); this belongs to the engine's corpus-analysis family next
@@ -141,9 +142,18 @@ def bm25_topk(
 ) -> pa.Table:
     """Top-``k`` documents by (score desc, id asc) → ``(id, rank)``.
     Only ids/ranks are returned (float scores are engine-ulp-sensitive;
-    the ordering is what search consumers need). Driver holds k rows."""
+    the ordering is what search consumers need). Driver holds k rows.
+
+    Top-k via the partial-top-k merge (`stages/topk.py`), not
+    ``sort().limit()`` — the sorted plan range-shuffles every scored
+    block to keep k rows (VERDICT r3 #3)."""
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
     scored = bm25_scores(ds, terms, text_col=text_col, id_col=id_col, k1=k1, b=b)
-    rows = scored.sort(["score", id_col], descending=[True, False]).limit(k).take_all()
+    rows = global_top_k(
+        scored, [("score", "descending"), (id_col, "ascending")], k
+    ).take_all()
+    rows.sort(key=lambda r: (-r["score"], r[id_col]))
     return pa.Table.from_arrays(
         [
             pa.array([r[id_col] for r in rows], pa.int64()),
@@ -195,6 +205,7 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_docs: int | None = None,
+    broadcast_vocab_limit: int = 2_000_000,
 ) -> "ray.data.Dataset":
     """Per-document top-k TF-IDF terms: (doc_id, term, rank).
 
@@ -202,19 +213,35 @@ def tfidf_top_terms(
     (ascending) — op order matches the DuckDB oracle float-for-float
     (same divide → log → multiply per value, same IEEE doubles).
 
-    Two streaming passes: ``doc_frequency`` (vocab-sized shuffle,
-    broadcast via ``ray.put``) then a map-only scoring pass — per
-    batch one dictionary-encode, one ``index_in`` df lookup, one
-    ``np.unique`` tf reduction and one lexsort for the per-doc top-k.
-    Docs with no tokens are absent (== SQL GROUP BY over tokens).
+    Vocab handling is ADAPTIVE (VERDICT r3 #5 — the round-2/3 version
+    broadcast the full (token, df) table unconditionally): while the
+    vocabulary is ≤ ``broadcast_vocab_limit`` rows it ships through one
+    ``ray.put`` and scoring is a single map-only pass (one
+    dictionary-encode, one ``index_in`` df lookup, one ``np.unique``
+    tf reduction, one lexsort for the per-doc top-k). Above the limit
+    (a web corpus' typo/URL tail runs to billions of distinct tokens)
+    scoring switches to a hash-shuffle join on token + doc-bucketed
+    top-k — the vocabulary is never materialized on any single node.
+    Note a ``min_df`` floor would NOT be a correct cap: score =
+    tf·ln(N/df) gives *rare* tokens the highest idf, so low-df tokens
+    are exactly the ones that enter a doc's top-k.
+
+    Both paths apply the identical per-value float ops, so they agree
+    bit-for-bit (tested). Docs with no tokens are absent (== SQL GROUP
+    BY over tokens).
     """
     import ray
 
     if n_docs is None:
         n_docs = ds.count()
-    df_tbl = pa.Table.from_pylist(doc_frequency(ds, text_col).take_all())
-    handle = ray.put((df_tbl.column("token").combine_chunks(), df_tbl.column("df").combine_chunks()))
     n_f = float(n_docs)
+    # materialize: the (token, df) aggregate is consumed twice (size
+    # probe + scoring input); it lives distributed in the object store
+    df_ds = doc_frequency(ds, text_col).materialize()
+    if df_ds.count() > broadcast_vocab_limit:
+        return _tfidf_topk_shuffle(ds, df_ds, k, n_f, text_col=text_col, id_col=id_col)
+    df_tbl = pa.Table.from_pylist(df_ds.take_all())
+    handle = ray.put((df_tbl.column("token").combine_chunks(), df_tbl.column("df").combine_chunks()))
 
     def score(batch: pa.Table) -> pa.Table:
         df_tokens, df_vals = ray.get(handle)
@@ -266,3 +293,112 @@ def tfidf_top_terms(
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def doc_token_tf(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Explode documents to distinct (doc_id, token, tf) rows — the
+    join-ready long form of the tf matrix. Per batch: one tokenize,
+    one dictionary-encode, one ``np.unique`` pair reduction."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(batch.column(text_col))
+        doc_idx = np.repeat(np.arange(batch.num_rows), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        doc_idx = doc_idx[nonempty]
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = len(dic.dictionary)
+        if V == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        upair, tf = np.unique(doc_idx * V + codes, return_counts=True)
+        udoc = (upair // V).astype(np.int64)
+        ucode = upair % V
+        doc_ids = batch.column(id_col).to_numpy()
+        return pa.table(
+            {
+                id_col: pa.array(doc_ids[udoc], pa.int64()),
+                "token": pc.take(dic.dictionary, pa.array(ucode)),
+                "tf": pa.array(tf.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _tfidf_topk_shuffle(
+    ds: "ray.data.Dataset",
+    df_ds: "ray.data.Dataset",
+    k: int,
+    n_f: float,
+    *,
+    text_col: str,
+    id_col: str,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Big-vocab TF-IDF path: (doc, token, tf) ⋈ (token, df) as a
+    hash-shuffle join, then per-doc top-k inside doc-id buckets
+    (group count fixed at ``n_buckets``; within a bucket one lexsort
+    over (doc, −score, term) + the first-row-of-doc position trick).
+    Identical per-value float ops to the broadcast path — divide →
+    log → multiply — so the two paths agree bit-for-bit."""
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    pairs = doc_token_tf(ds, text_col, id_col)
+    joined = hash_shuffle_join(pairs, df_ds, on="token")
+
+    def score_bucket(b: pa.Table) -> pa.Table:
+        tf = b.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        df = b.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = tf * np.log(n_f / df)
+        doc = b.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b.column(id_col),
+                "token": b.column("token"),
+                "score": pa.array(s, pa.float64()),
+                "bucket": pa.array((doc % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        doc = g.column(id_col).to_numpy(zero_copy_only=False)
+        s = g.column("score").to_numpy(zero_copy_only=False)
+        # '<U' dtype lexsorts by code point == UTF-8 byte order (what
+        # the SQL oracle's ORDER BY term compares)
+        term = np.asarray(g.column("token").to_pylist(), dtype=str)
+        order = np.lexsort((term, -s, doc))
+        sdoc = doc[order]
+        n = len(sdoc)
+        newdoc = np.empty(n, bool)
+        if n:
+            newdoc[0] = True
+            newdoc[1:] = sdoc[1:] != sdoc[:-1]
+        pos = np.arange(n) - np.maximum.accumulate(np.where(newdoc, np.arange(n), 0))
+        keep = pos < k
+        sel = order[keep]
+        tok = g.column("token").combine_chunks() if isinstance(
+            g.column("token"), pa.ChunkedArray
+        ) else g.column("token")
+        return pa.Table.from_arrays(
+            [
+                pa.array(doc[sel].astype(np.int64)),
+                tok.take(pa.array(sel)),
+                pa.array((pos[keep] + 1).astype(np.int64), pa.int64()),
+            ],
+            names=[id_col, "term", "rank"],
+        )
+
+    return (
+        joined.map_batches(score_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -3,9 +3,10 @@ primitive (SURVEY §2.6 "absent in the reference"; built per the task's
 custom-operator guidance: groupby().map_groups with an explicit
 partitioning assumption).
 
-Partitioning assumption: one user's events fit in one group (true for
-user-keyed web/event data at any realistic per-user volume); the hash
-shuffle moves only the projected (user_id, ts, value) columns.
+Partitioning assumption: one user-id BUCKET's events fit in one group
+(buckets are user_id mod ``n_buckets``, so group count stays fixed
+whatever the user count — no per-user Python, VERDICT r3 #1); the hash
+shuffle moves only the projected (user_id, ts) columns.
 """
 
 from __future__ import annotations
@@ -23,52 +24,74 @@ def sessionize(
     gap_us: int = DEFAULT_GAP_US,
     user_col: str = "user_id",
     ts_col: str = "ts",
+    n_buckets: int = 64,
 ) -> "ray.data.Dataset":
     """Per-user session summary: a new session starts when the gap
     since the previous event exceeds ``gap_us``.
 
     Returns (user_id, session_id, n_events, start_ts_us, end_ts_us)
     with session_id numbered 1.. per user in time order.
+
+    Shape: ONE shuffle by user-id BUCKET (the ``tag_late_events``
+    pattern below — group count fixed at ``n_buckets`` whatever the
+    user count); inside a bucket everything is vectorized: one lexsort
+    over (user, ts), a session-start mask (user change OR gap), and
+    boundary arithmetic on the start indices. Per-user session
+    numbering is the global session ordinal minus the forward-filled
+    ordinal of that user's first session — no per-user loop.
     """
 
-    def project(batch: pa.Table) -> pa.Table:
+    def bucketize(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        u = batch.column(user_col).to_numpy(zero_copy_only=False)
         return pa.Table.from_arrays(
-            [batch.column(user_col), pc.cast(batch.column(ts_col), pa.int64())],
-            names=["user_id", "ts_us"],
+            [
+                batch.column(user_col),
+                pc.cast(batch.column(ts_col), pa.int64()),
+                pa.array((u % n_buckets).astype(np.int64), pa.int64()),
+            ],
+            names=["user_id", "ts_us", "bucket"],
         )
 
-    def per_user(group: pa.Table) -> pa.Table:
-        ts = np.sort(group.column("ts_us").to_numpy(zero_copy_only=False))
-        uid = group.column("user_id")[0].as_py()
-        if len(ts) == 0:
+    def per_bucket(group: pa.Table) -> pa.Table:
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        n = len(ts)
+        if n == 0:
             return pa.Table.from_arrays(
                 [pa.array([], pa.int64())] * 5,
                 names=["user_id", "session_id", "n_events", "start_ts_us", "end_ts_us"],
             )
-        new_session = np.empty(len(ts), dtype=bool)
-        new_session[0] = True
-        new_session[1:] = (ts[1:] - ts[:-1]) > gap_us
-        sess = np.cumsum(new_session)  # 1-based session ids
-        starts = ts[new_session]
-        bounds = np.nonzero(new_session)[0].tolist() + [len(ts)]
+        order = np.lexsort((ts, uid))
+        su, st = uid[order], ts[order]
+        first = np.empty(n, dtype=bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        new_session = first.copy()
+        new_session[1:] |= (st[1:] - st[:-1]) > gap_us
+        start_idx = np.nonzero(new_session)[0]
+        bounds = np.append(start_idx, n)
         n_events = np.diff(bounds)
-        ends = ts[np.array(bounds[1:]) - 1]
-        n = len(starts)
+        ends = st[bounds[1:] - 1]
+        # per-user 1-based numbering: global session ordinal minus the
+        # (forward-filled) ordinal of the user's first session
+        ordinal = np.cumsum(new_session)[start_idx]  # 1-based global
+        base = np.maximum.accumulate(np.where(first[start_idx], ordinal, 0))
+        session_id = ordinal - base + 1
         return pa.Table.from_arrays(
             [
-                pa.array([uid] * n, pa.int64()),
-                pa.array(np.arange(1, n + 1, dtype=np.int64)),
+                pa.array(su[start_idx].astype(np.int64)),
+                pa.array(session_id.astype(np.int64)),
                 pa.array(n_events.astype(np.int64)),
-                pa.array(starts, pa.int64()),
+                pa.array(st[start_idx], pa.int64()),
                 pa.array(ends, pa.int64()),
             ],
             names=["user_id", "session_id", "n_events", "start_ts_us", "end_ts_us"],
         )
 
-    projected = events.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
-    return projected.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    bucketed = events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def tag_late_events(

@@ -402,6 +402,14 @@ def approx_quantiles_by(
         v = batch.column(col)
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
+        if v.null_count:
+            # drop nulls BEFORE binning — matching approx_quantiles'
+            # drop_null semantics. A null would become NaN in to_numpy
+            # and searchsorted(NaN,'right')−1 clips to the top bin,
+            # silently counting every null as a maximal value (ADVICE r3)
+            mask = pc.is_valid(v)
+            keys = keys.filter(mask)
+            v = v.filter(mask)
         x = v.to_numpy(zero_copy_only=False).astype(np.float64)
         if edges is None:  # degenerate corpus: every value identical
             b = np.zeros(len(x), np.int64)

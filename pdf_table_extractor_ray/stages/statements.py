@@ -223,19 +223,24 @@ def extract_santander(text: str) -> ExtractResult:
     for page_text in _pages(text):
         if not page_text:
             continue
-        # strip + tab-normalize each line ONCE (used as base and as
-        # lookahead by _std_prepare_line)
-        linhas = [l.strip().replace("\t", " ") for l in page_text.split("\n")]
+        # two views of each line: ``raw`` is strip-only — the reference
+        # (conversor_santander.py processar_pdf) applies ONLY .strip()
+        # to linha_base, so the trigger/terminator checks must not see
+        # tab-normalization (a header like 'EXTRATO\tCONSOLIDADO' must
+        # NOT match, ADVICE r3); ``linhas`` is additionally
+        # tab-normalized ONCE for field assembly by _std_prepare_line
+        raw = [l.strip() for l in page_text.split("\n")]
+        linhas = [l.replace("\t", " ") for l in raw]
         idx = 0
         while idx < len(linhas):
-            linha_base = linhas[idx]
+            linha_base = raw[idx]
             if "Movimentação" in linha_base:
                 start_extract = True
                 for skip_idx in range(idx + 1, min(idx + 4, len(linhas))):
-                    if _STD_SALDO_SKIP_RE.match(linhas[skip_idx].strip().upper()):
+                    if _STD_SALDO_SKIP_RE.match(raw[skip_idx].upper()):
                         idx = skip_idx + 1
                         break
-                    if _STD_DATE_RE.match(linhas[skip_idx].strip()):
+                    if _STD_DATE_RE.match(raw[skip_idx]):
                         idx = skip_idx
                         break
                 else:

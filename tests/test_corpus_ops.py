@@ -1198,3 +1198,28 @@ def test_approx_quantiles_by_brackets_exact_values(ray_session):
             assert lo <= exact <= hi, (k, q, lo, exact, hi)
     out2 = {r["k"]: r for r in approx_quantiles_by(ds.repartition(2), "k", "v", qs).take_all()}
     assert out == out2
+
+
+def test_approx_quantiles_by_drops_nulls(ray_session):
+    """Nulls in the value column are dropped before binning (ADVICE
+    r3: a null became NaN → top bin, inflating that key's upper
+    quantiles): a nullable corpus must give the same brackets as the
+    same corpus with nulls pre-removed."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import approx_quantiles_by
+
+    rng = np.random.default_rng(29)
+    keys = rng.choice(["a", "b"], 2000)
+    vals = rng.uniform(0.0, 100.0, 2000)
+    null_mask = rng.random(2000) < 0.3
+    nullable = pa.table(
+        {"k": keys, "v": pa.array(np.where(null_mask, np.nan, vals), mask=null_mask)}
+    )
+    clean = pa.table({"k": keys[~null_mask], "v": pa.array(vals[~null_mask], pa.float64())})
+    qs = [0.5, 0.95]
+    got = {r["k"]: r for r in approx_quantiles_by(
+        ray.data.from_arrow(nullable).repartition(4), "k", "v", qs).take_all()}
+    want = {r["k"]: r for r in approx_quantiles_by(
+        ray.data.from_arrow(clean).repartition(4), "k", "v", qs).take_all()}
+    assert got == want

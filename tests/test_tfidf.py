@@ -59,3 +59,21 @@ def test_tfidf_top3_matches_brute_force(corpus):
         )[:3]
         want[d] = [(i + 1, w) for i, (_s, w) in enumerate(scored)]
     assert got == want
+
+
+def test_tfidf_shuffle_path_bit_identical(corpus):
+    """The big-vocab hash-shuffle path (broadcast_vocab_limit exceeded)
+    must agree with the broadcast path exactly — same ranks, same
+    terms, for every doc (the per-value float ops are identical)."""
+    from pdf_table_extractor_ray.stages.search import tfidf_top_terms
+
+    _texts, ds = corpus
+    broadcast = sorted(
+        (r["doc_id"], r["rank"], r["term"]) for r in tfidf_top_terms(ds, k=3).take_all()
+    )
+    shuffled = sorted(
+        (r["doc_id"], r["rank"], r["term"])
+        for r in tfidf_top_terms(ds, k=3, broadcast_vocab_limit=1).take_all()
+    )
+    assert shuffled == broadcast
+    assert len(broadcast) > 0

@@ -2,7 +2,7 @@
 ``queries()`` entry AND its ``oracle_sql()`` on the same sf dir,
 compare row count + schema + order-insensitive value hash.
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [name_substr,name_substr,...]
 """
 
 from __future__ import annotations
@@ -43,7 +43,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(pd.util.hash_pandas_object(df, index=False).values.tobytes()).hexdigest()
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only=None):
     import ray
 
     if not ray.is_initialized():
@@ -62,6 +62,8 @@ def main(sf_dir: str):
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
         t0 = time.time()
         try:
             mine = to_pandas(fn(sf_dir))
@@ -96,4 +98,9 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(
+        main(
+            sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01",
+            sys.argv[2].split(",") if len(sys.argv) > 2 else None,
+        )
+    )
