@@ -1419,6 +1419,24 @@ def _q_lm_bigram_familiarity(sf_dir: str):
     return bigram_familiarity_scores(docs, vocab)
 
 
+def _q_lm_trigram_familiarity(sf_dir: str):
+    """Trigram-LM train + score (the 3-gram rung of CCNet-style
+    filtering — production CCNet uses 5-gram Kneser-Ney; each rung is
+    the same groupby-count + broadcast + vectorized scoring shape):
+    distributed trigram counts → top-1000 trigram vocab → broadcast →
+    per-doc integer-exact trigram statistics."""
+    from pdf_table_extractor_ray.stages.lm import (
+        top_vocab,
+        train_trigram_counts,
+        trigram_familiarity_scores,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    counts = train_trigram_counts(docs)
+    vocab = top_vocab(counts)
+    return trigram_familiarity_scores(docs, vocab)
+
+
 def _q_lm_perplexity(sf_dir: str):
     """Float leg of the LM pipeline (rows-only: ln() differs in the
     last ulp between numpy and DuckDB — measured on this host)."""
@@ -2138,6 +2156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_cust": _q_top_orders_per_cust,
         "lm_familiarity": _q_lm_familiarity,
         "lm_bigram_familiarity": _q_lm_bigram_familiarity,
+        "lm_trigram_familiarity": _q_lm_trigram_familiarity,
         "lm_perplexity": _q_lm_perplexity,
         "doc_sample": _q_doc_sample,
         "events_pivot": _q_events_pivot,
@@ -2473,6 +2492,17 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
             "  CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS bigram_mass "
             "FROM bg LEFT JOIN vocab v USING (g) GROUP BY doc_id"
+        ),
+        "lm_trigram_familiarity": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "tg AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g "
+            "  FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i) WHERE len(w) >= 3), "
+            "counts AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY g), "
+            "vocab AS (SELECT g, c FROM counts ORDER BY c DESC, g LIMIT 1000) "
+            "SELECT doc_id, count(*) AS n_trigrams, "
+            "  CAST(sum(CASE WHEN v.g IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+            "  CAST(sum(coalesce(v.c, 0)) AS BIGINT) AS trigram_mass "
+            "FROM tg LEFT JOIN vocab v USING (g) GROUP BY doc_id"
         ),
         "lm_familiarity": (
             "WITH tok AS (SELECT doc_id, "

@@ -25,6 +25,26 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_OUT = "/tmp/pdfx_bench_out"
 
 
+def _quiet_empty_bundle_warnings():
+    """Ray's hash aggregate emits empty-SCHEMA bundles for empty hash
+    partitions, and the streaming executor logs a scary 'RefBundle with
+    a different schema … new schema: .' warning for each (benign —
+    verified: the divergent schema is always the empty one). Drop ONLY
+    that case; a real schema divergence still warns."""
+    import logging
+
+    class _DropEmptyBundleSchemaWarning(logging.Filter):
+        def filter(self, record):
+            msg = record.getMessage()
+            return not (
+                "RefBundle with a different schema" in msg and "new schema: ." in msg
+            )
+
+    logging.getLogger(
+        "ray.data._internal.execution.streaming_executor_state"
+    ).addFilter(_DropEmptyBundleSchemaWarning())
+
+
 def _init_ray(num_cpus: int):
     import ray
 
@@ -39,6 +59,7 @@ def _init_ray(num_cpus: int):
 
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
+    _quiet_empty_bundle_warnings()
     return ray
 
 

@@ -53,7 +53,7 @@ FAMILIES = (
 ALL_FAMILIES = FAMILIES + ("encrypted", "pdf_native")
 
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5  # r4: pdf_native sub-families (relative-Td, PDF 1.5)
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -454,7 +454,15 @@ _GENERATORS = {
 
 def _html_wordboxes_to_pdf(html: str) -> bytes:
     """Re-serialize a coordinate-columns markup doc as a real PDF with
-    the identical word boxes (page per ``<div class="page">``)."""
+    the identical word boxes (page per ``<div class="page">``).
+
+    The serialization sub-family is a pure function of the content
+    (crc32 mod 3): classic absolute-``Tm`` PDF 1.4, relative-``Td``
+    multi-op lines, or PDF 1.5 (object stream + xref stream) with
+    relative positioning — so the golden gate exercises all three
+    shapes the native parser supports."""
+    import zlib as _zlib
+
     from pdf_table_extractor_ray.stages.layout import _PAGE_SPLIT_RE, _WORDBOX_RE
     from pdf_table_extractor_ray.stages.pdf_native import build_pdf
 
@@ -466,7 +474,12 @@ def _html_wordboxes_to_pdf(html: str) -> bytes:
         ]
         if words:
             pages.append(words)
-    return build_pdf(pages)
+    variant = _zlib.crc32(html.encode()) % 3
+    return build_pdf(
+        pages,
+        positioning="td" if variant else "tm",
+        pdf15=(variant == 2),
+    )
 
 
 def generate_doc(i: int, seed: int = SEED) -> Dict:

@@ -211,51 +211,77 @@ def perplexity_scores(
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _doc_bigrams(batch: pa.Table, text_col: str):
-    """(bigram strings, owning doc index, n_docs) for one batch —
-    adjacent whitespace-token pairs within each document, joined with a
-    single space (tokens cannot contain whitespace, so the join is
-    unambiguous and equals the SQL ``w[i] || ' ' || w[i+1]`` form).
-    Fully vectorized: one split, one boundary mask, one element-wise
-    binary join."""
+def _doc_ngrams(batch: pa.Table, text_col: str, order: int):
+    """(n-gram strings, owning doc index, n_docs) for one batch —
+    adjacent whitespace-token ``order``-tuples within each document,
+    joined with a single space (tokens cannot contain whitespace, so
+    the join is unambiguous and equals the SQL
+    ``w[i] || ' ' || w[i+1] || ...`` form). Fully vectorized: one
+    split, one boundary mask, one element-wise binary join. Because the
+    doc indices are nondecreasing, ``di[i] == di[i+order-1]`` implies
+    the whole window lies in one document — a single comparison."""
     flat, lens = _flat_tokens(batch.column(text_col))
     n = batch.num_rows
     doc_idx = np.repeat(np.arange(n), lens)
     keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
     flat_f = flat.filter(pa.array(keep))
     di = doc_idx[keep]
-    if len(di) < 2:
+    if len(di) < order:
         return pa.array([], pa.string()), np.array([], np.int64), n
-    m = di[1:] == di[:-1]  # pair stays inside one document
-    a = flat_f.slice(0, len(flat_f) - 1).filter(pa.array(m))
-    b = flat_f.slice(1).filter(pa.array(m))
-    g = pc.binary_join_element_wise(a, b, " ")
-    return g, di[1:][m], n
+    width = len(di) - order + 1
+    m = pa.array(di[order - 1 :] == di[:width])
+    parts = [flat_f.slice(i, width).filter(m) for i in range(order)]
+    g = pc.binary_join_element_wise(*parts, " ")
+    return g, di[order - 1 :][m.to_numpy(zero_copy_only=False)], n
+
+
+def _doc_bigrams(batch: pa.Table, text_col: str):
+    """Bigram specialization of ``_doc_ngrams`` (kept for callers)."""
+    return _doc_ngrams(batch, text_col, 2)
+
+
+def train_ngram_counts(
+    ds: "ray.data.Dataset", order: int, text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(token, n) global ``order``-gram counts — same pre-reduce/groupby
+    shape as the unigram trainer (column named ``token`` so
+    ``top_vocab`` and ``total_tokens`` work unchanged on n-gram
+    models). Each extra rung of the CCNet-style LM ladder is the same
+    two-stage shape: per-batch value_counts combiner, one slim
+    (gram, n) shuffle."""
+
+    return _train_counts(ds, lambda b: _counts_table(_doc_ngrams(b, text_col, order)[0]))
 
 
 def train_bigram_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
-    """(token, n) global BIGRAM counts — same pre-reduce/groupby shape
-    as the unigram trainer (column named ``token`` so ``top_vocab``
-    and ``total_tokens`` work unchanged on bigram models)."""
-
-    return _train_counts(ds, lambda b: _counts_table(_doc_bigrams(b, text_col)[0]))
+    """(token, n) global BIGRAM counts (2-gram rung)."""
+    return train_ngram_counts(ds, 2, text_col)
 
 
-def bigram_familiarity_scores(
+def train_trigram_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """(token, n) global TRIGRAM counts (3-gram rung)."""
+    return train_ngram_counts(ds, 3, text_col)
+
+
+def ngram_familiarity_scores(
     ds: "ray.data.Dataset",
     vocab: pa.Table,
+    order: int,
+    names: tuple,
     text_col: str = "text",
 ) -> "ray.data.Dataset":
-    """(doc_id, n_bigrams, n_oov, bigram_mass): integer-exact per-doc
-    bigram-LM statistics against a broadcast top-V bigram vocabulary —
-    the 2-gram rung of CCNet-style LM filtering (the unigram rung is
-    ``familiarity_scores``). Docs with <2 tokens emit no row (matches
-    the SQL unnest oracle)."""
+    """(doc_id, n_grams, n_oov, gram_mass) under the given output
+    ``names``: integer-exact per-doc n-gram-LM statistics against a
+    broadcast top-V n-gram vocabulary — one rung of CCNet-style LM
+    filtering. Docs with < ``order`` tokens emit no row (matches the
+    SQL unnest oracle). The model broadcasts ONCE via ``ray.put``;
+    scoring is one index_in + three bincounts per batch."""
+    out_names = ["doc_id", *names]
     vocab_ref = ray.put((vocab.column("token").combine_chunks(), vocab.column("n").to_numpy()))
 
     def score(batch: pa.Table) -> pa.Table:
         grams, counts_np = ray.get(vocab_ref)
-        g, gdoc, n = _doc_bigrams(batch, text_col)
+        g, gdoc, n = _doc_ngrams(batch, text_col, order)
         if len(g) == 0:
             return pa.Table.from_arrays(
                 [
@@ -264,13 +290,14 @@ def bigram_familiarity_scores(
                     pa.array([], pa.int64()),
                     pa.array([], pa.int64()),
                 ],
-                names=["doc_id", "n_bigrams", "n_oov", "bigram_mass"],
+                names=out_names,
             )
         hit, hit_idx = _vocab_lookup(g, grams)
         mass = np.zeros(len(g), np.int64)
         mass[hit] = counts_np[hit_idx]
         n_bg = np.bincount(gdoc, minlength=n).astype(np.int64)
         n_hit = np.bincount(gdoc, weights=hit.astype(np.int64), minlength=n).astype(np.int64)
+        # int64 scatter-add (bincount's float64 weights round past 2^53)
         doc_mass = np.zeros(n, np.int64)
         np.add.at(doc_mass, gdoc, mass)
         keep = n_bg > 0
@@ -281,7 +308,29 @@ def bigram_familiarity_scores(
                 pa.array((n_bg - n_hit)[keep]),
                 pa.array(doc_mass[keep]),
             ],
-            names=["doc_id", "n_bigrams", "n_oov", "bigram_mass"],
+            names=out_names,
         )
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bigram_familiarity_scores(
+    ds: "ray.data.Dataset",
+    vocab: pa.Table,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, n_bigrams, n_oov, bigram_mass) — the 2-gram rung."""
+    return ngram_familiarity_scores(
+        ds, vocab, 2, ("n_bigrams", "n_oov", "bigram_mass"), text_col
+    )
+
+
+def trigram_familiarity_scores(
+    ds: "ray.data.Dataset",
+    vocab: pa.Table,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """(doc_id, n_trigrams, n_oov, trigram_mass) — the 3-gram rung."""
+    return ngram_familiarity_scores(
+        ds, vocab, 3, ("n_trigrams", "n_oov", "trigram_mass"), text_col
+    )

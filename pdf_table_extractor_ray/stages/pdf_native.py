@@ -18,13 +18,19 @@ pdfplumber/pikepdf in this container):
   show op yields one word box ``(x0, top, text)`` in pdfplumber's
   top-left coordinate convention (``top = page_height − y``).
 
+PDF 1.5 support (round 4): cross-reference STREAMS (``/Type /XRef``
+with ``/W`` field widths, ``/Index`` subsections, ``/Prev`` chains and
+PNG row predictors 10–15) are parsed into an object locator, and
+object STREAMS (``/Type /ObjStm``) are unpacked so catalogs/page trees
+packed inside them resolve — the two shapes that distinguish modern
+bank PDFs from classic 1.4 files. The byte-walking scanner remains the
+fallback when the xref chain is damaged or absent.
+
 Declared limitations (documented, not hidden): no font-metric glyph
-advance (every word must be positioned absolutely, which is how the
-deterministic fixture writer below emits them — real bank PDFs from
-pdfplumber do the same per-word positioning), Latin-1/PDFDoc text
-encoding only (no /ToUnicode CMaps), no xref-stream (PDF 1.5+)
-cross-reference parsing — the scanner finds objects by walking the
-byte stream, so classic xref tables are not even required.
+advance (every word must be positioned by its own ``Tm``/``Td``/``TD``
+— real bank PDFs from pdfplumber do the same per-word positioning;
+relative ``Td`` advances accumulate through the line matrix),
+Latin-1/PDFDoc text encoding only (no /ToUnicode CMaps).
 
 The extraction strategy reuses the exact y-cluster + x-threshold
 column logic of ``layout.extract_coordinate_columns`` — a PDF doc and
@@ -55,15 +61,42 @@ def _lit_string(text: str) -> str:
     return "(" + raw.translate(_LIT_ESCAPE) + ")"
 
 
+def _page_content(words: List[Word], h: float, positioning: str) -> bytes:
+    """One page's content-stream body. ``positioning="tm"`` emits one
+    absolutely-positioned ``Tm … Tj`` per word (print-pipeline shape);
+    ``"td"`` emits relative ``Td`` advances that accumulate through the
+    line matrix (multi-op-line shape — the other common way real bank
+    PDFs position words). Deltas are taken between the ROUNDED
+    coordinates, so the accumulated position is exact to the 2-decimal
+    grid the absolute writer uses."""
+    parts = ["BT", "/F1 10 Tf"]
+    if positioning == "td":
+        px = py = 0.0
+        for x0, top, text in words:
+            xr, yr = round(x0, 2), round(h - top, 2)
+            parts.append(f"{xr - px:.2f} {yr - py:.2f} Td {_lit_string(text)} Tj")
+            px, py = xr, yr
+    else:
+        for x0, top, text in words:
+            parts.append(f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm {_lit_string(text)} Tj")
+    parts.append("ET")
+    return "\n".join(parts).encode("latin-1")
+
+
 def build_pdf(
     pages: List[List[Word]],
     page_size: Tuple[float, float] = DEFAULT_PAGE_SIZE,
     compress: bool = True,
+    positioning: str = "tm",
+    pdf15: bool = False,
 ) -> bytes:
-    """Serialize word boxes into a real, standards-valid PDF: one
-    absolutely-positioned ``Tm … Tj`` per word, FlateDecode content
-    streams, classic xref table. Deterministic for fixed input (zlib
-    level fixed), so fixture corpora mint identically everywhere."""
+    """Serialize word boxes into a real, standards-valid PDF:
+    FlateDecode content streams, and either a classic xref table
+    (``pdf15=False``) or a PDF 1.5 layout — catalog/page-tree/font/page
+    dicts packed into an object stream (``/Type /ObjStm``) located by a
+    cross-reference STREAM (``/Type /XRef``, ``/W [1 2 2]``) instead of
+    a trailer. Deterministic for fixed input (zlib level fixed), so
+    fixture corpora mint identically everywhere."""
     w, h = page_size
     n_pages = max(1, len(pages))
     # object numbering: 1=Catalog 2=Pages 3=Font, then (page,content) pairs
@@ -78,11 +111,7 @@ def build_pdf(
     objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     for i in range(n_pages):
         words = pages[i] if i < len(pages) else []
-        parts = ["BT", "/F1 10 Tf"]
-        for x0, top, text in words:
-            parts.append(f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm {_lit_string(text)} Tj")
-        parts.append("ET")
-        content = "\n".join(parts).encode("latin-1")
+        content = _page_content(words, h, positioning)
         filt = b""
         if compress:
             content = zlib.compress(content, 6)
@@ -96,6 +125,8 @@ def build_pdf(
             b"<< " + filt + b"/Length " + str(len(content)).encode() + b" >>"
             b"\nstream\n" + content + b"\nendstream"
         )
+    if pdf15:
+        return _serialize_pdf15(objs, first_page_obj, n_pages)
 
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
@@ -112,6 +143,66 @@ def build_pdf(
         f"trailer\n<< /Size {max_obj + 1} /Root 1 0 R >>\n"
         f"startxref\n{xref_at}\n%%EOF\n"
     ).encode()
+    return bytes(out)
+
+
+def _serialize_pdf15(objs: Dict[int, bytes], first_page_obj: int, n_pages: int) -> bytes:
+    """PDF 1.5 serialization: every non-stream object (catalog, page
+    tree, font, page dicts) is packed into ONE object stream; the
+    only top-level objects are the content streams, the ObjStm and the
+    cross-reference stream. There is no classic trailer — /Root and
+    /Size live in the XRef stream dict."""
+    packed_nums = [1, 2, 3] + [first_page_obj + 2 * i for i in range(n_pages)]
+    stream_nums = [first_page_obj + 2 * i + 1 for i in range(n_pages)]
+    max_obj = max(objs)
+    objstm_num, xref_num = max_obj + 1, max_obj + 2
+
+    # ObjStm payload: "num off num off ..." header, then the dicts
+    body = bytearray()
+    offs: List[Tuple[int, int]] = []
+    for num in packed_nums:
+        offs.append((num, len(body)))
+        body += objs[num] + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in offs).encode() + b"\n"
+    payload = zlib.compress(bytes(header + body), 6)
+    objstm = (
+        f"<< /Type /ObjStm /N {len(packed_nums)} /First {len(header)} "
+        f"/Filter /FlateDecode /Length {len(payload)} >>".encode()
+        + b"\nstream\n" + payload + b"\nendstream"
+    )
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    top_offsets: Dict[int, int] = {}
+    for num in stream_nums:
+        top_offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num] + b"\nendobj\n"
+    top_offsets[objstm_num] = len(out)
+    out += f"{objstm_num} 0 obj\n".encode() + objstm + b"\nendobj\n"
+
+    # XRef stream: /W [1 4 2] — type byte, 4-byte field2 (large fixture
+    # PDFs exceed 2-byte offsets), 2-byte field3
+    size = xref_num + 1
+    xref_at = len(out)
+    rows = bytearray()
+
+    def row(t: int, f2: int, f3: int):
+        rows.extend(bytes([t]) + f2.to_bytes(4, "big") + f3.to_bytes(2, "big"))
+
+    row(0, 0, 65535)  # obj 0: free
+    for num in range(1, size):
+        if num == xref_num:
+            row(1, xref_at, 0)  # the xref stream locates itself
+        elif num in top_offsets:
+            row(1, top_offsets[num], 0)
+        else:
+            row(2, objstm_num, packed_nums.index(num))
+    xdata = zlib.compress(bytes(rows), 6)
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R /Filter /FlateDecode /Length {len(xdata)} >>".encode()
+        + b"\nstream\n" + xdata + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
     return bytes(out)
 
 
@@ -142,36 +233,17 @@ def _scan_objects(data: bytes) -> Dict[int, Tuple[bytes, Optional[bytes]]]:
         m = _OBJ_HEAD_RE.search(data, i)
         if not m:
             break
-        num = int(m.group(1))
-        j = m.end()
-        s = data.find(b"stream", j)
-        e = data.find(b"endobj", j)
+        one = _scan_objects_one(data, m)
+        if one is None:
+            # missing/indirect /Length with no endstream terminator
+            if data.find(b"endobj", m.end()) == -1 and data.find(b"stream", m.end()) != -1:
+                raise ValueError("unterminated PDF stream")
+            break
+        num, head, stream, after = one
+        objs[num] = (head, stream)
+        e = data.find(b"endobj", after)
         if e == -1:
             break
-        if s != -1 and s < e:
-            head = data[j:s]
-            lm = _LENGTH_RE.search(head)
-            k = s + len(b"stream")
-            if data[k : k + 2] == b"\r\n":
-                k += 2
-            elif data[k : k + 1] == b"\n":
-                k += 1
-            if lm:
-                end = k + int(lm.group(1))
-            else:
-                # missing or indirect /Length: locate the terminator
-                # directly (limitations: a FlateDecode stream whose
-                # compressed bytes contain literal b"endstream" would
-                # be truncated — not seen in practice)
-                end = data.find(b"endstream", k)
-                if end == -1:
-                    raise ValueError("unterminated PDF stream")
-            objs[num] = (head, data[k:end])
-            e = data.find(b"endobj", end)
-            if e == -1:
-                break
-        else:
-            objs[num] = (data[j:e], None)
         i = e + len(b"endobj")
     if not objs:
         raise ValueError("no PDF objects found")
@@ -225,8 +297,196 @@ def _decode_stream(head: bytes, stream: bytes) -> bytes:
         # ``endstream`` when the slice came from the endstream-scan
         # fallback — indirect or missing /Length)
         d = zlib.decompressobj()
-        return d.decompress(stream) + d.flush()
-    return stream
+        out = d.decompress(stream) + d.flush()
+    else:
+        out = stream
+    pred = _dict_int(head, b"Predictor")
+    if pred is not None and pred >= 10:
+        out = _apply_png_predictor(out, _dict_int(head, b"Columns") or 1)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PDF 1.5: cross-reference streams + object streams
+
+def _dict_int(head: bytes, key: bytes) -> Optional[int]:
+    m = re.search(rb"/" + key + rb"\s+(\d+)\b(?!\s+\d+\s+R)", head)
+    return int(m.group(1)) if m else None
+
+
+def _dict_int_array(head: bytes, key: bytes) -> Optional[List[int]]:
+    m = re.search(rb"/" + key + rb"\s*\[([^\]]*)\]", head)
+    return [int(x) for x in m.group(1).split()] if m else None
+
+
+def _apply_png_predictor(data: bytes, columns: int) -> bytes:
+    """Undo PNG row filters 0–4 (Predictor ≥ 10, 8-bit single-component
+    rows — the only shape xref streams use). Each row is one filter
+    byte + ``columns`` data bytes."""
+    rowlen = columns + 1
+    prev = bytearray(columns)
+    out = bytearray()
+    for r in range(0, len(data) - rowlen + 1, rowlen):
+        ft = data[r]
+        row = bytearray(data[r + 1 : r + rowlen])
+        if ft == 1:  # Sub
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b, c = prev[i], (prev[i - 1] if i else 0)
+                p = a + b - c
+                pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)
+                row[i] = (row[i] + pred) & 0xFF
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _read_obj_at(data: bytes, off: int):
+    """(num, head, stream|None, after) of the object starting at
+    ``off``, or None if the offset does not address an object header."""
+    m = _OBJ_HEAD_RE.match(data, off)
+    if not m:
+        return None
+    return _scan_objects_one(data, m)
+
+
+def _scan_objects_one(data: bytes, m) -> Optional[Tuple[int, bytes, Optional[bytes], int]]:
+    """Shared per-object slicing of the scanner: head + /Length-based
+    (or endstream-scan fallback) stream extraction. ``after`` is the
+    offset just past the stream data (or past the head for dict-only
+    objects) — resuming the walk there keeps binary stream content from
+    ever being misread as object structure."""
+    num = int(m.group(1))
+    j = m.end()
+    s = data.find(b"stream", j)
+    e = data.find(b"endobj", j)
+    if e == -1:
+        return None
+    if s != -1 and s < e:
+        head = data[j:s]
+        lm = _LENGTH_RE.search(head)
+        k = s + len(b"stream")
+        if data[k : k + 2] == b"\r\n":
+            k += 2
+        elif data[k : k + 1] == b"\n":
+            k += 1
+        if lm:
+            end = k + int(lm.group(1))
+        else:
+            # missing or indirect /Length: locate the terminator
+            # directly (limitation: a FlateDecode stream whose
+            # compressed bytes contain literal b"endstream" would
+            # be truncated — not seen in practice)
+            end = data.find(b"endstream", k)
+            if end == -1:
+                return None
+        return num, head, data[k:end], end
+    return num, data[j:e], None, e
+
+
+XrefEntry = Tuple[str, int, int]  # ("off", offset, 0) | ("stm", objstm_num, idx)
+
+
+def _parse_xref_streams(data: bytes) -> Optional[Dict[int, XrefEntry]]:
+    """PDF 1.5 object locator: follow ``startxref`` to a ``/Type /XRef``
+    cross-reference stream, decode its ``/W``-packed entries (honoring
+    ``/Index`` subsections and PNG predictors), and walk the ``/Prev``
+    chain — later sections (visited first) take precedence, the PDF
+    incremental-update rule. Returns None when the file has no parseable
+    xref stream (classic table or damaged tail — the byte scanner is
+    the fallback)."""
+    p = data.rfind(b"startxref")
+    if p == -1:
+        return None
+    m = re.match(rb"startxref\s+(\d+)", data[p:])
+    if not m:
+        return None
+    entries: Dict[int, XrefEntry] = {}
+    off: Optional[int] = int(m.group(1))
+    seen = set()
+    found_any = False
+    while off is not None and off not in seen and 0 <= off < len(data):
+        seen.add(off)
+        obj = _read_obj_at(data, off)
+        if obj is None:
+            break
+        _, head, stream, _ = obj
+        if b"/XRef" not in head or stream is None:
+            break
+        found_any = True
+        w = _dict_int_array(head, b"W")
+        size = _dict_int(head, b"Size")
+        if not w or len(w) != 3 or size is None:
+            break
+        index = _dict_int_array(head, b"Index") or [0, size]
+        raw = _decode_stream(head, stream)
+        rowlen = sum(w)
+        pos = 0
+
+        def field(buf: bytes, start: int, width: int, default: int) -> int:
+            if width == 0:
+                return default
+            return int.from_bytes(buf[start : start + width], "big")
+
+        for si in range(0, len(index) - 1, 2):
+            first, count = index[si], index[si + 1]
+            for n in range(first, first + count):
+                if pos + rowlen > len(raw):
+                    break
+                t = field(raw, pos, w[0], 1)
+                f2 = field(raw, pos + w[0], w[1], 0)
+                f3 = field(raw, pos + w[0] + w[1], w[2], 0)
+                pos += rowlen
+                if n not in entries:  # first-seen (latest section) wins
+                    if t == 1:
+                        entries[n] = ("off", f2, f3)
+                    elif t == 2:
+                        entries[n] = ("stm", f2, f3)
+        off = _dict_int(head, b"Prev")
+    return entries if found_any else None
+
+
+def _expand_object_streams(
+    objs: Dict[int, Tuple[bytes, Optional[bytes]]],
+    xref: Optional[Dict[int, XrefEntry]] = None,
+) -> None:
+    """Unpack every ``/Type /ObjStm`` into ``objs`` (in place). When an
+    xref locator is available it is authoritative: an embedded object
+    overwrites an existing entry iff the xref maps that object into this
+    stream (stale incremental-update copies lose). Without an xref,
+    embedded objects only fill absent numbers — a top-level object of
+    the same number was seen later in the byte walk and wins."""
+    for stm_num in sorted(objs):
+        head, stream = objs[stm_num]
+        if b"/ObjStm" not in head or stream is None:
+            continue
+        n, first = _dict_int(head, b"N"), _dict_int(head, b"First")
+        if n is None or first is None:
+            continue
+        try:
+            raw = _decode_stream(head, stream)
+        except zlib.error:
+            continue
+        pairs = raw[:first].split()
+        nums = [int(x) for x in pairs[0 : 2 * n : 2]]
+        offs = [int(x) for x in pairs[1 : 2 * n : 2]]
+        bounds = offs[1:] + [len(raw) - first]
+        for i, num in enumerate(nums):
+            body = raw[first + offs[i] : first + bounds[i]].strip()
+            authoritative = xref is not None and xref.get(num, ("", -1, -1))[:2] == ("stm", stm_num)
+            if authoritative or num not in objs:
+                objs[num] = (body, None)
 
 
 # ---------------------------------------------------------------------------
@@ -370,6 +630,11 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
     if not is_pdf(data):
         raise ValueError("payload is not a PDF (missing %PDF- magic)")
     objs = _scan_objects(data)
+    # PDF 1.5: unpack object streams; the xref-stream locator (when the
+    # file has one) arbitrates which copy of an object is live across
+    # incremental updates
+    if any(b"/ObjStm" in h for h, _ in objs.values()):
+        _expand_object_streams(objs, _parse_xref_streams(data))
     default_h = DEFAULT_PAGE_SIZE[1]
     # MediaBox may live on the page or be inherited from the page tree
     inherited_h = default_h

@@ -440,3 +440,30 @@ def test_grouped_minmax_normalize_degenerate_group(ray_session):
     }
     assert out[("a", 10.0)] == 0.0 and out[("a", 30.0)] == 1.0 and out[("a", 20.0)] == 0.5
     assert out[("b", 7.0)] == 0.0  # min == max group scales to 0
+
+
+def test_trigram_lm_edges(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.lm import (
+        top_vocab,
+        train_trigram_counts,
+        trigram_familiarity_scores,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "text": ["a b c a b c", "c a b", "two only", None, "  a  b   c  "],
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    counts = {r["token"]: r["n"] for r in train_trigram_counts(ds).take_all()}
+    # windows never cross documents; whitespace runs don't create empties
+    assert counts == {"a b c": 3, "b c a": 1, "c a b": 2}
+    vocab = top_vocab(train_trigram_counts(ds), v=1)  # only "a b c"
+    out = {r["doc_id"]: r for r in trigram_familiarity_scores(ds, vocab).take_all()}
+    assert set(out) == {1, 2, 5}  # <3 tokens -> no row
+    assert out[1]["n_trigrams"] == 4 and out[1]["n_oov"] == 2 and out[1]["trigram_mass"] == 6
+    assert out[2]["n_trigrams"] == 1 and out[2]["n_oov"] == 1 and out[2]["trigram_mass"] == 0
+    assert out[5]["n_trigrams"] == 1 and out[5]["n_oov"] == 0 and out[5]["trigram_mass"] == 3

@@ -453,3 +453,90 @@ class TestPdfNative:
     def test_malformed_pdf_is_inband_error(self):
         key, res = extract_document({"url": "u", "html": b"%PDF-1.4 garbage", "text": ""})
         assert key == "pdf_native" and res.status == "error"
+
+
+class TestPdfNativeVariants:
+    """Round-4 sub-families: relative-Td positioning and PDF 1.5
+    (object stream + xref stream) serialization."""
+
+    PAGES = [
+        [(30.7, 52.3, "05"), (100.0, 52.3, "Pix Enviado"), (500.4, 52.3, "1.234,56")],
+        [(30.0, 40.0, "ç(par)\\esc"), (501.0, 40.0, "-9,99")],
+    ]
+
+    def test_all_variant_roundtrips(self):
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        for pos in ("tm", "td"):
+            for p15 in (False, True):
+                got = parse_pdf_words(build_pdf(self.PAGES, positioning=pos, pdf15=p15))
+                assert len(got) == len(self.PAGES)
+                for orig, page in zip(self.PAGES, got):
+                    assert [t for _, _, t in page] == [t for _, _, t in orig]
+                    for (x, top, _), (gx, gtop, _) in zip(orig, page):
+                        assert abs(x - gx) < 1e-6 and abs(top - gtop) < 1e-6
+
+    def test_xref_stream_locator(self):
+        from pdf_table_extractor_ray.stages.pdf_native import (
+            _parse_xref_streams,
+            build_pdf,
+        )
+
+        xr = _parse_xref_streams(build_pdf(self.PAGES, pdf15=True))
+        # catalog/pages/font/page dicts live in the object stream;
+        # content streams are top-level offsets
+        assert xr[1][0] == "stm" and xr[2][0] == "stm" and xr[4][0] == "stm"
+        assert xr[5][0] == "off" and xr[7][0] == "off"
+        # classic 1.4 file has no xref stream
+        assert _parse_xref_streams(build_pdf(self.PAGES)) is None
+
+    def test_png_predictor_up(self):
+        """Hand-encode an Up-filtered (PNG predictor 12) xref stream —
+        the most common real-world encoding — and check decode."""
+        import zlib
+        from pdf_table_extractor_ray.stages.pdf_native import _apply_png_predictor
+
+        rows = [bytes([1, 0, 0, 0, 17, 0, 0]), bytes([1, 0, 0, 0, 42, 0, 0])]
+        enc = bytearray()
+        prev = bytes(7)
+        for r in rows:
+            enc.append(2)  # Up filter
+            enc.extend((r[i] - prev[i]) & 0xFF for i in range(7))
+            prev = r
+        assert _apply_png_predictor(bytes(enc), 7) == b"".join(rows)
+
+    def test_td_accumulation_is_exact_on_grid(self):
+        """Relative advances must land on the same 2-decimal grid the
+        absolute writer uses (no drift over a long line)."""
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        words = [(10.0 + 7.03 * i, 50.0, f"w{i}") for i in range(200)]
+        (page,) = parse_pdf_words(build_pdf([words], positioning="td"))
+        for (x, _, _), (gx, _, _) in zip(words, page):
+            assert abs(round(x, 2) - gx) < 1e-9
+
+    def test_extraction_parity_across_serializations(self):
+        """The SAME word boxes must extract byte-identically whatever
+        the serialization sub-family (shared cluster core)."""
+        import random
+        from pdf_table_extractor_ray.fixtures import _gen_coordinate
+        from pdf_table_extractor_ray.stages.layout import _PAGE_SPLIT_RE, _WORDBOX_RE
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, extract_pdf_native
+
+        rng = random.Random(11)
+        _, html = _gen_coordinate(rng, "small")
+        pages = []
+        for ph in _PAGE_SPLIT_RE.split(html.decode()):
+            ws = [(float(x), float(t), s) for x, t, s in _WORDBOX_RE.findall(ph)]
+            if ws:
+                pages.append(ws)
+        results = [
+            extract_pdf_native(build_pdf(pages, positioning=pos, pdf15=p15))
+            for pos in ("tm", "td")
+            for p15 in (False, True)
+        ]
+        base = results[0]
+        assert base.extracted_text
+        for r in results[1:]:
+            assert r.extracted_text == base.extracted_text
+            assert r.spans == base.spans

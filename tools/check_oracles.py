@@ -51,6 +51,9 @@ def main(sf_dir: str, only=None):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
+    from bench import _quiet_empty_bundle_warnings
+
+    _quiet_empty_bundle_warnings()
 
     import __ray_entry__ as entrymod
 
