@@ -2034,6 +2034,36 @@ def _q_contamination_screen_bloom(sf_dir: str):
     return docs.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_contamination_screen_join(sf_dir: str):
+    """Decontamination with NO broadcast — the plan for a benchmark
+    set too large to ship to workers at all: chunk both sides, dedup
+    benchmark chunks with a slim groupby, hash-shuffle LEFT SEMI join
+    on the chunk string, assemble per-doc counts with two more slim
+    groupbys. Same rows as contamination_screen (one shared SQL-exact
+    oracle), different 100-TB plan — the adaptive pair, like
+    drop_by_ids' broadcast↔anti-join switch."""
+    from pdf_table_extractor_ray.stages.chunks import contamination_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def is_bench(batch):
+        doc = batch.column("doc_id").to_numpy()
+        return batch.filter(pa.array(doc % 41 == 0))
+
+    bench_docs = docs.map_batches(is_bench, batch_format="pyarrow", zero_copy_batch=True)
+    return contamination_join(docs, bench_docs)
+
+
+def _q_window_active_users(sf_dir: str):
+    """Tumbling 1-hour windows over the event stream: total events +
+    EXACT distinct users per window (the windowed COUNT DISTINCT
+    primitive). Map-side (window,user) combiner → two slim int64
+    groupbys; raw events never shuffle."""
+    from pdf_table_extractor_ray.stages.sessions import tumbling_window_stats
+
+    return tumbling_window_stats(_read(sf_dir, "events", ["ts", "user_id"]))
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -2195,6 +2225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "gopher_quality": _q_gopher_quality,
         "contamination_screen": _q_contamination_screen,
+        "contamination_screen_join": _q_contamination_screen_join,
+        "window_active_users": _q_window_active_users,
         "contamination_screen_bloom": _q_contamination_screen_bloom,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
@@ -2729,6 +2761,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
             "  CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated "
             "FROM chunks c LEFT JOIN bench b USING (chunk) GROUP BY c.doc_id"
+        ),
+        # same oracle as contamination_screen: the join plan must
+        # produce identical rows to the broadcast plan
+        "contamination_screen_join": (
+            "WITH tok AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS w, "
+            "  unnest(range(len(regexp_extract_all(text, '\\S+')))) AS i FROM documents), "
+            "chunks AS (SELECT doc_id, i // 10 AS chunk_idx, "
+            "  string_agg(w, ' ' ORDER BY i) AS chunk "
+            "  FROM tok GROUP BY doc_id, i // 10 HAVING count(*) = 10), "
+            "bench AS (SELECT DISTINCT chunk FROM chunks WHERE doc_id % 41 = 0) "
+            "SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_chunks, "
+            "  CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated "
+            "FROM chunks c LEFT JOIN bench b USING (chunk) GROUP BY c.doc_id"
+        ),
+        "window_active_users": (
+            "SELECT (epoch_us(ts) // 3600000000) * 3600000000 AS window_start_us, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events GROUP BY 1"
         ),
         # sketch is exact on this corpus (per-block distinct ≤ m ⇒ bt=0)
         "frequent_users_sketch": (

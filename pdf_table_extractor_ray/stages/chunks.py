@@ -392,3 +392,128 @@ def contamination_bloom_batch(
         ],
         names=["doc_id", "n_chunks", "n_contaminated"],
     )
+
+
+def contamination_join(
+    docs: "ray.data.Dataset",  # noqa: F821
+    bench_docs: "ray.data.Dataset",  # noqa: F821
+    text_col: str = "text",
+    width: int = CHUNK_W,
+) -> "ray.data.Dataset":
+    """Distributed exact decontamination — the shape for a benchmark
+    set too large even for the Bloom screen's build pass to see at
+    once: NOTHING broadcasts and NOTHING reaches the driver. Both
+    sides explode to (doc_id, chunk) rows; benchmark chunks are
+    deduplicated with one slim groupby; a hash-shuffle LEFT SEMI join
+    on the chunk string (exact — at real scale you would join on a
+    64-bit chunk hash and verify strings per partition) marks the
+    contaminated chunk occurrences; two (doc_id, count) groupbys and a
+    left join assemble the same (doc_id, n_chunks, n_contaminated)
+    rows as ``contamination_batch``. Docs with zero chunks emit no row
+    (== the SQL GROUP BY oracle).
+
+    Per-shuffle payload is one string + one int64 column — no text,
+    no whole documents.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    corpus = docs.map_batches(
+        lambda b: chunk_batch(b, text_col, width),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["doc_id", "chunk"])
+    bench = (
+        bench_docs.map_batches(
+            lambda b: chunk_batch(b, text_col, width),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .select_columns(["chunk"])
+        # per-batch unique is the combiner; the groupby makes it global
+        .map_batches(
+            lambda b: pa.Table.from_arrays(
+                [pc.unique(b.column("chunk").combine_chunks())], names=["chunk"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .groupby("chunk")
+        .aggregate(Count())
+        # guarded projection: an EMPTY bench side makes the groupby emit
+        # zero-column blocks, which the join rejects ("no match for key
+        # field chunk") — re-type them to the declared (chunk: string)
+        .map_batches(
+            lambda b: (
+                b.select(["chunk"])
+                if "chunk" in b.schema.names
+                else pa.Table.from_arrays([pa.array([], pa.string())], names=["chunk"])
+            ),
+            batch_format="pyarrow",
+        )
+        # sentinel row: Ray's hash-shuffle join builds a ZERO-COLUMN
+        # table for a blockless right side and acero rejects the key
+        # lookup. "" can never equal a real chunk (every chunk is
+        # `width` non-empty tokens), so semantics are untouched.
+        .union(ray.data.from_arrow(pa.Table.from_arrays([pa.array([""], pa.string())], names=["chunk"])))
+    )
+
+    names = ["doc_id", "n_chunks", "n_contaminated"]
+
+    def tag_totals(b: pa.Table) -> pa.Table:
+        t = _per_doc_chunk_counts(b, text_col, width)
+        zero = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.Table.from_arrays([t.column("doc_id"), t.column("n_chunks"), zero], names=names)
+
+    def tag_hits(b: pa.Table) -> pa.Table:
+        if "doc_id" not in b.schema.names:  # blockless-groupby empty shape
+            return pa.Table.from_arrays([pa.array([], pa.int64())] * 3, names=names)
+        zero = pa.array(np.zeros(b.num_rows, np.int64), pa.int64())
+        return pa.Table.from_arrays(
+            [b.column("doc_id"), zero, pc.cast(b.column("count()"), pa.int64())], names=names
+        )
+
+    totals = docs.map_batches(tag_totals, batch_format="pyarrow", zero_copy_batch=True)
+    hits = (
+        hash_shuffle_join(corpus, bench, on="chunk", how="left_semi")
+        .groupby("doc_id")
+        .aggregate(Count())
+        .map_batches(tag_hits, batch_format="pyarrow")
+    )
+    # union + ONE slim groupby instead of a second join: both legs emit
+    # (doc_id, n_chunks, n_contaminated) with the other column zeroed,
+    # so a sum per doc_id assembles the row — no empty-side join shapes
+    merged = (
+        totals.union(hits)
+        .groupby("doc_id")
+        .aggregate(Sum("n_chunks"), Sum("n_contaminated"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("doc_id"),
+                pc.cast(b.column("sum(n_chunks)"), pa.int64()),
+                pc.cast(b.column("sum(n_contaminated)"), pa.int64()),
+            ],
+            names=names,
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def _per_doc_chunk_counts(batch: pa.Table, text_col: str, width: int) -> pa.Table:
+    """(doc_id, n_chunks) per document — computed MAP-SIDE (one doc's
+    chunks never span batches), so the totals leg of the join screen
+    ships one int per doc instead of one row per chunk."""
+    doc_rep, _idx, _chunks = _chunk_arrays(batch, text_col, width)
+    n_docs = len(batch)
+    n_chunks = np.bincount(doc_rep, minlength=n_docs).astype(np.int64) if len(doc_rep) else np.zeros(n_docs, np.int64)
+    present = np.flatnonzero(n_chunks > 0)
+    doc_ids = batch.column("doc_id").to_numpy()
+    return pa.Table.from_arrays(
+        [pa.array(doc_ids[present], pa.int64()), pa.array(n_chunks[present], pa.int64())],
+        names=["doc_id", "n_chunks"],
+    )

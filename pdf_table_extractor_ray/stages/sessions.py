@@ -178,3 +178,80 @@ def tag_late_events(
         .groupby("bucket")
         .map_groups(tag, batch_format="pyarrow")
     )
+
+
+def tumbling_window_stats(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    width_us: int = 3_600_000_000,
+) -> "ray.data.Dataset":
+    """Tumbling-window activity: per ``width_us`` window, total events
+    and EXACT distinct users — the windowed COUNT DISTINCT every
+    streaming engine ships as a primitive and Ray Data lacks.
+
+    Shape: a map-side combiner collapses each batch to its distinct
+    (window, user) pairs plus a per-pair event count (one np.unique —
+    the heavy reduction happens before any shuffle), then ONE
+    groupby((window, user)).sum folds cross-batch duplicates, then ONE
+    slim groupby(window) finalizes (count = distinct users, sum =
+    events). Both shuffles carry 3 int64 columns; raw events never
+    move. Skew: a hot window spreads over (window, user) partitions in
+    the first exchange — only the already-tiny second groupby sees one
+    row per (window, user).
+
+    Output: (window_start_us, n_events, n_users), one row per
+    non-empty window. For approximate distinct at extreme user
+    cardinality, swap the exact pair groupby for the per-key HLL in
+    ``sketches.approx_distinct_by`` (same two-stage shape).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = batch.column(user_col).to_numpy(zero_copy_only=False)
+        w = (ts // width_us) * width_us
+        pair = np.stack([w, uid], axis=1)
+        upair, cnt = np.unique(pair, axis=0, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(upair[:, 0], pa.int64()),
+                pa.array(upair[:, 1], pa.int64()),
+                pa.array(cnt.astype(np.int64), pa.int64()),
+            ],
+            names=["window_start_us", "user_id", "n"],
+        )
+
+    per_pair = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_start_us", "user_id"])
+        .aggregate(Sum("n"))
+    )
+
+    def finalize(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("window_start_us"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["window_start_us", "n"],
+        )
+
+    out = (
+        per_pair.map_batches(finalize, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Count(), Sum("n"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("window_start_us"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.cast(b.column("count()"), pa.int64()),
+            ],
+            names=["window_start_us", "n_events", "n_users"],
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")

@@ -189,3 +189,95 @@ class TestCorpusPrepV2:
         }
         totals = corpus_v2_totals(prepare_corpus_v2(ds)).take_all()
         assert totals == [{"n_docs": 2, "total_chunks_kept": 3}]
+
+
+class TestContaminationJoin:
+    """The no-broadcast decontamination plan must equal the broadcast
+    screen row-for-row (shared oracle contract)."""
+
+    def test_join_matches_broadcast_plan(self, ray_session):
+        import random
+
+        import ray
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.chunks import (
+            benchmark_chunk_set,
+            contamination_batch,
+            contamination_join,
+        )
+
+        rng = random.Random(13)
+        words = [f"w{i}" for i in range(40)]
+        texts = [" ".join(rng.choice(words) for _ in range(rng.randrange(0, 35))) for _ in range(120)]
+        tbl = pa.table({"doc_id": pa.array(range(120), pa.int64()), "text": texts})
+        ds = ray.data.from_arrow(tbl).repartition(5)
+
+        def is_bench(b):
+            return b.filter(pa.array(b.column("doc_id").to_numpy() % 7 == 0))
+
+        bench_docs = ds.map_batches(is_bench, batch_format="pyarrow", zero_copy_batch=True)
+        got = {
+            r["doc_id"]: (r["n_chunks"], r["n_contaminated"])
+            for r in contamination_join(ds, bench_docs).take_all()
+        }
+        bench = benchmark_chunk_set(bench_docs)
+        handle = ray.put(bench)
+        want = {
+            r["doc_id"]: (r["n_chunks"], r["n_contaminated"])
+            for r in ds.map_batches(
+                lambda b: contamination_batch(b, ray.get(handle)),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).take_all()
+        }
+        assert got == want
+        assert any(v[1] > 0 for v in got.values())  # something was contaminated
+        assert all(v[0] >= v[1] for v in got.values())
+
+    def test_empty_bench_side(self, ray_session):
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.chunks import contamination_join
+
+        tbl = pa.table(
+            {"doc_id": pa.array([1, 2], pa.int64()),
+             "text": [" ".join(f"a{i}" for i in range(12)), "short"]}
+        )
+        ds = ray.data.from_arrow(tbl)
+        empty = ds.filter(lambda r: False)
+        out = {r["doc_id"]: r for r in contamination_join(ds, empty).take_all()}
+        assert set(out) == {1}  # doc 2 has no 10-token chunk
+        assert out[1]["n_chunks"] == 1 and out[1]["n_contaminated"] == 0
+
+
+class TestTumblingWindowStats:
+    def test_matches_brute_force(self, ray_session):
+        import random
+
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.sessions import tumbling_window_stats
+
+        rng = random.Random(3)
+        W = 3_600_000_000
+        ts = [rng.randrange(0, 6 * W) for _ in range(500)]
+        uid = [rng.randrange(0, 25) for _ in range(500)]
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        )
+        ds = ray.data.from_arrow(tbl).repartition(7)
+        got = {
+            r["window_start_us"]: (r["n_events"], r["n_users"])
+            for r in tumbling_window_stats(ds).take_all()
+        }
+        want = {}
+        for t, u in zip(ts, uid):
+            w = (t // W) * W
+            ev, us = want.get(w, (0, set()))
+            us = us | {u}
+            want[w] = (ev + 1, us)
+        assert got == {w: (ev, len(us)) for w, (ev, us) in want.items()}
