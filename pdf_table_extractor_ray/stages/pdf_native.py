@@ -532,6 +532,8 @@ _FAST_TM_TJ_RE = re.compile(
     r"(\((?:\\.|[^\\()])*\))\s*Tj"
 )
 def _interpret_text_fast(content: str, page_height: float) -> Optional[List[Word]]:
+    if "Tm" not in content:  # C memchr pre-guard: skip the findall scan
+        return None
     matches = _FAST_TM_TJ_RE.findall(content)
     # guards are plain substring counts (C memchr — a second regex pass
     # here measurably doubled parse cost): every show op must be a fast
@@ -546,6 +548,40 @@ def _interpret_text_fast(content: str, page_height: float) -> Optional[List[Word
         s = _decode_literal(lit) if "\\" in lit else lit[1:-1]
         if s:
             words.append((float(x), page_height - float(y), s))
+    return words
+
+
+# Fast path #2: relative-positioned show ops — `dx dy Td (s) Tj` — the
+# multi-op-line shape. Position is the running sum of the translates
+# (Td composes with the line matrix; with one BT block and no other
+# positioning ops the matrix stays a pure translation), so one findall
+# + two cumsums replace the token interpreter (~4× on large pages).
+_FAST_TD_TJ_RE = re.compile(
+    r"([\d.+-]+)\s+([\d.+-]+)\s+Td\s*(\((?:\\.|[^\\()])*\))\s*Tj"
+)
+
+
+def _interpret_text_fast_td(content: str, page_height: float) -> Optional[List[Word]]:
+    # guards first (C memchr substring counts, same conservative logic
+    # as the Tm fast path): no other positioning ops, exactly one BT (a
+    # second BT resets the matrix) — then every show op must be a match
+    if "Tm" in content or "TD" in content or "T*" in content or content.count("BT") != 1:
+        return None
+    matches = _FAST_TD_TJ_RE.findall(content)
+    if not matches:
+        return None
+    n_show = content.count("Tj") + content.count("TJ") + content.count("'") + content.count('"')
+    if len(matches) != n_show:
+        return None
+    import numpy as _np
+
+    dx = _np.cumsum(_np.array([float(m[0]) for m in matches], _np.float64))
+    dy = _np.cumsum(_np.array([float(m[1]) for m in matches], _np.float64))
+    words: List[Word] = []
+    for i, (_, _, lit) in enumerate(matches):
+        s = _decode_literal(lit) if "\\" in lit else lit[1:-1]
+        if s:
+            words.append((float(dx[i]), page_height - float(dy[i]), s))
     return words
 
 
@@ -659,6 +695,8 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
             continue
         content = _decode_stream(chead, cstream).decode("latin-1")
         fast = _interpret_text_fast(content, h)
+        if fast is None:
+            fast = _interpret_text_fast_td(content, h)
         pages.append(fast if fast is not None else _interpret_text(content, h))
     return pages
 
