@@ -319,10 +319,13 @@ def _dict_int_array(head: bytes, key: bytes) -> Optional[List[int]]:
     return [int(x) for x in m.group(1).split()] if m else None
 
 
-def _apply_png_predictor(data: bytes, columns: int) -> bytes:
-    """Undo PNG row filters 0–4 (Predictor ≥ 10, 8-bit single-component
-    rows — the only shape xref streams use). Each row is one filter
-    byte + ``columns`` data bytes."""
+def _apply_png_predictor(data: bytes, columns: int, bpp: int = 1) -> bytes:
+    """Undo PNG row filters 0–4: each row is one filter byte +
+    ``columns`` data bytes; the left neighbor sits ``bpp`` bytes back
+    (1 for xref streams — 8-bit single-component; the pixel byte width
+    for PNG rasters, which ``multimodal.decode_png`` shares this kernel
+    with). Scalar loops are fine here by contract: xref streams are a
+    few KB and the synthetic media corpus uses small rasters."""
     rowlen = columns + 1
     prev = bytearray(columns)
     out = bytearray()
@@ -330,19 +333,19 @@ def _apply_png_predictor(data: bytes, columns: int) -> bytes:
         ft = data[r]
         row = bytearray(data[r + 1 : r + rowlen])
         if ft == 1:  # Sub
-            for i in range(1, columns):
-                row[i] = (row[i] + row[i - 1]) & 0xFF
+            for i in range(bpp, columns):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
         elif ft == 2:  # Up
             for i in range(columns):
                 row[i] = (row[i] + prev[i]) & 0xFF
         elif ft == 3:  # Average
             for i in range(columns):
-                left = row[i - 1] if i else 0
+                left = row[i - bpp] if i >= bpp else 0
                 row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ft == 4:  # Paeth
             for i in range(columns):
-                a = row[i - 1] if i else 0
-                b, c = prev[i], (prev[i - 1] if i else 0)
+                a = row[i - bpp] if i >= bpp else 0
+                b, c = prev[i], (prev[i - bpp] if i >= bpp else 0)
                 p = a + b - c
                 pa, pb, pc_ = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc_) else (b if pb <= pc_ else c)

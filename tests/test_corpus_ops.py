@@ -1223,3 +1223,104 @@ def test_approx_quantiles_by_drops_nulls(ray_session):
     want = {r["k"]: r for r in approx_quantiles_by(
         ray.data.from_arrow(clean).repartition(4), "k", "v", qs).take_all()}
     assert got == want
+
+
+class TestPngCodec:
+    """Round-4 PNG path: stdlib zlib + the shared PNG row-predictor
+    kernel (same filters as PDF 1.5 xref streams)."""
+
+    def test_rgb_roundtrip_all_filters(self):
+        from pdf_table_extractor_ray.stages.multimodal import decode_png, encode_png
+
+        rng = np.random.default_rng(42)
+        img = rng.integers(0, 256, size=(17, 23, 3)).astype(np.uint8)
+        for f in (0, 1, 2, 3, 4, [0, 1, 2, 3, 4], [4, 3, 2, 1, 0]):
+            assert (decode_png(encode_png(img, filters=f)) == img).all(), f
+
+    def test_gray_palette_alpha_decode(self):
+        import struct
+        import zlib
+
+        from pdf_table_extractor_ray.stages.multimodal import (
+            PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(7)
+
+        def mk(ctype, w, h, ch, extra=b""):
+            rows = bytearray()
+            hi = 4 if ctype == 3 else 256
+            data = rng.integers(0, hi, size=(h, w, ch)).astype(np.uint8)
+            for y in range(h):
+                rows.append(0)
+                rows += data[y].tobytes()
+            p = (
+                PNG_SIG
+                + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                + extra
+                + _png_chunk(b"IDAT", zlib.compress(bytes(rows)))
+                + _png_chunk(b"IEND", b"")
+            )
+            return p, data
+
+        p, d = mk(0, 5, 4, 1)
+        assert (decode_png(p) == np.repeat(d, 3, axis=2)).all()
+        plte = rng.integers(0, 256, size=(4, 3)).astype(np.uint8)
+        from pdf_table_extractor_ray.stages.multimodal import _png_chunk as chunk
+
+        p, d = mk(3, 6, 3, 1, extra=chunk(b"PLTE", plte.tobytes()))
+        assert (decode_png(p) == plte[d[:, :, 0]]).all()
+        p, d = mk(6, 5, 5, 4)
+        assert (decode_png(p) == d[:, :, :3]).all()
+        p, d = mk(4, 5, 5, 2)
+        assert (decode_png(p) == np.repeat(d[:, :, :1], 3, axis=2)).all()
+
+    def test_unsupported_shapes_raise(self):
+        import struct
+        import zlib
+
+        from pdf_table_extractor_ray.stages.multimodal import (
+            PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            decode_png(b"NOTPNG")
+        # 16-bit depth rejected cleanly
+        p = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+            + _png_chunk(b"IEND", b"")
+        )
+        with _pytest.raises(ValueError):
+            decode_png(p)
+
+    def test_png_equals_ppm_features(self):
+        """The SAME image through PNG vs PPM must featurize identically
+        (codec-independence of the feature head)."""
+        from pdf_table_extractor_ray.stages.multimodal import (
+            DecodeFeaturize,
+            encode_png,
+            encode_ppm,
+        )
+        import pyarrow as _pa
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, size=(12, 16, 3)).astype(np.uint8)
+        stage = DecodeFeaturize(mode="real")
+        t = _pa.table(
+            {
+                "media_id": _pa.array([0, 1], _pa.int64()),
+                "payload": _pa.array([encode_ppm(img), encode_png(img, filters=2)], _pa.binary()),
+            }
+        )
+        out = stage(t)
+        f = out.column("feature").to_pylist()
+        assert f[0] == f[1]
+        th = out.column("thumbnail").to_pylist()
+        assert th[0] == th[1]
