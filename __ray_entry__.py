@@ -2064,6 +2064,30 @@ def _q_window_active_users(sf_dir: str):
     return tumbling_window_stats(_read(sf_dir, "events", ["ts", "user_id"]))
 
 
+def _q_window_active_users_approx(sf_dir: str):
+    """HLL variant of window_active_users — the sketch path when
+    per-window user cardinality makes even the (window,user) pair
+    table expensive: each batch ships one 4 KB register row per window
+    it touches; ONE groupby(window) max-merge. Rows-only (approximate);
+    per-window accuracy asserted against the exact twin in tests."""
+    from pdf_table_extractor_ray.stages.sketches import hll_count_distinct_by
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"])
+
+    def win(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        ts = pc.cast(pc.cast(batch.column("ts"), pa.timestamp("us")), pa.int64())
+        w = pc.multiply(pc.divide(ts, 3_600_000_000), 3_600_000_000)
+        return pa.Table.from_arrays(
+            [pc.cast(w, pa.int64()), batch.column("user_id")],
+            names=["window_start_us", "user_id"],
+        )
+
+    tagged = ds.map_batches(win, batch_format="pyarrow", zero_copy_batch=True)
+    return hll_count_distinct_by(tagged, "window_start_us", "user_id")
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -2227,6 +2251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen": _q_contamination_screen,
         "contamination_screen_join": _q_contamination_screen_join,
         "window_active_users": _q_window_active_users,
+        "window_active_users_approx": _q_window_active_users_approx,
         "contamination_screen_bloom": _q_contamination_screen_bloom,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,

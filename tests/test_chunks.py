@@ -281,3 +281,22 @@ class TestTumblingWindowStats:
             us = us | {u}
             want[w] = (ev + 1, us)
         assert got == {w: (ev, len(us)) for w, (ev, us) in want.items()}
+
+
+def test_window_hll_tracks_exact(ray_session):
+    """The HLL windowed-distinct must track the exact twin within HLL
+    error (~2% at p=12; assert 10% slack) on every window."""
+    import __ray_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r["window_start_us"]: r["n_users"]
+        for r in entrymod.queries()["window_active_users"](sf).take_all()
+    }
+    approx = {
+        r["window_start_us"]: r["approx_distinct"]
+        for r in entrymod.queries()["window_active_users_approx"](sf).take_all()
+    }
+    assert set(approx) == set(exact)
+    for w, n in exact.items():
+        assert abs(approx[w] - n) <= max(2, 0.1 * n), (w, n, approx[w])
