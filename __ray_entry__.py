@@ -276,6 +276,62 @@ def _q_media_features(sf_dir: str):
     return media_feature_stats(featurize_media(ds, mode="real", concurrency=(1, 4)))
 
 
+def _q_video_frame_features(sf_dir: str):
+    """Video frame-sampling pipeline end-to-end: deterministic synthetic
+    RVID clips (length-indexed P6 frames) → decode-free frame-sample
+    explode (container seek, k=4 per video) → real decode + featurize of
+    ONLY the sampled frames → per-video integer summary ordered by
+    media_id. Rows-only (binary video has no SQL analog); container /
+    sampler / parity correctness unit-tested in test_corpus_ops."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        FEATURE_DIM,
+        featurize_media,
+        sample_video_frames,
+        synth_video_corpus,
+    )
+
+    ds = ray.data.from_arrow(synth_video_corpus()).repartition(4)
+    frames = sample_video_frames(ds, k=4, concurrency=(1, 4))
+    feats = featurize_media(frames, media_col="frame", mode="real", concurrency=(1, 4))
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        fl = b.column("feature")
+        if isinstance(fl, pa.ChunkedArray):
+            fl = fl.combine_chunks()
+        flat = np.floor(
+            fl.flatten().to_numpy(zero_copy_only=False).astype(np.float64) * 1000.0
+        ).astype(np.int64)
+        per_row = (
+            flat.reshape(len(fl), FEATURE_DIM).sum(axis=1)
+            if len(fl)
+            else np.array([], np.int64)
+        )
+        return pa.Table.from_arrays(
+            [b.column("media_id"), pa.array(per_row)], names=["media_id", "feat_milli"]
+        )
+
+    agg = (
+        feats.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("media_id")
+        .aggregate(Count(), Sum("feat_milli"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("media_id"),
+                pc.cast(b.column("count()"), pa.int64()),
+                pc.cast(b.column("sum(feat_milli)"), pa.int64()),
+            ],
+            names=["media_id", "n_frames", "sum_feat_milli"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow").sort("media_id")
+
+
 def _q_late_events(sf_dir: str):
     """Watermark/late-data tagging (streaming semantics over the batch
     replay): per user, arrival order = event_id; an event is late when
@@ -2174,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_pct_rank": _q_doc_length_pct_rank,
         "late_events": _q_late_events,
         "media_features": _q_media_features,
+        "video_frame_features": _q_video_frame_features,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,

@@ -254,6 +254,8 @@ def _sniff(payload: bytes) -> str:
         return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload.startswith(RVID_SIG):
+        return "rvid"
     return "unknown"
 
 
@@ -295,11 +297,31 @@ class DecodeFeaturize:
                 np.resize(vis, THUMB_H * THUMB_W), 3
             ).astype(np.uint8).tobytes()
             return feat, thumb
+        elif kind == "rvid":
+            # video: uniform frame sample via the container index (no
+            # full decode), per-frame pooled features averaged; the
+            # thumbnail is the middle sampled frame's
+            sampled = sample_frames(payload, k=4)
+            if not sampled:
+                raise ValueError("empty RVID container")
+            feats, mid_thumb = [], None
+            for j, (_i, blob) in enumerate(sampled):
+                timg = _pool_image(decode_ppm(blob))
+                flat = timg.astype(np.float32).ravel()
+                feats.append(
+                    flat[: FEATURE_DIM * (flat.size // FEATURE_DIM)]
+                    .reshape(FEATURE_DIM, -1)
+                    .mean(axis=1)
+                    / 255.0
+                )
+                if j == len(sampled) // 2:
+                    mid_thumb = timg.tobytes()
+            return np.mean(feats, axis=0).astype(np.float32), mid_thumb
         else:
             raise NotImplementedError(
-                f"real decode supports PPM/BMP/PNG/WAV (stdlib-only environment); "
-                f"got {payload[:4]!r} — plug PIL/torchvision/ffmpeg in here for "
-                f"entropy-coded formats (JPEG/MP3/video)"
+                f"real decode supports PPM/BMP/PNG/WAV/RVID (stdlib-only "
+                f"environment); got {payload[:4]!r} — plug PIL/torchvision/"
+                f"ffmpeg in here for entropy-coded formats (JPEG/MP3/H.264)"
             )
         thumb_img = _pool_image(img)
         flat = thumb_img.astype(np.float32).ravel()
@@ -399,6 +421,135 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
             payloads.append(encode_wav(x))
             kinds.append("audio")
         ids.append(i)
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# video: deterministic stdlib container + frame sampling
+#
+# Real video codecs (H.264/VP9) are entropy-coded — the same PIL/ffmpeg
+# seam as JPEG/MP3 applies. The CONTAINER layer, however, is exactly the
+# part whose Ray-side plumbing matters at scale: a frame-sample stage
+# must pull k frames out of an n-frame payload WITHOUT decoding (or even
+# touching) the other n-k. RVID1 models that: a frame-length index table
+# up front means sampling is pure byte slicing — the shape ffmpeg's
+# seek-by-PTS gives you on MP4. Frames are raw binary PPM (P6), so the
+# sampled frames flow into the existing image featurizer unchanged.
+#
+#   b"RVID1\n" | <I nframes> | <I fps_milli> | nframes × <I frame_len>
+#   | concatenated P6 payloads
+
+RVID_SIG = b"RVID1\n"
+
+
+def encode_rvid(frames, fps: float = 12.0) -> bytes:
+    """Minimal deterministic video container for synthetic corpora:
+    length-indexed concatenation of binary-PPM frames."""
+    blobs = [encode_ppm(f) for f in frames]
+    head = RVID_SIG + struct.pack("<II", len(blobs), int(round(fps * 1000)))
+    table = struct.pack("<%dI" % len(blobs), *[len(b) for b in blobs])
+    return head + table + b"".join(blobs)
+
+
+def _rvid_index(payload: bytes):
+    """(nframes, fps, offsets, lengths) from the header — O(header),
+    never touches frame bytes."""
+    if not payload.startswith(RVID_SIG):
+        raise ValueError("not an RVID container")
+    n, fps_milli = struct.unpack_from("<II", payload, len(RVID_SIG))
+    lengths = np.frombuffer(payload, "<u4", count=n, offset=len(RVID_SIG) + 8).astype(
+        np.int64
+    )
+    base = len(RVID_SIG) + 8 + 4 * n
+    offsets = base + np.concatenate([[0], np.cumsum(lengths[:-1])]).astype(np.int64)
+    return n, fps_milli / 1000.0, offsets, lengths
+
+
+def sample_frame_indices(n: int, k: int) -> np.ndarray:
+    """Deterministic uniform frame pick: k strictly-increasing indices
+    into [0, n) (all n when n ≤ k) — centered strides, ffmpeg
+    ``select=not(mod(n\\,step))`` flavor."""
+    if n <= k:
+        return np.arange(n, dtype=np.int64)
+    return ((np.arange(k, dtype=np.int64) * 2 + 1) * n) // (2 * k)
+
+
+def sample_frames(payload: bytes, k: int = 4):
+    """[(frame_idx, ppm_bytes)] for k uniformly-sampled frames — byte
+    slicing via the index table; unsampled frames are never read."""
+    n, _fps, offsets, lengths = _rvid_index(payload)
+    idx = sample_frame_indices(n, k)
+    return [(int(i), payload[offsets[i] : offsets[i] + lengths[i]]) for i in idx]
+
+
+class FrameSampler:
+    """Actor-pool stage: video rows → one row per sampled frame
+    ``(…, frame_idx:int64, frame:binary)``. Decode-free (container
+    seek only), so the explode is I/O-shaped; the heavy decode runs in
+    the downstream featurize stage over the (much smaller) sampled-frame
+    rows. Small ``batch_size`` — video payloads dominate block memory."""
+
+    def __init__(self, k: int = 4, media_col: str = "payload"):
+        self.k = k
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        take, fidx, frames = [], [], []
+        for row_i, p in enumerate(payloads):
+            for i, blob in sample_frames(p or b"", self.k):
+                take.append(row_i)
+                fidx.append(i)
+                frames.append(blob)
+        out = batch.drop_columns([self.media_col]).take(pa.array(take, pa.int64()))
+        out = out.append_column("frame_idx", pa.array(fidx, pa.int64()))
+        return out.append_column("frame", pa.array(frames, pa.binary()))
+
+
+def sample_video_frames(
+    ds,
+    k: int = 4,
+    media_col: str = "payload",
+    batch_size: int = 4,
+    concurrency=(1, 8),
+):
+    """video Dataset → sampled-frame Dataset (frame_idx, frame:binary
+    PPM rows, k per video)."""
+    return ds.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"k": k, "media_col": media_col},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def synth_video_corpus(n: int = 24, seed: int = 78) -> pa.Table:
+    """Deterministic video corpus: (media_id, kind, payload) — seeded
+    moving-gradient RVID clips, 6–16 frames each, real bytes through
+    the container/frame decoders."""
+    rng = np.random.default_rng(seed)
+    ids, kinds, payloads = [], [], []
+    for i in range(n):
+        nf = int(rng.integers(6, 17))
+        w, h = int(rng.integers(8, 20)), int(rng.integers(8, 20))
+        base = rng.integers(0, 180, 3)
+        frames = []
+        for t in range(nf):
+            gx = np.linspace(0, 40, w)[None, :, None] + 4.0 * t
+            img = np.clip(base[None, None, :] + gx, 0, 255).astype(np.uint8)
+            frames.append(np.repeat(img, h, axis=0))
+        payloads.append(encode_rvid(frames, fps=12.0))
+        ids.append(i)
+        kinds.append("video")
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),

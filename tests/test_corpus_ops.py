@@ -412,6 +412,89 @@ def test_multimodal_decoders_roundtrip():
     assert len(x) == 400 and abs(x).max() <= 1.0
 
 
+def test_rvid_container_roundtrip_and_seek():
+    """RVID frame extraction by index-table seek is byte-exact vs the
+    encoded frames, for every frame."""
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        _rvid_index,
+        decode_ppm,
+        encode_rvid,
+    )
+
+    frames = [
+        (np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3) + 7 * i) % 256
+        for i in range(9)
+    ]
+    v = encode_rvid(frames, fps=24.0)
+    n, fps, offs, lens = _rvid_index(v)
+    assert (n, fps) == (9, 24.0)
+    for i in range(n):
+        assert (decode_ppm(v[offs[i] : offs[i] + lens[i]]) == frames[i]).all()
+
+
+def test_sample_frame_indices_uniform_and_clamped():
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.multimodal import sample_frame_indices
+
+    # n <= k: all frames, in order
+    assert list(sample_frame_indices(3, 8)) == [0, 1, 2]
+    # n > k: exactly k strictly-increasing centered picks
+    idx = sample_frame_indices(100, 4)
+    assert list(idx) == [12, 37, 62, 87]
+    for n in (5, 17, 64, 1001):
+        s = sample_frame_indices(n, 4)
+        assert len(s) == 4 and (np.diff(s) > 0).all() and s[0] >= 0 and s[-1] < n
+
+
+def test_frame_sampler_stage_and_video_features(ray_session):
+    """Decode-free frame-sample explode through the actor stage; the
+    sampled frames featurize identically to a direct per-frame decode
+    (parity), and the whole-video real decode path agrees with the mean
+    of its sampled-frame features."""
+    import numpy as np
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        DecodeFeaturize,
+        FEATURE_DIM,
+        featurize_media,
+        sample_frames,
+        sample_video_frames,
+        synth_video_corpus,
+    )
+
+    tbl = synth_video_corpus(8)
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    exploded = sample_video_frames(ds, k=4, concurrency=(1, 2))
+    rows = exploded.take_all()
+    # 8 videos × 4 sampled frames (all synth clips have ≥6 frames)
+    assert len(rows) == 32
+    assert {r["media_id"] for r in rows} == set(range(8))
+    # parity: exploded frame bytes == direct container sampling
+    direct = {
+        (mid, i): blob
+        for mid, payload in zip(tbl["media_id"].to_pylist(), tbl["payload"].to_pylist())
+        for i, blob in sample_frames(payload, 4)
+    }
+    for r in rows:
+        assert bytes(r["frame"]) == direct[(r["media_id"], r["frame_idx"])]
+
+    feats = featurize_media(exploded, media_col="frame", mode="real", concurrency=(1, 2))
+    per_frame = {}
+    for r in feats.take_all():
+        per_frame.setdefault(r["media_id"], []).append(np.array(r["feature"]))
+    # whole-video decode (DecodeFeaturize real mode on the video payload)
+    # = mean of its sampled-frame features
+    whole = DecodeFeaturize(mode="real")(tbl)
+    for mid, feat in zip(whole["media_id"].to_pylist(), whole["feature"].to_pylist()):
+        want = np.mean(per_frame[mid], axis=0)
+        assert np.allclose(np.array(feat), want, atol=1e-6)
+        assert len(feat) == FEATURE_DIM
+
+
 def test_winnow_fingerprints_shared_substring():
     from pdf_table_extractor_ray.stages.textstats import winnow_fingerprints
 
