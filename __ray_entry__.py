@@ -1899,6 +1899,30 @@ def _q_stratified_doc_sample(sf_dir: str):
     ).select_columns(["doc_id", "lang"])
 
 
+def _q_capped_docs_per_source(sf_dir: str):
+    """Per-domain document cap (the web-pipeline "≤ k pages per
+    registrable domain" step): keep the 10 docs per source that rank
+    first by (md5(text), doc_id) — a deterministic, content-stable
+    pick, not a head() of arbitrary block order. Hot-key-safe grouped
+    top-k: each batch pre-reduces to ≤ k rows per source before the
+    shuffle (stages/topk.py:grouped_top_k), so a 10^9-page domain
+    never materializes as one group."""
+    from pdf_table_extractor_ray.stages.dedup import add_md5_batch
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    with_md5 = docs.map_batches(
+        add_md5_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+    capped = grouped_top_k(
+        with_md5,
+        key_col="source",
+        sort_keys=[("content_md5", "ascending"), ("doc_id", "ascending")],
+        k=10,
+    )
+    return capped.select_columns(["source", "doc_id"])
+
+
 def _q_orders_upsert(sf_dir: str):
     """CDC merge: a deterministic 'update feed' (every 7th order,
     doubled price; every 14th carries a STALE version that must lose)
@@ -2299,6 +2323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quiet_ship_days": _q_quiet_ship_days,
         "revenue_rollup": _q_revenue_rollup,
         "stratified_doc_sample": _q_stratified_doc_sample,
+        "capped_docs_per_source": _q_capped_docs_per_source,
         "orders_upsert": _q_orders_upsert,
         "tfidf_top3": _q_tfidf_top3,
         "revenue_cube": _q_revenue_cube,
@@ -2756,6 +2781,12 @@ def oracle_sql() -> dict[str, str]:
             "(lang = 'en' AND substr(md5(text), 1, 1) IN ('0','1')) OR "
             "(lang = 'pt' AND substr(md5(text), 1, 1) IN ('0','1','2','3','4','5','6','7')) OR "
             "(lang NOT IN ('en','pt') AND substr(md5(text), 1, 1) IN ('0','1','2','3'))"
+        ),
+        "capped_docs_per_source": (
+            "SELECT source, doc_id FROM ("
+            "  SELECT source, doc_id, row_number() OVER ("
+            "    PARTITION BY source ORDER BY md5(COALESCE(text, '')), doc_id) AS rn"
+            "  FROM documents) t WHERE rn <= 10"
         ),
         "orders_upsert": (
             "WITH base AS (SELECT o_orderkey, o_totalprice, "

@@ -53,3 +53,70 @@ def global_top_k(ds: "ray.data.Dataset", sort_keys: SortKeys, k: int) -> "ray.da
         .groupby("_tk")
         .map_groups(merge, batch_format="pyarrow")
     )
+
+
+def _partial_grouped_top_k(b: pa.Table, full_keys: SortKeys, k: int) -> pa.Table:
+    """One batch → at most k rows per value of the leading key in
+    ``full_keys``. Vectorized: one lexsort, run starts via a shifted
+    != compare, rank-in-run via a cummax subtraction — no Python
+    per-key loop. A null-vs-anything compare is null → filled False,
+    so every null-key row opens its own run: the partial merely
+    over-KEEPS nulls — never drops — and the merge pass enforces the
+    exact k."""
+    if b.num_rows <= k:
+        return b
+    idx = pc.sort_indices(b, sort_keys=full_keys)
+    ordered_key = b.column(full_keys[0][0]).take(idx).combine_chunks()
+    starts = np.ones(b.num_rows, bool)
+    eq = pc.fill_null(
+        pc.equal(ordered_key.slice(1), ordered_key.slice(0, b.num_rows - 1)), False
+    )
+    starts[1:] = ~eq.to_numpy(zero_copy_only=False)
+    pos = np.arange(b.num_rows) - np.maximum.accumulate(
+        np.where(starts, np.arange(b.num_rows), 0)
+    )
+    return b.take(pa.array(np.asarray(idx)[pos < k]))
+
+
+def grouped_top_k(
+    ds: "ray.data.Dataset", key_col: str, sort_keys: SortKeys, k: int
+) -> "ray.data.Dataset":
+    """Per-key top-k with hot-key-safe pre-reduce — the "cap documents
+    per domain" operator of a web pipeline (generalizes the reference's
+    per-file `df.head()` previews, conversor_caixa.py:330-333, to a
+    keyed corpus-level operator).
+
+    A plain ``groupby(key).map_groups(head_k)`` materializes each WHOLE
+    group in one task — a hot domain with 10^9 pages kills that plan.
+    Here every batch first reduces itself to ≤ k rows *per key present
+    in the batch* (vectorized lexsort + group-boundary positions, no
+    Python per-key loop), so the shuffle moves at most blocks × k rows
+    per key and the final per-key merge group is bounded by
+    construction. Same two-step shape as ``global_top_k``; the merge
+    shuffle key is the real key, so skew is already clipped when it
+    reaches the exchange.
+    """
+    full_keys: SortKeys = [(key_col, "ascending")] + list(sort_keys)
+
+    def partial(b: pa.Table) -> pa.Table:
+        out = _partial_grouped_top_k(b, full_keys, k)
+        # Ray's sort-based groupby shuffle cannot order None against a
+        # string, so shuffle on (is_null:int64, null-filled key) —
+        # homogeneous types per column, identical grouping semantics.
+        key = out.column(key_col)
+        out = out.append_column("_gk_null", pc.cast(pc.is_null(key), pa.int64()))
+        # stringified key is type-generic; "" cannot collide with a real
+        # "" key because _gk_null separates the null group
+        filled = pc.fill_null(pc.cast(key, pa.string()), "")
+        return out.append_column("_gk", filled)
+
+    def merge(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_gk_null", "_gk"])
+        idx = pc.sort_indices(g, sort_keys=full_keys)
+        return g.take(idx.slice(0, min(k, g.num_rows)))
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["_gk_null", "_gk"])
+        .map_groups(merge, batch_format="pyarrow")
+    )

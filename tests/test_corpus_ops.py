@@ -495,6 +495,67 @@ def test_frame_sampler_stage_and_video_features(ray_session):
         assert len(feat) == FEATURE_DIM
 
 
+def test_grouped_top_k_brute_parity_hot_and_null_keys(ray_session):
+    """grouped_top_k == per-key brute-force head(k), including a hot key
+    (one source dominates), a null key, ties on the first sort column,
+    and a key with fewer than k rows; layout-invariant (1 vs 5 blocks).
+    The per-batch partial must bound its own output to ≤ k non-null-key
+    rows per key."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    rng = np.random.default_rng(13)
+    n = 400
+    keys = ["hot"] * 300 + ["mid"] * 80 + ["tiny"] * 2 + [None] * 18
+    score = rng.integers(0, 40, n)  # narrow range forces ties
+    ident = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "src": pa.array(keys, pa.string()),
+            "score": pa.array(score, pa.int64()),
+            "id": pa.array(ident),
+        }
+    )
+    want = {}
+    for key in {"hot", "mid", "tiny", None}:
+        rows = [
+            (s, i)
+            for kk, s, i in zip(keys, score.tolist(), ident.tolist())
+            if kk == key
+        ]
+        want[key] = sorted(rows)[:5]
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = grouped_top_k(
+            ds, "src", [("score", "ascending"), ("id", "ascending")], k=5
+        ).take_all()
+        got = {}
+        for r in out:
+            got.setdefault(r["src"], []).append((r["score"], r["id"]))
+        assert {k2: sorted(v) for k2, v in got.items()} == want, parts
+
+    # the pre-reduce bound that makes this hot-key-safe: one 400-row
+    # batch (300 rows of the hot key) reduces to ≤ k rows per non-null
+    # key + the null-key rows (only the merge clips those)
+    from pdf_table_extractor_ray.stages.topk import _partial_grouped_top_k
+
+    full_keys = [("src", "ascending"), ("score", "ascending"), ("id", "ascending")]
+    reduced = _partial_grouped_top_k(tbl, full_keys, 5)
+    per_key = {}
+    for v in reduced.column("src").to_pylist():
+        per_key[v] = per_key.get(v, 0) + 1
+    assert per_key["hot"] == 5 and per_key["mid"] == 5 and per_key["tiny"] == 2
+    assert per_key[None] == 18  # over-kept, never dropped
+    # and the partial's survivors are exactly the rows the brute answer
+    # needs (it never discards a true top-k row)
+    ids = set(reduced.column("id").to_pylist())
+    for key, rows in want.items():
+        assert all(i in ids for _s, i in rows), key
+
+
 def test_winnow_fingerprints_shared_substring():
     from pdf_table_extractor_ray.stages.textstats import winnow_fingerprints
 
