@@ -332,6 +332,41 @@ def _q_video_frame_features(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow").sort("media_id")
 
 
+def _q_image_thumbnails(sf_dir: str):
+    """Image-resize pipeline end-to-end (the normalize-before-training
+    step): mixed synthetic media corpus → actor-pool decode +
+    area-resample to 12×12 + PNG re-encode; audio rows surface an
+    in-band ``resize_error`` instead of failing the job. Returns a
+    deterministic per-row summary (media_id, kind, ok, resized_len).
+    Rows-only (binary media has no SQL analog); resize math unit-tested
+    in test_corpus_ops."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        resize_images,
+        synth_media_corpus,
+    )
+
+    ds = ray.data.from_arrow(synth_media_corpus()).repartition(4)
+    resized = resize_images(ds, out_w=12, out_h=12, codec="png", concurrency=(1, 4))
+
+    def summarize(b: pa.Table) -> pa.Table:
+        blob = b.column("resized")
+        return pa.Table.from_arrays(
+            [
+                b.column("media_id"),
+                b.column("kind"),
+                pc.cast(pc.is_valid(blob), pa.int64()),
+                pc.fill_null(pc.binary_length(blob), 0),
+            ],
+            names=["media_id", "kind", "ok", "resized_len"],
+        )
+
+    return resized.map_batches(
+        summarize, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("media_id")
+
+
 def _q_late_events(sf_dir: str):
     """Watermark/late-data tagging (streaming semantics over the batch
     replay): per user, arrival order = event_id; an event is late when
@@ -2255,6 +2290,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_events": _q_late_events,
         "media_features": _q_media_features,
         "video_frame_features": _q_video_frame_features,
+        "image_thumbnails": _q_image_thumbnails,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,

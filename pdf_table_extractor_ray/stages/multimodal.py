@@ -232,17 +232,22 @@ def _axis_bins(n: int, k: int):
     return [np.array([min((i * n) // k, n - 1)]) for i in range(k)]
 
 
-def _pool_image(img: np.ndarray) -> np.ndarray:
-    """Area-average resize to THUMB_H×THUMB_W (uint8)."""
-    h, w = img.shape[:2]
-    out = np.empty((THUMB_H, THUMB_W, 3), np.uint8)
-    ys = _axis_bins(h, THUMB_H)
-    xs = _axis_bins(w, THUMB_W)
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-average resize to (out_h, out_w, 3) uint8 — downscale pools
+    pixel blocks, upscale nearest-neighbor repeats (via _axis_bins)."""
+    out = np.empty((out_h, out_w, 3), np.uint8)
+    ys = _axis_bins(img.shape[0], out_h)
+    xs = _axis_bins(img.shape[1], out_w)
     for i, yy in enumerate(ys):
         band = img[yy]
         for j, xx in enumerate(xs):
             out[i, j] = band[:, xx].reshape(-1, 3).mean(axis=0)
     return out
+
+
+def _pool_image(img: np.ndarray) -> np.ndarray:
+    """Area-average resize to THUMB_H×THUMB_W (uint8)."""
+    return resize_image(img, THUMB_H, THUMB_W)
 
 
 def _sniff(payload: bytes) -> str:
@@ -427,6 +432,79 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
             "kind": pa.array(kinds, pa.string()),
             "payload": pa.array(payloads, pa.binary()),
         }
+    )
+
+
+class ResizeImages:
+    """Actor-pool stage: image rows → fixed-size resized images
+    (the standard normalize-before-training step). Decodes whatever
+    `_sniff` recognizes as an image (PPM/BMP/PNG), area-resamples to
+    (out_h, out_w), re-encodes in the requested codec (``"ppm"`` raw
+    or ``"png"`` compressed). Non-image / undecodable rows pass
+    through with ``resized=null`` and an in-band ``resize_error`` —
+    a bad payload must never kill a 10^12-row job."""
+
+    def __init__(
+        self,
+        out_w: int = 16,
+        out_h: int = 16,
+        codec: str = "ppm",
+        media_col: str = "payload",
+    ):
+        if codec not in ("ppm", "png"):
+            raise ValueError(codec)
+        self.out_w, self.out_h = out_w, out_h
+        self.codec = codec
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        blobs, errs = [], []
+        for p in payloads:
+            kind = _sniff(p or b"")
+            try:
+                if kind == "ppm":
+                    img = decode_ppm(p)
+                elif kind == "bmp":
+                    img = decode_bmp(p)
+                elif kind == "png":
+                    img = decode_png(p)
+                else:
+                    raise ValueError(f"not a decodable image (kind={kind})")
+            except Exception as e:  # in-band, never fatal
+                blobs.append(None)
+                errs.append(f"{type(e).__name__}: {e}")
+                continue
+            small = resize_image(img, self.out_h, self.out_w)
+            blobs.append(encode_png(small) if self.codec == "png" else encode_ppm(small))
+            errs.append(None)
+        out = batch.append_column("resized", pa.array(blobs, pa.binary()))
+        return out.append_column("resize_error", pa.array(errs, pa.string()))
+
+
+def resize_images(
+    ds,
+    out_w: int = 16,
+    out_h: int = 16,
+    codec: str = "ppm",
+    media_col: str = "payload",
+    batch_size: int = 8,
+    concurrency=(1, 8),
+):
+    """image Dataset → same rows + ``resized``/``resize_error`` columns."""
+    return ds.map_batches(
+        ResizeImages,
+        fn_constructor_kwargs={
+            "out_w": out_w,
+            "out_h": out_h,
+            "codec": codec,
+            "media_col": media_col,
+        },
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
     )
 
 

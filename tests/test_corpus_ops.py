@@ -495,6 +495,48 @@ def test_frame_sampler_stage_and_video_features(ray_session):
         assert len(feat) == FEATURE_DIM
 
 
+def test_resize_images_stage(ray_session):
+    """Resize stage: exact pixel math on a block-aligned downscale,
+    PNG-codec roundtrip parity, upscale path, and in-band error rows
+    for non-image payloads."""
+    import numpy as np
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        decode_png,
+        decode_ppm,
+        encode_ppm,
+        resize_image,
+        resize_images,
+    )
+
+    # 8×8 → 4×4: each output pixel is the mean of a 2×2 block
+    img = (np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3) * 3) % 251
+    small = resize_image(img, 4, 4)
+    want = img.reshape(4, 2, 4, 2, 3).astype(np.float64).mean(axis=(1, 3))
+    assert (small == want.astype(np.uint8)).all()
+    # upscale 2×3 → 4×6 is nearest-neighbor repeats (no NaN bins)
+    up = resize_image(img[:2, :3], 4, 6)
+    assert up.shape == (4, 6, 3)
+
+    rows = [
+        {"media_id": 0, "payload": encode_ppm(img)},
+        {"media_id": 1, "payload": b"not an image at all"},
+    ]
+    ds = ray.data.from_items(rows)
+    out = {
+        r["media_id"]: r
+        for r in resize_images(ds, out_w=4, out_h=4, codec="png", concurrency=(1, 2)).take_all()
+    }
+    assert out[0]["resize_error"] is None
+    assert (decode_png(bytes(out[0]["resized"])) == small).all()
+    assert out[1]["resized"] is None and "not a decodable image" in out[1]["resize_error"]
+    # ppm codec path roundtrips too
+    out2 = resize_images(ds, out_w=4, out_h=4, codec="ppm", concurrency=(1, 2)).take_all()
+    blob = bytes([r for r in out2 if r["media_id"] == 0][0]["resized"])
+    assert (decode_ppm(blob) == small).all()
+
+
 def test_grouped_top_k_brute_parity_hot_and_null_keys(ray_session):
     """grouped_top_k == per-key brute-force head(k), including a hot key
     (one source dominates), a null key, ties on the first sort column,
