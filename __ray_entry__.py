@@ -1013,6 +1013,62 @@ def _q_quiet_customers(sf_dir: str):
     )
 
 
+def _q_cust_order_dist(sf_dir: str):
+    """TPC-H Q13 flavor: distribution of orders-per-customer,
+    INCLUDING zero-order customers (the rows an inner join loses).
+
+    Plan: per-batch Arrow pre-count on ``o_custkey`` (combiner) →
+    groupby-Sum — only (custkey, partial_n) rows shuffle, never the
+    orders fact rows — → hash-shuffle LEFT OUTER join onto customer
+    keys so order-less customers surface as null→0 → second two-level
+    count over the tiny ``c_count`` domain. Exercises the left_outer
+    leg of ``hash_shuffle_join`` (reference has no joins; engine-only,
+    cf. SURVEY §2.6 "absent in the reference")."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+
+    def precount(b: pa.Table) -> pa.Table:
+        t = b.group_by("o_custkey").aggregate([("o_custkey", "count")])
+        return pa.Table.from_arrays(
+            [t.column("o_custkey"), pc.cast(t.column("o_custkey_count"), pa.int64())],
+            names=["o_custkey", "n_part"],
+        )
+
+    per_cust = (
+        orders.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_custkey")
+        .aggregate(Sum("n_part"))
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    joined = hash_shuffle_join(cust, per_cust, on="c_custkey", right_on="o_custkey", how="left")
+
+    def ccount(b: pa.Table) -> pa.Table:
+        n = pc.fill_null(pc.cast(b.column("sum(n_part)"), pa.int64()), 0)
+        t = pa.Table.from_arrays([n], names=["c_count"])
+        g = t.group_by("c_count").aggregate([("c_count", "count")])
+        return pa.Table.from_arrays(
+            [g.column("c_count"), pc.cast(g.column("c_count_count"), pa.int64())],
+            names=["c_count", "dist_part"],
+        )
+
+    dist = (
+        joined.map_batches(ccount, batch_format="pyarrow")
+        .groupby("c_count")
+        .aggregate(Sum("dist_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("c_count"), pc.cast(b.column("sum(dist_part)"), pa.int64())],
+            names=["c_count", "custdist"],
+        )
+
+    return dist.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_last_order_asof(sf_dir: str):
     """As-of join under a native DuckDB ASOF JOIN oracle: each event ⋈
     the user's most recent order at-or-before the event time. Orders
@@ -2085,6 +2141,34 @@ def _q_chunk_dedup_docs(sf_dir: str):
     return chunk_dedup(docs)
 
 
+def _q_dup_span_stats(sf_dir: str):
+    """ExactSubstr-flavored duplicated-span stats: per doc, how many
+    token positions are covered by an 8-token shingle occurring >= 2
+    times anywhere in the corpus (Lee et al. 2022 approximated at the
+    shingle level). Shuffles carry (hash, doc, pos) int64 rows only —
+    never text; both wide steps are bucket-vectorized
+    (stages/substrings.py). Docs with zero duplication are restored by
+    a left join on the id roster → dup_tokens = 0."""
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+    from pdf_table_extractor_ray.stages.substrings import dup_span_stats
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    cov = dup_span_stats(docs, n=8)
+    ids = _read(sf_dir, "documents", ["doc_id"])
+    joined = hash_shuffle_join(ids, cov, on="doc_id", how="left")
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("doc_id"),
+                pc.fill_null(pc.cast(b.column("dup_tokens"), pa.int64()), 0),
+            ],
+            names=["doc_id", "dup_tokens"],
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style per-doc repetition stats (dup-word fraction,
     top-word char fraction, dup-bigram fraction) — map-only,
@@ -2322,6 +2406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "profit_by_nation_year": _q_profit_by_nation_year,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
+        "cust_order_dist": _q_cust_order_dist,
         "last_order_asof": _q_last_order_asof,
         "first_event_after_order": _q_first_event_after_order,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -2365,6 +2450,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cube": _q_revenue_cube,
         "event_gaps": _q_event_gaps,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
+        "dup_span_stats": _q_dup_span_stats,
         "gopher_quality": _q_gopher_quality,
         "contamination_screen": _q_contamination_screen,
         "contamination_screen_join": _q_contamination_screen_join,
@@ -2568,6 +2654,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "cust_order_dist": (
+            "WITH per_cust AS (SELECT o_custkey, count(*) AS n "
+            "FROM orders GROUP BY o_custkey) "
+            "SELECT c_count, count(*) AS custdist FROM ("
+            "SELECT coalesce(n, 0) AS c_count FROM customer "
+            "LEFT JOIN per_cust ON c_custkey = o_custkey"
+            ") GROUP BY c_count"
         ),
         "last_order_asof": (
             "WITH o AS (SELECT o_custkey, o_orderdate, "
@@ -2876,6 +2970,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, string_agg(chunk, ' ' ORDER BY chunk_idx) AS text_dedup, "
             "  CAST(count(*) AS BIGINT) AS n_kept "
             "FROM kept WHERE rn = 1 GROUP BY doc_id"
+        ),
+        # tokenization contract: string_split(text, ' ') == Python
+        # text.split(' ') == Arrow split_pattern — empty tokens kept
+        "dup_span_stats": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "starts AS (SELECT doc_id, toks, "
+            "  unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS pos FROM d), "
+            "grams AS (SELECT doc_id, pos, "
+            "  array_to_string(toks[pos:pos+7], ' ') AS gram FROM starts), "
+            "dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2), "
+            "marked AS (SELECT g.doc_id, g.pos FROM grams g JOIN dup USING (gram)), "
+            "cov AS (SELECT doc_id, pos, "
+            "  lead(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM marked), "
+            "percov AS (SELECT doc_id, sum(CASE WHEN nxt IS NULL THEN 8 "
+            "  ELSE least(8, nxt - pos) END) AS dup_tokens FROM cov GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens "
+            "FROM d LEFT JOIN percov p USING (doc_id)"
         ),
         "gopher_quality": (
             "WITH tok AS (SELECT doc_id, "

@@ -1,0 +1,196 @@
+"""Duplicated-substring span statistics (ExactSubstr-flavored dedup).
+
+Marks every token covered by an n-token shingle that occurs >= 2 times
+anywhere in the corpus (including twice within one document) and
+reports, per document, how many token positions are covered by at
+least one duplicated shingle — the distributed n-gram approximation of
+suffix-array ExactSubstr dedup (Lee et al., "Deduplicating Training
+Data Makes Language Models Better", ACL 2022). The reference repo has
+no corpus-level ops at all (SURVEY §2.6 "absent in the reference");
+this is an engine-only training-data operator.
+
+Scale shape:
+- shingles travel as two independent 64-bit hash lanes + (doc_id, pos)
+  — the text itself is never shuffled;
+- BOTH wide steps are bucket-level ``groupby().map_groups`` with
+  vectorized within-bucket math (the house pattern from sessions.py —
+  never per-key Python): duplicate detection is one lexsort +
+  run-length pass per hash bucket; span coverage (interval union with
+  fixed width n) is one lexsort + ``np.add.reduceat`` per doc bucket.
+- A false duplicate needs BOTH lanes (FNV-1a and FNV-1, computed in a
+  single byte-position sweep) to collide on distinct shingles —
+  ~2^-128 per pair — the standard trade for not shipping gram strings.
+
+Tokenization contract: ``text.split(' ')`` semantics (single-space
+split, empty tokens preserved), bit-compatible with DuckDB
+``string_split(text, ' ')`` so the whole operator is SQL-verifiable.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+# odd multipliers for the positional shingle combine (splitmix64 / xxh3
+# mix constants — any odd 64-bit constants work, one per lane)
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _dual_hash(arr: pa.Array) -> Tuple[np.ndarray, np.ndarray]:
+    """FNV-1a (lane 1) and FNV-1 (lane 2) over a string/binary Arrow
+    array in ONE numpy pass per byte *position* (bounded by the longest
+    token), never per row. Two genuinely independent recurrences: a
+    lane-1 collision does not imply a lane-2 collision."""
+    arr = pc.cast(arr, pa.large_binary())
+    n = len(arr)
+    offsets = np.frombuffer(arr.buffers()[1], np.int64)[arr.offset : arr.offset + n + 1]
+    starts, lens = offsets[:-1], np.diff(offsets)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    h1 = np.full(n, _FNV_OFFSET, np.uint64)
+    h2 = np.full(n, _FNV_OFFSET, np.uint64)
+    for pos in range(int(lens.max()) if n else 0):
+        act = lens > pos
+        b = data[starts[act] + pos].astype(np.uint64)
+        h1[act] = (h1[act] ^ b) * _FNV_PRIME  # FNV-1a: xor then multiply
+        h2[act] = (h2[act] * _FNV_PRIME) ^ b  # FNV-1:  multiply then xor
+    return h1, h2
+
+
+def _empty_shingles() -> pa.Table:
+    i64 = pa.array([], pa.int64())
+    return pa.Table.from_arrays(
+        [i64, i64, i64, i64, i64], names=["bucket", "h1", "h2", "doc_id", "pos"]
+    )
+
+
+def shingle_emitter(text_col: str, id_col: str, n: int, n_buckets: int):
+    """Batch fn: documents → one row per n-token shingle start:
+    (bucket, h1, h2, doc_id, pos). Fully vectorized — tokenize with one
+    Arrow ``split_pattern`` kernel, hash the flattened token array once,
+    then combine n shifted lanes per gram (n numpy ops, not a loop over
+    rows)."""
+
+    def emit(b: pa.Table) -> pa.Table:
+        texts = b.column(text_col)
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = pc.fill_null(texts, "")
+        toks = pc.split_pattern(texts, pattern=" ")
+        counts = pc.list_value_length(toks).to_numpy().astype(np.int64)
+        flat = toks.flatten()
+        total = int(counts.sum())
+        if total < n:
+            return _empty_shingles()
+        t1, t2 = _dual_hash(flat)
+        m = total - n + 1  # candidate starts in flattened token space
+        g1 = t1[:m].copy()
+        g2 = t2[:m].copy()
+        for j in range(1, n):
+            g1 = (g1 * _MIX1) ^ t1[j : m + j]
+            g2 = (g2 * _MIX2) ^ t2[j : m + j]
+        doc_idx = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = doc_idx[:m] == doc_idx[n - 1 :]  # window must not cross a doc
+        starts_flat = np.nonzero(valid)[0]
+        if not len(starts_flat):
+            return _empty_shingles()
+        doc_offsets = np.concatenate([[0], np.cumsum(counts)])
+        which_doc = doc_idx[starts_flat]
+        pos = starts_flat - doc_offsets[which_doc]
+        doc_ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array((g1[starts_flat] % np.uint64(n_buckets)).astype(np.int64)),
+                pa.array(g1[starts_flat].view(np.int64)),
+                pa.array(g2[starts_flat].view(np.int64)),
+                pa.array(doc_ids[which_doc]),
+                pa.array(pos.astype(np.int64)),
+            ],
+            names=["bucket", "h1", "h2", "doc_id", "pos"],
+        )
+
+    return emit
+
+
+def _dup_rows(n_buckets: int):
+    """Per hash-bucket: keep the (doc_id, pos) rows whose (h1, h2)
+    shingle occurs >= 2 times in the whole corpus. One lexsort + one
+    run-length pass; the group is a hash bucket, never a Python-level
+    per-shingle group."""
+
+    def dups(g: pa.Table) -> pa.Table:
+        h1 = g.column("h1").to_numpy(zero_copy_only=False)
+        h2 = g.column("h2").to_numpy(zero_copy_only=False)
+        doc_id = g.column("doc_id").to_numpy(zero_copy_only=False)
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((h2, h1))
+        s1, s2 = h1[order], h2[order]
+        new = np.empty(len(s1), bool)
+        new[0] = True
+        new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
+        grp = np.cumsum(new) - 1
+        cnt = np.bincount(grp)
+        keep = order[cnt[grp] >= 2]
+        d = doc_id[keep]
+        return pa.Table.from_arrays(
+            [pa.array(d), pa.array(pos[keep]), pa.array(d % np.int64(n_buckets))],
+            names=["doc_id", "pos", "dbucket"],
+        )
+
+    return dups
+
+
+def _coverage(n: int):
+    """Per doc-bucket: union of the fixed-width [pos, pos+n-1] spans →
+    covered-token count per doc. Sorted-diff interval union: row i
+    contributes min(n, next_pos - pos) tokens (n for the last span of a
+    doc); summed per doc with ``np.add.reduceat``."""
+
+    def cover(g: pa.Table) -> pa.Table:
+        d = g.column("doc_id").to_numpy(zero_copy_only=False)
+        p = g.column("pos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((p, d))
+        d, p = d[order], p[order]
+        same = d[1:] == d[:-1]
+        contrib = np.concatenate(
+            [np.where(same, np.minimum(p[1:] - p[:-1], n), n), [n]]
+        ).astype(np.int64)
+        run_starts = np.nonzero(np.concatenate([[True], d[1:] != d[:-1]]))[0]
+        sums = np.add.reduceat(contrib, run_starts)
+        return pa.Table.from_arrays(
+            [pa.array(d[run_starts]), pa.array(sums)],
+            names=["doc_id", "dup_tokens"],
+        )
+
+    return cover
+
+
+def dup_span_stats(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """(doc_id, dup_tokens) for every document with >= 1 duplicated
+    n-token shingle. Documents with zero duplication are ABSENT —
+    callers wanting the full roster left-join back onto the id table
+    (see ``_q_dup_span_stats``). Two bucket shuffles total, both over
+    slim (int64 x 3..5) rows."""
+    shingles = docs.map_batches(
+        shingle_emitter(text_col, id_col, n, n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    marked = shingles.groupby("bucket").map_groups(
+        _dup_rows(n_buckets), batch_format="pyarrow"
+    )
+    return marked.groupby("dbucket").map_groups(_coverage(n), batch_format="pyarrow")

@@ -1510,3 +1510,71 @@ class TestPngCodec:
         assert f[0] == f[1]
         th = out.column("thumbnail").to_pylist()
         assert th[0] == th[1]
+
+
+def _brute_dup_spans(rows, n=8):
+    """Python oracle for dup_span_stats: mark every token covered by an
+    n-token shingle occurring >= 2 times corpus-wide (same-doc repeats
+    count), return covered-position counts per doc."""
+    grams = {}
+    for d in rows:
+        toks = d["text"].split(" ")
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), []).append((d["doc_id"], i))
+    cov = {}
+    for occ in grams.values():
+        if len(occ) >= 2:
+            for doc, i in occ:
+                cov.setdefault(doc, set()).update(range(i, i + n))
+    return {doc: len(s) for doc, s in cov.items()}
+
+
+def test_dup_span_stats_planted(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.substrings import dup_span_stats
+
+    common = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        {"doc_id": 1, "text": common + " unique1 ua ub uc"},
+        {"doc_id": 2, "text": "pre1 pre2 " + common},
+        # within-doc repetition: period-3 phrase -> self-duplicated shingles
+        {"doc_id": 3, "text": " ".join(["ta tb tc"] * 5)},
+        {"doc_id": 4, "text": "short text only"},
+        {"doc_id": 5, "text": ""},
+    ]
+    out = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_stats(ray.data.from_items(rows), n=8).take_all()
+    }
+    assert out == _brute_dup_spans(rows)
+    assert out[1] == 10 and out[2] == 10  # the shared 10-token run
+    assert 4 not in out and 5 not in out  # too short / empty emit nothing
+
+
+def test_dup_span_stats_brute_force_real_docs(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.substrings import dup_span_stats
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    rows = ds.take_all()
+    out = {r["doc_id"]: r["dup_tokens"] for r in dup_span_stats(ds, n=8).take_all()}
+    assert out == _brute_dup_spans(rows)
+
+
+def test_cust_order_dist_matches_pandas(ray_session):
+    import pandas as pd
+
+    import __ray_entry__ as em
+
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in em.queries()["cust_order_dist"](SF_DIR).take_all()
+    }
+    orders = pd.read_parquet(f"{SF_DIR}/orders.parquet", columns=["o_custkey"])
+    cust = pd.read_parquet(f"{SF_DIR}/customer.parquet", columns=["c_custkey"])
+    per = orders.groupby("o_custkey").size()
+    counts = cust["c_custkey"].map(per).fillna(0).astype(int)
+    want = counts.value_counts().to_dict()
+    assert got == want
