@@ -1618,6 +1618,15 @@ def _q_knn_ivf(sf_dir: str):
     return knn_ivf(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_knn_pq(sf_dir: str):
+    """Product-quantization ADC top-5 (rows-only: approximate by
+    construction; recall@5 gated vs brute force in pytest)."""
+    from pdf_table_extractor_ray.stages.similarity import knn_pq
+
+    ds, q, qids = _query_vectors(sf_dir)
+    return knn_pq(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
+
+
 def _q_dup_clusters(sf_dir: str):
     """The distributed connected-components operator under a SQL
     oracle: star edges (min orderkey → each other order) within every
@@ -2398,6 +2407,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_top5": _q_knn_top5,
         "knn_lsh": _q_knn_lsh,
         "knn_ivf": _q_knn_ivf,
+        "knn_pq": _q_knn_pq,
         "near_dedup_docs": _q_near_dedup_docs,
         "dup_clusters": _q_dup_clusters,
         "corpus_prep": _q_corpus_prep,

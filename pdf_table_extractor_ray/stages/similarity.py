@@ -502,3 +502,156 @@ def kmeans_cluster_sizes(assigned: "ray.data.Dataset") -> "ray.data.Dataset":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) ANN — the memory-compression scale path.
+# IVF prunes WHICH vectors are scored; PQ compresses HOW each vector is
+# stored/scored: dim float64s collapse to m uint8 codes (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011), so a
+# 100-TB embedding column scans as a few bytes per row with
+# asymmetric-distance (ADC) lookups instead of full dot products.
+
+PQ_SUBSPACES = 8
+PQ_CODEBOOK = 32  # centroids per subspace: codes fit one uint8 each
+PQ_TRAIN_SAMPLE = 2048
+PQ_KMEANS_ITERS = 12
+
+
+def train_pq_codebooks(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    m: int = PQ_SUBSPACES,
+    ksub: int = PQ_CODEBOOK,
+    sample_size: int = PQ_TRAIN_SAMPLE,
+    iters: int = PQ_KMEANS_ITERS,
+    seed: int = 17,
+) -> list:
+    """Seeded per-subspace k-means (L2) on a driver-side sample —
+    bounded by design, like train_ivf_centroids. Vectors are
+    L2-normalized first so inner-product ADC ranks like cosine.
+    Returns a list of m (ksub_i, dsub_i) arrays (np.array_split
+    tolerates dim % m != 0)."""
+    sample = ds.limit(sample_size).take_all()
+    x = _normalize(np.array([r[vec_col] for r in sample], np.float64))
+    rng = np.random.RandomState(seed)
+    books = []
+    for sub in np.array_split(x, m, axis=1):
+        k = min(ksub, len(sub))
+        cents = sub[rng.choice(len(sub), size=k, replace=False)]
+        for _ in range(iters):
+            # L2 assignment: argmin ||v - c||^2 = argmax (v.c - |c|^2/2)
+            assign = np.argmax(sub @ cents.T - 0.5 * (cents * cents).sum(1), axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(cents)
+    return books
+
+
+def pq_encode(mat: np.ndarray, books: list) -> np.ndarray:
+    """(n, dim) float → (n, m) uint8 codes; one argmax per subspace."""
+    codes = np.empty((mat.shape[0], len(books)), np.uint8)
+    col = 0
+    for s, cents in enumerate(books):
+        d = cents.shape[1]
+        sub = mat[:, col : col + d]
+        codes[:, s] = np.argmax(sub @ cents.T - 0.5 * (cents * cents).sum(1), axis=1)
+        col += d
+    return codes
+
+
+def knn_pq(
+    ds: "ray.data.Dataset",
+    query_vecs: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    books: Optional[list] = None,
+    rerank: int = 16,
+) -> "ray.data.Dataset":
+    """PQ-ADC top-k with exact re-rank (the ADC+R shape of Jégou et
+    al. §V): each batch encodes its vectors to m uint8 codes and
+    scores every query via per-subspace lookup tables
+    (score ≈ Σ_s q_s · c_{s,code}); the ``rerank·k`` best ADC
+    candidates per query then get ONE exact dot product each — full
+    products for a bounded pool, never the whole batch. Re-rank is
+    required for fine ranks: coarse codes tie all near-identical
+    vectors and ADC alone picks arbitrarily among ties. Still
+    approximate (a true neighbor outside its batch's ADC pool is
+    lost; recall@5 gated vs brute force in pytest). Codebooks + query
+    LUTs broadcast once via ray.put; same partial-top-k → single
+    bounded merge shape as knn_bruteforce."""
+    if books is None:
+        books = train_pq_codebooks(ds, vec_col)
+    qn = _normalize(np.asarray(query_vecs, np.float64))
+    # LUT[s]: (nq, ksub_s) — query-side halves of the inner product
+    luts, col = [], 0
+    for cents in books:
+        d = cents.shape[1]
+        luts.append(qn[:, col : col + d] @ cents.T)
+        col += d
+    books_ref = ray.put(books)
+    luts_ref = ray.put(luts)
+    qn_ref = ray.put(qn)
+    qid_ref = ray.put(np.asarray(query_ids))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        m_ = _matrix(batch.column(vec_col))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        if m_.shape[0] == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+                names=["query_id", "vec_id", "score"],
+            )
+        mn = _normalize(m_)
+        codes = pq_encode(mn, ray.get(books_ref))
+        luts_ = ray.get(luts_ref)
+        # (nq, nb): Σ_s LUT[s][:, codes[:, s]]
+        scores = luts_[0][:, codes[:, 0]]
+        for s in range(1, len(luts_)):
+            scores = scores + luts_[s][:, codes[:, s]]
+        qids = ray.get(qid_ref)
+        qn_ = ray.get(qn_ref)
+        kk = min(k, scores.shape[1])
+        pool = min(rerank * k, scores.shape[1])
+        out_q, out_v, out_s = [], [], []
+        for qi in range(scores.shape[0]):
+            row = scores[qi]
+            cand = (
+                np.argpartition(-row, pool - 1)[:pool]
+                if pool < len(row)
+                else np.arange(len(row))
+            )
+            exact = mn[cand] @ qn_[qi]  # re-rank: pool exact products only
+            idx = cand[
+                np.argpartition(-exact, kk - 1)[:kk] if kk < len(cand) else np.arange(len(cand))
+            ]
+            out_q.extend([int(qids[qi])] * len(idx))
+            out_v.extend(ids[idx].tolist())
+            out_s.extend((mn[idx] @ qn_[qi]).tolist())
+        return pa.Table.from_arrays(
+            [pa.array(out_q, pa.int64()), pa.array(out_v, pa.int64()), pa.array(out_s, pa.float64())],
+            names=["query_id", "vec_id", "score"],
+        )
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(group: pa.Table) -> pa.Table:
+        v = group.column("vec_id").to_numpy(zero_copy_only=False)
+        s = group.column("score").to_numpy(zero_copy_only=False)
+        qid = group.column("query_id")[0].as_py()
+        order = np.lexsort((v, -s))[:k]
+        return pa.Table.from_arrays(
+            [
+                pa.array([qid] * len(order), pa.int64()),
+                pa.array(np.arange(1, len(order) + 1, dtype=np.int64)),
+                pa.array(v[order], pa.int64()),
+                pa.array(s[order], pa.float64()),
+            ],
+            names=["query_id", "rank", "vec_id", "score"],
+        )
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")

@@ -228,6 +228,7 @@ def test_ann_recall_vs_bruteforce(ray_session):
         knn_bruteforce,
         knn_ivf,
         knn_lsh,
+        knn_pq,
     )
 
     rng = np.random.RandomState(7)
@@ -254,7 +255,7 @@ def test_ann_recall_vs_bruteforce(ray_session):
         return by_q
 
     bf = top(knn_bruteforce(ds, q, qids, k=5).take_all())
-    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf)):
+    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_pq)):
         approx = top(fn(ds, q, qids, k=5).take_all())
         recall = np.mean(
             [len(bf[qid] & approx.get(qid, set())) / len(bf[qid]) for qid in bf]
