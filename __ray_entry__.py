@@ -2157,25 +2157,12 @@ def _q_dup_span_stats(sf_dir: str):
     shingle level). Shuffles carry (hash, doc, pos) int64 rows only —
     never text; both wide steps are bucket-vectorized
     (stages/substrings.py). Docs with zero duplication are restored by
-    a left join on the id roster → dup_tokens = 0."""
-    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+    sentinel roster rows riding the doc-bucket shuffle (no join)."""
     from pdf_table_extractor_ray.stages.substrings import dup_span_stats
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
-    cov = dup_span_stats(docs, n=8)
     ids = _read(sf_dir, "documents", ["doc_id"])
-    joined = hash_shuffle_join(ids, cov, on="doc_id", how="left")
-
-    def finish(b: pa.Table) -> pa.Table:
-        return pa.Table.from_arrays(
-            [
-                b.column("doc_id"),
-                pc.fill_null(pc.cast(b.column("dup_tokens"), pa.int64()), 0),
-            ],
-            names=["doc_id", "dup_tokens"],
-        )
-
-    return joined.map_batches(finish, batch_format="pyarrow")
+    return dup_span_stats(docs, n=8, ids=ids)
 
 
 def _q_gopher_quality(sf_dir: str):

@@ -130,6 +130,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "tfidf_top3",  # df broadcast + map-only float scoring
         "late_events",  # watermark tagging: bucket shuffle + composite cummax
         "value_comoments_by_type",  # one-pass grouped co-moments (corr/cov base)
+        "dup_span_stats",  # ExactSubstr-style duplicated-span marking
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

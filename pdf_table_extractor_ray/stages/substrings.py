@@ -147,26 +147,46 @@ def _dup_rows(n_buckets: int):
     return dups
 
 
+def _span_union(d: np.ndarray, p: np.ndarray, n: int):
+    """Sorted-diff interval union of fixed-width [pos, pos+n-1] spans:
+    row i contributes min(n, next_pos - pos) tokens (n for the last
+    span of a doc); summed per doc with ``np.add.reduceat``. Returns
+    (doc_ids, covered_counts) for docs with >= 1 span."""
+    if not len(d):
+        return d.astype(np.int64), p.astype(np.int64)
+    order = np.lexsort((p, d))
+    d, p = d[order], p[order]
+    same = d[1:] == d[:-1]
+    contrib = np.concatenate(
+        [np.where(same, np.minimum(p[1:] - p[:-1], n), n), [n]]
+    ).astype(np.int64)
+    run_starts = np.nonzero(np.concatenate([[True], d[1:] != d[:-1]]))[0]
+    return d[run_starts], np.add.reduceat(contrib, run_starts)
+
+
 def _coverage(n: int):
-    """Per doc-bucket: union of the fixed-width [pos, pos+n-1] spans →
-    covered-token count per doc. Sorted-diff interval union: row i
-    contributes min(n, next_pos - pos) tokens (n for the last span of a
-    doc); summed per doc with ``np.add.reduceat``."""
+    """Per doc-bucket span-union coverage. Rows with pos < 0 are
+    roster sentinels (one per document, injected upstream so zero-dup
+    documents still produce an output row WITHOUT a corpus-wide join
+    against the id table — the sentinel rides the same doc-bucket
+    shuffle the coverage rows already pay for). When no sentinels are
+    present (bare operator use) only covered docs are emitted."""
 
     def cover(g: pa.Table) -> pa.Table:
         d = g.column("doc_id").to_numpy(zero_copy_only=False)
         p = g.column("pos").to_numpy(zero_copy_only=False)
-        order = np.lexsort((p, d))
-        d, p = d[order], p[order]
-        same = d[1:] == d[:-1]
-        contrib = np.concatenate(
-            [np.where(same, np.minimum(p[1:] - p[:-1], n), n), [n]]
-        ).astype(np.int64)
-        run_starts = np.nonzero(np.concatenate([[True], d[1:] != d[:-1]]))[0]
-        sums = np.add.reduceat(contrib, run_starts)
+        real = p >= 0
+        docs_with, sums = _span_union(d[real], p[real], n)
+        roster = np.unique(d[~real])
+        if not len(roster):  # bare use: covered docs only
+            return pa.Table.from_arrays(
+                [pa.array(docs_with), pa.array(sums)],
+                names=["doc_id", "dup_tokens"],
+            )
+        out = np.zeros(len(roster), np.int64)
+        out[np.searchsorted(roster, docs_with)] = sums
         return pa.Table.from_arrays(
-            [pa.array(d[run_starts]), pa.array(sums)],
-            names=["doc_id", "dup_tokens"],
+            [pa.array(roster), pa.array(out)], names=["doc_id", "dup_tokens"]
         )
 
     return cover
@@ -179,12 +199,16 @@ def dup_span_stats(
     id_col: str = "doc_id",
     n: int = 8,
     n_buckets: int = 256,
+    ids: "ray.data.Dataset | None" = None,
 ) -> "ray.data.Dataset":
-    """(doc_id, dup_tokens) for every document with >= 1 duplicated
-    n-token shingle. Documents with zero duplication are ABSENT —
-    callers wanting the full roster left-join back onto the id table
-    (see ``_q_dup_span_stats``). Two bucket shuffles total, both over
-    slim (int64 x 3..5) rows."""
+    """(doc_id, dup_tokens) per document. With ``ids`` (a one-column
+    id roster, e.g. a pruned re-read of the id column): EVERY document
+    appears, zero-dup docs as dup_tokens=0 — the roster rides the
+    doc-bucket shuffle as one sentinel row per doc (pos=-1), which is
+    strictly cheaper than a hash join against the id table (measured:
+    the join plan spent its wall time on aggregator-actor startup, not
+    data). Without ``ids``, only covered docs are emitted. Two bucket
+    shuffles total, both over slim int64 rows."""
     shingles = docs.map_batches(
         shingle_emitter(text_col, id_col, n, n_buckets),
         batch_format="pyarrow",
@@ -193,4 +217,20 @@ def dup_span_stats(
     marked = shingles.groupby("bucket").map_groups(
         _dup_rows(n_buckets), batch_format="pyarrow"
     )
+    if ids is not None:
+
+        def sentinels(b: pa.Table) -> pa.Table:
+            d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(d),
+                    pa.array(np.full(len(d), -1, np.int64)),
+                    pa.array(d % np.int64(n_buckets)),
+                ],
+                names=["doc_id", "pos", "dbucket"],
+            )
+
+        marked = marked.union(
+            ids.map_batches(sentinels, batch_format="pyarrow", zero_copy_batch=True)
+        )
     return marked.groupby("dbucket").map_groups(_coverage(n), batch_format="pyarrow")

@@ -1552,6 +1552,14 @@ def test_dup_span_stats_planted(ray_session):
     assert out[1] == 10 and out[2] == 10  # the shared 10-token run
     assert 4 not in out and 5 not in out  # too short / empty emit nothing
 
+    # roster mode: sentinel rows restore zero-dup docs as 0 (no join)
+    ds = ray.data.from_items(rows)
+    full = {
+        r["doc_id"]: r["dup_tokens"]
+        for r in dup_span_stats(ds, n=8, ids=ds.select_columns(["doc_id"])).take_all()
+    }
+    assert full == {**{d["doc_id"]: 0 for d in rows}, **out}
+
 
 def test_dup_span_stats_brute_force_real_docs(ray_session):
     import ray.data
