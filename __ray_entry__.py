@@ -1013,6 +1013,36 @@ def _q_quiet_customers(sf_dir: str):
     )
 
 
+def _q_nation_top_names(sf_dir: str):
+    """Ordered string aggregation per group (string_agg analog): the 3
+    highest-balance customer names per nation, ';'-joined in rank
+    order. Hot-key-safe: grouped_top_k pre-reduces every batch to ≤3
+    rows per nation BEFORE the shuffle; the final concat groups are ≤3
+    rows × 25 nations by contract."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    top3 = grouped_top_k(
+        cust,
+        "c_nationkey",
+        [("c_acctbal", "descending"), ("c_custkey", "ascending")],
+        k=3,
+    )
+
+    def concat(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g, sort_keys=[("c_acctbal", "descending"), ("c_custkey", "ascending")]
+        )
+        names = g.column("c_name").take(idx).to_pylist()
+        nk = g.column("c_nationkey")[0].as_py()
+        return pa.Table.from_arrays(
+            [pa.array([int(nk)], pa.int64()), pa.array([";".join(names)], pa.string())],
+            names=["c_nationkey", "top_names"],
+        )
+
+    return top3.groupby("c_nationkey").map_groups(concat, batch_format="pyarrow")
+
+
 def _q_cust_order_dist(sf_dir: str):
     """TPC-H Q13 flavor: distribution of orders-per-customer,
     INCLUDING zero-order customers (the rows an inner join loses).
@@ -2404,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
+        "nation_top_names": _q_nation_top_names,
         "last_order_asof": _q_last_order_asof,
         "first_event_after_order": _q_first_event_after_order,
         "top_orders_per_cust": _q_top_orders_per_cust,
@@ -2651,6 +2682,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT c_custkey, c_name, c_acctbal FROM customer "
             "WHERE c_custkey IN (SELECT o_custkey FROM orders "
             "WHERE o_orderpriority = '1-URGENT')"
+        ),
+        "nation_top_names": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "string_agg(c_name, ';' ORDER BY c_acctbal DESC, c_custkey) AS top_names "
+            "FROM (SELECT c_nationkey, c_name, c_acctbal, c_custkey, "
+            "row_number() OVER (PARTITION BY c_nationkey "
+            "ORDER BY c_acctbal DESC, c_custkey) AS rn FROM customer) "
+            "WHERE rn <= 3 GROUP BY c_nationkey"
         ),
         "cust_order_dist": (
             "WITH per_cust AS (SELECT o_custkey, count(*) AS n "
