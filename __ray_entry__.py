@@ -2195,6 +2195,17 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, n=8, ids=ids)
 
 
+def _q_bpe_merges(sf_dir: str):
+    """Distributed BPE tokenizer training: the first 10 learned merges
+    over the documents corpus (rows-only: iterative algorithm, no SQL
+    form; pytest gates exact merge-sequence parity vs a sequential
+    reference implementation)."""
+    from pdf_table_extractor_ray.stages.bpe import bpe_merge_table
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return bpe_merge_table(docs, n_merges=10)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style per-doc repetition stats (dup-word fraction,
     top-word char fraction, dup-bigram fraction) — map-only,
@@ -2479,6 +2490,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "dup_span_stats": _q_dup_span_stats,
+        "bpe_merges": _q_bpe_merges,
         "gopher_quality": _q_gopher_quality,
         "contamination_screen": _q_contamination_screen,
         "contamination_screen_join": _q_contamination_screen_join,
