@@ -2195,6 +2195,18 @@ def _q_dup_span_stats(sf_dir: str):
     return dup_span_stats(docs, n=8, ids=ids)
 
 
+def _q_dup_span_clean(sf_dir: str):
+    """ExactSubstr-style span REMOVAL: rebuild each doc's text with
+    tokens covered by non-canonical duplicated-shingle occurrences
+    dropped (one copy of each duplicated run survives, at the
+    shingle's min (doc_id,pos) occurrence). Text rides the doc-bucket
+    shuffle exactly once as the reassembly payload."""
+    from pdf_table_extractor_ray.stages.substrings import dup_span_clean
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return dup_span_clean(docs, n=8)
+
+
 def _q_bpe_merges(sf_dir: str):
     """Distributed BPE tokenizer training: the first 10 learned merges
     over the documents corpus (rows-only: iterative algorithm, no SQL
@@ -2490,6 +2502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": _q_event_gaps,
         "chunk_dedup_docs": _q_chunk_dedup_docs,
         "dup_span_stats": _q_dup_span_stats,
+        "dup_span_clean": _q_dup_span_clean,
         "bpe_merges": _q_bpe_merges,
         "gopher_quality": _q_gopher_quality,
         "contamination_screen": _q_contamination_screen,
@@ -3035,6 +3048,30 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE least(8, nxt - pos) END) AS dup_tokens FROM cov GROUP BY doc_id) "
             "SELECT d.doc_id, CAST(coalesce(p.dup_tokens, 0) AS BIGINT) AS dup_tokens "
             "FROM d LEFT JOIN percov p USING (doc_id)"
+        ),
+        "dup_span_clean": (
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "starts AS (SELECT doc_id, toks, "
+            "  unnest(generate_series(1, greatest(len(toks) - 7, 0))) AS pos FROM d), "
+            "grams AS (SELECT doc_id, pos, "
+            "  array_to_string(toks[pos:pos+7], ' ') AS gram FROM starts), "
+            "dup AS (SELECT gram FROM grams GROUP BY gram HAVING count(*) >= 2), "
+            "occ AS (SELECT g.doc_id, g.pos, row_number() OVER ("
+            "  PARTITION BY g.gram ORDER BY g.doc_id, g.pos) AS rn "
+            "  FROM grams g JOIN dup USING (gram)), "
+            "marked AS (SELECT doc_id, pos FROM occ WHERE rn > 1), "
+            "tokpos AS (SELECT doc_id, toks, "
+            "  unnest(generate_series(1, len(toks))) AS tp FROM d), "
+            "rem AS (SELECT DISTINCT t.doc_id, t.tp FROM tokpos t JOIN marked m "
+            "  ON t.doc_id = m.doc_id AND t.tp BETWEEN m.pos AND m.pos + 7), "
+            "keptagg AS (SELECT t.doc_id, "
+            "  string_agg(t.toks[t.tp], ' ' ORDER BY t.tp) AS text_clean, "
+            "  count(*) AS n_kept FROM tokpos t "
+            "  LEFT JOIN rem r ON t.doc_id = r.doc_id AND t.tp = r.tp "
+            "  WHERE r.tp IS NULL GROUP BY t.doc_id) "
+            "SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean, "
+            "CAST(len(d.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed "
+            "FROM d LEFT JOIN keptagg k USING (doc_id)"
         ),
         "gopher_quality": (
             "WITH tok AS (SELECT doc_id, "

@@ -119,25 +119,31 @@ def shingle_emitter(text_col: str, id_col: str, n: int, n_buckets: int):
     return emit
 
 
-def _dup_rows(n_buckets: int):
-    """Per hash-bucket: keep the (doc_id, pos) rows whose (h1, h2)
-    shingle occurs >= 2 times in the whole corpus. One lexsort + one
+def _dup_rows(n_buckets: int, emit: str = "all"):
+    """Per hash-bucket: the (doc_id, pos) rows whose (h1, h2) shingle
+    occurs >= 2 times in the whole corpus. One lexsort + one
     run-length pass; the group is a hash bucket, never a Python-level
-    per-shingle group."""
+    per-shingle group. ``emit="noncanonical"`` drops each duplicated
+    shingle's canonical occurrence — its min (doc_id, pos) — so span
+    REMOVAL keeps exactly one copy (the ExactSubstr retention rule)."""
 
     def dups(g: pa.Table) -> pa.Table:
         h1 = g.column("h1").to_numpy(zero_copy_only=False)
         h2 = g.column("h2").to_numpy(zero_copy_only=False)
         doc_id = g.column("doc_id").to_numpy(zero_copy_only=False)
         pos = g.column("pos").to_numpy(zero_copy_only=False)
-        order = np.lexsort((h2, h1))
+        # sort by (h1, h2, doc_id, pos): run head = canonical occurrence
+        order = np.lexsort((pos, doc_id, h2, h1))
         s1, s2 = h1[order], h2[order]
         new = np.empty(len(s1), bool)
         new[0] = True
         new[1:] = (s1[1:] != s1[:-1]) | (s2[1:] != s2[:-1])
         grp = np.cumsum(new) - 1
         cnt = np.bincount(grp)
-        keep = order[cnt[grp] >= 2]
+        dup = cnt[grp] >= 2
+        if emit == "noncanonical":
+            dup &= ~new  # drop each run's head (the kept copy)
+        keep = order[dup]
         d = doc_id[keep]
         return pa.Table.from_arrays(
             [pa.array(d), pa.array(pos[keep]), pa.array(d % np.int64(n_buckets))],
@@ -234,3 +240,108 @@ def dup_span_stats(
             ids.map_batches(sentinels, batch_format="pyarrow", zero_copy_batch=True)
         )
     return marked.groupby("dbucket").map_groups(_coverage(n), batch_format="pyarrow")
+
+
+def _clean_kernel(n: int):
+    """Per doc-bucket: rebuild each document's text with every token
+    covered by a non-canonical duplicated-shingle occurrence removed.
+    Rows with pos < 0 carry the document text (one per doc, injected
+    upstream — same sentinel-rides-the-shuffle trick as dup_span_stats,
+    here with the text payload); pos >= 0 rows mark removal spans.
+    Fully vectorized: one Arrow split over the bucket's texts, one
+    difference-array cumsum for interval union, one filtered
+    binary_join for reassembly."""
+
+    def clean(g: pa.Table) -> pa.Table:
+        pos = g.column("pos").to_numpy(zero_copy_only=False)
+        doc = g.column("doc_id").to_numpy(zero_copy_only=False)
+        is_text = pos < 0
+        tdoc = doc[is_text]
+        order = np.argsort(tdoc)
+        tdoc = tdoc[order]
+        texts = g.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        texts = texts.filter(pa.array(is_text)).take(pa.array(order))
+        toks = pc.split_pattern(pc.fill_null(texts, ""), pattern=" ")
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = np.concatenate([[0], np.cumsum(lens)])
+        md, mp = doc[~is_text], pos[~is_text]
+        di = np.searchsorted(tdoc, md)  # one text row per doc by contract
+        start = offs[di] + mp
+        end = offs[di] + np.minimum(mp + n, lens[di])
+        delta = np.zeros(int(offs[-1]) + 1, np.int64)
+        np.add.at(delta, start, 1)
+        np.add.at(delta, end, -1)
+        keep = np.cumsum(delta[:-1]) <= 0
+        cum = np.concatenate([[0], np.cumsum(keep)])
+        kept_counts = cum[offs[1:]] - cum[offs[:-1]]
+        kept_flat = toks.flatten().filter(pa.array(keep))
+        kept_lists = pa.LargeListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(kept_counts)]), pa.int64()),
+            pc.cast(kept_flat, pa.large_string()),
+        )
+        return pa.Table.from_arrays(
+            [
+                pa.array(tdoc),
+                pc.cast(
+                    pc.binary_join(kept_lists, pa.scalar(" ", pa.large_string())),
+                    pa.string(),
+                ),
+                pa.array((lens - kept_counts).astype(np.int64)),
+            ],
+            names=["doc_id", "text_clean", "n_removed"],
+        )
+
+    return clean
+
+
+def dup_span_clean(
+    docs: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    n_buckets: int = 256,
+) -> "ray.data.Dataset":
+    """ExactSubstr-style span REMOVAL: every token covered by a
+    duplicated n-token shingle occurrence OTHER than the shingle's
+    canonical (min (doc_id, pos)) occurrence is dropped, and each
+    document's text is rebuilt from the surviving tokens — so exactly
+    one copy of each duplicated run survives corpus-wide. Returns
+    (doc_id, text_clean, n_removed) for EVERY document. Two bucket
+    shuffles; the second carries each doc's text once (the reassembly
+    payload, as chunk_dedup does) plus slim mark rows."""
+    shingles = docs.map_batches(
+        shingle_emitter(text_col, id_col, n, n_buckets),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    marked = shingles.groupby("bucket").map_groups(
+        _dup_rows(n_buckets, emit="noncanonical"), batch_format="pyarrow"
+    )
+
+    def as_mark_rows(b: pa.Table) -> pa.Table:
+        return b.append_column("text", pa.nulls(b.num_rows, pa.string()))
+
+    def as_text_rows(b: pa.Table) -> pa.Table:
+        d = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = b.column(text_col)
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                pa.array(d),
+                pa.array(np.full(len(d), -1, np.int64)),
+                pa.array(d % np.int64(n_buckets)),
+                pc.cast(t, pa.string()),
+            ],
+            names=["doc_id", "pos", "dbucket", "text"],
+        )
+
+    payload = marked.map_batches(as_mark_rows, batch_format="pyarrow").union(
+        docs.map_batches(as_text_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return payload.groupby("dbucket").map_groups(
+        _clean_kernel(n), batch_format="pyarrow"
+    )

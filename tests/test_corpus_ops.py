@@ -1587,3 +1587,55 @@ def test_cust_order_dist_matches_pandas(ray_session):
     counts = cust["c_custkey"].map(per).fillna(0).astype(int)
     want = counts.value_counts().to_dict()
     assert got == want
+
+
+def _brute_dup_clean(rows, n=8):
+    """Reference for dup_span_clean: drop tokens covered by any
+    non-canonical (not min (doc_id,pos)) duplicated-shingle occurrence."""
+    grams, toks_by = {}, {}
+    for d in rows:
+        toks = d["text"].split(" ")
+        toks_by[d["doc_id"]] = toks
+        for i in range(len(toks) - n + 1):
+            grams.setdefault(tuple(toks[i : i + n]), []).append((d["doc_id"], i))
+    removed = {}
+    for occ in grams.values():
+        if len(occ) >= 2:
+            for doc, i in sorted(occ)[1:]:
+                removed.setdefault(doc, set()).update(range(i, i + n))
+    out = {}
+    for d in rows:
+        toks, rm = toks_by[d["doc_id"]], removed.get(d["doc_id"], set())
+        out[d["doc_id"]] = (
+            " ".join(t for j, t in enumerate(toks) if j not in rm),
+            len(rm & set(range(len(toks)))),
+        )
+    return out
+
+
+def test_dup_span_clean_planted_and_real(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.substrings import dup_span_clean
+
+    common = " ".join(f"w{i}" for i in range(10))
+    rows = [
+        {"doc_id": 1, "text": common + " unique1 ua ub uc"},  # canonical: kept whole
+        {"doc_id": 2, "text": "pre1 pre2 " + common},  # copy: loses the run
+        {"doc_id": 3, "text": "nothing shared here at all"},
+        {"doc_id": 4, "text": ""},
+    ]
+    got = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dup_span_clean(ray.data.from_items(rows), n=8).take_all()
+    }
+    assert got == _brute_dup_clean(rows)
+    assert got[1] == (rows[0]["text"], 0)  # canonical doc untouched
+    assert got[2] == ("pre1 pre2", 10)  # duplicated run removed
+
+    ds = ray.data.read_parquet(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    real = {
+        r["doc_id"]: (r["text_clean"], r["n_removed"])
+        for r in dup_span_clean(ds, n=8).take_all()
+    }
+    assert real == _brute_dup_clean(ds.take_all())
