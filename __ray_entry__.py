@@ -1494,6 +1494,51 @@ def _q_user_value_rolling(sf_dir: str):
     )
 
 
+def _q_user_value_cumsum(sf_dir: str):
+    """Per-user running total (ROWS UNBOUNDED PRECEDING cumulative
+    window) — same bucket-vectorized kernel family as
+    user_value_rolling with the window start clamped to each user's
+    first row: one bucket shuffle, one lexsort + prefix sum."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((u % 64).astype(np.int64), pa.int64()))
+
+    def cumsum(g: pa.Table) -> pa.Table:
+        ts = pc.cast(g.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(_nn(g.column("value")) * 100).astype(np.int64)
+        order = np.lexsort((eid, ts, uid))
+        su, st, se, sc = uid[order], ts[order], eid[order], cents[order]
+        n = len(sc)
+        prefix = np.zeros(n + 1, np.int64)
+        np.cumsum(sc, out=prefix[1:])
+        first = np.empty(n, bool)
+        if n:
+            first[0] = True
+            first[1:] = su[1:] != su[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        ustart = np.maximum.accumulate(np.where(first, idx, 0))
+        running = prefix[idx + 1] - prefix[ustart]
+        return pa.Table.from_arrays(
+            [
+                pa.array(se.astype(np.int64)),
+                pa.array(su.astype(np.int64)),
+                pa.array(st),
+                pa.array(running),
+            ],
+            names=["event_id", "user_id", "ts_us", "cum_cents"],
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(cumsum, batch_format="pyarrow")
+    )
+
+
 def _q_distinct_users_approx(sf_dir: str):
     """HyperLogLog distinct-user estimate — rows-only by nature
     (approximate; DuckDB's approx_count_distinct is a different HLL
@@ -2477,6 +2522,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_quantiles": _q_order_price_quantiles,
         "order_price_quantiles_cont": _q_order_price_quantiles_cont,
         "user_value_rolling": _q_user_value_rolling,
+        "user_value_cumsum": _q_user_value_cumsum,
         "revenue_by_region": _q_revenue_by_region,
         "embedding_dups": _q_embedding_dups,
         "events_hourly": _q_events_hourly,
@@ -2810,6 +2856,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CAST(floor(value*100) AS BIGINT)) OVER ("
             "PARTITION BY user_id ORDER BY ts, event_id "
             "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll3_cents "
+            "FROM events"
+        ),
+        "user_value_cumsum": (
+            "SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "CAST(sum(CAST(floor(value*100) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents "
             "FROM events"
         ),
         "lm_bigram_familiarity": (
