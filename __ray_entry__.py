@@ -1974,6 +1974,22 @@ def _q_frequent_users_sketch(sf_dir: str):
     return heavy_hitters(ev, "user_id", k=10, m=256)
 
 
+def _q_frequent_users_by_type(sf_dir: str):
+    """Per-key heavy hitters (GROUP BY + top-k frequent in one pass):
+    top-5 users per event_type. SQL-exact here because per-block
+    distinct users per type ≤ m (bt=0 ⇒ err=0); the approximate
+    regime is bound-tested in pytest."""
+    from pdf_table_extractor_ray.stages.sketches import heavy_hitters_by
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = heavy_hitters_by(ev, "event_type", "user_id", k=5, m=4096)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["event_type", "item", "est", "err"])
+
+    return out.map_batches(rename, batch_format="pyarrow")
+
+
 def _q_order_price_quantiles_approx(sf_dir: str):
     """Histogram-sketch quantiles over order prices: Min/Max pass +
     slim (bin, cnt) partial shuffle; ≤ bins rows to the driver; value
@@ -2536,6 +2552,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top10": _q_bm25_top10,
         "top_tokens": _q_top_tokens,
         "frequent_users_sketch": _q_frequent_users_sketch,
+        "frequent_users_by_type": _q_frequent_users_by_type,
         "order_price_quantiles_approx": _q_order_price_quantiles_approx,
         "active_ship_days": _q_active_ship_days,
         "quiet_ship_days": _q_quiet_ship_days,
@@ -3186,6 +3203,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err "
             "FROM events GROUP BY user_id "
             "ORDER BY est DESC, item LIMIT 10"
+        ),
+        "frequent_users_by_type": (
+            "SELECT event_type, item, est, err FROM ("
+            "SELECT event_type, CAST(user_id AS VARCHAR) AS item, "
+            "CAST(count(*) AS BIGINT) AS est, CAST(0 AS BIGINT) AS err, "
+            "row_number() OVER (PARTITION BY event_type "
+            "ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rn "
+            "FROM events GROUP BY event_type, user_id) WHERE rn <= 5"
         ),
         "knn_top5": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings "

@@ -555,3 +555,131 @@ def table_checksum(
     n = int(row["sum(n_rows)"] or 0)
     chk = int(row["sum(part)"] or 0) % CHECKSUM_MOD
     return ray.data.from_items([{"n_rows": n, "checksum": chk}])
+
+
+def heavy_hitters_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    k: int = 10,
+    m: int = 256,
+) -> "ray.data.Dataset":
+    """Per-key approximate top-``k`` frequent items — ``heavy_hitters``
+    with every bound scoped to a key (GROUP BY + heavy-hitter in one
+    pass). Per block each key keeps its EXACT top-``m`` item counts
+    plus that key's residual threshold ``bt``; merging sums per
+    (key, item) and the per-item worst-case undercount is
+    ``err = T_key − Σ bt where present`` (Agarwal et al. PODS'12,
+    applied per key). Exact (err = 0) whenever per-block distinct
+    items per key ≤ m — the SQL-verifiable regime.
+
+    Shuffle traffic: ≤ m slim (key, item, n, bt) rows per key per
+    block + one threshold row per key per block. The key domain must
+    be bounded (same contract as ``hll_count_distinct_by``): the
+    per-key threshold table lands on the driver for the final err
+    arithmetic. Output: top-k per key by (est DESC, item ASC), via the
+    hot-key-safe grouped top-k (no per-key Python groups)."""
+    from ray.data.aggregate import Sum
+
+    import ray
+
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                pc.cast(batch.column(key_col), pa.string()),
+                pc.cast(batch.column(col), pa.string()),
+            ],
+            names=["key", "item"],
+        ).drop_null()
+        g = t.group_by(["key", "item"]).aggregate([("item", "count")])
+        key = g.column("key").combine_chunks()
+        item = g.column("item").combine_chunks()
+        cnt = pc.cast(g.column("item_count"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((item, -cnt, key))  # (key asc, cnt desc, item asc)
+        sk = key.take(pa.array(order))
+        run_start = np.ones(len(order), bool)
+        if len(order) > 1:
+            eq = pc.equal(sk.slice(1), sk.slice(0, len(order) - 1))
+            run_start[1:] = ~eq.to_numpy(zero_copy_only=False)
+        pos = np.arange(len(order)) - np.maximum.accumulate(
+            np.where(run_start, np.arange(len(order)), 0)
+        )
+        keep = order[pos < m]
+        # per-key residual threshold: the (m+1)-th count, else 0
+        starts = np.nonzero(run_start)[0]
+        bt_key = np.zeros(len(starts), np.int64)
+        over = starts + m  # index of the first dropped rank per run
+        run_end = np.concatenate([starts[1:], [len(order)]])
+        has_over = over < run_end
+        bt_key[has_over] = cnt[order[over[has_over]]]
+        run_id = np.cumsum(run_start) - 1
+        items_tbl = pa.table(
+            {
+                "key": key.take(pa.array(keep)),
+                "item": item.take(pa.array(keep)),
+                "n": pa.array(cnt[keep], pa.int64()),
+                "bt": pa.array(bt_key[run_id[pos < m]], pa.int64()),
+            }
+        )
+        thresh_tbl = pa.table(
+            {
+                "key": sk.take(pa.array(starts, pa.int64())),
+                "item": pa.array([""] * len(starts), pa.string()),
+                "n": pa.array(np.full(len(starts), -1, np.int64)),
+                "bt": pa.array(bt_key, pa.int64()),
+            }
+        )
+        return pa.concat_tables([items_tbl, thresh_tbl])
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers: per-key T totals + item groupby
+
+    def _key_thresholds(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("n"), -1))
+        return pa.table({"key": t.column("key"), "bt": t.column("bt")})
+
+    t_rows = (
+        partials.map_batches(_key_thresholds, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("bt"))
+        .take_all()
+    )  # bounded: one row per key (bounded key domain by contract)
+    t_by_key = {r["key"]: int(r["sum(bt)"]) for r in t_rows}
+    t_ref = ray.put(t_by_key)
+
+    def item_rows(b: pa.Table) -> pa.Table:
+        return b.filter(pc.not_equal(b.column("n"), -1))
+
+    agg = (
+        partials.map_batches(item_rows, batch_format="pyarrow")
+        .groupby(["key", "item"])
+        .aggregate(Sum("n"), Sum("bt"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        totals = ray.get(t_ref)
+        keyarr = b.column("key")
+        if isinstance(keyarr, pa.ChunkedArray):
+            keyarr = keyarr.combine_chunks()
+        enc = keyarr.dictionary_encode()
+        # Python loop bounded by DISTINCT keys, not rows
+        per_key = np.array(
+            [totals.get(v, 0) for v in enc.dictionary.to_pylist()], np.int64
+        )
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        present = b.column("sum(bt)").to_numpy(zero_copy_only=False)
+        err = np.maximum(per_key[idx] - present, 0)
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "item": b.column("item"),
+                "est": pc.cast(b.column("sum(n)"), pa.int64()),
+                "err": pa.array(err.astype(np.int64), pa.int64()),
+            }
+        )
+
+    out = agg.map_batches(finish, batch_format="pyarrow")
+    return grouped_top_k(out, "key", [("est", "descending"), ("item", "ascending")], k)

@@ -1639,3 +1639,53 @@ def test_dup_span_clean_planted_and_real(ray_session):
         for r in dup_span_clean(ds, n=8).take_all()
     }
     assert real == _brute_dup_clean(ds.take_all())
+
+
+def test_heavy_hitters_by_key_bounds_and_exact(ray_session):
+    """Per-key heavy hitters: bounds hold per key in the approximate
+    regime (m below per-key distinct), and the exact regime (big m)
+    matches a brute-force GROUP BY top-k with err=0."""
+    from collections import Counter
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import heavy_hitters_by
+
+    rng = np.random.default_rng(23)
+    keys = rng.choice(["a", "b", "c"], 15_000)
+    vals = rng.zipf(1.3, 15_000)
+    rows = pa.table(
+        {
+            "k": pa.array([str(k) for k in keys], pa.string()),
+            "v": pa.array([str(int(v)) for v in vals], pa.string()),
+        }
+    )
+    truth = {}
+    for k, v in zip(keys, vals):
+        truth.setdefault(str(k), Counter())[str(int(v))] += 1
+    ds = ray.data.from_arrow(rows).repartition(8)
+
+    approx = heavy_hitters_by(ds, "k", "v", k=5, m=32).take_all()
+    assert {r["key"] for r in approx} == {"a", "b", "c"}
+    for r in approx:
+        true_n = truth[r["key"]][r["item"]]
+        assert r["est"] <= true_n <= r["est"] + r["err"], r
+    # zipf head recovered per key
+    for kk in ("a", "b", "c"):
+        got = {r["item"] for r in approx if r["key"] == kk}
+        want = {v for v, _ in truth[kk].most_common(5)}
+        assert got == want
+
+    exact = heavy_hitters_by(ds, "k", "v", k=5, m=100_000).take_all()
+    for r in exact:
+        assert r["est"] == truth[r["key"]][r["item"]] and r["err"] == 0
+    for kk in ("a", "b", "c"):
+        got = [
+            (r["item"], r["est"])
+            for r in sorted(exact, key=lambda r: (-r["est"], r["item"]))
+            if r["key"] == kk
+        ]
+        want = sorted(
+            truth[kk].items(), key=lambda kv: (-kv[1], kv[0])
+        )[:5]
+        assert got == want
