@@ -1952,6 +1952,19 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_inverted_index(sf_dir: str):
+    """Inverted-index construction: one row per (token, doc-segment)
+    with segment df and a doc-ordered ``doc:tf`` postings string.
+    Segmenting by ``doc_id // seg_size`` bounds every postings row —
+    the stopword-proof document-partitioned layout. One slim
+    (token, doc, tf) shuffle; postings built vectorized per
+    token-hash bucket (lexsort + Arrow binary_join)."""
+    from pdf_table_extractor_ray.stages.search import inverted_index
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return inverted_index(docs, seg_size=128)
+
+
 def _q_top_tokens(sf_dir: str):
     """Corpus wordcount → exact top-50 heavy hitters: per-batch
     (token, n) value-count partials (the combiner), one token
@@ -2550,6 +2563,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "inverted_index": _q_inverted_index,
         "top_tokens": _q_top_tokens,
         "frequent_users_sketch": _q_frequent_users_sketch,
         "frequent_users_by_type": _q_frequent_users_by_type,
@@ -3013,6 +3027,17 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "inverted_index": (
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "
+            "  FROM documents), "
+            "tf AS (SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf "
+            "  FROM tok GROUP BY doc_id, t) "
+            "SELECT t AS token, CAST(doc_id // 128 AS BIGINT) AS seg, "
+            "CAST(count(*) AS BIGINT) AS df, "
+            "string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), "
+            "',' ORDER BY doc_id) AS postings "
+            "FROM tf GROUP BY t, doc_id // 128"
         ),
         "top_tokens": (
             "SELECT t AS token, CAST(count(*) AS BIGINT) AS n FROM ("

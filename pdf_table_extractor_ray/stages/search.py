@@ -402,3 +402,102 @@ def _tfidf_topk_shuffle(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def inverted_index(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_size: int = 1 << 20,
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Document-segmented inverted index: one row per (token, segment)
+    with the segment's document frequency and a ``doc:tf`` postings
+    string ordered by doc id — the index-construction half of the
+    search stack whose query half is ``bm25_topk``.
+
+    Scale shape (the reason for the ``seg`` column): a token's FULL
+    postings list is O(corpus) for stopwords — no single task may ever
+    materialize it. Segmenting by ``doc_id // seg_size`` caps every
+    output row (and every merge group) at ``seg_size`` postings, which
+    is exactly the document-partitioned index layout real engines
+    shard by. The explode emits slim (token, doc, tf) rows
+    (``doc_token_tf``'s per-batch np.unique combiner); ONE shuffle on
+    a token-hash bucket co-locates each token's segments; inside a
+    bucket the per-(token, seg) reduction is fully vectorized —
+    lexsort + run boundaries + Arrow ``binary_join`` over a ListArray,
+    no per-token Python. Postings strings never re-shuffle.
+
+    The reference has no index surface (per-file extractor); engine
+    corpus-analysis family, cf. SURVEY §2.9.
+    """
+    from pdf_table_extractor_ray.stages.sketches import _hash64_column
+
+    tf = doc_token_tf(ds, text_col, id_col)
+
+    def keys(b: pa.Table) -> pa.Table:
+        doc = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (_hash64_column(b.column("token")) % np.uint64(n_buckets)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "token": b.column("token"),
+                "doc": pa.array(doc, pa.int64()),
+                "tf": b.column("tf"),
+                "seg": pa.array(doc // seg_size, pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    def build(g: pa.Table) -> pa.Table:
+        tok = g.column("token")
+        if isinstance(tok, pa.ChunkedArray):
+            tok = tok.combine_chunks()
+        codes = tok.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        doc = g.column("doc").to_numpy(zero_copy_only=False)
+        seg = g.column("seg").to_numpy(zero_copy_only=False)
+        n = len(doc)
+        if n == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "seg": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "postings": pa.array([], pa.string()),
+                }
+            )
+        # group identity is (token, seg); inter-group order is free, so
+        # dictionary codes (first-appearance ids) are a valid sort key
+        order = np.lexsort((doc, seg, codes))
+        sc, ss = codes[order], seg[order]
+        run_start = np.empty(n, bool)
+        run_start[0] = True
+        run_start[1:] = (sc[1:] != sc[:-1]) | (ss[1:] != ss[:-1])
+        starts = np.nonzero(run_start)[0]
+        ends = np.concatenate([starts[1:], [n]])
+        take = pa.array(order)
+        pairs = pc.binary_join_element_wise(
+            pc.cast(pa.array(doc[order], pa.int64()), pa.string()),
+            pc.cast(g.column("tf").combine_chunks().take(take), pa.string()),
+            ":",
+        )
+        offsets = pa.array(
+            np.concatenate([starts, [n]]).astype(np.int32), pa.int32()
+        )
+        postings = pc.binary_join(pa.ListArray.from_arrays(offsets, pairs), ",")
+        first = pa.array(order[starts])
+        return pa.table(
+            {
+                "token": tok.take(first),
+                "seg": pa.array(seg[order[starts]], pa.int64()),
+                "df": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "postings": postings,
+            }
+        )
+
+    return (
+        tf.map_batches(keys, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(build, batch_format="pyarrow")
+    )

@@ -1689,3 +1689,33 @@ def test_heavy_hitters_by_key_bounds_and_exact(ray_session):
             truth[kk].items(), key=lambda kv: (-kv[1], kv[0])
         )[:5]
         assert got == want
+
+
+def test_inverted_index_postings(ray_session):
+    """Inverted index: postings ordered by doc id, tf exact, segment
+    split bounds each row, null/empty texts contribute nothing."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.search import inverted_index
+
+    rows = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 7, 12], pa.int64()),
+            "text": pa.array(
+                ["a b a", "b c", None, "", "a  b\tc c"], pa.string()
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(rows).repartition(3)
+    out = {
+        (r["token"], r["seg"]): (r["df"], r["postings"])
+        for r in inverted_index(ds, seg_size=10).take_all()
+    }
+    assert out == {
+        ("a", 0): (1, "1:2"),
+        ("a", 1): (1, "12:1"),
+        ("b", 0): (2, "1:1,2:1"),
+        ("b", 1): (1, "12:1"),
+        ("c", 0): (1, "2:1"),
+        ("c", 1): (1, "12:2"),
+    }
