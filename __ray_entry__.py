@@ -1952,6 +1952,19 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_pmi_collocations(sf_dir: str):
+    """Top-50 bigram collocations by integer-exact micro-PMI
+    (floor(1e6·c_xy·N/(c_x·c_y)), a monotone transform of PMI so the
+    ranking is exact with zero float ops). Count tables are per-batch
+    value-count partials + groupby-Sum; support floor BEFORE the two
+    hash-shuffle unigram lookups (no vocab broadcast); partial top-k
+    merge, no global sort."""
+    from pdf_table_extractor_ray.stages.lm import pmi_collocations
+
+    docs = _read(sf_dir, "documents", ["text"])
+    return pmi_collocations(docs, min_count=20, k=50)
+
+
 def _q_inverted_index(sf_dir: str):
     """Inverted-index construction: one row per (token, doc-segment)
     with segment df and a doc-ordered ``doc:tf`` postings string.
@@ -2563,6 +2576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "pmi_collocations": _q_pmi_collocations,
         "inverted_index": _q_inverted_index,
         "top_tokens": _q_top_tokens,
         "frequent_users_sketch": _q_frequent_users_sketch,
@@ -3027,6 +3041,25 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "pmi_collocations": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "
+            "  FROM documents), "
+            "bg AS (SELECT w[i] AS w1, w[i+1] AS w2 "
+            "  FROM toks, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2), "
+            "bc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_xy "
+            "  FROM bg GROUP BY w1, w2), "
+            "tot AS (SELECT CAST(sum(n_xy) AS BIGINT) AS total FROM bc), "
+            "uc AS (SELECT t AS w, CAST(count(*) AS BIGINT) AS n FROM ("
+            "  SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents) "
+            "  GROUP BY t) "
+            "SELECT w1, w2, n_xy, ux.n AS n_x, uy.n AS n_y, "
+            "CAST((1000000::HUGEINT * n_xy * total) // (ux.n * uy.n) AS BIGINT) "
+            "  AS pmi_micro "
+            "FROM bc, tot "
+            "JOIN uc ux ON ux.w = bc.w1 JOIN uc uy ON uy.w = bc.w2 "
+            "WHERE n_xy >= 20 "
+            "ORDER BY pmi_micro DESC, w1, w2 LIMIT 50"
         ),
         "inverted_index": (
             "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "

@@ -21,6 +21,111 @@ import ray
 import ray.data
 
 
+_EMPTY_PARTITION_PATCHED = False
+
+try:  # Ray internals — degrade to stock behavior if they move
+    from ray.data._internal.execution.operators.join import (
+        JoiningShuffleAggregation as _RayJoinAggregation,
+    )
+    from ray.data._internal.logical.operators.join_operator import (
+        JoinType as _RayJoinType,
+    )
+except ImportError:  # pragma: no cover - exercised only on Ray upgrades
+    _RayJoinAggregation = None
+    _RayJoinType = None
+
+
+if _RayJoinAggregation is not None:
+
+    class _EmptySafeJoinAggregation(_RayJoinAggregation):
+        """Ray's join aggregation, hardened for EMPTY partitions.
+
+        Module-level (not defined inside the patch function) so
+        cloudpickle ships it BY REFERENCE and aggregator actors import
+        it from this package — a by-value pickle would also drag the
+        rebound base class along by value and break its zero-arg
+        ``super()`` cells. No zero-arg ``super()`` here for the same
+        reason."""
+
+        _pdfx_empty_safe = True
+
+        def finalize(self, partition_id: int):
+            lb = self._get_partition_builder(
+                input_seq_id=0, partition_id=partition_id
+            )
+            rb = self._get_partition_builder(
+                input_seq_id=1, partition_id=partition_id
+            )
+            # hot path untouched: only a side with ZERO ROWS can have
+            # zero columns (build() is non-destructive, re-build cheap)
+            if lb.num_rows() == 0 or rb.num_rows() == 0:
+                left, right = lb.build(), rb.build()
+                if left.num_columns and right.num_columns:
+                    # schema'd empty side: stock join handles it and
+                    # keeps the joined schema — don't change behavior
+                    return _RayJoinAggregation.finalize(self, partition_id)
+                jt = self._join_type
+                if right.num_columns == 0 and jt == _RayJoinType.LEFT_ANTI:
+                    return left  # nothing to match ⇒ every left row kept
+                if left.num_columns == 0 and jt == _RayJoinType.RIGHT_ANTI:
+                    return right
+                empty_is_correct = jt in (
+                    _RayJoinType.INNER,
+                    _RayJoinType.LEFT_SEMI,
+                    _RayJoinType.RIGHT_SEMI,
+                ) or (
+                    # outer joins: empty is correct iff the PRESERVED
+                    # side is the absent one; otherwise fall through
+                    # and raise rather than null-type unseen columns
+                    jt in (_RayJoinType.LEFT_OUTER, _RayJoinType.LEFT_ANTI)
+                    and left.num_columns == 0
+                ) or (
+                    jt in (_RayJoinType.RIGHT_OUTER, _RayJoinType.RIGHT_ANTI)
+                    and right.num_columns == 0
+                )
+                if empty_is_correct:
+                    return pa.table({})
+            return _RayJoinAggregation.finalize(self, partition_id)
+
+
+def _patch_join_empty_partitions() -> None:
+    """Harden Ray's hash-shuffle join against EMPTY partitions.
+
+    ``JoiningShuffleAggregation.finalize`` builds each side of a
+    partition from the shards it received; a partition that received
+    none on one side builds a ZERO-COLUMN table, and
+    ``pa.Table.join`` then raises ``No match ... FieldRef.Name(k)``
+    (ray 2.49, ray/data/_internal/execution/operators/join.py:104-126).
+    Any join whose distinct-key count is comparable to num_partitions
+    can hit it — at web scale, every join downstream of a selective
+    filter.
+
+    The shim intercepts ONLY that previously-always-crashing case
+    (side.num_columns == 0 ⇔ no shard arrived) and returns what the
+    join semantics dictate: an empty block when the missing side
+    eliminates all rows (inner/semi, or the missing side is the
+    preserved one), the left block unchanged for ``left anti`` (its
+    output schema IS the left schema). Outer joins that would need to
+    null-type the absent side still raise — typing columns we never
+    saw would silently drift schemas. Zero-column empty blocks are
+    then dropped by ``hash_shuffle_join``'s normalization map so
+    chained shuffles see one consistent schema.
+
+    Mechanism: ``JoinOperator.__init__`` captures the module global
+    ``JoiningShuffleAggregation`` at plan-build time on the driver, so
+    rebinding that global to the subclass above is sufficient — the
+    factory closure ships the subclass by reference and aggregator
+    actors import it from this package."""
+    global _EMPTY_PARTITION_PATCHED
+    if _EMPTY_PARTITION_PATCHED or _RayJoinAggregation is None:
+        return
+    _EMPTY_PARTITION_PATCHED = True
+    from ray.data._internal.execution.operators import join as _ray_join
+
+    if not getattr(_ray_join.JoiningShuffleAggregation, "_pdfx_empty_safe", False):
+        _ray_join.JoiningShuffleAggregation = _EmptySafeJoinAggregation
+
+
 def broadcast_join(
     probe: "ray.data.Dataset",
     build: "ray.data.Dataset",
@@ -113,12 +218,27 @@ def hash_shuffle_join(
 
     ``how``: inner | left | right | full | left_semi | left_anti.
     """
+    _patch_join_empty_partitions()
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
-    return left.join(
+    joined = left.join(
         right,
         join_type=_JOIN_TYPES[how],
         num_partitions=num_partitions,
         on=(on,),
         right_on=(right_on,) if right_on else None,
+    )
+
+    def _drop_schemaless(batch: pa.Table):
+        # A join partition that received no rows finalizes to a
+        # ZERO-COLUMN block; feeding such a block into the next keyed
+        # shuffle (another join / groupby) fails with "No match for
+        # FieldRef.Name(...)". Dropping zero-column blocks is row-wise
+        # a no-op and restores one consistent schema. Generator UDF so
+        # empty partitions emit nothing (fuses with downstream maps).
+        if batch.num_columns:
+            yield batch
+
+    return joined.map_batches(
+        _drop_schemaless, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -334,3 +334,96 @@ def trigram_familiarity_scores(
     return ngram_familiarity_scores(
         ds, vocab, 3, ("n_trigrams", "n_oov", "trigram_mass"), text_col
     )
+
+
+def pmi_collocations(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    min_count: int = 20,
+    k: int = 50,
+) -> "ray.data.Dataset":
+    """Top-``k`` bigram collocations by pointwise mutual information
+    (Church & Hanks 1990), integer-exact so a SQL oracle can verify it
+    bit-for-bit: ``pmi_micro = floor(1e6 * c_xy * N / (c_x * c_y))``
+    — a monotone transform of PMI (log of the same ratio), so the
+    ranking is PMI's ranking without a single float op.
+
+    Scale shape: unigram and bigram counts are the existing per-batch
+    value-count partials + one groupby-Sum each (distinct-gram-sized
+    tables, never the corpus). The bigram table is filtered to
+    ``c_xy >= min_count`` BEFORE the two unigram lookups — collocation
+    mining always floors support, and the floor slashes the join input
+    by the Zipf tail. Both lookups are hash-shuffle joins (unigram
+    vocab is NOT broadcast — web-scale vocab is unbounded, cf. the
+    tfidf min_df lesson). Final ranking is partial top-k + one merge,
+    no global sort. Exactness contract: the int64 fast path needs
+    ``1e6 * max(c_xy) * N < 2^63``; per batch where that fails the
+    kernel falls back to exact Python-int division (bounded by that
+    batch's rows, post-floor)."""
+    import ray.data  # noqa: F401 — type context only
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    big = train_ngram_counts(ds, 2, text_col).materialize()  # (token, n): "w1 w2"
+    n_total = total_tokens(big)  # total bigram occurrences (one scalar)
+
+    def split_filter(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater_equal(b.column("n"), min_count))
+        parts = pc.split_pattern(b.column("token"), " ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        return pa.table(
+            {
+                "w1": pc.list_element(parts, 0),
+                "w2": pc.list_element(parts, 1),
+                "n_xy": pc.cast(b.column("n"), pa.int64()),
+            }
+        )
+
+    floored = big.map_batches(split_filter, batch_format="pyarrow", zero_copy_batch=True)
+
+    uni = train_token_counts(ds, text_col)
+
+    def as_lookup(name: str, cnt: str):
+        def rn(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {name: b.column("token"), cnt: pc.cast(b.column("n"), pa.int64())}
+            )
+
+        return uni.map_batches(rn, batch_format="pyarrow", zero_copy_batch=True)
+
+    j = hash_shuffle_join(floored, as_lookup("w1", "n_x"), on="w1")
+    j = hash_shuffle_join(j, as_lookup("w2", "n_y"), on="w2")
+
+    def score(b: pa.Table) -> pa.Table:
+        n_xy = b.column("n_xy").to_numpy(zero_copy_only=False)
+        n_x = b.column("n_x").to_numpy(zero_copy_only=False)
+        n_y = b.column("n_y").to_numpy(zero_copy_only=False)
+        if len(n_xy) and 1_000_000 * int(n_xy.max()) * n_total < 2**63:
+            pmi = (1_000_000 * n_xy * n_total) // (n_x * n_y)
+        else:  # exact big-int fallback (post-floor rows only)
+            pmi = np.array(
+                [
+                    (1_000_000 * int(a) * n_total) // (int(x) * int(y))
+                    for a, x, y in zip(n_xy, n_x, n_y)
+                ],
+                np.int64,
+            )
+        return pa.table(
+            {
+                "w1": b.column("w1"),
+                "w2": b.column("w2"),
+                "n_xy": b.column("n_xy"),
+                "n_x": b.column("n_x"),
+                "n_y": b.column("n_y"),
+                "pmi_micro": pa.array(pmi.astype(np.int64), pa.int64()),
+            }
+        )
+
+    scored = j.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return global_top_k(
+        scored,
+        [("pmi_micro", "descending"), ("w1", "ascending"), ("w2", "ascending")],
+        k,
+    )

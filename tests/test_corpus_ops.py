@@ -1719,3 +1719,88 @@ def test_inverted_index_postings(ray_session):
         ("c", 0): (1, "2:1"),
         ("c", 1): (1, "12:2"),
     }
+
+
+def test_pmi_collocations_brute_force(ray_session):
+    """PMI collocations: exact micro-PMI ranking matches a Python
+    brute force, and PMI ranks a rare-but-exclusive pair above a
+    frequent-but-promiscuous one (what raw counts get wrong)."""
+    from collections import Counter
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.lm import pmi_collocations
+
+    docs = (
+        ["the cat sat on the mat"] * 30
+        + ["zig zag"] * 5
+        + ["the dog ran to the cat"] * 20
+    )
+    ds = ray.data.from_items([{"text": t} for t in docs]).repartition(4)
+
+    uni, bc = Counter(), Counter()
+    for t in docs:
+        w = t.split()
+        uni.update(w)
+        bc.update(zip(w, w[1:]))
+    n_total = sum(bc.values())
+    want = sorted(
+        (
+            (
+                -(1_000_000 * c * n_total) // (uni[a] * uni[b])
+                if False
+                else (1_000_000 * c * n_total) // (uni[a] * uni[b]),
+                a,
+                b,
+                c,
+            )
+            for (a, b), c in bc.items()
+            if c >= 5
+        ),
+        key=lambda r: (-r[0], r[1], r[2]),
+    )[:10]
+
+    got = pmi_collocations(ds, min_count=5, k=10).take_all()
+    assert [
+        (r["pmi_micro"], r["w1"], r["w2"], r["n_xy"]) for r in got
+    ] == want
+    # exclusive pair outranks every 'the *' pair despite lower count
+    top = got[0]
+    assert (top["w1"], top["w2"]) == ("zig", "zag") and top["n_xy"] == 5
+
+
+def test_hash_shuffle_join_sparse_partitions(ray_session):
+    """Joins whose key count is far below num_partitions must not
+    crash on empty partitions (Ray finalizes them as zero-column
+    tables), including when CHAINED into a second keyed shuffle —
+    the regression that motivated _EmptySafeJoinAggregation."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    left = ray.data.from_items(
+        [{"a": "x", "b": "p", "n": 1}, {"a": "y", "b": "q", "n": 2}]
+    )
+    ra = ray.data.from_items([{"a": "x", "na": 10}, {"a": "y", "na": 20}])
+    rb = ray.data.from_items([{"b": "q", "nb": 30}])
+
+    # 8+8 partitions: enough to leave most partitions empty (the
+    # pre-fix crash) while two chained joins still fit the 4-CPU
+    # session's aggregator-actor budget
+    j1 = hash_shuffle_join(left, ra, on="a", num_partitions=8)
+    j2 = hash_shuffle_join(j1, rb, on="b", num_partitions=8)
+    assert sorted(r["n"] for r in j2.take_all()) == [2]
+    row = j2.take_all()[0]
+    assert (row["na"], row["nb"]) == (20, 30)
+
+    # left anti with an entirely-empty right partition keeps left rows
+    anti = hash_shuffle_join(
+        left, rb, on="b", how="left_anti", num_partitions=8
+    )
+    assert sorted(r["b"] for r in anti.take_all()) == ["p"]
+
+    # semi over sparse partitions
+    semi = hash_shuffle_join(
+        left, rb, on="b", how="left_semi", num_partitions=8
+    )
+    assert [r["b"] for r in semi.take_all()] == ["q"]
