@@ -207,6 +207,18 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_semantic_dedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): embedding near-dup removal inside
+    k-means clusters — one broadcast-assign pass, one cluster-keyed
+    shuffle, vectorized greedy eps-ball scan per cluster. Rows-only
+    (centroid training is iterative); exact sequential parity +
+    planted-pair collapse verified in pytest."""
+    from pdf_table_extractor_ray.stages.similarity import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return semantic_dedup(ds, eps=0.92)
+
+
 def _q_order_price_scaled(sf_dir: str):
     """Per-group min-max feature scaling (ML preprocessing): two-pass
     broadcast of one (min, max) row per priority class, then a single
@@ -2502,6 +2514,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_value_by_type": _q_props_value_by_type,
         "pii_scrub": _q_pii_scrub,
         "kmeans_clusters": _q_kmeans_clusters,
+        "semantic_dedup": _q_semantic_dedup,
         "long_docs_p95": _q_long_docs_p95,
         "weighted_doc_sample": _q_weighted_doc_sample,
         "pagerank_dups": _q_pagerank_dups,

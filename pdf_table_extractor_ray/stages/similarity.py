@@ -655,3 +655,97 @@ def knn_pq(
         )
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_clusters: int = IVF_CLUSTERS,
+    eps: float = 0.95,
+    seed: int = 13,
+    centroids: Optional[np.ndarray] = None,
+) -> "ray.data.Dataset":
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal by clustering embeddings and deduplicating
+    WITHIN clusters only — the trick that turns an O(n²) cosine
+    self-join into k independent O(s²) problems (s = cluster size).
+
+    Per row: (id, cluster, keep, dup_of) — ``dup_of`` is the kept
+    representative's id (-1 for kept rows). Representatives are chosen
+    in ascending centroid-cosine order (the paper keeps LOW-centroid-
+    similarity members to preserve diversity), id ascending as the
+    deterministic tiebreak; a row is a duplicate iff its cosine to an
+    already-kept member ≥ ``eps``.
+
+    Scale shape: centroids are sample-trained and broadcast
+    (``train_ivf_centroids``); assignment is one streaming matmul
+    pass; embeddings shuffle ONCE keyed by cluster (unavoidable — the
+    pairwise check needs co-location, and cluster count is the
+    operator's skew knob: pick ``n_clusters ≈ corpus / target_cluster_
+    size`` so per-group work is bounded, exactly the paper's k=50k
+    regime). The per-cluster kernel is a vectorized greedy scan
+    (one kept-matrix matvec per member, no Python pair loop)."""
+    if centroids is None:
+        centroids = train_ivf_centroids(ds, vec_col, n_clusters=n_clusters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                    vec_col: batch.column(vec_col),
+                }
+            )
+        sims = _normalize(m) @ ray.get(cent_ref).T
+        cell = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(cell)), cell]
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "cluster": pa.array(cell.astype(np.int64)),
+                "cosine": pa.array(best, pa.float64()),
+                vec_col: batch.column(vec_col),
+            }
+        )
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_cluster(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        ids = g.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = g.column("cosine").to_numpy(zero_copy_only=False)
+        m = _normalize(_matrix(g.column(vec_col)))
+        order = np.lexsort((ids, cos))  # centroid-cosine asc, id asc
+        keep = np.zeros(n, bool)
+        dup_of = np.full(n, -1, np.int64)
+        kept_rows = np.empty_like(m)
+        kept_ids: list = []
+        kk = 0
+        for i in order:
+            if kk:
+                sims = kept_rows[:kk] @ m[i]
+                j = int(np.argmax(sims))
+                if sims[j] >= eps:
+                    dup_of[i] = kept_ids[j]
+                    continue
+            keep[i] = True
+            kept_rows[kk] = m[i]
+            kept_ids.append(int(ids[i]))
+            kk += 1
+        return pa.table(
+            {
+                id_col: pa.array(ids, pa.int64()),
+                "cluster": g.column("cluster"),
+                "keep": pa.array(keep),
+                "dup_of": pa.array(dup_of, pa.int64()),
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow"
+    )

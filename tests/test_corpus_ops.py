@@ -1804,3 +1804,66 @@ def test_hash_shuffle_join_sparse_partitions(ray_session):
         left, rb, on="b", how="left_semi", num_partitions=8
     )
     assert [r["b"] for r in semi.take_all()] == ["q"]
+
+
+def test_semantic_dedup_planted_and_parity(ray_session):
+    """SemDeDup: planted near-duplicates collapse to one kept copy per
+    eps-ball; full output matches a sequential reference given fixed
+    centroids; kept set within each cluster is mutually sub-eps."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import (
+        _normalize,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    base = _normalize(rng.normal(size=(40, 16)))
+    vecs, ids = [], []
+    vid = 0
+    for b in base:
+        vecs.append(b)
+        ids.append(vid)
+        vid += 1
+    # plant 10 jittered near-dups of the first 10 bases
+    for j in range(10):
+        v = base[j] + rng.normal(scale=0.01, size=16)
+        vecs.append(v / np.linalg.norm(v))
+        ids.append(vid)
+        vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.astype(np.float32).tolist() for v in vecs],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    centroids = _normalize(rng.normal(size=(4, 16)))
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = semantic_dedup(ds, n_clusters=4, eps=0.98, centroids=centroids).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == len(ids)
+
+    # sequential reference with the same centroids
+    m = _normalize(np.array([np.asarray(v, np.float32) for v in vecs], np.float64))
+    cell = np.argmax(m @ centroids.T, axis=1)
+    cos = (m @ centroids.T)[np.arange(len(m)), cell]
+    want = {}
+    for c in np.unique(cell):
+        idx = np.nonzero(cell == c)[0]
+        order = idx[np.lexsort((np.array(ids)[idx], cos[idx]))]
+        kept = []
+        for i in order:
+            sims = [float(m[k] @ m[i]) for k in kept]
+            if sims and max(sims) >= 0.98:
+                want[ids[i]] = (int(c), False, ids[kept[int(np.argmax(sims))]])
+            else:
+                kept.append(i)
+                want[ids[i]] = (int(c), True, -1)
+    got = {v: (r["cluster"], r["keep"], r["dup_of"]) for v, r in by_id.items()}
+    assert got == want
+    # each planted near-dup pair collapsed (one of the pair not kept)
+    n_dropped = sum(1 for r in out if not r["keep"])
+    assert n_dropped >= 8  # jitter at 0.01 ⇒ cosine ≫ 0.98
