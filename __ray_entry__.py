@@ -1964,6 +1964,29 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_events_union_by_name(sf_dir: str):
+    """UNION ALL BY NAME over schema-drifted projections (the
+    multi-vintage-shard case): two event projections with different
+    column sets concatenate with typed-null fill and first-seen column
+    order. Metadata-only schema negotiation; per-input zero-copy
+    align map; no shuffle."""
+    from pdf_table_extractor_ray.stages.setops import union_by_name
+
+    a = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+    b = _read(sf_dir, "events", ["event_id", "event_type"])
+    return union_by_name([a, b])
+
+
+def _q_value_histogram(sf_dir: str):
+    """Exact fixed-width histogram of event values (5-unit bins over
+    integer cents): per-block np.unique partials, one slim (bin, n)
+    groupby-Sum. Null-safe via Arrow validity before the int cast."""
+    from pdf_table_extractor_ray.stages.sketches import fixed_width_histogram
+
+    ev = _read(sf_dir, "events", ["value"])
+    return fixed_width_histogram(ev, "value", scale=100, width=500)
+
+
 def _q_pmi_collocations(sf_dir: str):
     """Top-50 bigram collocations by integer-exact micro-PMI
     (floor(1e6·c_xy·N/(c_x·c_y)), a monotone transform of PMI so the
@@ -2589,6 +2612,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "events_union_by_name": _q_events_union_by_name,
+        "value_histogram": _q_value_histogram,
         "pmi_collocations": _q_pmi_collocations,
         "inverted_index": _q_inverted_index,
         "top_tokens": _q_top_tokens,
@@ -3054,6 +3079,17 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "events_union_by_name": (
+            "SELECT event_id, user_id, value, event_type FROM ("
+            "SELECT event_id, user_id, value FROM events "
+            "UNION ALL BY NAME "
+            "SELECT event_id, event_type FROM events)"
+        ),
+        "value_histogram": (
+            "SELECT CAST(floor(floor(value * 100) / 500) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE value IS NOT NULL GROUP BY 1"
         ),
         "pmi_collocations": (
             "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w "

@@ -313,3 +313,60 @@ def merge_upsert(
         .groupby("_bkt")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def union_by_name(datasets: List["ray.data.Dataset"]) -> "ray.data.Dataset":
+    """``UNION ALL BY NAME`` — concatenate datasets whose schemas
+    differ in column order and presence (the schema-evolution /
+    multi-vintage-shard case every long-lived corpus hits). Columns
+    missing from an input surface as typed nulls; the unified column
+    order is first-seen order across inputs; a column present in
+    several inputs must agree on type (cast-free by contract — a
+    silent cast would hide vintage drift; callers cast explicitly).
+
+    Scale shape: schema negotiation reads ONLY metadata
+    (``ds.schema()``); each input gets one fused map stage that
+    appends null columns + reorders (zero-copy — Arrow column
+    shuffling moves no buffers), then a plain ``union`` concatenates
+    block lists without materializing anything."""
+    if not datasets:
+        raise ValueError("union_by_name: at least one dataset required")
+    unified: dict = {}
+    for ds in datasets:
+        sch = ds.schema().base_schema
+        for f in sch:
+            if f.name in unified:
+                if unified[f.name] != f.type:
+                    raise TypeError(
+                        f"union_by_name: column {f.name!r} has conflicting "
+                        f"types {unified[f.name]} vs {f.type}"
+                    )
+            else:
+                unified[f.name] = f.type
+    names = list(unified)
+
+    def align_fn(present: frozenset):
+        def align(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols = [
+                batch.column(c)
+                if c in present
+                else pa.nulls(n, unified[c])
+                for c in names
+            ]
+            return pa.Table.from_arrays(cols, names=names)
+
+        return align
+
+    aligned = [
+        ds.map_batches(
+            align_fn(frozenset(ds.schema().base_schema.names)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        for ds in datasets
+    ]
+    out = aligned[0]
+    if len(aligned) > 1:
+        out = out.union(*aligned[1:])
+    return out

@@ -683,3 +683,56 @@ def heavy_hitters_by(
 
     out = agg.map_batches(finish, batch_format="pyarrow")
     return grouped_top_k(out, "key", [("est", "descending"), ("item", "ascending")], k)
+
+
+def fixed_width_histogram(
+    ds: "ray.data.Dataset",
+    col: str,
+    scale: int = 100,
+    width: int = 500,
+) -> "ray.data.Dataset":
+    """Exact fixed-width histogram: bin = floor(floor(col·scale) /
+    width) over integer units (cents for scale=100), count per bin —
+    the deterministic companion to ``approx_quantiles``' sketch (same
+    (bin, n) shuffle shape, but bin edges are fixed a priori so the
+    result is SQL-exact instead of sketch-approximate).
+
+    Null values are dropped via an Arrow validity mask BEFORE the
+    numpy conversion (a NaN would floor-cast to int64 garbage — the
+    approx_quantiles_by lesson). Floor division throughout, including
+    negatives (DuckDB ``//`` truncates — the oracle must spell
+    ``floor()``). Shuffle traffic: ≤ distinct-bin slim int64 rows per
+    block."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.drop_null()
+        units = np.floor(
+            v.to_numpy(zero_copy_only=False).astype(np.float64) * scale
+        ).astype(np.int64)
+        bins, cnt = np.unique(units // width, return_counts=True)
+        return pa.table(
+            {
+                "bin": pa.array(bins, pa.int64()),
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bin")
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bin": b.column("bin"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

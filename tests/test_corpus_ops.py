@@ -1867,3 +1867,19 @@ def test_semantic_dedup_planted_and_parity(ray_session):
     # each planted near-dup pair collapsed (one of the pair not kept)
     n_dropped = sum(1 for r in out if not r["keep"])
     assert n_dropped >= 8  # jitter at 0.01 ⇒ cosine ≫ 0.98
+
+
+def test_fixed_width_histogram_negatives_and_nulls(ray_session):
+    """Histogram: floor semantics on negative values, nulls dropped,
+    counts exact vs numpy brute force."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import fixed_width_histogram
+
+    vals = [-7.49, -0.01, 0.0, 0.01, 4.99, 5.0, 12.34, None, -5.0]
+    ds = ray.data.from_items([{"v": v} for v in vals]).repartition(3)
+    out = {r["bin"]: r["n"] for r in fixed_width_histogram(ds, "v", scale=100, width=500).take_all()}
+    good = np.array([v for v in vals if v is not None], np.float64)
+    bins = np.floor(good * 100).astype(np.int64) // 500
+    want = dict(zip(*np.unique(bins, return_counts=True)))
+    assert out == {int(k): int(v) for k, v in want.items()}

@@ -218,3 +218,32 @@ class TestMergeUpsert:
         )
         with pytest.raises(Exception):
             merge_upsert(ds, ds, "k", "version").take_all()
+
+
+def test_union_by_name(ray_session):
+    """Schema-drift union: null fill, first-seen column order, type
+    conflicts rejected."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.setops import union_by_name
+
+    a = ray.data.from_arrow(
+        pa.table({"x": pa.array([1, 2], pa.int64()), "y": pa.array(["a", "b"])})
+    )
+    b = ray.data.from_arrow(
+        pa.table({"z": pa.array([0.5], pa.float64()), "x": pa.array([3], pa.int64())})
+    )
+    out = union_by_name([a, b])
+    assert out.schema().names == ["x", "y", "z"]
+    rows = sorted(out.take_all(), key=lambda r: r["x"])
+    assert rows == [
+        {"x": 1, "y": "a", "z": None},
+        {"x": 2, "y": "b", "z": None},
+        {"x": 3, "y": None, "z": 0.5},
+    ]
+
+    c = ray.data.from_arrow(pa.table({"x": pa.array(["s"], pa.string())}))
+    with pytest.raises(TypeError, match="conflicting"):
+        union_by_name([a, c])
