@@ -2458,6 +2458,33 @@ def _q_window_active_users_approx(sf_dir: str):
     return hll_count_distinct_by(tagged, "window_start_us", "user_id")
 
 
+def _q_extract_outlinks(sf_dir: str):
+    """Outlink/anchor extraction over the crawl corpus: one compiled-
+    regex map pass, zero shuffle; non-HTML payloads (PDF magic,
+    encrypted) contribute zero rows in-band. Rows-only (the fixture
+    corpus isn't a SQL view); handcrafted-HTML oracle in pytest."""
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.stages.links import extract_outlinks
+
+    pages = _fixture_pages(sf_dir)
+    return extract_outlinks(read_pages(pages, columns=("url", "html")))
+
+
+def _q_top_link_targets(sf_dir: str):
+    """Most-linked (target_host, href) pairs across the crawl: link
+    explode → slim pre-counted groupby-Sum → partial top-k merge."""
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.stages.links import (
+        extract_outlinks,
+        link_target_counts,
+    )
+
+    pages = _fixture_pages(sf_dir)
+    return link_target_counts(
+        extract_outlinks(read_pages(pages, columns=("url", "html"))), k=20
+    )
+
+
 def _q_extract_flagship(sf_dir: str):
     from pdf_table_extractor_ray.pipelines.extract import build_extracted_dataset, read_pages
 
@@ -2639,6 +2666,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_active_users": _q_window_active_users,
         "window_active_users_approx": _q_window_active_users_approx,
         "contamination_screen_bloom": _q_contamination_screen_bloom,
+        "extract_outlinks": _q_extract_outlinks,
+        "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,

@@ -1883,3 +1883,42 @@ def test_fixed_width_histogram_negatives_and_nulls(ray_session):
     bins = np.floor(good * 100).astype(np.int64) // 500
     want = dict(zip(*np.unique(bins, return_counts=True)))
     assert out == {int(k): int(v) for k, v in want.items()}
+
+
+def test_extract_outlinks_and_counts(ray_session):
+    """Outlink extraction: absolute/relative resolution, tag-stripped
+    anchors, non-HTML payloads skipped in-band, duplicate links kept,
+    top-target counts exact."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.links import (
+        extract_outlinks,
+        link_target_counts,
+    )
+
+    html1 = (
+        b'<html><body><a href="/local">Loc<b>al</b></a>'
+        b"<a href='https://other.test/p'>  Ext \n link </a>"
+        b'<a href="/local">Local again</a></body></html>'
+    )
+    html2 = b'<A HREF="https://other.test/p">CAPS</A><p>no links here</p>'
+    rows = [
+        {"url": "https://a.test/x", "html": html1},
+        {"url": "https://b.test/y", "html": html2},
+        {"url": "https://c.test/z", "html": b"%PDF-1.4 not html"},
+        {"url": "https://d.test/w", "html": None},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    links = extract_outlinks(ds).take_all()
+    got = sorted((r["url"], r["href"], r["target_host"], r["anchor"]) for r in links)
+    assert got == [
+        ("https://a.test/x", "/local", "a.test", "Local"),
+        ("https://a.test/x", "/local", "a.test", "Local again"),
+        ("https://a.test/x", "https://other.test/p", "other.test", "Ext link"),
+        ("https://b.test/y", "https://other.test/p", "other.test", "CAPS"),
+    ]
+    top = link_target_counts(extract_outlinks(ds), k=2).take_all()
+    assert [(r["target_host"], r["href"], r["n"]) for r in top] == [
+        ("a.test", "/local", 2),
+        ("other.test", "https://other.test/p", 2),
+    ]
