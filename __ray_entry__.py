@@ -1964,6 +1964,31 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_value_median_exact(sf_dir: str):
+    """EXACT median of event values at unbounded distinct cardinality:
+    radix-bisection selection (6 histogram passes over a materialized
+    slim uint64 column, ≤4096 driver rows per pass) — no sort, no
+    bounded-distinct contract. The lower median ((n+1)//2) so odd/even
+    corpora both pick a real element."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest
+
+    ev = _read(sf_dir, "events", ["value"])
+
+    def nvalid(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([b.column("value").length() - b.column("value").null_count], pa.int64())}
+        )
+
+    n = int(
+        ev.map_batches(nvalid, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n"))["sum(n)"]
+    )
+    v = kth_smallest(ev, "value", k=(n + 1) // 2)
+    return pa.table({"kth": pa.array([v], pa.float64())})
+
+
 def _q_events_union_by_name(sf_dir: str):
     """UNION ALL BY NAME over schema-drifted projections (the
     multi-vintage-shard case): two event projections with different
@@ -2639,6 +2664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "value_median_exact": _q_value_median_exact,
         "events_union_by_name": _q_events_union_by_name,
         "value_histogram": _q_value_histogram,
         "pmi_collocations": _q_pmi_collocations,
@@ -3108,6 +3134,11 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "value_median_exact": (
+            "SELECT value AS kth FROM events WHERE value IS NOT NULL "
+            "ORDER BY value LIMIT 1 OFFSET "
+            "((SELECT (count(value) + 1) // 2 - 1 FROM events))"
         ),
         "events_union_by_name": (
             "SELECT event_id, user_id, value, event_type FROM ("

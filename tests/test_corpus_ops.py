@@ -1922,3 +1922,32 @@ def test_extract_outlinks_and_counts(ray_session):
         ("a.test", "/local", 2),
         ("other.test", "https://other.test/p", 2),
     ]
+
+
+def test_kth_smallest_bisection(ray_session):
+    """Radix-bisection selection: exact order statistics on floats
+    incl. negatives, duplicates, extreme magnitudes and nulls, parity
+    vs np.sort across many ranks."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest
+
+    rng = np.random.default_rng(11)
+    vals = np.concatenate(
+        [
+            rng.normal(scale=1e6, size=400),
+            rng.normal(scale=1e-6, size=400),
+            -rng.exponential(size=200),
+            np.repeat([3.5, -2.25, 0.0], 50),
+        ]
+    )
+    rows = [{"v": float(x)} for x in vals] + [{"v": None}] * 25
+    ds = ray.data.from_items(rows).repartition(6)
+    s = np.sort(vals)
+    for k in (1, 2, 137, len(vals) // 2, len(vals) - 1, len(vals)):
+        assert kth_smallest(ds, "v", k) == s[k - 1], k
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds"):
+        kth_smallest(ds, "v", len(vals) + 1)

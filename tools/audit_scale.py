@@ -50,6 +50,7 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/similarity.py", "train_pq_codebooks"): "training sample, bounded by sample_size",
     ("pdf_table_extractor_ray/stages/bpe.py", "top1"): "one best-pair row per block",
     ("pdf_table_extractor_ray/stages/sketches.py", "_key_thresholds"): "heavy_hitters_by: one threshold row per key, bounded key domain",
+    ("pdf_table_extractor_ray/stages/sketches.py", "hist"): "kth_smallest: ≤ nbins histogram rows per pass by construction",
     ("pdf_table_extractor_ray/stages/sketches.py", "partial"): "HLL registers / checksum partials, one small row per block",
     ("pdf_table_extractor_ray/stages/stats.py", "grouped_minmax_normalize"): "one (min, max) row per group, bounded by group count",
     ("pdf_table_extractor_ray/stages/sketches.py", "sorted_value_counts"): "distinct values of a bounded-cardinality column",
