@@ -1964,6 +1964,17 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_label_centroids(sf_dir: str):
+    """Per-label embedding centroid mass (class-centroid primitive):
+    integer-micro component sums + member counts per (label, dim) —
+    block-order deterministic, SQL-exact. One np.add.at scatter per
+    batch; only slim (label, dim, int, int) partials shuffle."""
+    from pdf_table_extractor_ray.stages.similarity import grouped_centroids
+
+    ds = _read(sf_dir, "embeddings", ["label", "embedding"])
+    return grouped_centroids(ds)
+
+
 def _q_value_median_exact(sf_dir: str):
     """EXACT median of event values at unbounded distinct cardinality:
     radix-bisection selection (6 histogram passes over a materialized
@@ -2664,6 +2675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "label_centroids": _q_label_centroids,
         "value_median_exact": _q_value_median_exact,
         "events_union_by_name": _q_events_union_by_name,
         "value_histogram": _q_value_histogram,
@@ -3134,6 +3146,14 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "label_centroids": (
+            "WITH d AS (SELECT i FROM range(1, 65) t(i)) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim, "
+            "CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) "
+            "  AS BIGINT)) AS BIGINT) AS sum_micro, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM embeddings, d WHERE label IS NOT NULL GROUP BY label, i"
         ),
         "value_median_exact": (
             "SELECT value AS kth FROM events WHERE value IS NOT NULL "

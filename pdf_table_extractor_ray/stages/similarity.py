@@ -749,3 +749,79 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(
         per_cluster, batch_format="pyarrow"
     )
+
+
+def grouped_centroids(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    micro: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Per-label embedding centroid mass, integer-exact: one row per
+    (label, dim) with ``sum_micro = Σ floor(v_dim · micro)`` and the
+    member count — the class-centroid primitive of curation pipelines
+    (domain mixing, SemDeDup cluster seeds, nearest-class-mean
+    filters). Integer micro-units so the result is block-order
+    deterministic AND SQL-verifiable (float summation is neither).
+
+    Per batch: one (n × d) matrix, dictionary-encoded labels, a single
+    ``np.add.at`` scatter — emits ≤ labels_in_batch × d slim partial
+    rows; one (label, dim) groupby-Sum merges. Vectors themselves
+    never shuffle. Caller divides sum_micro / n for the mean (kept
+    unsplit here: integer division conventions differ per consumer).
+
+    ``dim`` is 1-based (matches SQL array indexing)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lab = batch.column(label_col)
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        valid = pc.is_valid(lab)
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0 or not pc.any(valid).as_py():
+            return pa.table(
+                {
+                    label_col: pa.array([], pa.int64()),
+                    "dim": pa.array([], pa.int64()),
+                    "part_sum": pa.array([], pa.int64()),
+                    "part_n": pa.array([], pa.int64()),
+                }
+            )
+        vmask = valid.to_numpy(zero_copy_only=False)
+        m = m[vmask]
+        lab = lab.filter(valid)
+        enc = lab.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lab, d = len(enc.dictionary), m.shape[1]
+        micro_m = np.floor(m.astype(np.float64) * micro).astype(np.int64)
+        sums = np.zeros((n_lab, d), np.int64)
+        np.add.at(sums, codes, micro_m)
+        counts = np.bincount(codes, minlength=n_lab).astype(np.int64)
+        labels_out = pc.cast(enc.dictionary, pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                label_col: pa.array(np.repeat(labels_out, d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(1, d + 1), n_lab), pa.int64()),
+                "part_sum": pa.array(sums.ravel(), pa.int64()),
+                "part_n": pa.array(np.repeat(counts, d), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([label_col, "dim"])
+        .aggregate(Sum("part_sum"), Sum("part_n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                label_col: b.column(label_col),
+                "dim": b.column("dim"),
+                "sum_micro": pc.cast(b.column("sum(part_sum)"), pa.int64()),
+                "n": pc.cast(b.column("sum(part_n)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -1951,3 +1951,40 @@ def test_kth_smallest_bisection(ray_session):
 
     with pytest.raises(ValueError, match="exceeds"):
         kth_smallest(ds, "v", len(vals) + 1)
+
+
+def test_grouped_centroids_brute(ray_session):
+    """Grouped centroid mass: exact integer parity vs numpy brute
+    force, null labels dropped, 1-based dims."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import grouped_centroids
+
+    rng = np.random.default_rng(3)
+    m = rng.normal(size=(30, 5))
+    labels = [int(x) for x in rng.integers(0, 3, 30)]
+    labels[4] = None
+    tbl = pa.table(
+        {
+            "label": pa.array(labels, pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in m],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = {
+        (r["label"], r["dim"]): (r["sum_micro"], r["n"])
+        for r in grouped_centroids(ds).take_all()
+    }
+    micro = np.floor(m.astype(np.float32).astype(np.float64) * 1_000_000).astype(np.int64)
+    want = {}
+    for lb in (0, 1, 2):
+        idx = [i for i, l in enumerate(labels) if l == lb]
+        if not idx:
+            continue
+        s = micro[idx].sum(axis=0)
+        for d in range(5):
+            want[(lb, d + 1)] = (int(s[d]), len(idx))
+    assert got == want
