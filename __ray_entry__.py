@@ -1964,6 +1964,55 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_priority_quantity_salted(sf_dir: str):
+    """Fact⋈fact join under the SKEW plan: lineitem joins orders on a
+    salted key ((l_orderkey, salt), orders replicated salt×) so a hot
+    order key spreads over 8 aggregator partitions; result is provably
+    identical to the unsalted join, which is what the oracle checks.
+    Integer-cents pre-reduce after the join keeps the groupby slim."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import salted_hash_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    j = salted_hash_join(li, orders, on="l_orderkey", right_on="o_orderkey", salt=8)
+
+    def pre(b: pa.Table) -> pa.Table:
+        q = b.column("l_quantity")
+        mask = pc.is_valid(q)
+        b = b.filter(mask)
+        cents = pc.cast(
+            pc.floor(pc.multiply(b.column("l_quantity"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        t = pa.table(
+            {"o_orderpriority": b.column("o_orderpriority"), "c": cents}
+        ).group_by("o_orderpriority").aggregate([("c", "sum")])
+        return pa.table(
+            {
+                "o_orderpriority": t.column("o_orderpriority"),
+                "part": pc.cast(t.column("c_sum"), pa.int64()),
+            }
+        )
+
+    agg = (
+        j.map_batches(pre, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "qty_cents": pc.cast(b.column("sum(part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_label_centroids(sf_dir: str):
     """Per-label embedding centroid mass (class-centroid primitive):
     integer-micro component sums + member counts per (label, dim) —
@@ -2675,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "priority_quantity_salted": _q_priority_quantity_salted,
         "label_centroids": _q_label_centroids,
         "value_median_exact": _q_value_median_exact,
         "events_union_by_name": _q_events_union_by_name,
@@ -3146,6 +3196,15 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "priority_quantity_salted": (
+            # the plain (unsalted) join IS the oracle: salting must not
+            # change the result
+            "SELECT o_orderpriority, "
+            "CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) "
+            "  AS qty_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_quantity IS NOT NULL GROUP BY o_orderpriority"
         ),
         "label_centroids": (
             "WITH d AS (SELECT i FROM range(1, 65) t(i)) "

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -242,3 +243,73 @@ def hash_shuffle_join(
     return joined.map_batches(
         _drop_schemaless, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def salted_hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    salt: int = 8,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Skew-defeating hash join. A hot key sends ALL its rows to one
+    join aggregator — the classic all-to-all stall (one straggler holds
+    10^9 rows while 63 partitions idle). Here every left row takes a
+    salt in [0, salt) (position-derived; ANY assignment yields the
+    same join result, so block layout doesn't matter), the right side
+    replicates ``salt``× with an explicit salt column, and the join
+    key becomes (key, salt): a hot key's rows now spread over ``salt``
+    partitions.
+
+    Cost model: right-side shuffle volume × ``salt`` — the textbook
+    trade when the probe side is skewed and the build side is too big
+    to broadcast but replicable (``salt`` × |right| ≪ |left|). For a
+    build side that fits in a heap, prefer ``broadcast_join`` (zero
+    shuffle); for balanced keys, prefer ``hash_shuffle_join`` (no
+    replication).
+
+    ``how`` ∈ {inner, left, left_semi, left_anti}: each left row
+    carries exactly ONE salt and every key exists in all replicas, so
+    per-row match semantics equal the unsalted join. right/full outer
+    are rejected — preserved right rows would surface once per replica.
+    """
+    if how not in ("inner", "left", "left_semi", "left_anti"):
+        raise ValueError(f"salted_hash_join: how={how!r} not supported")
+    rk = right_on or on
+
+    def salt_left(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "_salt", pa.array((np.arange(b.num_rows) % salt).astype(np.int64))
+        )
+
+    def replicate_right(b: pa.Table) -> pa.Table:
+        reps = [
+            b.append_column(
+                "_salt", pa.array(np.full(b.num_rows, s, np.int64))
+            )
+            for s in range(salt)
+        ]
+        return pa.concat_tables(reps)
+
+    _patch_join_empty_partitions()
+    if num_partitions is None:
+        num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 2)
+    joined = left.map_batches(
+        salt_left, batch_format="pyarrow", zero_copy_batch=True
+    ).join(
+        right.map_batches(
+            replicate_right, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        join_type=_JOIN_TYPES[how],
+        num_partitions=num_partitions,
+        on=(on, "_salt"),
+        right_on=(rk, "_salt") if right_on else None,
+    )
+
+    def cleanup(batch: pa.Table):
+        if batch.num_columns:  # drop empty-partition zero-column blocks
+            yield batch.drop_columns(["_salt"])
+
+    return joined.map_batches(cleanup, batch_format="pyarrow", zero_copy_batch=True)

@@ -1988,3 +1988,46 @@ def test_grouped_centroids_brute(ray_session):
         for d in range(5):
             want[(lb, d + 1)] = (int(s[d]), len(idx))
     assert got == want
+
+
+def test_salted_hash_join_matches_plain(ray_session):
+    """Salted join equals the unsalted join for every supported
+    ``how`` on a skewed key distribution; unsupported sides rejected."""
+    import pytest
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import (
+        hash_shuffle_join,
+        salted_hash_join,
+    )
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([np.zeros(500, np.int64), rng.integers(1, 40, 300)])
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(keys), "v": pa.array(np.arange(len(keys)))})
+    ).repartition(5)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(np.arange(0, 35, dtype=np.int64)),
+                "w": pa.array(np.arange(0, 35, dtype=np.int64) * 10),
+            }
+        )
+    ).repartition(3)
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        plain = sorted(
+            tuple(sorted(r.items())) for r in hash_shuffle_join(
+                left, right, on="k", right_on="rk", how=how, num_partitions=4
+            ).take_all()
+        )
+        salted = sorted(
+            tuple(sorted(r.items())) for r in salted_hash_join(
+                left, right, on="k", right_on="rk", how=how, salt=4,
+                num_partitions=4,
+            ).take_all()
+        )
+        assert salted == plain, how
+
+    with pytest.raises(ValueError, match="not supported"):
+        salted_hash_join(left, right, on="k", right_on="rk", how="full")
