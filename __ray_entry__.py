@@ -1964,6 +1964,17 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_compression_ratios(sf_dir: str):
+    """zlib compression-ratio quality signal per document (templated
+    spam compresses far below prose): map-only pass, integer milli-
+    ratio, empty/null docs flagged -1 in-band. Rows-only (zlib isn't
+    SQL); determinism + known-text oracles in pytest."""
+    from pdf_table_extractor_ray.stages.textstats import compression_ratios
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return compression_ratios(docs)
+
+
 def _q_priority_quantity_salted(sf_dir: str):
     """Fact⋈fact join under the SKEW plan: lineitem joins orders on a
     salted key ((l_orderkey, salt), orders replicated salt×) so a hot
@@ -2724,6 +2735,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "compression_ratios": _q_compression_ratios,
         "priority_quantity_salted": _q_priority_quantity_salted,
         "label_centroids": _q_label_centroids,
         "value_median_exact": _q_value_median_exact,

@@ -306,3 +306,49 @@ def adjacent_edit_distances(
         .groupby("bucket")
         .map_groups(pairs, batch_format="pyarrow")
     )
+
+
+def compression_ratio_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id", level: int = 6
+) -> pa.Table:
+    """(doc_id, raw_len, zlib_len, ratio_milli) — the zlib
+    compression-ratio quality signal (RefinedWeb/MassiveText-style:
+    templated spam and boilerplate compress far below natural prose,
+    so a low ratio flags machine-generated filler). ``ratio_milli`` =
+    floor(1000·zlib_len/raw_len), integer so results are deterministic
+    and layout-invariant; empty/null texts get ratio_milli = -1
+    in-band. Per-doc compression is the irreducible cost (the same
+    per-doc-compute contract as the extraction actors); zlib level is
+    pinned so the signal is stable across runs."""
+    texts = batch.column(text_col).to_pylist()
+    ids = batch.column(id_col)
+    raw_len = np.zeros(len(texts), np.int64)
+    zlen = np.zeros(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        if t:
+            raw = t.encode("utf-8")
+            raw_len[i] = len(raw)
+            zlen[i] = len(zlib.compress(raw, level))
+    ratio = np.full(len(texts), -1, np.int64)
+    nz = raw_len > 0
+    ratio[nz] = (1000 * zlen[nz]) // raw_len[nz]
+    return pa.table(
+        {
+            id_col: ids,
+            "raw_len": pa.array(raw_len, pa.int64()),
+            "zlib_len": pa.array(zlen, pa.int64()),
+            "ratio_milli": pa.array(ratio, pa.int64()),
+        }
+    )
+
+
+def compression_ratios(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Map-only corpus pass of ``compression_ratio_batch`` (zero
+    shuffle)."""
+    return ds.map_batches(
+        lambda b: compression_ratio_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -2031,3 +2031,36 @@ def test_salted_hash_join_matches_plain(ray_session):
 
     with pytest.raises(ValueError, match="not supported"):
         salted_hash_join(left, right, on="k", right_on="rk", how="full")
+
+
+def test_compression_ratios(ray_session):
+    """Compression ratio: exact zlib parity, repetitive text scores
+    below prose-like text, empty/null in-band -1."""
+    import zlib
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.textstats import compression_ratios
+
+    rep = "spam " * 400
+    rng = np.random.default_rng(9)
+    prose = " ".join(
+        "".join(rng.choice(list("abcdefghijklmnopqrstuvwxyz"), 7)) for _ in range(300)
+    )
+    rows = [
+        {"doc_id": 1, "text": rep},
+        {"doc_id": 2, "text": prose},
+        {"doc_id": 3, "text": ""},
+        {"doc_id": 4, "text": None},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in compression_ratios(ray.data.from_items(rows).repartition(2)).take_all()
+    }
+    for did, text in ((1, rep), (2, prose)):
+        raw = text.encode()
+        assert out[did]["raw_len"] == len(raw)
+        assert out[did]["zlib_len"] == len(zlib.compress(raw, 6))
+        assert out[did]["ratio_milli"] == 1000 * len(zlib.compress(raw, 6)) // len(raw)
+    assert out[1]["ratio_milli"] < out[2]["ratio_milli"]
+    assert out[3]["ratio_milli"] == -1 and out[4]["ratio_milli"] == -1
