@@ -1964,6 +1964,39 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_event_funnel(sf_dir: str):
+    """Sequential funnel view→click→purchase with earliest-completion
+    chaining (strictly-after semantics): type filter at the map, one
+    user-bucket shuffle, len(steps) masked minimum.at passes per
+    bucket, tiny (step, n) reduce."""
+    from pdf_table_extractor_ray.stages.sessions import funnel_counts
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ["view", "click", "purchase"])
+
+
+def _q_dedup_keep_longest(sf_dir: str):
+    """Priority-keep exact dedup: among byte-identical texts keep the
+    LONGEST-metadata copy (n_chars desc, id asc) instead of the lowest
+    id — the 'keep the best replica' policy real pipelines want.
+    grouped_top_k pre-reduces each block to one candidate per text
+    BEFORE the shuffle, so hot duplicate clusters never concentrate."""
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+    top = grouped_top_k(
+        docs,
+        "text",
+        [("n_chars", "descending"), ("doc_id", "ascending")],
+        k=1,
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "n_chars"])
+
+    return top.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_compression_ratios(sf_dir: str):
     """zlib compression-ratio quality signal per document (templated
     spam compresses far below prose): map-only pass, integer milli-
@@ -2735,6 +2768,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "event_funnel": _q_event_funnel,
+        "dedup_keep_longest": _q_dedup_keep_longest,
         "compression_ratios": _q_compression_ratios,
         "priority_quantity_salted": _q_priority_quantity_salted,
         "label_centroids": _q_label_centroids,
@@ -3208,6 +3243,26 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "event_funnel": (
+            "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN s1 USING (user_id) "
+            "  WHERE e.event_type = 'click' AND e.ts > s1.t GROUP BY e.user_id), "
+            "s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN s2 USING (user_id) "
+            "  WHERE e.event_type = 'purchase' AND e.ts > s2.t GROUP BY e.user_id) "
+            "SELECT CAST(1 AS BIGINT) AS step, 'view' AS step_type, "
+            "  CAST(count(*) AS BIGINT) AS n_users FROM s1 "
+            "UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2 "
+            "UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3"
+        ),
+        "dedup_keep_longest": (
+            "SELECT doc_id, n_chars FROM ("
+            "SELECT doc_id, n_chars, row_number() OVER ("
+            "PARTITION BY text ORDER BY n_chars DESC, doc_id) AS rn "
+            "FROM documents) WHERE rn = 1"
         ),
         "priority_quantity_salted": (
             # the plain (unsalted) join IS the oracle: salting must not

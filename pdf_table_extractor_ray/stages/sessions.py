@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -255,3 +256,98 @@ def tumbling_window_stats(
         )
 
     return out.map_batches(rename, batch_format="pyarrow")
+
+
+def funnel_counts(
+    events: "ray.data.Dataset",
+    steps,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Sequential funnel (the product-analytics MATCH_RECOGNIZE
+    subset): step *i* is reached by a user iff an event of type
+    ``steps[i]`` occurs STRICTLY after that user's earliest completion
+    of step *i-1* (earliest-completion chaining, the standard funnel
+    semantics). Returns (step 1-based, step_type, n_users) — n_users
+    is monotonically non-increasing by construction.
+
+    Shape: rows filter to the funnel's types at the map (usually a
+    large cut), ONE shuffle by user-id bucket (fixed ``n_buckets``
+    groups — the ``sessionize`` pattern, no per-user Python), then per
+    bucket one lexsort + ``len(steps)`` masked ``np.minimum.at``
+    passes; only (step, n_part) rows leave the bucket, reduced by one
+    tiny groupby-Sum."""
+    from ray.data.aggregate import Sum
+
+    steps = list(steps)
+    step_arr = pa.array(steps, pa.string())
+    i64max = np.iinfo(np.int64).max
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        code = pc.index_in(batch.column(type_col), value_set=step_arr)
+        keep = pc.is_valid(code)
+        b = batch.filter(keep)
+        code = code.filter(keep)
+        u = b.column(user_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": b.column(user_col),
+                "ts_us": pc.cast(b.column(ts_col), pa.int64()),
+                "code": pc.cast(code, pa.int64()),
+                "bucket": pa.array((u % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        code = g.column("code").to_numpy(zero_copy_only=False)
+        n = len(uid)
+        out_steps = np.arange(1, len(steps) + 1, dtype=np.int64)
+        if n == 0:
+            return pa.table(
+                {
+                    "step": pa.array(out_steps),
+                    "n_part": pa.array(np.zeros(len(steps), np.int64)),
+                }
+            )
+        order = np.lexsort((ts, uid))
+        su, st, sc = uid[order], ts[order], code[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        ur = np.cumsum(first) - 1  # dense user rank within bucket
+        n_users = int(ur[-1]) + 1
+        t_prev = np.full(n_users, np.int64(-(2**62)), np.int64)
+        counts = np.zeros(len(steps), np.int64)
+        for i in range(len(steps)):
+            m = (sc == i) & (st > t_prev[ur])
+            t_i = np.full(n_users, i64max, np.int64)
+            np.minimum.at(t_i, ur[m], st[m])
+            counts[i] = int((t_i < i64max).sum())
+            t_prev = t_i
+        return pa.table(
+            {"step": pa.array(out_steps), "n_part": pa.array(counts)}
+        )
+
+    agg = (
+        events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("step")
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        idx = pc.subtract(pc.cast(b.column("step"), pa.int64()), pa.scalar(1))
+        return pa.table(
+            {
+                "step": pc.cast(b.column("step"), pa.int64()),
+                "step_type": pc.take(step_arr, idx),
+                "n_users": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

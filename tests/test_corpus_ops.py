@@ -2064,3 +2064,35 @@ def test_compression_ratios(ray_session):
         assert out[did]["ratio_milli"] == 1000 * len(zlib.compress(raw, 6)) // len(raw)
     assert out[1]["ratio_milli"] < out[2]["ratio_milli"]
     assert out[3]["ratio_milli"] == -1 and out[4]["ratio_milli"] == -1
+
+
+def test_funnel_counts_brute(ray_session):
+    """Funnel: strictly-after earliest-completion chaining matches a
+    per-user brute force on adversarial orderings (same-ts events,
+    step repeats, out-of-order arrivals)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import funnel_counts
+
+    rows = [
+        # u1 completes A->B->C
+        (1, "A", 10), (1, "B", 20), (1, "C", 30),
+        # u2: B before A, then no B after A -> stops at step 1
+        (2, "B", 5), (2, "A", 10),
+        # u3: A and B same ts (NOT strictly after) then C -> stops at 1
+        (3, "A", 10), (3, "B", 10), (3, "C", 50),
+        # u4: A, B, C with later duplicate As that must not reset
+        (4, "A", 1), (4, "A", 99), (4, "B", 2), (4, "C", 3),
+        # u5: only C
+        (5, "C", 7),
+    ]
+    ds = ray.data.from_items(
+        [
+            {"user_id": u, "event_type": t, "ts": np.datetime64(ts, "us")}
+            for u, t, ts in rows
+        ]
+    ).repartition(3)
+    out = {r["step"]: (r["step_type"], r["n_users"]) for r in funnel_counts(
+        ds, ["A", "B", "C"]
+    ).take_all()}
+    assert out == {1: ("A", 4), 2: ("B", 2), 3: ("C", 2)}
