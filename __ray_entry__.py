@@ -1964,6 +1964,17 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_uniform_source_cap(sf_dir: str):
+    """Uniformly-random cap of 10 docs per source (seeded splitmix64
+    replaces the random draw: rerun-stable, layout-invariant,
+    hot-key-safe per-block pre-reduce). Rows-only (random-oracle
+    choice isn't SQL); uniformity + determinism in pytest."""
+    from pdf_table_extractor_ray.stages.dedup import uniform_group_cap
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source"])
+    return uniform_group_cap(docs, "source", k=10, id_col="doc_id", seed=42)
+
+
 def _q_event_funnel(sf_dir: str):
     """Sequential funnel view→click→purchase with earliest-completion
     chaining (strictly-after semantics): type filter at the map, one
@@ -2768,6 +2779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "uniform_source_cap": _q_uniform_source_cap,
         "event_funnel": _q_event_funnel,
         "dedup_keep_longest": _q_dedup_keep_longest,
         "compression_ratios": _q_compression_ratios,

@@ -932,3 +932,44 @@ def weighted_sample_topk(
 
     pruned = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
     return pruned.sort("es_key", descending=True).limit(k).drop_columns(["es_key"])
+
+
+def uniform_group_cap(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Uniformly-RANDOM per-key cap: keep ≤ ``k`` rows per key, chosen
+    uniformly without replacement — the unbiased counterpart of the
+    quality-ranked per-domain cap (``grouped_top_k`` on a score). A
+    seeded splitmix64 of the id replaces the random draw, so the
+    sample is rerun-stable, layout-invariant, and every size-k subset
+    is equally likely under the hash's random-oracle behavior.
+
+    Same hot-key-safe shape as ``grouped_top_k``: each block
+    pre-reduces to ≤ k rows per key before the shuffle, so a domain
+    with 10^9 pages ships k rows per block, never the domain."""
+    from pdf_table_extractor_ray.stages.textstats import _splash64
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splash64(ids ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+        # shift into signed range so Arrow sort keys stay int64
+        return batch.append_column(
+            "_cap_h", pa.array((h >> np.uint64(1)).astype(np.int64), pa.int64())
+        )
+
+    capped = grouped_top_k(
+        ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True),
+        key_col,
+        [("_cap_h", "ascending"), (id_col, "ascending")],
+        k,
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_cap_h"])
+
+    return capped.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

@@ -2096,3 +2096,28 @@ def test_funnel_counts_brute(ray_session):
         ds, ["A", "B", "C"]
     ).take_all()}
     assert out == {1: ("A", 4), 2: ("B", 2), 3: ("C", 2)}
+
+
+def test_uniform_group_cap(ray_session):
+    """Uniform per-key cap: exact-k per big key, small keys intact,
+    layout-invariant, and the kept set equals the k lowest splitmix64
+    hashes (the declared selection rule)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import uniform_group_cap
+    from pdf_table_extractor_ray.stages.textstats import _splash64
+
+    rows = [{"doc_id": i, "source": "big" if i < 80 else "small"} for i in range(90)]
+    for parts in (2, 7):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = uniform_group_cap(ds, "source", k=5, seed=9).take_all()
+        got = {
+            src: sorted(r["doc_id"] for r in out if r["source"] == src)
+            for src in ("big", "small")
+        }
+        h = _splash64(np.arange(90, dtype=np.uint64) ^ np.uint64(9)) >> np.uint64(1)
+        want_big = sorted(np.argsort(h[:80], kind="stable")[:5].tolist())
+        assert got["big"] == want_big
+        assert got["small"] == list(range(80, 85)) or len(got["small"]) == 5
+        want_small = sorted((80 + np.argsort(h[80:90], kind="stable")[:5]).tolist())
+        assert got["small"] == want_small
