@@ -1964,6 +1964,19 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_order_price_range_parts(sf_dir: str):
+    """Balanced range partitioning of order prices: quartile
+    boundaries are EXACT order statistics from the radix-bisection
+    selector (one slim-column materialization, ≤4096 driver rows per
+    pass), buckets differ only by boundary-duplicate mass — the
+    partitioner a skew-proof range shuffle keys on. Output is the
+    (bucket, n) balance certificate."""
+    from pdf_table_extractor_ray.stages.sketches import range_partition_counts
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+    return range_partition_counts(orders, "o_totalprice", n_parts=4)
+
+
 def _q_uniform_source_cap(sf_dir: str):
     """Uniformly-random cap of 10 docs per source (seeded splitmix64
     replaces the random draw: rerun-stable, layout-invariant,
@@ -2779,6 +2792,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "order_price_range_parts": _q_order_price_range_parts,
         "uniform_source_cap": _q_uniform_source_cap,
         "event_funnel": _q_event_funnel,
         "dedup_keep_longest": _q_dedup_keep_longest,
@@ -3255,6 +3269,23 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "order_price_range_parts": (
+            "WITH v AS (SELECT o_totalprice AS x FROM orders "
+            "  WHERE o_totalprice IS NOT NULL), "
+            "cnt AS (SELECT count(*) AS n FROM v), "
+            "b1 AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET "
+            "  ((SELECT greatest(1, (n * 1) // 4) FROM cnt) - 1)), "
+            "b2 AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET "
+            "  ((SELECT greatest(1, (n * 2) // 4) FROM cnt) - 1)), "
+            "b3 AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET "
+            "  ((SELECT greatest(1, (n * 3) // 4) FROM cnt) - 1)) "
+            "SELECT CAST(("
+            "  CASE WHEN x >= (SELECT x FROM b1) THEN 1 ELSE 0 END + "
+            "  CASE WHEN x >= (SELECT x FROM b2) THEN 1 ELSE 0 END + "
+            "  CASE WHEN x >= (SELECT x FROM b3) THEN 1 ELSE 0 END"
+            ") AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n "
+            "FROM v GROUP BY 1"
         ),
         "event_funnel": (
             "WITH s1 AS (SELECT user_id, min(ts) AS t FROM events "

@@ -783,10 +783,25 @@ def kth_smallest(
     (sketch error): this is the exact answer at unbounded cardinality.
     Nulls are excluded; NaNs map above +inf (SQL engines instead
     exclude them — filter upstream if the column can hold NaN)."""
-    from ray.data.aggregate import Sum
+    return _select_kth_u(_u64_column(ds, col), k, nbins)
 
-    import ray.data  # noqa: F401
 
+def kth_smallest_multi(
+    ds: "ray.data.Dataset",
+    col: str,
+    ks,
+    nbins: int = 4096,
+) -> list:
+    """``kth_smallest`` for several ranks sharing ONE materialization
+    of the slim uint64 column (each rank still runs its own ≤6
+    bisection passes — ranks in distinct regions touch disjoint bins,
+    so sharing passes would not reduce shuffled bytes, only pass
+    count)."""
+    us = _u64_column(ds, col)
+    return [_select_kth_u(us, k, nbins) for k in ks]
+
+
+def _u64_column(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
     def to_u(batch: pa.Table) -> pa.Table:
         v = batch.column(col)
         if isinstance(v, pa.ChunkedArray):
@@ -795,7 +810,11 @@ def kth_smallest(
         x = v.to_numpy(zero_copy_only=False).astype(np.float64)
         return pa.table({"u": pa.array(_float64_to_ordered_u64(x), pa.uint64())})
 
-    us = ds.map_batches(to_u, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return ds.map_batches(to_u, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+
+def _select_kth_u(us: "ray.data.Dataset", k: int, nbins: int = 4096) -> float:
+    from ray.data.aggregate import Sum
 
     lo, hi = 0, (1 << 64) - 1
     rank = int(k)
@@ -824,7 +843,7 @@ def kth_smallest(
             .groupby("bin")
             .aggregate(Sum("n_part"))
             .take_all()
-        )  # bounded: ≤ nbins rows by construction
+        )  # bounded: ≤ nbins rows by construction (audit: _select_kth_u)
         counts = np.zeros(nbins, np.int64)
         for r in rows:
             counts[int(r["bin"])] = int(r["sum(n_part)"])
@@ -840,3 +859,70 @@ def kth_smallest(
         lo = lo + sel * binw
         hi = min(hi, lo + binw - 1)
     return _ordered_u64_to_float64(lo)
+
+
+def range_partition_counts(
+    ds: "ray.data.Dataset",
+    col: str,
+    n_parts: int = 4,
+    nbins: int = 4096,
+) -> "ray.data.Dataset":
+    """Balanced RANGE partitioning by exact order-statistic boundaries
+    — the skew-defeating partitioner a range shuffle needs: boundary
+    *i* is the exact (i·n/n_parts)-th smallest value
+    (``kth_smallest_multi``, one slim-column materialization), bucket
+    = searchsorted(boundaries, v, right) so parts differ only by
+    duplicate mass at the boundaries. Returns (bucket, n) — the
+    balance certificate; the same bucket kernel is what a caller keys
+    a repartition/write on.
+
+    Two streaming passes beyond selection: one count, one bucket
+    count. Everything to the driver is ≤ n_parts boundaries and
+    histogram rows."""
+    from ray.data.aggregate import Sum
+
+    def nvalid(b: pa.Table) -> pa.Table:
+        c = b.column(col)
+        return pa.table(
+            {"n": pa.array([c.length() - c.null_count], pa.int64())}
+        )
+
+    n = int(
+        ds.map_batches(nvalid, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n"))["sum(n)"]
+    )
+    if n == 0:
+        return ray.data.from_items([])
+    ranks = [max(1, (i * n) // n_parts) for i in range(1, n_parts)]
+    bounds = np.array(kth_smallest_multi(ds, col, ranks, nbins), np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b.column(col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.drop_null()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        bk = np.searchsorted(bounds, x, side="right").astype(np.int64)
+        bins, cnt = np.unique(bk, return_counts=True)
+        return pa.table(
+            {
+                "bucket": pa.array(bins, pa.int64()),
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": b.column("bucket"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2121,3 +2121,25 @@ def test_uniform_group_cap(ray_session):
         assert got["small"] == list(range(80, 85)) or len(got["small"]) == 5
         want_small = sorted((80 + np.argsort(h[80:90], kind="stable")[:5]).tolist())
         assert got["small"] == want_small
+
+
+def test_range_partition_counts(ray_session):
+    """Range partitioner: bucket counts match a numpy brute force with
+    exact order-statistic boundaries; near-balanced on distinct data;
+    duplicate mass lands in one bucket (documented)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import range_partition_counts
+
+    rng = np.random.default_rng(17)
+    vals = np.concatenate([rng.normal(size=900), np.repeat(1.25, 100)])
+    rows = [{"x": float(v)} for v in vals] + [{"x": None}] * 10
+    ds = ray.data.from_items(rows).repartition(5)
+    out = {r["bucket"]: r["n"] for r in range_partition_counts(ds, "x", 4).take_all()}
+    s = np.sort(vals)
+    n = len(vals)
+    bounds = np.array([s[max(1, (i * n) // 4) - 1] for i in (1, 2, 3)])
+    bk = np.searchsorted(bounds, vals, side="right")
+    want = dict(zip(*np.unique(bk, return_counts=True)))
+    assert out == {int(k): int(v) for k, v in want.items()}
+    assert sum(out.values()) == n
