@@ -423,7 +423,10 @@ def inverted_index(
     is exactly the document-partitioned index layout real engines
     shard by. The explode emits slim (token, doc, tf) rows
     (``doc_token_tf``'s per-batch np.unique combiner); ONE shuffle on
-    a token-hash bucket co-locates each token's segments; inside a
+    a token-hash bucket co-locates each token's segments; a bucket is
+    ~1/n_buckets of the distinct (token, seg, doc) triples and must
+    fit one task's heap — size ``n_buckets`` to the corpus (the same
+    knob contract as the dedup bucket kernels); inside a
     bucket the per-(token, seg) reduction is fully vectorized —
     lexsort + run boundaries + Arrow ``binary_join`` over a ListArray,
     no per-token Python. Postings strings never re-shuffle.
@@ -482,10 +485,15 @@ def inverted_index(
             pc.cast(g.column("tf").combine_chunks().take(take), pa.string()),
             ":",
         )
+        # int64 offsets (LargeList): a token-hash bucket can exceed
+        # 2^31 (token, doc) pairs at corpus scale — int32 ListArray
+        # offsets would silently overflow
         offsets = pa.array(
-            np.concatenate([starts, [n]]).astype(np.int32), pa.int32()
+            np.concatenate([starts, [n]]).astype(np.int64), pa.int64()
         )
-        postings = pc.binary_join(pa.ListArray.from_arrays(offsets, pairs), ",")
+        postings = pc.binary_join(
+            pa.LargeListArray.from_arrays(offsets, pairs), ","
+        )
         first = pa.array(order[starts])
         return pa.table(
             {
