@@ -1964,6 +1964,17 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_value_outliers_mad(sf_dir: str):
+    """Robust per-type outlier stats (median / MAD / |x−med| > 3·MAD
+    count): bounded-key map_groups (5 event types by contract),
+    DuckDB-interpolation-compatible medians so the float columns
+    hash-match bit-for-bit."""
+    from pdf_table_extractor_ray.stages.stats import grouped_mad_outliers
+
+    ev = _read(sf_dir, "events", ["event_type", "value"])
+    return grouped_mad_outliers(ev, "event_type", "value", z=3.0)
+
+
 def _q_order_price_range_parts(sf_dir: str):
     """Balanced range partitioning of order prices: quartile
     boundaries are EXACT order statistics from the radix-bisection
@@ -2792,6 +2803,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "value_outliers_mad": _q_value_outliers_mad,
         "order_price_range_parts": _q_order_price_range_parts,
         "uniform_source_cap": _q_uniform_source_cap,
         "event_funnel": _q_event_funnel,
@@ -3269,6 +3281,18 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "value_outliers_mad": (
+            "WITH s AS (SELECT event_type, median(value) AS med, "
+            "  mad(value) AS m FROM events WHERE value IS NOT NULL "
+            "  GROUP BY event_type) "
+            "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, "
+            "s.med AS median, s.m AS mad, "
+            "CAST(sum(CASE WHEN abs(e.value - s.med) > 3.0 * s.m "
+            "  THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM events e JOIN s USING (event_type) "
+            "WHERE e.value IS NOT NULL "
+            "GROUP BY e.event_type, s.med, s.m"
         ),
         "order_price_range_parts": (
             "WITH v AS (SELECT o_totalprice AS x FROM orders "

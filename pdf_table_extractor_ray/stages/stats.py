@@ -192,3 +192,68 @@ def grouped_minmax_normalize(
         return batch.append_column(out, pa.array(scaled, pa.float64()))
 
     return ds.map_batches(scale, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _interp_median(sorted_x: np.ndarray) -> float:
+    """Continuous median with lower + (upper-lower)·0.5 interpolation —
+    the exact float expression DuckDB's quantile_cont/median uses, so
+    the SQL oracle matches bit-for-bit ((a+b)/2 can differ by 1 ulp)."""
+    n = len(sorted_x)
+    if n == 0:
+        return float("nan")
+    mid = (n - 1) / 2
+    lo = sorted_x[int(np.floor(mid))]
+    hi = sorted_x[int(np.ceil(mid))]
+    return float(lo + (hi - lo) * 0.5)
+
+
+def grouped_mad_outliers(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    z: float = 3.0,
+) -> "ray.data.Dataset":
+    """Robust per-key outlier stats: median, MAD (median absolute
+    deviation) and the count of values with |x − median| > z·MAD — the
+    outlier rule that, unlike mean/σ, is not dragged by the outliers
+    themselves (50% breakdown point). Output: (key, n, median, mad,
+    n_outliers).
+
+    Partitioning contract: ``key_col`` has BOUNDED cardinality (the
+    ``customer_balance_rank`` contract) — each key's values materialize
+    in one group for the exact medians. For unbounded keys or one huge
+    group, use ``kth_smallest`` (radix selection, no group
+    materialization) per needed rank instead. Nulls are excluded."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        v = g.column(value_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.drop_null()
+        x = np.sort(v.to_numpy(zero_copy_only=False).astype(np.float64))
+        key = g.column(key_col)[0].as_py()
+        if len(x) == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([key]),
+                    "n": pa.array([0], pa.int64()),
+                    "median": pa.array([None], pa.float64()),
+                    "mad": pa.array([None], pa.float64()),
+                    "n_outliers": pa.array([0], pa.int64()),
+                }
+            )
+        med = _interp_median(x)
+        dev = np.abs(x - med)
+        mad = _interp_median(np.sort(dev))
+        n_out = int((dev > z * mad).sum())
+        return pa.table(
+            {
+                key_col: pa.array([key]),
+                "n": pa.array([len(x)], pa.int64()),
+                "median": pa.array([med], pa.float64()),
+                "mad": pa.array([mad], pa.float64()),
+                "n_outliers": pa.array([n_out], pa.int64()),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

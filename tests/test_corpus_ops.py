@@ -2143,3 +2143,36 @@ def test_range_partition_counts(ray_session):
     want = dict(zip(*np.unique(bk, return_counts=True)))
     assert out == {int(k): int(v) for k, v in want.items()}
     assert sum(out.values()) == n
+
+
+def test_grouped_mad_outliers(ray_session):
+    """MAD outliers: numpy brute parity on even+odd group sizes with
+    planted extremes; nulls dropped; zero-MAD degenerate group."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.stats import grouped_mad_outliers
+
+    rows = (
+        [{"k": "a", "v": float(x)} for x in [1, 2, 3, 4, 100]]          # odd n
+        + [{"k": "b", "v": float(x)} for x in [10, 20, 30, 40, 50, -999]]  # even n
+        + [{"k": "c", "v": 7.0}] * 4                                     # mad = 0
+        + [{"k": "a", "v": None}]
+    )
+    ds = ray.data.from_items(rows).repartition(3)
+    out = {r["k"]: r for r in grouped_mad_outliers(ds, "k", "v").take_all()}
+
+    def brute(xs):
+        x = np.sort(np.array(xs, np.float64))
+        mid = (len(x) - 1) / 2
+        med = x[int(np.floor(mid))] + (x[int(np.ceil(mid))] - x[int(np.floor(mid))]) * 0.5
+        dev = np.abs(x - med)
+        d = np.sort(dev)
+        mad = d[int(np.floor(mid))] + (d[int(np.ceil(mid))] - d[int(np.floor(mid))]) * 0.5
+        return len(x), med, mad, int((dev > 3.0 * mad).sum())
+
+    for k, xs in (("a", [1, 2, 3, 4, 100]), ("b", [10, 20, 30, 40, 50, -999]), ("c", [7.0] * 4)):
+        n, med, mad, n_out = brute(xs)
+        r = out[k]
+        assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (n, med, mad, n_out), k
+    assert out["a"]["n_outliers"] == 1 and out["b"]["n_outliers"] == 1
+    assert out["c"]["mad"] == 0.0 and out["c"]["n_outliers"] == 0
