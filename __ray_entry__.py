@@ -1964,6 +1964,17 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_orderkey_skew_stats(sf_dir: str):
+    """Shuffle-key skew diagnostic for lineitem.l_orderkey (the
+    numbers that pick plain vs salted vs broadcast join and size
+    bucket counts): pre-counted (key, n) groupby, slim aggregates,
+    exact median key mass via radix selection."""
+    from pdf_table_extractor_ray.stages.stats import key_skew_stats
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey"])
+    return key_skew_stats(li, "l_orderkey")
+
+
 def _q_value_outliers_mad(sf_dir: str):
     """Robust per-type outlier stats (median / MAD / |x−med| > 3·MAD
     count): bounded-key map_groups (5 event types by contract),
@@ -2803,6 +2814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "orderkey_skew_stats": _q_orderkey_skew_stats,
         "value_outliers_mad": _q_value_outliers_mad,
         "order_price_range_parts": _q_order_price_range_parts,
         "uniform_source_cap": _q_uniform_source_cap,
@@ -3281,6 +3293,19 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "orderkey_skew_stats": (
+            "WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem "
+            "  WHERE l_orderkey IS NOT NULL GROUP BY l_orderkey), "
+            "t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, "
+            "  CAST(count(*) AS BIGINT) AS n_keys, "
+            "  CAST(max(n) AS BIGINT) AS max_key_n FROM c), "
+            "m AS (SELECT n AS med FROM c ORDER BY n LIMIT 1 OFFSET "
+            "  ((SELECT (n_keys + 1) // 2 FROM t) - 1)) "
+            "SELECT n_rows, n_keys, max_key_n, "
+            "(SELECT CAST(med AS BIGINT) FROM m) AS median_key_n, "
+            "CAST((1000000 * max_key_n) // n_rows AS BIGINT) "
+            "  AS top1_share_micro FROM t"
         ),
         "value_outliers_mad": (
             "WITH s AS (SELECT event_type, median(value) AS med, "

@@ -257,3 +257,65 @@ def grouped_mad_outliers(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def key_skew_stats(
+    ds: "ray.data.Dataset",
+    key_col: str,
+) -> "ray.data.Dataset":
+    """One-row skew diagnostic for a prospective shuffle key — the
+    numbers that decide between ``hash_shuffle_join`` /
+    ``salted_hash_join`` / ``broadcast_join`` and size
+    ``n_buckets``: (n_rows, n_keys, max_key_n, median_key_n,
+    top1_share_micro = ⌊1e6·max_key_n/n_rows⌋).
+
+    Shape: per-batch Arrow pre-count combiner → ONE (key, n) groupby-
+    Sum (the counts table is distinct-key-sized and stays
+    distributed); max/sum/count are slim aggregates over it; the
+    median key mass is an EXACT order statistic via ``kth_smallest``
+    (radix selection — works at unbounded key cardinality, counts
+    < 2^53 are exact in the float64 domain it selects in)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest
+
+    def precount(b: pa.Table) -> pa.Table:
+        t = (
+            b.select([key_col])
+            .drop_null()
+            .group_by(key_col)
+            .aggregate([(key_col, "count")])
+        )
+        return pa.table(
+            {
+                "k": t.column(key_col),
+                "n_part": pc.cast(t.column(f"{key_col}_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ds.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("k")
+        .aggregate(Sum("n_part"))
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table({"n": pc.cast(b.column("sum(n_part)"), pa.float64())})
+
+    per_key = counts.map_batches(slim, batch_format="pyarrow").materialize()
+    agg = per_key.aggregate(Sum("n"), Count(), Max("n"))
+    n_rows = int(agg["sum(n)"])
+    n_keys = int(agg["count()"])
+    max_n = int(agg["max(n)"])
+    med = int(kth_smallest(per_key, "n", (n_keys + 1) // 2)) if n_keys else 0
+    return ray.data.from_items(
+        [
+            {
+                "n_rows": n_rows,
+                "n_keys": n_keys,
+                "max_key_n": max_n,
+                "median_key_n": med,
+                "top1_share_micro": (1_000_000 * max_n) // n_rows if n_rows else 0,
+            }
+        ]
+    )

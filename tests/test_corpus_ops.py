@@ -2176,3 +2176,24 @@ def test_grouped_mad_outliers(ray_session):
         assert (r["n"], r["median"], r["mad"], r["n_outliers"]) == (n, med, mad, n_out), k
     assert out["a"]["n_outliers"] == 1 and out["b"]["n_outliers"] == 1
     assert out["c"]["mad"] == 0.0 and out["c"]["n_outliers"] == 0
+
+
+def test_key_skew_stats(ray_session):
+    """Skew diagnostic: exact counts on a planted hot-key layout
+    (one key with 50 rows among 10 singleton keys)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.stats import key_skew_stats
+
+    rows = [{"k": 0} for _ in range(50)] + [{"k": i} for i in range(1, 11)]
+    rows.append({"k": None})
+    out = key_skew_stats(
+        ray.data.from_items(rows).repartition(4), "k"
+    ).take_all()[0]
+    assert out == {
+        "n_rows": 60,
+        "n_keys": 11,
+        "max_key_n": 50,
+        "median_key_n": 1,
+        "top1_share_micro": (1_000_000 * 50) // 60,
+    }
