@@ -1964,6 +1964,27 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_retention_cohorts(sf_dir: str):
+    """Weekly cohort retention: cohort = each user's first active
+    week; per (cohort, offset) the count of cohort users active that
+    many weeks later. One user-bucket shuffle of distinct (user, week)
+    pairs; raw events never move."""
+    from pdf_table_extractor_ray.stages.sessions import retention_cohorts
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
+def _q_docs_with_terms(sf_dir: str):
+    """Boolean AND retrieval (the filter half of the search stack):
+    docs containing every query term, with per-term tf columns —
+    map-only vectorized tf matrix, zero shuffle."""
+    from pdf_table_extractor_ray.stages.search import docs_with_all_terms
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return docs_with_all_terms(docs, _BM25_TERMS)
+
+
 def _q_orderkey_skew_stats(sf_dir: str):
     """Shuffle-key skew diagnostic for lineitem.l_orderkey (the
     numbers that pick plain vs salted vs broadcast join and size
@@ -2814,6 +2835,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "retention_cohorts": _q_retention_cohorts,
+        "docs_with_terms": _q_docs_with_terms,
         "orderkey_skew_stats": _q_orderkey_skew_stats,
         "value_outliers_mad": _q_value_outliers_mad,
         "order_price_range_parts": _q_order_price_range_parts,
@@ -3293,6 +3316,29 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "retention_cohorts": (
+            "WITH uw AS (SELECT DISTINCT user_id, "
+            "  CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS wk "
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "fw AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id) "
+            "SELECT f.cohort AS cohort_week, "
+            "CAST(u.wk - f.cohort AS BIGINT) AS week_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users "
+            "FROM uw u JOIN fw f USING (user_id) GROUP BY 1, 2"
+        ),
+        "docs_with_terms": (
+            "WITH tok AS (SELECT doc_id, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents) "
+            "SELECT doc_id, "
+            "CAST(sum(CASE WHEN t = 'hash' THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS tf_hash, "
+            "CAST(sum(CASE WHEN t = 'vector' THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS tf_vector, "
+            "CAST(sum(CASE WHEN t = 'window' THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS tf_window "
+            "FROM tok GROUP BY doc_id "
+            "HAVING tf_hash > 0 AND tf_vector > 0 AND tf_window > 0"
         ),
         "orderkey_skew_stats": (
             "WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem "

@@ -509,3 +509,27 @@ def inverted_index(
         .groupby("bucket")
         .map_groups(build, batch_format="pyarrow")
     )
+
+
+def docs_with_all_terms(
+    ds: "ray.data.Dataset",
+    terms: Sequence[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Boolean AND retrieval: documents containing EVERY query term at
+    least once, with per-term tf columns — the conjunctive-query half
+    of the search stack (BM25 ranks, this filters). Map-only: one
+    vectorized tf-matrix per batch (``_tf_matrix``), one all-positive
+    row mask, zero shuffle."""
+    term_arr = pa.array(list(terms), pa.string())
+
+    def f(batch: pa.Table) -> pa.Table:
+        tf, _dl = _tf_matrix(batch, term_arr, text_col)
+        hit = (tf > 0).all(axis=1)
+        out = {id_col: batch.column(id_col).filter(pa.array(hit))}
+        for j, t in enumerate(terms):
+            out[f"tf_{t}"] = pa.array(tf[hit, j].astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)

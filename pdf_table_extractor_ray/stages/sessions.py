@@ -351,3 +351,96 @@ def funnel_counts(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def retention_cohorts(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket_us: int = 604_800_000_000,  # one week
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Cohort retention (the product-analytics staple): cohort = a
+    user's first active period (``ts // bucket_us``); for every
+    (cohort, offset) report how many of that cohort's users were
+    active ``offset`` periods later. Output: (cohort_week,
+    week_offset, n_users); offset 0 row is the cohort size.
+
+    Shape: one slim (user, period) projection with per-batch distinct
+    combiner, ONE user-bucket shuffle (fixed ``n_buckets`` groups);
+    per bucket everything is vectorized — lexsort, per-user first
+    period via run heads, np.unique over (cohort, offset) — and only
+    (cohort, offset, n) partials leave, merged by a tiny groupby-Sum.
+    Raw events never shuffle; users never concentrate (a cohort's
+    users spread across all buckets and are summed, not collected)."""
+    from ray.data.aggregate import Sum
+
+    def project(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col)
+        valid = pc.and_(pc.is_valid(u), pc.is_valid(batch.column(ts_col)))
+        b = batch.filter(valid)
+        uid = b.column(user_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        wk = (
+            pc.cast(b.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+            // bucket_us
+        )
+        # per-batch distinct (user, period) combiner
+        pair = np.unique(np.stack([uid, wk], axis=1), axis=0)
+        return pa.table(
+            {
+                "u": pa.array(pair[:, 0], pa.int64()),
+                "wk": pa.array(pair[:, 1], pa.int64()),
+                "bucket": pa.array(pair[:, 0] % n_buckets, pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        wk = g.column("wk").to_numpy(zero_copy_only=False)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], pa.int64()),
+                    "week_offset": pa.array([], pa.int64()),
+                    "n_part": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((wk, uid))
+        su, sw = uid[order], wk[order]
+        first = np.empty(len(su), bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        # users may span batches → dedupe (user, period) again, then
+        # cohort = forward-filled first period of each user run
+        dup = np.zeros(len(su), bool)
+        dup[1:] = (~first[1:]) & (sw[1:] == sw[:-1])
+        cohort = sw[np.maximum.accumulate(np.where(first, np.arange(len(su)), 0))]
+        keep = ~dup
+        key = np.stack([cohort[keep], (sw - cohort)[keep]], axis=1)
+        uk, cnt = np.unique(key, axis=0, return_counts=True)
+        return pa.table(
+            {
+                "cohort_week": pa.array(uk[:, 0], pa.int64()),
+                "week_offset": pa.array(uk[:, 1], pa.int64()),
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cohort_week": b.column("cohort_week"),
+                "week_offset": b.column("week_offset"),
+                "n_users": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2197,3 +2197,40 @@ def test_key_skew_stats(ray_session):
         "median_key_n": 1,
         "top1_share_micro": (1_000_000 * 50) // 60,
     }
+
+
+def test_retention_cohorts_brute(ray_session):
+    """Retention: brute-force parity on a corpus with repeat visits,
+    gaps, cross-batch duplicate (user, week) pairs and null rows."""
+    import ray.data
+
+    WEEK = 604_800_000_000
+
+    from pdf_table_extractor_ray.stages.sessions import retention_cohorts
+
+    # (user, week) activity; duplicates on purpose
+    acts = [
+        (1, 0), (1, 0), (1, 1), (1, 3),
+        (2, 1), (2, 2),
+        (3, 0), (3, 3), (3, 3),
+        (4, 2),
+    ]
+    rows = [
+        {"user_id": u, "ts": np.datetime64(w * WEEK + (u * 97) % WEEK, "us")}
+        for u, w in acts
+    ]
+    rows.append({"user_id": None, "ts": np.datetime64(0, "us")})
+    ds = ray.data.from_items(rows).repartition(4)
+    got = {
+        (r["cohort_week"], r["week_offset"]): r["n_users"]
+        for r in retention_cohorts(ds).take_all()
+    }
+    uw = sorted({(u, w) for u, w in acts})
+    fw = {}
+    for u, w in uw:
+        fw.setdefault(u, w)
+    want = {}
+    for u, w in uw:
+        k = (fw[u], w - fw[u])
+        want[k] = want.get(k, 0) + 1
+    assert got == want
