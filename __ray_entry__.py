@@ -1964,6 +1964,16 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_top_transitions(sf_dir: str):
+    """Top event-type transitions (Markov edge counts): per-user
+    (ts, event_id)-ordered adjacency via one user-bucket shuffle +
+    vectorized same-user mask; ≤ vocab² rows reduce; partial top-k."""
+    from pdf_table_extractor_ray.stages.sessions import top_transitions
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return top_transitions(ev, k=10)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention: cohort = each user's first active
     week; per (cohort, offset) the count of cohort users active that
@@ -2835,6 +2845,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "top_transitions": _q_top_transitions,
         "retention_cohorts": _q_retention_cohorts,
         "docs_with_terms": _q_docs_with_terms,
         "orderkey_skew_stats": _q_orderkey_skew_stats,
@@ -3316,6 +3327,17 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "top_transitions": (
+            "WITH seq AS (SELECT event_type AS prev_type, "
+            "  lead(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS next_type "
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "    AND event_type IS NOT NULL) "
+            "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n "
+            "FROM seq WHERE next_type IS NOT NULL "
+            "GROUP BY prev_type, next_type "
+            "ORDER BY n DESC, prev_type, next_type LIMIT 10"
         ),
         "retention_cohorts": (
             "WITH uw AS (SELECT DISTINCT user_id, "

@@ -444,3 +444,111 @@ def retention_cohorts(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def top_transitions(
+    events: "ray.data.Dataset",
+    k: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Top-``k`` event-type transitions (the Markov-chain edge counts
+    behind next-action prediction and funnel discovery): for each user
+    in (ts, order_col) order, count adjacent (prev_type, next_type)
+    pairs corpus-wide. Output (prev_type, next_type, n) by (n desc,
+    prev asc, next asc).
+
+    Shape: the ``event_gaps`` bucket pattern — ONE user-bucket shuffle
+    of the slim (user, ts, order, type-code) projection; per bucket one
+    lexsort + a same-user adjacency mask (no Python pairs); type codes
+    dictionary-encode per batch and decode at the end, so the shuffle
+    carries int32 codes... codes must be GLOBAL to survive the
+    shuffle, so the type strings ride instead (slim by nature: event
+    vocabularies are small). Pair counts pre-reduce per bucket; the
+    final groupby-Sum touches ≤ |type-vocab|² rows; top-k is the
+    partial merge, no global sort."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column(user_col)
+        valid = pc.and_(
+            pc.and_(pc.is_valid(u), pc.is_valid(b.column(ts_col))),
+            pc.is_valid(b.column(type_col)),
+        )
+        b = b.filter(valid)
+        uid = b.column(user_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": b.column(user_col),
+                "ts_us": pc.cast(b.column(ts_col), pa.int64()),
+                "oid": pc.cast(b.column(order_col), pa.int64()),
+                "t": pc.cast(b.column(type_col), pa.string()),
+                "bucket": pa.array((uid % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "prev_type": pa.array([], pa.string()),
+                "next_type": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if n < 2:
+            return empty
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        oid = g.column("oid").to_numpy(zero_copy_only=False)
+        t = g.column("t")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        enc = t.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((oid, ts, uid))
+        su, sc = uid[order], codes[order]
+        same = su[1:] == su[:-1]
+        if not same.any():
+            return empty
+        V = len(enc.dictionary)
+        pair = sc[:-1][same] * V + sc[1:][same]
+        up, cnt = np.unique(pair, return_counts=True)
+        prev_idx = pa.array(up // V, pa.int64())
+        next_idx = pa.array(up % V, pa.int64())
+        return pa.table(
+            {
+                "prev_type": pc.take(enc.dictionary, prev_idx),
+                "next_type": pc.take(enc.dictionary, next_idx),
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["prev_type", "next_type"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "prev_type": b.column("prev_type"),
+                "next_type": b.column("next_type"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    counted = agg.map_batches(finish, batch_format="pyarrow")
+    return global_top_k(
+        counted,
+        [("n", "descending"), ("prev_type", "ascending"), ("next_type", "ascending")],
+        k,
+    )

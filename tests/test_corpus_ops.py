@@ -2234,3 +2234,43 @@ def test_retention_cohorts_brute(ray_session):
         k = (fw[u], w - fw[u])
         want[k] = want.get(k, 0) + 1
     assert got == want
+
+
+def test_top_transitions_brute(ray_session):
+    """Transitions: brute-force parity incl. same-ts tiebreak by
+    event_id, cross-user boundaries excluded."""
+    from collections import Counter
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import top_transitions
+
+    rows = [
+        # (user, type, ts, event_id); user 2 has same-ts events
+        (1, "A", 10, 1), (1, "B", 20, 2), (1, "A", 30, 3),
+        (2, "B", 5, 4), (2, "C", 5, 5), (2, "A", 6, 6),
+        (3, "C", 1, 7),
+    ]
+    ds = ray.data.from_items(
+        [
+            {"user_id": u, "event_type": t, "ts": np.datetime64(s, "us"), "event_id": e}
+            for u, t, s, e in rows
+        ]
+    ).repartition(3)
+    got = [
+        (r["prev_type"], r["next_type"], r["n"])
+        for r in top_transitions(ds, k=10).take_all()
+    ]
+    c = Counter()
+    byu = {}
+    for u, t, s, e in rows:
+        byu.setdefault(u, []).append((s, e, t))
+    for u, evs in byu.items():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            c[(a, b)] += 1
+    want = sorted(
+        ((a, b, n) for (a, b), n in c.items()),
+        key=lambda r: (-r[2], r[0], r[1]),
+    )
+    assert got == want
