@@ -462,12 +462,11 @@ def top_transitions(
     prev asc, next asc).
 
     Shape: the ``event_gaps`` bucket pattern — ONE user-bucket shuffle
-    of the slim (user, ts, order, type-code) projection; per bucket one
-    lexsort + a same-user adjacency mask (no Python pairs); type codes
-    dictionary-encode per batch and decode at the end, so the shuffle
-    carries int32 codes... codes must be GLOBAL to survive the
-    shuffle, so the type strings ride instead (slim by nature: event
-    vocabularies are small). Pair counts pre-reduce per bucket; the
+    of the slim (user, ts, order, type) projection (type strings ride
+    the shuffle: per-batch dictionary codes wouldn't be globally
+    consistent, and event vocabularies are tiny); per bucket one
+    lexsort + a same-user adjacency mask over per-bucket dictionary
+    codes (no Python pairs). Pair counts pre-reduce per bucket; the
     final groupby-Sum touches ≤ |type-vocab|² rows; top-k is the
     partial merge, no global sort."""
     from ray.data.aggregate import Sum
