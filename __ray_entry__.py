@@ -2664,6 +2664,19 @@ def _q_window_active_users_approx(sf_dir: str):
     return hll_count_distinct_by(tagged, "window_start_us", "user_id")
 
 
+def _q_cdc_dup_stats(sf_dir: str):
+    """Content-defined chunking dedup summary over raw crawl payloads
+    (Rabin/FastCDC-style): shift-resistant boundaries from a rolling
+    hash, FNV chunk hashes, slim (hash, len, n) reduction → the bytes
+    a payload-level dedup would reclaim. Rows-only; boundary/shift
+    properties brute-tested in pytest."""
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.stages.cdc import cdc_dup_stats
+
+    pages = _fixture_pages(sf_dir)
+    return cdc_dup_stats(read_pages(pages, columns=("url", "html")))
+
+
 def _q_extract_outlinks(sf_dir: str):
     """Outlink/anchor extraction over the crawl corpus: one compiled-
     regex map pass, zero shuffle; non-HTML payloads (PDF magic,
@@ -2885,6 +2898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_active_users": _q_window_active_users,
         "window_active_users_approx": _q_window_active_users_approx,
         "contamination_screen_bloom": _q_contamination_screen_bloom,
+        "cdc_dup_stats": _q_cdc_dup_stats,
         "extract_outlinks": _q_extract_outlinks,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,

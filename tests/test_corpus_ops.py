@@ -2274,3 +2274,63 @@ def test_top_transitions_brute(ray_session):
         key=lambda r: (-r[2], r[0], r[1]),
     )
     assert got == want
+
+
+def test_cdc_chunking(ray_session):
+    """CDC: boundaries match a sequential brute force; identical
+    payloads chunk identically; a one-byte PREFIX insertion leaves
+    most chunk hashes intact (the shift-resistance fixed blocking
+    lacks); dup accounting exact on planted copies."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.cdc import (
+        _P,
+        _chunk_boundaries,
+        cdc_chunk_rows,
+        cdc_dup_stats,
+    )
+
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, 256, 8000, dtype=np.uint8).tobytes()
+
+    # brute-force boundary check
+    data = np.frombuffer(base, np.uint8)
+    w, bits = 16, 8
+    powers = np.empty(w, np.uint64)
+    powers[0] = np.uint64(1)
+    for j in range(1, w):
+        powers[j] = powers[j - 1] * _P
+    ends = []
+    for i in range(w - 1, len(data)):
+        seg = data[i - w + 1 : i + 1].astype(np.uint64)
+        h = int((seg * powers).sum(dtype=np.uint64))
+        if h & ((1 << bits) - 1) == 0:
+            ends.append(i + 1)
+    if not ends or ends[-1] != len(data):
+        ends.append(len(data))
+    got = _chunk_boundaries(data, w, bits)
+    assert got.tolist() == ends
+
+    shifted = b"\x00" + base
+    rows = [
+        {"url": "a", "html": base},
+        {"url": "b", "html": base},          # exact copy
+        {"url": "c", "html": shifted},       # 1-byte prefix insert
+        {"url": "d", "html": None},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    chunks = cdc_chunk_rows(ds, window=w, mask_bits=bits).take_all()
+    by_url = {}
+    for r in chunks:
+        by_url.setdefault(r["url"], []).append((r["chunk_idx"], r["chunk_hash"]))
+    a = [h for _, h in sorted(by_url["a"])]
+    b = [h for _, h in sorted(by_url["b"])]
+    c = {h for _, h in by_url["c"]}
+    assert a == b
+    # all but the first chunk of the shifted payload re-align
+    assert len(set(a) & c) >= len(a) - 1
+
+    stats = cdc_dup_stats(ds, window=w, mask_bits=bits).take_all()[0]
+    assert stats["n_chunks"] == len(chunks)
+    assert stats["n_dup_hashes"] >= len(a) - 1
+    assert stats["dup_bytes"] > 0
