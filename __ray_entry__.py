@@ -1995,6 +1995,18 @@ def _q_docs_with_terms(sf_dir: str):
     return docs_with_all_terms(docs, _BM25_TERMS)
 
 
+def _q_join_overlap_estimate(sf_dir: str):
+    """Pre-join cardinality probe: HLL distinct keys per side + merged
+    union + inclusion-exclusion intersection for orders.o_custkey vs
+    customer.c_custkey — one 4 KB register row per block, no shuffle.
+    Rows-only (sketch); accuracy vs exact in pytest."""
+    from pdf_table_extractor_ray.stages.sketches import join_overlap_estimate
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    return join_overlap_estimate(orders, "o_custkey", cust, "c_custkey")
+
+
 def _q_orderkey_skew_stats(sf_dir: str):
     """Shuffle-key skew diagnostic for lineitem.l_orderkey (the
     numbers that pick plain vs salted vs broadcast join and size
@@ -2861,6 +2873,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_transitions": _q_top_transitions,
         "retention_cohorts": _q_retention_cohorts,
         "docs_with_terms": _q_docs_with_terms,
+        "join_overlap_estimate": _q_join_overlap_estimate,
         "orderkey_skew_stats": _q_orderkey_skew_stats,
         "value_outliers_mad": _q_value_outliers_mad,
         "order_price_range_parts": _q_order_price_range_parts,

@@ -926,3 +926,47 @@ def range_partition_counts(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def join_overlap_estimate(
+    left: "ray.data.Dataset",
+    left_col: str,
+    right: "ray.data.Dataset",
+    right_col: str,
+) -> "ray.data.Dataset":
+    """Pre-join cardinality probe: approximate distinct keys on each
+    side, their union, and the inclusion–exclusion intersection
+    |A∩B| ≈ |A| + |B| − |A∪B| (clipped at 0) — with ``key_skew_stats``
+    the two numbers that pick a join strategy before paying for the
+    shuffle. HLL registers are mergeable, so the union costs no extra
+    pass: max-merge the two sides' registers. One 4 KB array per
+    block to the driver, nothing else moves."""
+
+    def regs_of(ds: "ray.data.Dataset", col: str) -> np.ndarray:
+        def partial(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"regs": pa.array([hll_registers(batch.column(col)).tobytes()], pa.binary())}
+            )
+
+        merged = np.zeros(_M, np.uint8)
+        for r in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all():  # bounded: one 4 KB register row per block
+            merged = np.maximum(merged, np.frombuffer(r["regs"], np.uint8))
+        return merged
+
+    ra = regs_of(left, left_col)
+    rb = regs_of(right, right_col)
+    na = int(round(hll_estimate(ra)))
+    nb = int(round(hll_estimate(rb)))
+    nu = int(round(hll_estimate(np.maximum(ra, rb))))
+    return ray.data.from_items(
+        [
+            {
+                "n_left_approx": na,
+                "n_right_approx": nb,
+                "n_union_approx": nu,
+                "n_intersect_approx": max(0, na + nb - nu),
+            }
+        ]
+    )

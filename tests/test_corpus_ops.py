@@ -2334,3 +2334,22 @@ def test_cdc_chunking(ray_session):
     assert stats["n_chunks"] == len(chunks)
     assert stats["n_dup_hashes"] >= len(a) - 1
     assert stats["dup_bytes"] > 0
+
+
+def test_join_overlap_estimate(ray_session):
+    """HLL overlap probe: estimates within the sketch's error band of
+    exact distinct/union/intersection on a constructed overlap."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import join_overlap_estimate
+
+    left = ray.data.from_items([{"k": i} for i in range(8000)]).repartition(4)
+    right = ray.data.from_items(
+        [{"rk": i} for i in range(6000, 12000)]
+    ).repartition(3)
+    out = join_overlap_estimate(left, "k", right, "rk").take_all()[0]
+    # 4096-register HLL ⇒ ~1.6% σ; allow 6%
+    assert abs(out["n_left_approx"] - 8000) < 480
+    assert abs(out["n_right_approx"] - 6000) < 360
+    assert abs(out["n_union_approx"] - 12000) < 720
+    assert abs(out["n_intersect_approx"] - 2000) < 1000  # differences compound
