@@ -1964,6 +1964,97 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_token_entropies(sf_dir: str):
+    """Per-doc unigram Shannon entropy in milli-nats (the one-number
+    repetitiveness signal): map-only, vectorized, empty docs −1
+    in-band. Rows-only (float log); brute parity in pytest."""
+    from pdf_table_extractor_ray.stages.textstats import token_entropies
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return token_entropies(docs)
+
+
+def _q_latest_event_per_user(sf_dir: str):
+    """LAST_VALUE per key: each user's most recent event (ts desc,
+    event_id desc tiebreak) via the hot-key-safe grouped top-k — every
+    block pre-reduces to one candidate per user before the shuffle."""
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def ts_i64(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+            }
+        )
+
+    top = grouped_top_k(
+        ev.map_batches(ts_i64, batch_format="pyarrow", zero_copy_batch=True),
+        "user_id",
+        [("ts_us", "descending"), ("event_id", "descending")],
+        k=1,
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        return b.select(["user_id", "event_id", "event_type"])
+
+    return top.map_batches(slim, batch_format="pyarrow")
+
+
+def _q_top_anchor_texts(sf_dir: str):
+    """Most common (target href, anchor text) pairs across the crawl —
+    the anchor-text corpus search engines weight; pre-counted partial
+    top-k over the outlink explode."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.stages.links import extract_outlinks
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    links = extract_outlinks(
+        read_pages(_fixture_pages(sf_dir), columns=("url", "html"))
+    )
+
+    def precount(b: pa.Table) -> pa.Table:
+        t = (
+            b.select(["href", "anchor"])
+            .group_by(["href", "anchor"])
+            .aggregate([("anchor", "count")])
+        )
+        return pa.table(
+            {
+                "href": t.column("href"),
+                "anchor": t.column("anchor"),
+                "n_part": pc.cast(t.column("anchor_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        links.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["href", "anchor"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "href": b.column("href"),
+                "anchor": b.column("anchor"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return global_top_k(
+        agg.map_batches(finish, batch_format="pyarrow"),
+        [("n", "descending"), ("href", "ascending"), ("anchor", "ascending")],
+        15,
+    )
+
+
 def _q_top_transitions(sf_dir: str):
     """Top event-type transitions (Markov edge counts): per-user
     (ts, event_id)-ordered adjacency via one user-bucket shuffle +
@@ -2870,6 +2961,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "token_entropies": _q_token_entropies,
+        "latest_event_per_user": _q_latest_event_per_user,
+        "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
         "retention_cohorts": _q_retention_cohorts,
         "docs_with_terms": _q_docs_with_terms,
@@ -3354,6 +3448,12 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "latest_event_per_user": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1"
         ),
         "top_transitions": (
             "WITH seq AS (SELECT event_type AS prev_type, "

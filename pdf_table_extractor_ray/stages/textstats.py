@@ -352,3 +352,56 @@ def compression_ratios(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def token_entropy_batch(
+    batch: pa.Table, text_col: str = "text", id_col: str = "doc_id"
+) -> pa.Table:
+    """(doc_id, n_tokens, entropy_milli) — Shannon entropy of each
+    document's unigram distribution in milli-nats (⌊1000·H⌋):
+    H = ln(dl) − Σ tf·ln(tf)/dl. Low entropy flags repetitive /
+    template text the way the Gopher repetition rules do, but in one
+    number; high entropy approaches ln(dl) (all tokens distinct).
+    Empty/null docs get −1 in-band. Fully vectorized: one tokenize,
+    one dictionary encode, one np.unique pair reduction, two
+    bincounts — no per-token Python."""
+    from pdf_table_extractor_ray.stages.lm import _flat_tokens
+
+    n = batch.num_rows
+    flat, lens = _flat_tokens(batch.column(text_col))
+    doc_idx = np.repeat(np.arange(n), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(nonempty))
+    doc_idx = doc_idx[nonempty]
+    dl = np.bincount(doc_idx, minlength=n).astype(np.int64)
+    ent = np.full(n, -1.0, np.float64)
+    if len(doc_idx):
+        dic = flat.dictionary_encode()
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = max(1, len(dic.dictionary))
+        upair, tf = np.unique(doc_idx * V + codes, return_counts=True)
+        udoc = (upair // V).astype(np.int64)
+        mass = np.bincount(udoc, weights=tf * np.log(tf), minlength=n)
+        has = dl > 0
+        # clamp: H ≥ 0 mathematically, but ln roundoff can land at
+        # −2e−16 and floor to −1, colliding with the empty sentinel
+        ent[has] = np.maximum(np.log(dl[has]) - mass[has] / dl[has], 0.0)
+    entropy_milli = np.where(dl > 0, np.floor(ent * 1000), -1).astype(np.int64)
+    return pa.table(
+        {
+            id_col: batch.column(id_col),
+            "n_tokens": pa.array(dl, pa.int64()),
+            "entropy_milli": pa.array(entropy_milli, pa.int64()),
+        }
+    )
+
+
+def token_entropies(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """Map-only corpus pass of ``token_entropy_batch`` (zero shuffle)."""
+    return ds.map_batches(
+        lambda b: token_entropy_batch(b, text_col, id_col),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

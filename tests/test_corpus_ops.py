@@ -2353,3 +2353,38 @@ def test_join_overlap_estimate(ray_session):
     assert abs(out["n_right_approx"] - 6000) < 360
     assert abs(out["n_union_approx"] - 12000) < 720
     assert abs(out["n_intersect_approx"] - 2000) < 1000  # differences compound
+
+
+def test_token_entropy(ray_session):
+    """Entropy: brute parity, repetitive < varied, empty/null -1."""
+    from collections import Counter
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.textstats import token_entropies
+
+    rows = [
+        {"doc_id": 1, "text": "a a a a a a"},
+        {"doc_id": 2, "text": "a b c d e f"},
+        {"doc_id": 3, "text": "a a b b c c"},
+        {"doc_id": 4, "text": ""},
+        {"doc_id": 5, "text": None},
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in token_entropies(ray.data.from_items(rows).repartition(2)).take_all()
+    }
+
+    def brute(text):
+        toks = text.split()
+        c = Counter(toks)
+        dl = len(toks)
+        h = max(0.0, np.log(dl) - sum(n * np.log(n) for n in c.values()) / dl)
+        return int(np.floor(h * 1000))
+
+    for did, text in ((1, rows[0]["text"]), (2, rows[1]["text"]), (3, rows[2]["text"])):
+        assert out[did]["entropy_milli"] == brute(text), did
+        assert out[did]["n_tokens"] == 6
+    assert out[1]["entropy_milli"] == 0  # all same token
+    assert out[1]["entropy_milli"] < out[3]["entropy_milli"] < out[2]["entropy_milli"]
+    assert out[4]["entropy_milli"] == -1 and out[5]["entropy_milli"] == -1
