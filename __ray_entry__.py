@@ -1964,6 +1964,29 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_weighted_source_sample(sf_dir: str):
+    """Per-source weighted sampling without replacement (Efraimidis-
+    Spirakis keys from a seeded hash): 8 docs per source, inclusion ∝
+    n_chars. Rows-only (hash-randomized); exact selection-rule parity
+    in pytest."""
+    from pdf_table_extractor_ray.stages.dedup import weighted_group_sample
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+    return weighted_group_sample(
+        docs, "source", "n_chars", k=8, id_col="doc_id", seed=7
+    )
+
+
+def _q_pii_inventory(sf_dir: str):
+    """Per-source PII incidence audit (docs scanned / docs with hits /
+    total hits for the scrubber's pattern): one RE2 count pass per
+    batch, slim groupby-Sum."""
+    from pdf_table_extractor_ray.stages.semistructured import pii_inventory
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    return pii_inventory(docs)
+
+
 def _q_token_entropies(sf_dir: str):
     """Per-doc unigram Shannon entropy in milli-nats (the one-number
     repetitiveness signal): map-only, vectorized, empty docs −1
@@ -2961,6 +2984,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "weighted_source_sample": _q_weighted_source_sample,
+        "pii_inventory": _q_pii_inventory,
         "token_entropies": _q_token_entropies,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
@@ -3448,6 +3473,15 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "pii_inventory": (
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN len(regexp_extract_all(coalesce(text, ''), "
+            "'\\b(?:customer|user)\\b')) > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "  AS n_docs_with_hits, "
+            "CAST(sum(len(regexp_extract_all(coalesce(text, ''), "
+            "'\\b(?:customer|user)\\b'))) AS BIGINT) AS n_hits "
+            "FROM documents GROUP BY source"
         ),
         "latest_event_per_user": (
             "SELECT user_id, event_id, event_type FROM ("

@@ -973,3 +973,50 @@ def uniform_group_cap(
         return batch.drop_columns(["_cap_h"])
 
     return capped.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_group_sample(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> "ray.data.Dataset":
+    """Weighted sampling WITHOUT replacement per key (Efraimidis &
+    Spirakis 2006, per group): keep the k rows per key with the
+    largest ``u^(1/w)`` — computed as smallest ``-ln(u)/w`` — where u
+    is a seeded splitmix64 of the id mapped to (0,1]. Inclusion
+    probability scales with weight; deterministic and layout-invariant
+    like ``uniform_group_cap`` (its w≡1 special case). Rows with
+    null/non-positive weight are excluded (zero mass).
+
+    Same hot-key-safe shape: per-block pre-reduce to ≤ k rows per key
+    before the one shuffle."""
+    from pdf_table_extractor_ray.stages.textstats import _splash64
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    def add_es(batch: pa.Table) -> pa.Table:
+        w = pc.cast(batch.column(weight_col), pa.float64())
+        keep = pc.and_(pc.is_valid(w), pc.greater(w, 0.0))
+        b = batch.filter(keep)
+        if b.num_rows == 0:
+            return b.append_column("_es", pa.array([], pa.float64()))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splash64(ids ^ np.uint64(seed & 0xFFFFFFFFFFFFFFFF))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0  # (0,1]
+        wv = pc.cast(b.column(weight_col), pa.float64()).to_numpy(zero_copy_only=False)
+        es = -np.log(u) / wv
+        return b.append_column("_es", pa.array(es, pa.float64()))
+
+    sampled = grouped_top_k(
+        ds.map_batches(add_es, batch_format="pyarrow", zero_copy_batch=True),
+        key_col,
+        [("_es", "ascending"), (id_col, "ascending")],
+        k,
+    )
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["_es"])
+
+    return sampled.map_batches(strip, batch_format="pyarrow", zero_copy_batch=True)

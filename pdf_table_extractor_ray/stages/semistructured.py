@@ -18,6 +18,7 @@ per-line captures); here the capture is one RE2 pass per batch.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -82,3 +83,58 @@ def normalize_text_batch(
     # not touch, which would silently diverge from the oracle form
     t = pc.utf8_trim(t, " ")
     return batch.append_column(out, t)
+
+
+def pii_inventory(
+    ds: "ray.data.Dataset",
+    pattern: str = r"\b(?:customer|user)\b",
+    text_col: str = "text",
+    key_col: str = "source",
+) -> "ray.data.Dataset":
+    """Per-group PII incidence report — the audit table a scrub run
+    starts from: (key, n_docs, n_docs_with_hits, n_hits). One
+    ``pc.count_substring_regex`` RE2 pass per batch (the same regex
+    the scrubber and the SQL oracle run), per-batch Arrow group
+    combiner, one slim groupby-Sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(pc.cast(batch.column(text_col), pa.string()), "")
+        hits = pc.count_substring_regex(txt, pattern)
+        t = pa.table(
+            {
+                "key": batch.column(key_col),
+                "d": pa.array(np.ones(batch.num_rows, np.int64)),
+                "dh": pc.cast(pc.greater(hits, 0), pa.int64()),
+                "h": pc.cast(hits, pa.int64()),
+            }
+        )
+        g = t.group_by("key").aggregate([("d", "sum"), ("dh", "sum"), ("h", "sum")])
+        return pa.table(
+            {
+                "key": g.column("key"),
+                "n_docs_part": pc.cast(g.column("d_sum"), pa.int64()),
+                "n_hit_docs_part": pc.cast(g.column("dh_sum"), pa.int64()),
+                "n_hits_part": pc.cast(g.column("h_sum"), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n_docs_part"), Sum("n_hit_docs_part"), Sum("n_hits_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("key"),
+                "n_docs": pc.cast(b.column("sum(n_docs_part)"), pa.int64()),
+                "n_docs_with_hits": pc.cast(
+                    b.column("sum(n_hit_docs_part)"), pa.int64()
+                ),
+                "n_hits": pc.cast(b.column("sum(n_hits_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

@@ -2388,3 +2388,44 @@ def test_token_entropy(ray_session):
     assert out[1]["entropy_milli"] == 0  # all same token
     assert out[1]["entropy_milli"] < out[3]["entropy_milli"] < out[2]["entropy_milli"]
     assert out[4]["entropy_milli"] == -1 and out[5]["entropy_milli"] == -1
+
+
+def test_weighted_group_sample(ray_session):
+    """Per-key ES sample: exact selection-rule parity vs brute force,
+    zero/null weights excluded, heavy items favored across seeds."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import weighted_group_sample
+    from pdf_table_extractor_ray.stages.textstats import _splash64
+
+    rows = []
+    for i in range(60):
+        rows.append({"doc_id": i, "src": "a" if i < 40 else "b",
+                     "w": 1000.0 if i % 10 == 0 else 1.0})
+    rows.append({"doc_id": 60, "src": "a", "w": 0.0})
+    rows.append({"doc_id": 61, "src": "a", "w": None})
+    ds = ray.data.from_items(rows).repartition(4)
+    got = {
+        src: sorted(r["doc_id"] for r in weighted_group_sample(
+            ds, "src", "w", k=5, seed=3
+        ).take_all() if r["src"] == src)
+        for src in ("a", "b")
+    }
+
+    def es(i, w):
+        h = _splash64(np.array([i], np.uint64) ^ np.uint64(3))[0]
+        u = (float(h) + 1.0) / 18446744073709551616.0
+        return -np.log(u) / w
+
+    want = {}
+    for src in ("a", "b"):
+        cand = [
+            (es(r["doc_id"], r["w"]), r["doc_id"])
+            for r in rows
+            if r["src"] == src and r["w"]
+        ]
+        want[src] = sorted(d for _, d in sorted(cand)[:5])
+    assert got == want
+    # heavy (w=1000) ids dominate: in group a, ids {0,10,20,30} are 4 of 40
+    heavy = {0, 10, 20, 30}
+    assert len(heavy & set(got["a"])) >= 3
