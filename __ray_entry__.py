@@ -1964,6 +1964,36 @@ def _q_bm25_top10(sf_dir: str):
     return bm25_topk(docs, _BM25_TERMS, k=10)
 
 
+def _q_user_value_ffill(sf_dir: str):
+    """Per-user forward fill (last_value IGNORE NULLS running window):
+    error events' values are nulled, then each row takes its user's
+    most recent surviving value. One user-bucket shuffle, one
+    composite-key maximum.accumulate per bucket — no per-user Python."""
+    from pdf_table_extractor_ray.stages.sessions import grouped_ffill
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts", "value"])
+
+    def nullify(b: pa.Table) -> pa.Table:
+        v = pc.if_else(
+            pc.equal(b.column("event_type"), "error"),
+            pa.scalar(None, pa.float64()),
+            pc.cast(b.column("value"), pa.float64()),
+        )
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "user_id": b.column("user_id"),
+                "ts": b.column("ts"),
+                "value": v,
+            }
+        )
+
+    return grouped_ffill(
+        ev.map_batches(nullify, batch_format="pyarrow", zero_copy_batch=True),
+        "value",
+    )
+
+
 def _q_weighted_source_sample(sf_dir: str):
     """Per-source weighted sampling without replacement (Efraimidis-
     Spirakis keys from a seeded hash): 8 docs per source, inclusion ∝
@@ -2984,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
         "bm25_top10": _q_bm25_top10,
+        "user_value_ffill": _q_user_value_ffill,
         "weighted_source_sample": _q_weighted_source_sample,
         "pii_inventory": _q_pii_inventory,
         "token_entropies": _q_token_entropies,
@@ -3473,6 +3504,13 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "user_value_ffill": (
+            "SELECT event_id, user_id, "
+            "last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END "
+            "  IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL"
         ),
         "pii_inventory": (
             "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "

@@ -551,3 +551,96 @@ def top_transitions(
         [("n", "descending"), ("prev_type", "ascending"), ("next_type", "ascending")],
         k,
     )
+
+
+def grouped_ffill(
+    events: "ray.data.Dataset",
+    value_col: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Per-key forward fill (SQL ``last_value(x IGNORE NULLS)`` over a
+    running window) — the gap-fill primitive for sensor/event streams:
+    each row gets the most recent non-null ``value_col`` of ITS OWN
+    user in (ts, order_col) order; rows before a user's first non-null
+    value stay null. Output: (order_col, user_col, filled).
+
+    Shape: ONE user-bucket shuffle; per bucket a lexsort plus one
+    ``np.maximum.accumulate`` over a composite key
+    ``user_rank·(n+1) + (pos+1 if valid else 0)`` — the stride makes
+    the running "latest valid position" reset at user boundaries with
+    zero per-user Python (the ``tag_late_events`` trick, applied to
+    positions instead of timestamps)."""
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column(user_col)
+        valid = pc.and_(pc.is_valid(u), pc.is_valid(b.column(ts_col)))
+        b = b.filter(valid)
+        uid = b.column(user_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": b.column(user_col),
+                "ts_us": pc.cast(b.column(ts_col), pa.int64()),
+                "oid": pc.cast(b.column(order_col), pa.int64()),
+                "v": pc.cast(b.column(value_col), pa.float64()),
+                "bucket": pa.array((uid % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    order_col: pa.array([], pa.int64()),
+                    user_col: pa.array([], pa.int64()),
+                    "filled": pa.array([], pa.float64()),
+                }
+            )
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        oid = g.column("oid").to_numpy(zero_copy_only=False)
+        vcol = g.column("v")
+        if isinstance(vcol, pa.ChunkedArray):
+            vcol = vcol.combine_chunks()
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        vals = vcol.to_numpy(zero_copy_only=False)
+        order = np.lexsort((oid, ts, uid))
+        su, sval, svalid = uid[order], vals[order], valid[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = su[1:] != su[:-1]
+        ur = np.cumsum(first) - 1
+        stride = np.int64(n + 1)
+        if int(ur[-1] + 1) * int(stride) >= (1 << 62):
+            raise ValueError(
+                "grouped_ffill: users-per-bucket x rows exceeds int64 "
+                "headroom; raise n_buckets"
+            )
+        pos = np.arange(n, dtype=np.int64)
+        key = ur * stride + np.where(svalid, pos + 1, 0)
+        acc = np.maximum.accumulate(key)
+        src = acc % stride  # 0 = no valid value yet for this user
+        has = src > 0
+        filled = np.full(n, np.nan)
+        filled[has] = sval[src[has] - 1]
+        out_mask = pa.array(has)
+        return pa.table(
+            {
+                order_col: pa.array(oid[order], pa.int64()),
+                user_col: pa.array(su.astype(np.int64), pa.int64()),
+                "filled": pc.if_else(
+                    out_mask,
+                    pa.array(filled, pa.float64()),
+                    pa.scalar(None, pa.float64()),
+                ),
+            }
+        )
+
+    return (
+        events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

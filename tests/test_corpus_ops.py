@@ -2429,3 +2429,32 @@ def test_weighted_group_sample(ray_session):
     # heavy (w=1000) ids dominate: in group a, ids {0,10,20,30} are 4 of 40
     heavy = {0, 10, 20, 30}
     assert len(heavy & set(got["a"])) >= 3
+
+
+def test_grouped_ffill_brute(ray_session):
+    """Forward fill: brute parity incl. leading nulls, all-null users,
+    same-ts tiebreaks, cross-user isolation."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import grouped_ffill
+
+    rows = [
+        # (event_id, user, ts, value)
+        (1, 1, 10, None), (2, 1, 20, 5.0), (3, 1, 30, None), (4, 1, 40, 7.0),
+        (5, 2, 5, None), (6, 2, 6, None),            # all-null user
+        (7, 3, 1, 9.0), (8, 3, 1, None),             # same ts, id tiebreak
+        (9, 4, 2, 1.0),
+    ]
+    ds = ray.data.from_items(
+        [
+            {"event_id": e, "user_id": u, "ts": np.datetime64(t, "us"), "value": v}
+            for e, u, t, v in rows
+        ]
+    ).repartition(3)
+    got = {r["event_id"]: r["filled"] for r in grouped_ffill(ds, "value").take_all()}
+    assert got == {
+        1: None, 2: 5.0, 3: 5.0, 4: 7.0,
+        5: None, 6: None,
+        7: 9.0, 8: 9.0,
+        9: 1.0,
+    }
