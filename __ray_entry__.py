@@ -207,6 +207,31 @@ def _q_kmeans_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(ds))
 
 
+def _q_nn_join(sf_dir: str):
+    """ANN JOIN: every label≥5 vector matched to its nearest label<5
+    exemplar — IVF cells from a right-side sample, left probes nprobe
+    cells, one cell-keyed shuffle, per-cell matmul, grouped top-1
+    merge. Rows-only (approximate); recall@1 gate in pytest."""
+    from pdf_table_extractor_ray.stages.similarity import nn_join
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+
+    def split(pred):
+        def f(b: pa.Table) -> pa.Table:
+            keep = pred(b.column("label"))
+            return b.filter(keep).select(["vec_id", "embedding"])
+
+        return f
+
+    left = emb.map_batches(
+        split(lambda l: pc.greater_equal(l, 5)), batch_format="pyarrow"
+    )
+    right = emb.map_batches(
+        split(lambda l: pc.less(l, 5)), batch_format="pyarrow"
+    )
+    return nn_join(left, right, nprobe=8)
+
+
 def _q_semantic_dedup(sf_dir: str):
     """SemDeDup (Abbas et al. 2023): embedding near-dup removal inside
     k-means clusters — one broadcast-assign pass, one cluster-keyed
@@ -2940,6 +2965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": _q_pii_scrub,
         "kmeans_clusters": _q_kmeans_clusters,
         "semantic_dedup": _q_semantic_dedup,
+        "nn_join": _q_nn_join,
         "long_docs_p95": _q_long_docs_p95,
         "weighted_doc_sample": _q_weighted_doc_sample,
         "pagerank_dups": _q_pagerank_dups,

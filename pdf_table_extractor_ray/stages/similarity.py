@@ -825,3 +825,141 @@ def grouped_centroids(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def nn_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    seed: int = 13,
+) -> "ray.data.Dataset":
+    """Approximate nearest-neighbor JOIN: for EVERY left vector, its
+    max-cosine right vector — the bulk matching step behind
+    exemplar/atlas assignment, retrieval-augmented labeling and
+    cross-corpus alignment, where ``knn_*`` (a handful of queries)
+    doesn't apply because the query side IS a corpus.
+
+    IVF-bucketed: centroids train on a right-side sample and broadcast;
+    the right side lands in its nearest cell, the left side replicates
+    into its ``nprobe`` nearest cells (the recall/cost knob); ONE
+    cell-keyed shuffle co-locates them and each cell runs one
+    (left × right) matmul. Per-cell partial winners are max-merged by
+    a slim (left_id, best) groupby — vectors never shuffle twice.
+    Output: (left_id, nn_id, cos_micro) with cos_micro =
+    ⌊1e6·cosine⌋ (integer: deterministic merge order). Left rows whose
+    probed cells hold no right rows are absent (document: raise
+    ``nprobe`` or ``n_clusters`` sizing).
+
+    Self-match is NOT excluded — pass disjoint sides (or filter
+    ``nn_id != left_id`` downstream with k=2 semantics via two calls).
+    """
+    centroids = train_ivf_centroids(right, vec_col, n_clusters=n_clusters, seed=seed)
+    cent_ref = ray.put(centroids)
+
+    def right_cells(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                    "vec": batch.column(vec_col),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        cell = np.argmax(_normalize(m) @ ray.get(cent_ref).T, axis=1)
+        return pa.table(
+            {
+                "cell": pa.array(cell.astype(np.int64)),
+                "rid": pc.cast(batch.column(right_id), pa.int64()),
+                "vec": batch.column(vec_col),
+                "side": pa.array(np.ones(len(cell), np.int8)),
+            }
+        )
+
+    def left_probe(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "cell": pa.array([], pa.int64()),
+                    "rid": pa.array([], pa.int64()),
+                    "vec": batch.column(vec_col),
+                    "side": pa.array([], pa.int8()),
+                }
+            )
+        sims = _normalize(m) @ ray.get(cent_ref).T
+        cells = np.argsort(-sims, axis=1)[:, :nprobe]
+        n = m.shape[0]
+        rep = np.repeat(np.arange(n), nprobe)
+        vecs = batch.column(vec_col)
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        return pa.table(
+            {
+                "cell": pa.array(cells.ravel().astype(np.int64)),
+                "rid": pc.cast(batch.column(left_id), pa.int64()).take(
+                    pa.array(rep)
+                ),
+                "vec": vecs.take(pa.array(rep)),
+                "side": pa.array(np.zeros(n * nprobe, np.int8)),
+            }
+        )
+
+    tagged = left.map_batches(
+        left_probe, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        right.map_batches(right_cells, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def per_cell(g: pa.Table) -> pa.Table:
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "lid": pa.array([], pa.int64()),
+                "nn_id": pa.array([], pa.int64()),
+                "cos_micro": pa.array([], pa.int64()),
+            }
+        )
+        lmask, rmask = side == 0, side == 1
+        if not lmask.any() or not rmask.any():
+            return empty
+        m = _normalize(_matrix(g.column("vec")))
+        ids = g.column("rid").to_numpy(zero_copy_only=False)
+        sims = m[lmask] @ m[rmask].T
+        best = np.argmax(sims, axis=1)
+        cos = sims[np.arange(sims.shape[0]), best]
+        return pa.table(
+            {
+                "lid": pa.array(ids[lmask], pa.int64()),
+                "nn_id": pa.array(ids[rmask][best], pa.int64()),
+                "cos_micro": pa.array(
+                    np.floor(cos * 1_000_000).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    partials = tagged.groupby("cell").map_groups(per_cell, batch_format="pyarrow")
+
+    # max-merge the ≤ nprobe partial winners per left id: hot-key-safe
+    # grouped top-1 on (cos desc, nn_id asc)
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    best = grouped_top_k(
+        partials, "lid", [("cos_micro", "descending"), ("nn_id", "ascending")], 1
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                left_id: b.column("lid"),
+                "nn_id": b.column("nn_id"),
+                "cos_micro": b.column("cos_micro"),
+            }
+        )
+
+    return best.map_batches(rename, batch_format="pyarrow")

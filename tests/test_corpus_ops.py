@@ -2458,3 +2458,43 @@ def test_grouped_ffill_brute(ray_session):
         7: 9.0, 8: 9.0,
         9: 1.0,
     }
+
+
+def test_nn_join_recall(ray_session):
+    """ANN join: every left vector matched; recall@1 vs brute force
+    ≥ 0.9 at nprobe=8/64 cells; exact on planted identical vectors."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import _normalize, nn_join
+
+    rng = np.random.default_rng(41)
+    R = _normalize(rng.normal(size=(300, 16)))
+    L = _normalize(rng.normal(size=(120, 16)))
+    L[:20] = R[:20]  # planted exact matches
+
+    def tbl(mat, ids):
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [r.astype(np.float32).tolist() for r in mat],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+
+    left = ray.data.from_arrow(tbl(L, list(range(1000, 1120)))).repartition(3)
+    right = ray.data.from_arrow(tbl(R, list(range(300)))).repartition(4)
+    out = {r["vec_id"]: r for r in nn_join(left, right, n_clusters=16, nprobe=8).take_all()}
+    assert len(out) == 120  # every left matched at nprobe=8/16 cells
+
+    Lf = _normalize(np.array([np.asarray(v, np.float32) for v in L], np.float64))
+    Rf = _normalize(np.array([np.asarray(v, np.float32) for v in R], np.float64))
+    truth = np.argmax(Lf @ Rf.T, axis=1)
+    hits = sum(
+        1 for i in range(120) if out[1000 + i]["nn_id"] == int(truth[i])
+    )
+    assert hits >= 108  # recall@1 ≥ 0.9
+    for i in range(20):  # planted exact matches must be found exactly
+        assert out[1000 + i]["nn_id"] == i
+        assert out[1000 + i]["cos_micro"] >= 999_990
