@@ -1272,6 +1272,77 @@ def _q_corpus_prep_v2(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v2(docs))
 
 
+def _q_corpus_prep_v3(sf_dir: str):
+    """Round-4 composite: map-only entropy + compression-ratio
+    repetitiveness gates BEFORE the v2 pipeline's shuffles (Gopher →
+    decontaminate → chunk-dedup); one summary row."""
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_v2_totals,
+        prepare_corpus_v3,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return corpus_v2_totals(prepare_corpus_v3(docs))
+
+
+def _q_revenue_by_price_quartile(sf_dir: str):
+    """Partitioner REUSE: quartile boundaries of o_totalprice (exact
+    radix-selected order statistics) bucket the orders, then revenue
+    aggregates per bucket — the range-partition → aggregate shape a
+    skew-proof range shuffle runs. Integer cents throughout."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_multi
+
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def nvalid(b: pa.Table) -> pa.Table:
+        c = b.column("o_totalprice")
+        return pa.table({"n": pa.array([c.length() - c.null_count], pa.int64())})
+
+    n = int(
+        orders.map_batches(nvalid, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n"))["sum(n)"]
+    )
+    ranks = [max(1, (i * n) // 4) for i in (1, 2, 3)]
+    bounds = np.array(kth_smallest_multi(orders, "o_totalprice", ranks), np.float64)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        v = b.column("o_totalprice")
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        v = v.drop_null()
+        x = v.to_numpy(zero_copy_only=False).astype(np.float64)
+        bk = np.searchsorted(bounds, x, side="right").astype(np.int64)
+        cents = np.floor(x * 100).astype(np.int64)
+        t = pa.table({"bucket": pa.array(bk), "c": pa.array(cents)})
+        g = t.group_by("bucket").aggregate([("c", "sum"), ("c", "count")])
+        return pa.table(
+            {
+                "bucket": g.column("bucket"),
+                "part": pc.cast(g.column("c_sum"), pa.int64()),
+                "n_part": pc.cast(g.column("c_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        orders.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("part"), Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": b.column("bucket"),
+                "revenue_cents": pc.cast(b.column("sum(part)"), pa.int64()),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_order_price_quantiles_by_approx(sf_dir: str):
     """Per-key approximate quantiles (the 'p95 per user' shape):
     keyed two-pass histogram sketch — only (key, bin, cnt) partials
@@ -3003,6 +3074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": _q_dup_clusters,
         "corpus_prep": _q_corpus_prep,
         "corpus_prep_v2": _q_corpus_prep_v2,
+        "corpus_prep_v3": _q_corpus_prep_v3,
+        "revenue_by_price_quartile": _q_revenue_by_price_quartile,
         "top_revenue_orders": _q_top_revenue_orders,
         "profit_by_nation_year": _q_profit_by_nation_year,
         "urgent_customers": _q_urgent_customers,
@@ -3611,6 +3684,26 @@ def oracle_sql() -> dict[str, str]:
             "FROM events e JOIN s USING (event_type) "
             "WHERE e.value IS NOT NULL "
             "GROUP BY e.event_type, s.med, s.m"
+        ),
+        "revenue_by_price_quartile": (
+            "WITH v AS (SELECT o_totalprice AS x FROM orders "
+            "  WHERE o_totalprice IS NOT NULL), "
+            "cnt AS (SELECT count(*) AS n FROM v), "
+            "b1 AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET "
+            "  ((SELECT greatest(1, (n * 1) // 4) FROM cnt) - 1)), "
+            "b2 AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET "
+            "  ((SELECT greatest(1, (n * 2) // 4) FROM cnt) - 1)), "
+            "b3 AS (SELECT x FROM v ORDER BY x LIMIT 1 OFFSET "
+            "  ((SELECT greatest(1, (n * 3) // 4) FROM cnt) - 1)) "
+            "SELECT CAST(("
+            "  CASE WHEN x >= (SELECT x FROM b1) THEN 1 ELSE 0 END + "
+            "  CASE WHEN x >= (SELECT x FROM b2) THEN 1 ELSE 0 END + "
+            "  CASE WHEN x >= (SELECT x FROM b3) THEN 1 ELSE 0 END"
+            ") AS BIGINT) AS bucket, "
+            "CAST(sum(CAST(floor(x * 100) AS BIGINT)) AS BIGINT) "
+            "  AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM v GROUP BY 1"
         ),
         "order_price_range_parts": (
             "WITH v AS (SELECT o_totalprice AS x FROM orders "

@@ -183,3 +183,33 @@ def corpus_v2_totals(prepared: "ray.data.Dataset") -> "ray.data.Dataset":
             }
         ]
     )
+
+
+def prepare_corpus_v3(
+    docs: "ray.data.Dataset",
+    max_entropy_drop_milli: int = 500,
+    max_compression_ratio_milli: int = 200,
+    **v2_kwargs,
+) -> "ray.data.Dataset":
+    """Round-4 composite: the v2 pipeline (Gopher → decontaminate →
+    chunk-dedup) preceded by the two one-number repetitiveness gates —
+    unigram-entropy (milli-nats; near-zero ⇒ one token dominates) and
+    zlib compression ratio (milli; templated filler compresses far
+    below prose). Both gates are map-only, so they run BEFORE any
+    shuffle and cut the dedup's input. Returns v2's
+    (doc_id, text_dedup, n_kept)."""
+    from pdf_table_extractor_ray.stages.textstats import (
+        compression_ratio_batch,
+        token_entropy_batch,
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ent = token_entropy_batch(batch)
+        cr = compression_ratio_batch(batch)
+        e = ent.column("entropy_milli").to_numpy(zero_copy_only=False)
+        r = cr.column("ratio_milli").to_numpy(zero_copy_only=False)
+        keep = (e >= max_entropy_drop_milli) & (r >= max_compression_ratio_milli)
+        return batch.filter(pa.array(keep))
+
+    gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    return prepare_corpus_v2(gated, **v2_kwargs)

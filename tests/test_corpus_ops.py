@@ -2498,3 +2498,22 @@ def test_nn_join_recall(ray_session):
     for i in range(20):  # planted exact matches must be found exactly
         assert out[1000 + i]["nn_id"] == i
         assert out[1000 + i]["cos_micro"] >= 999_990
+
+
+def test_corpus_prep_v3_gates(ray_session):
+    """v3 composite: a degenerate-repetition doc is cut by the new
+    map-only gates while normal docs survive to the v2 stages."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.corpus_prep import prepare_corpus_v3
+
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    normal = [
+        {"doc_id": i, "text": " ".join(rng.choice(words, 60))} for i in range(1, 9)
+    ]
+    degenerate = [{"doc_id": 9, "text": "spam " * 200}]
+    ds = ray.data.from_items(normal + degenerate).repartition(2)
+    kept = {r["doc_id"] for r in prepare_corpus_v3(ds).take_all()}
+    assert 9 not in kept
+    assert len(kept & set(range(1, 9))) >= 6  # normal docs survive
