@@ -2045,6 +2045,20 @@ def _q_jaccard_pairs(sf_dir: str):
     return ngram_jaccard_pairs(sample, width=3, threshold=0.02)
 
 
+def _q_containment_pairs(sf_dir: str):
+    """EXACT n-gram CONTAINMENT pairs (|∩| / min(|A|,|B|)) over the
+    same sample — the asymmetric near-superset detector Jaccard
+    misses (a quote embedded in a longer page scores 1.0). Same
+    inverted-index plan, different edge score."""
+    from pdf_table_extractor_ray.stages.dedup import ngram_jaccard_pairs, sample_by_content_hash
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sample = sample_by_content_hash(docs)
+    return ngram_jaccard_pairs(
+        sample, width=3, threshold=0.05, metric="containment"
+    )
+
+
 _BM25_TERMS = ("hash", "vector", "window")
 
 
@@ -3112,6 +3126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_week_shipments": _q_order_week_shipments,
         "ship_week_pairs": _q_ship_week_pairs,
         "jaccard_pairs": _q_jaccard_pairs,
+        "containment_pairs": _q_containment_pairs,
         "bm25_top10": _q_bm25_top10,
         "user_value_ffill": _q_user_value_ffill,
         "weighted_source_sample": _q_weighted_source_sample,
@@ -3583,6 +3598,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN sizes sa ON sa.doc_id = i.doc_a "
             "JOIN sizes sb ON sb.doc_id = i.doc_b "
             "WHERE CAST(i.c AS DOUBLE)/(sa.n + sb.n - i.c) >= 0.02"
+        ),
+        "containment_pairs": (
+            "WITH sample AS (SELECT doc_id, text FROM documents "
+            "  WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')), "
+            "toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM sample), "
+            "sh AS ("
+            "  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3 "
+            "  UNION "
+            "  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks "
+            "  WHERE len(w) BETWEEN 1 AND 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+            "  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id) "
+            "SELECT i.doc_a, i.doc_b, CAST(i.c AS BIGINT) AS n_common, "
+            "  CAST(i.c AS DOUBLE)/least(sa.n, sb.n) AS containment "
+            "FROM inter i "
+            "JOIN sizes sa ON sa.doc_id = i.doc_a "
+            "JOIN sizes sb ON sb.doc_id = i.doc_b "
+            "WHERE CAST(i.c AS DOUBLE)/least(sa.n, sb.n) >= 0.05"
         ),
         # same float op order as stages/search.py: idf·tf·(k1+1)/(tf+norm)
         # summed in fixed term order; ids/ranks only cross the hash gate

@@ -765,6 +765,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     num_partitions: int = 64,
     max_df: int | None = None,
+    metric: str = "jaccard",
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard near-dup pairs via a distributed inverted
     index (the count-filter half of PPJoin, SIGMOD'08, without the
@@ -879,15 +880,19 @@ def ngram_jaccard_pairs(
         c = b.column("sum(c_partial)").to_numpy(zero_copy_only=False)
         ia = pc.index_in(b.column("doc_a"), value_set=size_keys).to_numpy(zero_copy_only=False)
         ib = pc.index_in(b.column("doc_b"), value_set=size_keys).to_numpy(zero_copy_only=False)
-        denom = size_vals[ia] + size_vals[ib] - c
+        if metric == "containment":
+            denom = np.minimum(size_vals[ia], size_vals[ib])
+        else:
+            denom = size_vals[ia] + size_vals[ib] - c
         j = c.astype(np.float64) / denom  # double/int64 — matches SQL op order
         keep = j >= threshold
+        score_name = "containment" if metric == "containment" else "jaccard"
         return pa.table(
             {
                 "doc_a": b.column("doc_a").filter(pa.array(keep)),
                 "doc_b": b.column("doc_b").filter(pa.array(keep)),
                 "n_common": pa.array(c[keep], pa.int64()),
-                "jaccard": pa.array(j[keep], pa.float64()),
+                score_name: pa.array(j[keep], pa.float64()),
             }
         )
 

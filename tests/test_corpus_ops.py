@@ -2517,3 +2517,23 @@ def test_corpus_prep_v3_gates(ray_session):
     kept = {r["doc_id"] for r in prepare_corpus_v3(ds).take_all()}
     assert 9 not in kept
     assert len(kept & set(range(1, 9))) >= 6  # normal docs survive
+
+
+def test_containment_pairs_superset(ray_session):
+    """Containment: a short doc fully embedded in a long one scores
+    1.0 where Jaccard stays near |A|/|B|."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dedup import ngram_jaccard_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = short + " " + " ".join(f"w{i}" for i in range(60))
+    ds = ray.data.from_items(
+        [{"doc_id": 1, "text": short}, {"doc_id": 2, "text": long}]
+    )
+    cont = ngram_jaccard_pairs(
+        ds, width=3, threshold=0.5, metric="containment"
+    ).take_all()
+    assert len(cont) == 1 and cont[0]["containment"] == 1.0
+    jac = ngram_jaccard_pairs(ds, width=3, threshold=0.5).take_all()
+    assert jac == []  # Jaccard misses the superset pair entirely
