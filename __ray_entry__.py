@@ -2137,6 +2137,54 @@ def _q_token_entropies(sf_dir: str):
     return token_entropies(docs)
 
 
+def _q_user_mode_event(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type (count desc,
+    type asc tiebreak). Per-batch (user, type) pre-count combiner, one
+    slim groupby-Sum, hot-key-safe grouped top-1 — events never
+    shuffle."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def precount(b: pa.Table) -> pa.Table:
+        t = (
+            b.drop_null()
+            .group_by(["user_id", "event_type"])
+            .aggregate([("event_type", "count")])
+        )
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_type": t.column("event_type"),
+                "n_part": pc.cast(t.column("event_type_count"), pa.int64()),
+            }
+        )
+
+    counts = (
+        ev.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "event_type"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id"),
+                "event_type": b.column("event_type"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return grouped_top_k(
+        counts.map_batches(finish, batch_format="pyarrow"),
+        "user_id",
+        [("n", "descending"), ("event_type", "ascending")],
+        1,
+    )
+
+
 def _q_latest_event_per_user(sf_dir: str):
     """LAST_VALUE per key: each user's most recent event (ts desc,
     event_id desc tiebreak) via the hot-key-safe grouped top-k — every
@@ -3132,6 +3180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_source_sample": _q_weighted_source_sample,
         "pii_inventory": _q_pii_inventory,
         "token_entropies": _q_token_entropies,
+        "user_mode_event": _q_user_mode_event,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -3656,6 +3705,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(len(regexp_extract_all(coalesce(text, ''), "
             "'\\b(?:customer|user)\\b'))) AS BIGINT) AS n_hits "
             "FROM documents GROUP BY source"
+        ),
+        "user_mode_event": (
+            "SELECT user_id, event_type, n FROM ("
+            "SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n, "
+            "row_number() OVER (PARTITION BY user_id "
+            "ORDER BY count(*) DESC, event_type) AS rn "
+            "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
+            "GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "latest_event_per_user": (
             "SELECT user_id, event_id, event_type FROM ("
