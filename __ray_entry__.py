@@ -3088,6 +3088,152 @@ def _q_extract_by_strategy(sf_dir: str):
     )
 
 
+def _q_clicks_after_signup(sf_dir: str):
+    """Keyless time-band join: per signup event, how many clicks (any
+    user) land in the following 5 minutes. Reuses the bucketed
+    interval-join engine (stages/intervals.py): signups become
+    [ts, ts+5min) intervals, clicks are points, and
+    ``count_points_per_interval`` counts per bucket with a sorted
+    searchsorted — the qualifying PAIRS are never materialized, only
+    per-bucket partial counts shuffle, and zero-click signups emit 0
+    (LEFT semantics) without a second join."""
+    from pdf_table_extractor_ray.stages.intervals import count_points_per_interval
+
+    window_us = 5 * 60 * 1_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+    def signup_side(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("event_type"), "signup"))
+        s = pc.cast(f.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "event_id": f.column("event_id"),
+                "s": s,
+                "e": pc.add(s, pa.scalar(window_us, pa.int64())),
+            }
+        )
+
+    def click_side(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("event_type"), "click"))
+        return pa.table({"click_ts": pc.cast(f.column("ts"), pa.int64())})
+
+    signups = ev.map_batches(signup_side, batch_format="pyarrow", zero_copy_batch=True)
+    clicks = ev.map_batches(click_side, batch_format="pyarrow", zero_copy_batch=True)
+    return count_points_per_interval(
+        clicks,
+        signups,
+        point_col="click_ts",
+        start_col="s",
+        end_col="e",
+        bucket_width=window_us,
+        interval_keys=("event_id",),
+        out_col="n_clicks",
+    )
+
+
+def _q_value_p90_by_type(sf_dir: str):
+    """EXACT per-type p90 of value — per-key radix bisection
+    (kth_smallest_by): no per-key sort, ≤6 passes over a materialized
+    slim (key, u64) column regardless of key count; DuckDB
+    quantile_disc rank convention (1-based ⌈q·n⌉) in exact integer
+    arithmetic."""
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    t = kth_smallest_by(ds, "event_type", "value", 9, 10)
+    return pa.table({"event_type": t.column("key"), "p90": t.column("kth")})
+
+
+def _add_prefix_md5(b: pa.Table, n_chars: int = 64) -> pa.Table:
+    """(source, text) → (hh, source): md5 of the first ``n_chars``
+    codepoints — the shared-template key (distinct pages from
+    different hosts that open with the same boilerplate collide)."""
+    from pdf_table_extractor_ray.stages.dedup import add_md5_batch
+
+    pfx = pc.utf8_slice_codeunits(b.column("text"), 0, n_chars)
+    t = pa.table({"source": b.column("source"), "pfx": pfx})
+    t = add_md5_batch(t, "pfx")
+    return pa.table({"hh": t.column("content_md5"), "source": t.column("source")})
+
+
+def _q_shared_prefix_sources(sf_dir: str):
+    """Cross-source template detection: per source, how many docs open
+    with a 64-char prefix that also appears in ANOTHER source (shared
+    boilerplate/header across hosts). Plan: slim (hh, source) rows →
+    (hh, source, n) partial groupby → per-hh source-count groupby →
+    semi join s1 against the ns≥2 hh set → per-source Sum. Only
+    hash-sized rows ever shuffle; text stays in the scan batches."""
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    hashed = ds.map_batches(_add_prefix_md5, batch_format="pyarrow", zero_copy_batch=True)
+    s1 = (
+        hashed.groupby(["hh", "source"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "hh": b.column("hh"),
+                    "source": b.column("source"),
+                    "n": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    shared = (
+        s1.groupby("hh")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"hh": b.filter(pc.greater_equal(b.column("count()"), 2)).column("hh")}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = hash_shuffle_join(s1, shared, on="hh", how="left_semi")
+    agg = j.groupby("source").aggregate(Sum("n"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("source"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["source", "n_cross"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_prefix_except(sf_dir: str):
+    """Set EXCEPT as a distributed anti join: distinct 64-char-prefix
+    hashes appearing in source src0 but in NO other source (src0's
+    unique openings). Left side distinct-collapsed first so the anti
+    join ships one row per distinct hash."""
+    from ray.data.aggregate import Count
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    hashed = ds.map_batches(_add_prefix_md5, batch_format="pyarrow", zero_copy_batch=True)
+
+    def left_side(b: pa.Table) -> pa.Table:
+        return pa.table({"hh": b.filter(pc.equal(b.column("source"), "src0")).column("hh")})
+
+    def right_side(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"hh": b.filter(pc.not_equal(b.column("source"), "src0")).column("hh")}
+        )
+
+    left = (
+        hashed.map_batches(left_side, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hh")
+        .aggregate(Count())
+        .map_batches(lambda b: b.select(["hh"]), batch_format="pyarrow")
+    )
+    right = hashed.map_batches(right_side, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_shuffle_join(left, right, on="hh", how="left_anti")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -3181,6 +3327,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_inventory": _q_pii_inventory,
         "token_entropies": _q_token_entropies,
         "user_mode_event": _q_user_mode_event,
+        "clicks_after_signup": _q_clicks_after_signup,
+        "value_p90_by_type": _q_value_p90_by_type,
+        "shared_prefix_sources": _q_shared_prefix_sources,
+        "prefix_except": _q_prefix_except,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -3713,6 +3863,29 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY count(*) DESC, event_type) AS rn "
             "FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL "
             "GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "clicks_after_signup": (
+            "SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_clicks "
+            "FROM events a LEFT JOIN events b ON b.event_type = 'click' "
+            "AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE "
+            "WHERE a.event_type = 'signup' GROUP BY a.event_id"
+        ),
+        "value_p90_by_type": (
+            "SELECT event_type, quantile_disc(value, 0.9) AS p90 FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY event_type"
+        ),
+        "shared_prefix_sources": (
+            "WITH h AS (SELECT source, md5(substr(text, 1, 64)) AS hh FROM documents), "
+            "s1 AS (SELECT hh, source, count(*) AS n FROM h GROUP BY hh, source), "
+            "s2 AS (SELECT hh FROM s1 GROUP BY hh HAVING count(*) >= 2) "
+            "SELECT source, CAST(sum(n) AS BIGINT) AS n_cross "
+            "FROM s1 JOIN s2 USING (hh) GROUP BY source"
+        ),
+        "prefix_except": (
+            "SELECT DISTINCT md5(substr(text, 1, 64)) AS hh FROM documents "
+            "WHERE source = 'src0' "
+            "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
+            "WHERE source <> 'src0'"
         ),
         "latest_event_per_user": (
             "SELECT user_id, event_id, event_type FROM ("

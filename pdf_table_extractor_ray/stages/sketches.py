@@ -970,3 +970,142 @@ def join_overlap_estimate(
             }
         ]
     )
+
+
+def kth_smallest_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    q_num: int,
+    q_den: int,
+    nbins: int = 4096,
+) -> pa.Table:
+    """EXACT per-key discrete quantile (DuckDB ``quantile_disc``
+    parity: the value at 1-based rank ⌈q·n_k⌉ within each key's
+    values) with NO per-key sort and NO full materialization —
+    ``kth_smallest``'s radix bisection run for ALL keys
+    simultaneously.
+
+    q is an exact integer ratio (q_num/q_den) so the rank is computed
+    in integer arithmetic — ``ceil(0.9·n)`` in float drifts off by one
+    when 0.9·n lands on an ulp boundary.
+
+    Per pass: each batch histograms its rows into each key's CURRENT
+    [lo, hi] range (per-key ranges broadcast as one small dict via
+    ``ray.put``), one slim groupby-Sum over (key, bin) moves ≤
+    |keys|·nbins rows, and every key narrows independently; keys
+    whose range collapsed stop contributing. ≤ ⌈64/log2(nbins)⌉ = 6
+    passes total REGARDLESS of key count — the per-key loop is on the
+    driver over |keys| dict entries only, so this requires the
+    bounded-key-domain contract (GROUP BY a type/category column, not
+    an id).
+
+    Nulls in ``col`` or ``key_col`` are excluded (SQL aggregate
+    semantics). NaNs order above +inf (filter upstream if present).
+    Returns a driver-side ``pa.Table`` (key, kth) — one row per key.
+    """
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    if not (0 < q_num <= q_den):
+        raise ValueError(f"kth_smallest_by: need 0 < q_num <= q_den, got {q_num}/{q_den}")
+
+    def to_u(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        v = batch.column(col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        mask = pc.and_(pc.is_valid(k), pc.is_valid(v))
+        k = k.filter(mask)
+        x = v.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"key": k, "u": pa.array(_float64_to_ordered_u64(x), pa.uint64())}
+        )
+
+    us = ds.map_batches(
+        to_u, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # slim (key, u): re-streamed once per bisection pass
+
+    counts = us.groupby("key").aggregate(Count()).take_all()
+    # bounded: one row per key (bounded key domain by contract)
+    state: dict = {}
+    for r in counts:
+        n = int(r["count()"])
+        if n:
+            rank = (q_num * n + q_den - 1) // q_den  # ceil(q·n), exact
+            state[r["key"]] = [0, (1 << 64) - 1, rank]
+
+    while True:
+        active = {k: v for k, v in state.items() if v[0] < v[1]}
+        if not active:
+            break
+        plan = {}
+        for k, (lo, hi, _rank) in active.items():
+            width = hi - lo + 1
+            plan[k] = (lo, hi, (width + nbins - 1) // nbins)
+        plan_ref = ray.put(plan)
+
+        def hist(batch: pa.Table, _plan_ref=plan_ref) -> pa.Table:
+            p = ray.get(_plan_ref)
+            karr = batch.column("key")
+            if isinstance(karr, pa.ChunkedArray):
+                karr = karr.combine_chunks()
+            enc = karr.dictionary_encode()
+            dvals = enc.dictionary.to_pylist()
+            # per-DISTINCT-key lookup (bounded), then fully vectorized
+            act = np.array([d in p for d in dvals], bool)
+            lo_a = np.array([p[d][0] if a else 0 for d, a in zip(dvals, act)], np.uint64)
+            hi_a = np.array([p[d][1] if a else 0 for d, a in zip(dvals, act)], np.uint64)
+            bw_a = np.array([p[d][2] if a else 1 for d, a in zip(dvals, act)], np.uint64)
+            code = enc.indices.to_numpy(zero_copy_only=False)
+            u = batch.column("u").to_numpy(zero_copy_only=False)
+            m = act[code] & (u >= lo_a[code]) & (u <= hi_a[code])
+            cu, cc = u[m], code[m]
+            b = ((cu - lo_a[cc]) // bw_a[cc]).astype(np.int64)
+            comb, cnt = np.unique(cc.astype(np.int64) * nbins + b, return_counts=True)
+            key_out = enc.dictionary.take(pa.array(comb // nbins, pa.int64()))
+            return pa.table(
+                {
+                    "key": key_out,
+                    "bin": pa.array(comb % nbins, pa.int64()),
+                    "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+                }
+            )
+
+        rows = (
+            us.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(["key", "bin"])
+            .aggregate(Sum("n_part"))
+            .take_all()
+        )  # bounded: ≤ |keys|·nbins rows by construction (audit: kth_smallest_by)
+        per_key_counts: dict = {k: np.zeros(nbins, np.int64) for k in active}
+        for r in rows:
+            if r["key"] in per_key_counts:
+                per_key_counts[r["key"]][int(r["bin"])] = int(r["sum(n_part)"])
+        for k, (lo, hi, rank) in active.items():
+            cum = np.cumsum(per_key_counts[k])
+            total = int(cum[-1])
+            if rank > total:
+                raise ValueError(
+                    f"kth_smallest_by: rank {rank} exceeds the {total} "
+                    f"in-range values for key {k!r}"
+                )
+            sel = int(np.searchsorted(cum, rank, side="left"))
+            if sel > 0:
+                rank -= int(cum[sel - 1])
+            binw = plan[k][2]
+            lo = lo + sel * binw
+            hi = min(hi, lo + binw - 1)
+            state[k] = [lo, hi, rank]
+
+    keys = sorted(state)
+    return pa.table(
+        {
+            "key": pa.array(keys),
+            "kth": pa.array(
+                [_ordered_u64_to_float64(state[k][0]) for k in keys], pa.float64()
+            ),
+        }
+    )

@@ -1953,6 +1953,34 @@ def test_kth_smallest_bisection(ray_session):
         kth_smallest(ds, "v", len(vals) + 1)
 
 
+def test_kth_smallest_by_groups(ray_session):
+    """Per-key radix bisection: exact quantile_disc (rank ⌈q·n⌉) per
+    key vs np.sort brute force — skewed group sizes, duplicates,
+    negatives, null keys/values dropped, tiny nbins to force the
+    maximum number of bisection passes."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_by
+
+    rng = np.random.default_rng(23)
+    groups = {
+        "a": rng.normal(scale=1e5, size=700),
+        "b": np.concatenate([-rng.exponential(size=40), np.repeat(1.5, 30)]),
+        "c": np.array([42.0]),
+    }
+    rows = [{"k": g, "v": float(x)} for g, vs in groups.items() for x in vs]
+    rows += [{"k": None, "v": 1.0}, {"k": "a", "v": None}] * 5
+    ds = ray.data.from_items(rows).repartition(5)
+    for q_num, q_den in ((1, 2), (9, 10), (1, 4), (1, 1)):
+        got = kth_smallest_by(ds, "k", "v", q_num, q_den, nbins=16)
+        got_map = dict(zip(got.column("key").to_pylist(), got.column("kth").to_pylist()))
+        for g, vs in groups.items():
+            s = np.sort(vs)
+            rank = -(-q_num * len(vs) // q_den)  # ceil, exact
+            assert got_map[g] == s[rank - 1], (g, q_num, q_den)
+        assert set(got_map) == set(groups)  # null key excluded
+
+
 def test_grouped_centroids_brute(ray_session):
     """Grouped centroid mass: exact integer parity vs numpy brute
     force, null labels dropped, 1-based dims."""
