@@ -3204,6 +3204,19 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Pretraining sequence packing: documents → fixed-capacity
+    (256-token) training bins, shard-parallel greedy (stages/
+    packing.py). Rows-only by nature (packing is an ordered, stateful
+    assignment — not SQL-expressible); reference-semantics parity and
+    invariants (fill ≤ capacity, token conservation, layout
+    invariance) covered in tests/test_packing.py."""
+    from pdf_table_extractor_ray.stages.packing import pack_sequences
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return pack_sequences(ds, capacity=256, n_shards=16)
+
+
 def _q_prefix_except(sf_dir: str):
     """Set EXCEPT as a distributed anti join: distinct 64-char-prefix
     hashes appearing in source src0 but in NO other source (src0's
@@ -3331,6 +3344,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_p90_by_type": _q_value_p90_by_type,
         "shared_prefix_sources": _q_shared_prefix_sources,
         "prefix_except": _q_prefix_except,
+        "pack_sequences": _q_pack_sequences,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
