@@ -54,6 +54,7 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/sketches.py", "partial"): "HLL registers / checksum partials, one small row per block",
     ("pdf_table_extractor_ray/stages/stats.py", "grouped_minmax_normalize"): "one (min, max) row per group, bounded by group count",
     ("pdf_table_extractor_ray/stages/sketches.py", "sorted_value_counts"): "distinct values of a bounded-cardinality column",
+    ("pdf_table_extractor_ray/stages/sketches.py", "to_u"): "kth_smallest_by: one count row per key + ≤ |keys|·nbins histogram rows per pass, bounded key domain",
     ("pdf_table_extractor_ray/pipelines/extract.py", "stats_of"): "per-partition lineage counters",
     ("pdf_table_extractor_ray/pipelines/sinks.py", "__call__"): "workbook partition keys",
 }
