@@ -3204,6 +3204,106 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_bigticket_customer_orders(sf_dir: str):
+    """Selective fact⋈dim join via the Bloom-prefiltered shuffle join:
+    only ~10% of customers qualify (acctbal > 9000), so a Bloom of
+    their keys filters ~90% of the orders probe side BEFORE the
+    all-to-all (joins.bloom_filtered_join — result-identical to the
+    plain hash join by construction, which is the oracle)."""
+    from pdf_table_extractor_ray.stages.joins import bloom_filtered_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(
+        sf_dir,
+        "customer",
+        ["c_custkey", "c_acctbal"],
+        filter=pc.field("c_acctbal") > 9000.0,
+    )
+
+    def prep_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": b.column("o_orderkey"),
+                "o_custkey": b.column("o_custkey"),
+                "price_cents": pa.array(
+                    np.floor(_nn(b.column("o_totalprice")) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    def prep_cust(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "bal_cents": pa.array(
+                    np.floor(_nn(b.column("c_acctbal")) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    return bloom_filtered_join(
+        orders.map_batches(prep_orders, batch_format="pyarrow", zero_copy_batch=True),
+        cust.map_batches(prep_cust, batch_format="pyarrow", zero_copy_batch=True),
+        on="o_custkey",
+        right_on="c_custkey",
+        how="inner",
+    )
+
+
+def _q_user_value_timeweighted(sf_dir: str):
+    """Per-user TIME-WEIGHTED value integral: each valued event's cents
+    weighted by the microseconds until the user's next valued event
+    (the last event carries no weight) — the temporal aggregate behind
+    time-in-state / exposure metrics. Integer-exact (cents × µs sums,
+    ≤2.6e17 per user, no float accumulation) so the result is
+    deterministic across block orders and hash-matches the window-
+    function oracle. One user-BUCKET shuffle; per bucket one lexsort +
+    vectorized diff + np.add.at scatter — no per-user Python."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.is_valid(b.column("value")))
+        uid = f.column("user_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(_nn(f.column("value")) * 100.0).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array((uid % 64).astype(np.int64)),
+                "user_id": pa.array(uid.astype(np.int64)),
+                "ts_us": pc.cast(f.column("ts"), pa.int64()),
+                "event_id": pc.cast(f.column("event_id"), pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    def tw(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(zero_copy_only=False)
+        cents = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        su, st, sc = uid[order], ts[order], cents[order]
+        same = su[1:] == su[:-1]  # consecutive pair within one user
+        w_user = su[:-1][same]
+        contrib = sc[:-1][same] * (st[1:] - st[:-1])[same]
+        users, inv = np.unique(w_user, return_inverse=True)
+        tw_sum = np.zeros(len(users), np.int64)
+        np.add.at(tw_sum, inv, contrib)
+        n_gaps = np.bincount(inv, minlength=len(users)).astype(np.int64)
+        return pa.table(
+            {
+                "user_id": pa.array(users.astype(np.int64)),
+                "tw_cents_us": pa.array(tw_sum),
+                "n_gaps": pa.array(n_gaps),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(tw, batch_format="pyarrow")
+    )
+
+
 def _q_pack_sequences(sf_dir: str):
     """Pretraining sequence packing: documents → fixed-capacity
     (256-token) training bins, shard-parallel greedy (stages/
@@ -3345,6 +3445,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shared_prefix_sources": _q_shared_prefix_sources,
         "prefix_except": _q_prefix_except,
         "pack_sequences": _q_pack_sequences,
+        "user_value_timeweighted": _q_user_value_timeweighted,
+        "bigticket_customer_orders": _q_bigticket_customer_orders,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -3900,6 +4002,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0' "
             "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
             "WHERE source <> 'src0'"
+        ),
+        "bigticket_customer_orders": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents, "
+            "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_acctbal > 9000"
+        ),
+        "user_value_timeweighted": (
+            "WITH v AS (SELECT user_id, ts, "
+            "CAST(floor(value * 100) AS BIGINT) AS cents, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt "
+            "FROM events WHERE value IS NOT NULL) "
+            "SELECT user_id, CAST(sum(cents * (epoch_us(nxt) - epoch_us(ts))) "
+            "AS BIGINT) AS tw_cents_us, CAST(count(*) AS BIGINT) AS n_gaps "
+            "FROM v WHERE nxt IS NOT NULL GROUP BY user_id"
         ),
         "latest_event_per_user": (
             "SELECT user_id, event_id, event_type FROM ("

@@ -313,3 +313,50 @@ def salted_hash_join(
             yield batch.drop_columns(["_salt"])
 
     return joined.map_batches(cleanup, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def bloom_filtered_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: Optional[str] = None,
+    how: str = "inner",
+    m_bits: int = 1 << 20,
+    k: int = 7,
+    num_partitions: Optional[int] = None,
+) -> "ray.data.Dataset":
+    """Hash-shuffle join with a BLOOM PRE-FILTER on the probe side —
+    the standard shuffle-volume cut when the build side is selective
+    but too large (or too hot) to broadcast as an exact key set.
+
+    A Bloom bitmap of the build keys (zero false negatives) is built
+    distributed (per-batch partial bitmaps OR-merged, stages/bloom.py),
+    shipped once via ``ray.put``, and probed map-side BEFORE the
+    all-to-all: left rows that cannot match never enter the shuffle.
+    False positives only re-admit a few rows the join itself then
+    drops, so the result is IDENTICAL to ``hash_shuffle_join`` —
+    which is exactly how it is tested.
+
+    Only ``inner`` and ``left_semi`` are accepted: for left/anti/outer
+    joins the pre-filter would drop rows those semantics must preserve.
+
+    The build side is streamed TWICE (once for the bitmap, once into
+    the join) — pass a cheap re-scan (a filtered parquet read) or a
+    ``materialize()``d dataset. At 10% build selectivity this trades
+    one extra slim scan for ~90% less probe-side shuffle volume."""
+    from pdf_table_extractor_ray.stages.bloom import bloom_build, bloom_contains
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_filtered_join: how={how!r} would drop preserved rows; "
+            "use hash_shuffle_join"
+        )
+    rk = right_on or on
+    bits_ref = ray.put(bloom_build(right, rk, m_bits, k))
+
+    def prefilter(b: pa.Table) -> pa.Table:
+        mask = bloom_contains(b.column(on), ray.get(bits_ref), m_bits, k)
+        return b.filter(pa.array(mask))
+
+    filtered = left.map_batches(prefilter, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_shuffle_join(filtered, right, on, right_on, how, num_partitions)

@@ -2061,6 +2061,55 @@ def test_salted_hash_join_matches_plain(ray_session):
         salted_hash_join(left, right, on="k", right_on="rk", how="full")
 
 
+def test_bloom_filtered_join_matches_plain(ray_session):
+    """Bloom-prefiltered shuffle join equals the plain hash join for
+    inner and left_semi (zero false negatives ⇒ no lost matches;
+    false positives dropped by the join itself), incl. null probe
+    keys and a tiny bitmap that FORCES false positives; preserved-row
+    join types rejected."""
+    import pytest
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import (
+        bloom_filtered_join,
+        hash_shuffle_join,
+    )
+
+    rng = np.random.default_rng(9)
+    keys = rng.integers(0, 200, 600)
+    lk = pa.array(keys, pa.int64()).to_pylist() + [None] * 5
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array(lk, pa.int64()), "v": pa.array(np.arange(len(lk)))})
+    ).repartition(5)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(np.arange(0, 50, dtype=np.int64)),
+                "w": pa.array(np.arange(0, 50, dtype=np.int64) * 7),
+            }
+        )
+    ).repartition(3)
+
+    for how in ("inner", "left_semi"):
+        # m_bits=256: ~50 keys in 256 bits ⇒ false positives guaranteed
+        for m_bits in (1 << 20, 256):
+            plain = sorted(
+                tuple(sorted(r.items())) for r in hash_shuffle_join(
+                    left, right, on="k", right_on="rk", how=how, num_partitions=4
+                ).take_all()
+            )
+            bloomed = sorted(
+                tuple(sorted(r.items())) for r in bloom_filtered_join(
+                    left, right, on="k", right_on="rk", how=how,
+                    m_bits=m_bits, num_partitions=4,
+                ).take_all()
+            )
+            assert bloomed == plain, (how, m_bits)
+
+    with pytest.raises(ValueError, match="preserved"):
+        bloom_filtered_join(left, right, on="k", right_on="rk", how="left")
+
+
 def test_compression_ratios(ray_session):
     """Compression ratio: exact zlib parity, repetitive text scores
     below prose-like text, empty/null in-band -1."""
