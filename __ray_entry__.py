@@ -3204,6 +3204,85 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_dup_triangles(sf_dir: str):
+    """Triangle count of the MinHash near-dup candidate graph — the
+    cluster-cohesion certificate (cliques vs chains; see
+    graph.triangle_count). Rows-only by nature (graph edges come from
+    the LSH stage, not SQL); exact brute-force parity + clique/star
+    sanity in tests/test_graph.py."""
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_table_extractor_ray.stages.graph import triangle_count
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    return triangle_count(minhash_lsh_pairs(docs, emit="pairs"))
+
+
+def _q_orders_quality_audit(sf_dir: str):
+    """Data-quality constraint audit over the orders table — the
+    validation stage every ingest pipeline runs before publishing a
+    snapshot: row count, null-key count, PRIMARY-KEY duplicate mass
+    (rows − distinct keys), FOREIGN-KEY orphans (custkeys absent from
+    customer, exact left-anti shuffle join), and the orderdate range
+    (µs). All components are streaming partials or slim key-only
+    shuffles; output is ONE row of certificates."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey")
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        return pa.table(
+            {
+                "n": pa.array([b.num_rows], pa.int64()),
+                "n_null_custkey": pa.array([ck.null_count], pa.int64()),
+                "dmin": pa.array([pc.min(od).as_py()], pa.int64()),
+                "dmax": pa.array([pc.max(od).as_py()], pa.int64()),
+            }
+        )
+
+    base = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .aggregate(Sum("n"), Sum("n_null_custkey"), Min("dmin"), Max("dmax"))
+    )
+
+    def keys_only(b: pa.Table) -> pa.Table:
+        return b.select(["o_orderkey"])
+
+    n_distinct = (
+        orders.map_batches(keys_only, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderkey")
+        .aggregate(Count())
+        .count()
+    )
+
+    cust = _read(sf_dir, "customer", ["c_custkey"])
+    orphans = hash_shuffle_join(
+        orders.map_batches(
+            lambda b: b.select(["o_custkey"]).drop_null(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        cust,
+        on="o_custkey",
+        right_on="c_custkey",
+        how="left_anti",
+    ).count()
+
+    return pa.table(
+        {
+            "n_rows": pa.array([int(base["sum(n)"])], pa.int64()),
+            "n_null_custkey": pa.array([int(base["sum(n_null_custkey)"])], pa.int64()),
+            "n_dup_orderkeys": pa.array([int(base["sum(n)"]) - int(n_distinct)], pa.int64()),
+            "n_orphan_orders": pa.array([int(orphans)], pa.int64()),
+            "min_orderdate_us": pa.array([int(base["min(dmin)"])], pa.int64()),
+            "max_orderdate_us": pa.array([int(base["max(dmax)"])], pa.int64()),
+        }
+    )
+
+
 def _q_bigticket_customer_orders(sf_dir: str):
     """Selective fact⋈dim join via the Bloom-prefiltered shuffle join:
     only ~10% of customers qualify (acctbal > 9000), so a Bloom of
@@ -3447,6 +3526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
+        "orders_quality_audit": _q_orders_quality_audit,
+        "dup_triangles": _q_dup_triangles,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -4002,6 +4083,16 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0' "
             "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
             "WHERE source <> 'src0'"
+        ),
+        "orders_quality_audit": (
+            "SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(count(*) - count(o_custkey) AS BIGINT) AS n_null_custkey, "
+            "CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_dup_orderkeys, "
+            "CAST((SELECT count(*) FROM orders o WHERE o.o_custkey IS NOT NULL "
+            "AND NOT EXISTS (SELECT 1 FROM customer c "
+            "WHERE c.c_custkey = o.o_custkey)) AS BIGINT) AS n_orphan_orders, "
+            "epoch_us(min(o_orderdate)) AS min_orderdate_us, "
+            "epoch_us(max(o_orderdate)) AS max_orderdate_us FROM orders"
         ),
         "bigticket_customer_orders": (
             "SELECT o_orderkey, o_custkey, "

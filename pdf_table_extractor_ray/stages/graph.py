@@ -41,7 +41,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Sum
+from ray.data.aggregate import Count, Sum
 
 RANK_UNIT = 1_000_000_000  # initial micro-rank per node
 
@@ -140,3 +140,152 @@ def pagerank(
         ),
         batch_format="pyarrow",
     )
+
+
+def triangle_count(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+) -> "ray.data.Dataset":
+    """EXACT triangle count of the undirected pair graph — the cluster
+    cohesion probe (near-dup clusters that are cliques vs chains need
+    different canonicalization budgets).
+
+    The classic degree-ordered wedge plan (node-iterator with the
+    (deg, id) total order): orient every distinct edge from its
+    "smaller" endpoint, enumerate wedges (out-neighbor pairs) at each
+    node, and count wedges whose closing edge exists. Degree ordering
+    bounds every out-degree by O(√m) on ANY graph — the hub-skew
+    guarantee that makes the wedge stage safe at web scale.
+
+    Matching is GROUPBY-ONLY: wedge rows and edge rows union into one
+    slim (lo, hi, is_edge, is_wedge) stream; one keyed groupby sums
+    both indicators and triangles = Σ sum_edge·sum_wedge — no join
+    needed where the join would be pair-keyed anyway. Each triangle is
+    counted exactly once (its ≺-minimum vertex emits the wedge).
+    Self-loops and null endpoints are dropped; parallel edges collapse.
+    Returns a 1-row Dataset (n_triangles)."""
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    def canon(b: pa.Table) -> pa.Table:
+        a = b.column(a_col)
+        c = b.column(b_col)
+        m = pc.and_(pc.is_valid(a), pc.is_valid(c))
+        a = pc.cast(a.filter(m), pa.int64()).to_numpy(zero_copy_only=False)
+        c = pc.cast(c.filter(m), pa.int64()).to_numpy(zero_copy_only=False)
+        keep = a != c
+        a, c = a[keep], c[keep]
+        return pa.table(
+            {"lo": pa.array(np.minimum(a, c)), "hi": pa.array(np.maximum(a, c))}
+        )
+
+    edges = (
+        pairs.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lo", "hi"])
+        .aggregate(Count())
+        .map_batches(lambda b: b.select(["lo", "hi"]), batch_format="pyarrow")
+        .materialize()  # reused: degrees, orientation, closing-edge match
+    )
+
+    def endpoints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        pc.cast(b.column("lo"), pa.int64()).combine_chunks(),
+                        pc.cast(b.column("hi"), pa.int64()).combine_chunks(),
+                    ]
+                )
+            }
+        )
+
+    degrees = (
+        edges.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {"node": b.column("node"), "deg": pc.cast(b.column("count()"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    with_lo = hash_shuffle_join(
+        edges, degrees, on="lo", right_on="node", how="inner"
+    ).map_batches(
+        lambda b: pa.table(
+            {"lo": b.column("lo"), "hi": b.column("hi"), "deg_lo": b.column("deg")}
+        ),
+        batch_format="pyarrow",
+    )
+    with_both = hash_shuffle_join(
+        with_lo, degrees, on="hi", right_on="node", how="inner"
+    )
+
+    def orient(b: pa.Table) -> pa.Table:
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        dl = b.column("deg_lo").to_numpy(zero_copy_only=False)
+        dh = b.column("deg").to_numpy(zero_copy_only=False)
+        # src = endpoint smaller in the (deg, id) total order
+        lo_first = (dl < dh) | ((dl == dh) & (lo < hi))
+        src = np.where(lo_first, lo, hi)
+        dst = np.where(lo_first, hi, lo)
+        return pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
+
+    def wedges(g: pa.Table) -> pa.Table:
+        d = np.sort(g.column("dst").to_numpy(zero_copy_only=False))
+        k = len(d)
+        if k < 2:
+            return pa.table(
+                {
+                    "lo": pa.array([], pa.int64()),
+                    "hi": pa.array([], pa.int64()),
+                    "is_edge": pa.array([], pa.int64()),
+                    "is_wedge": pa.array([], pa.int64()),
+                }
+            )
+        iu, ju = np.triu_indices(k, 1)
+        x, y = d[iu], d[ju]  # sorted ⇒ x < y, already id-canonical
+        one = np.ones(len(x), np.int64)
+        return pa.table(
+            {
+                "lo": pa.array(x),
+                "hi": pa.array(y),
+                "is_edge": pa.array(np.zeros(len(x), np.int64)),
+                "is_wedge": pa.array(one),
+            }
+        )
+
+    wedge_rows = oriented.groupby("src").map_groups(wedges, batch_format="pyarrow")
+    edge_rows = edges.map_batches(
+        lambda b: pa.table(
+            {
+                "lo": b.column("lo"),
+                "hi": b.column("hi"),
+                "is_edge": pa.array(np.ones(b.num_rows, np.int64)),
+                "is_wedge": pa.array(np.zeros(b.num_rows, np.int64)),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    matched = (
+        wedge_rows.union(edge_rows)
+        .groupby(["lo", "hi"])
+        .aggregate(Sum("is_edge"), Sum("is_wedge"))
+    )
+
+    def tri_partial(b: pa.Table) -> pa.Table:
+        e = pc.cast(b.column("sum(is_edge)"), pa.int64()).to_numpy(zero_copy_only=False)
+        w = pc.cast(b.column("sum(is_wedge)"), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"t": pa.array([int((e * w).sum())], pa.int64())})
+
+    total = matched.map_batches(
+        tri_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("t"))
+    n = 0 if total is None else int(total["sum(t)"] or 0)
+    return ray.data.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))

@@ -3,6 +3,8 @@ invariance, mass conservation."""
 
 from __future__ import annotations
 
+import itertools
+
 import numpy as np
 import pyarrow as pa
 
@@ -58,3 +60,63 @@ def test_pagerank_matches_float_reference_and_is_layout_invariant(ray_session):
     n_nodes = len(want)
     assert n_nodes * RANK_UNIT - total <= 2 * len(edges) * 2 * 10
     assert total <= n_nodes * RANK_UNIT
+
+
+def _brute_triangles(edge_set):
+    nodes = sorted({n for e in edge_set for n in e})
+    return sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in edge_set and (a, c) in edge_set and (b, c) in edge_set
+    )
+
+
+def test_triangle_count_brute_force(ray_session):
+    """Degree-ordered wedge counting vs itertools brute force on a
+    random graph; parallel edges, reversed duplicates and self-loops
+    collapse; clique and star sanity values."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(17)
+    n = 40
+    edges = set()
+    for _ in range(160):
+        a, b = int(rng.integers(0, n)), int(rng.integers(0, n))
+        if a != b:
+            edges.add((min(a, b), max(a, b)))
+    rows_a, rows_b = [], []
+    for a, b in edges:
+        rows_a.append(a), rows_b.append(b)
+        rows_a.append(b), rows_b.append(a)  # reversed duplicate
+    rows_a += [5, 7]  # self-loops: must be ignored
+    rows_b += [5, 7]
+    ds = ray.data.from_arrow(
+        pa.table({"doc_a": pa.array(rows_a, pa.int64()), "doc_b": pa.array(rows_b, pa.int64())})
+    ).repartition(4)
+    got = triangle_count(ds).take_all()[0]["n_triangles"]
+    assert got == _brute_triangles(edges)
+
+    # K5 clique → C(5,3) = 10 triangles
+    k5 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    ds5 = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([e[0] for e in k5], pa.int64()),
+                "doc_b": pa.array([e[1] for e in k5], pa.int64()),
+            }
+        )
+    )
+    assert triangle_count(ds5).take_all()[0]["n_triangles"] == 10
+
+    # star graph → 0 triangles
+    star = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([0] * 6, pa.int64()),
+                "doc_b": pa.array(list(range(1, 7)), pa.int64()),
+            }
+        )
+    )
+    assert triangle_count(star).take_all()[0]["n_triangles"] == 0
