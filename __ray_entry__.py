@@ -3204,6 +3204,128 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_value_winsorized_sums(sf_dir: str):
+    """Per-type WINSORIZED integer-cents sum: values clipped at the
+    key's exact [p10, p90] (quantile_disc semantics) before summing —
+    the robust-rollup recipe. BOTH bounds come from ONE
+    kth_smallest_by_multi call (shared slim-column materialization,
+    shared ≤6 bisection passes), then a map-only clip + integer
+    partial sum; no re-shuffle of the data to apply the bounds (they
+    broadcast via ray.put)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_by_multi
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    qt = kth_smallest_by_multi(ds, "event_type", "value", [(1, 10), (9, 10)])
+    bounds: dict = {}
+    for k, qn, v in zip(
+        qt.column("key").to_pylist(),
+        qt.column("q_num").to_pylist(),
+        qt.column("kth").to_pylist(),
+    ):
+        lo, hi = bounds.get(k, (None, None))
+        bounds[k] = (v, hi) if qn == 1 else (lo, v)
+    b_ref = _ray.put(bounds)
+
+    def partial(b: pa.Table) -> pa.Table:
+        bd = _ray.get(b_ref)
+        m = pc.and_(pc.is_valid(b.column("event_type")), pc.is_valid(b.column("value")))
+        f = b.filter(m)
+        keys = f.column("event_type")
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        enc = keys.dictionary_encode()
+        dvals = enc.dictionary.to_pylist()
+        lo_a = np.array([bd[d][0] for d in dvals], np.float64)
+        hi_a = np.array([bd[d][1] for d in dvals], np.float64)
+        code = enc.indices.to_numpy(zero_copy_only=False)
+        v = _nn(f.column("value"))
+        clipped = np.clip(v, lo_a[code], hi_a[code])
+        cents = np.floor(clipped * 100.0).astype(np.int64)
+        sums = np.zeros(len(dvals), np.int64)
+        np.add.at(sums, code, cents)
+        n = np.bincount(code, minlength=len(dvals)).astype(np.int64)
+        return pa.table(
+            {
+                "event_type": enc.dictionary,
+                "wsum_cents": pa.array(sums),
+                "n": pa.array(n),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("wsum_cents"), Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("event_type"),
+                pc.cast(b.column("sum(wsum_cents)"), pa.int64()),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+            ],
+            names=["event_type", "wsum_cents", "n"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_customer_activity_cogroup(sf_dir: str):
+    """COGROUP two fact tables on one key WITHOUT a join: per id, the
+    order count (orders.o_custkey) and event count (events.user_id)
+    with FULL OUTER semantics — ids on either side appear, absent
+    sides read 0. Plan: each side pre-counts per key inside its own
+    map_batches (combiner), the tagged slim partials union, and ONE
+    groupby sums both indicator columns — the sentinel-rows discipline
+    (no join, no null-fill pass)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    events = _read(sf_dir, "events", ["user_id"])
+
+    def count_side(col: str, out: str):
+        def f(b: pa.Table) -> pa.Table:
+            v = b.column(col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            ids, cnt = np.unique(
+                v.drop_null().to_numpy(zero_copy_only=False), return_counts=True
+            )
+            zero = np.zeros(len(ids), np.int64)
+            return pa.table(
+                {
+                    "id": pa.array(ids.astype(np.int64)),
+                    "n_orders": pa.array(cnt.astype(np.int64) if out == "n_orders" else zero),
+                    "n_events": pa.array(cnt.astype(np.int64) if out == "n_events" else zero),
+                }
+            )
+
+        return f
+
+    tagged = orders.map_batches(
+        count_side("o_custkey", "n_orders"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        events.map_batches(
+            count_side("user_id", "n_events"), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    agg = tagged.groupby("id").aggregate(Sum("n_orders"), Sum("n_events"))
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("id"),
+                pc.cast(b.column("sum(n_orders)"), pa.int64()),
+                pc.cast(b.column("sum(n_events)"), pa.int64()),
+            ],
+            names=["id", "n_orders", "n_events"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_dup_triangles(sf_dir: str):
     """Triangle count of the MinHash near-dup candidate graph — the
     cluster-cohesion certificate (cliques vs chains; see
@@ -3528,6 +3650,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigticket_customer_orders": _q_bigticket_customer_orders,
         "orders_quality_audit": _q_orders_quality_audit,
         "dup_triangles": _q_dup_triangles,
+        "customer_activity_cogroup": _q_customer_activity_cogroup,
+        "value_winsorized_sums": _q_value_winsorized_sums,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -4083,6 +4207,26 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0' "
             "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
             "WHERE source <> 'src0'"
+        ),
+        "customer_activity_cogroup": (
+            "SELECT coalesce(o.id, e.id) AS id, "
+            "CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders, "
+            "CAST(coalesce(n_events, 0) AS BIGINT) AS n_events FROM "
+            "(SELECT o_custkey AS id, count(*) AS n_orders FROM orders "
+            "WHERE o_custkey IS NOT NULL GROUP BY 1) o "
+            "FULL JOIN (SELECT user_id AS id, count(*) AS n_events FROM events "
+            "WHERE user_id IS NOT NULL GROUP BY 1) e USING (id)"
+        ),
+        "value_winsorized_sums": (
+            "WITH b AS (SELECT event_type, quantile_disc(value, 0.1) AS lo, "
+            "quantile_disc(value, 0.9) AS hi FROM events "
+            "WHERE value IS NOT NULL AND event_type IS NOT NULL GROUP BY event_type) "
+            "SELECT e.event_type, "
+            "CAST(sum(CAST(floor(least(greatest(e.value, b.lo), b.hi) * 100) "
+            "AS BIGINT)) AS BIGINT) AS wsum_cents, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM events e JOIN b USING (event_type) "
+            "WHERE e.value IS NOT NULL GROUP BY e.event_type"
         ),
         "orders_quality_audit": (
             "SELECT CAST(count(*) AS BIGINT) AS n_rows, "

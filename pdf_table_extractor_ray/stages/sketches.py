@@ -982,33 +982,53 @@ def kth_smallest_by(
 ) -> pa.Table:
     """EXACT per-key discrete quantile (DuckDB ``quantile_disc``
     parity: the value at 1-based rank ⌈q·n_k⌉ within each key's
-    values) with NO per-key sort and NO full materialization —
-    ``kth_smallest``'s radix bisection run for ALL keys
-    simultaneously.
+    values). One-ratio convenience wrapper over
+    ``kth_smallest_by_multi`` — see it for the algorithm and
+    contracts. Returns a driver-side ``pa.Table`` (key, kth)."""
+    t = kth_smallest_by_multi(ds, key_col, col, [(q_num, q_den)], nbins)
+    return pa.table({"key": t.column("key"), "kth": t.column("kth")})
 
-    q is an exact integer ratio (q_num/q_den) so the rank is computed
-    in integer arithmetic — ``ceil(0.9·n)`` in float drifts off by one
+
+def kth_smallest_by_multi(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    ratios,
+    nbins: int = 4096,
+) -> pa.Table:
+    """EXACT per-key discrete quantiles for SEVERAL q ratios at once
+    (DuckDB ``quantile_disc`` parity: value at 1-based rank ⌈q·n_k⌉
+    per key) with NO per-key sort and NO full materialization —
+    ``kth_smallest``'s radix bisection run for ALL (key, q) states
+    simultaneously over ONE materialized slim column.
+
+    Each q is an exact integer ratio (q_num, q_den) so ranks come from
+    integer arithmetic — ``ceil(0.9·n)`` in float drifts off by one
     when 0.9·n lands on an ulp boundary.
 
-    Per pass: each batch histograms its rows into each key's CURRENT
-    [lo, hi] range (per-key ranges broadcast as one small dict via
-    ``ray.put``), one slim groupby-Sum over (key, bin) moves ≤
-    |keys|·nbins rows, and every key narrows independently; keys
-    whose range collapsed stop contributing. ≤ ⌈64/log2(nbins)⌉ = 6
-    passes total REGARDLESS of key count — the per-key loop is on the
-    driver over |keys| dict entries only, so this requires the
-    bounded-key-domain contract (GROUP BY a type/category column, not
-    an id).
+    Per pass: each batch histograms its rows into every ACTIVE
+    (key, q) state's current [lo, hi] range (states broadcast as one
+    small dict via ``ray.put``; a row falling in two states' ranges is
+    binned into both), one slim groupby-Sum over (key, q, bin) moves ≤
+    |keys|·|qs|·nbins rows, and every state narrows independently. ≤
+    ⌈64/log2(nbins)⌉ = 6 passes total REGARDLESS of key or q count —
+    the per-state loop is on the driver over |keys|·|qs| dict entries
+    only, so this requires the bounded-key-domain contract (GROUP BY a
+    type/category column, not an id).
 
     Nulls in ``col`` or ``key_col`` are excluded (SQL aggregate
     semantics). NaNs order above +inf (filter upstream if present).
-    Returns a driver-side ``pa.Table`` (key, kth) — one row per key.
-    """
+    Returns a driver-side ``pa.Table`` (key, q_num, q_den, kth) —
+    one row per key per ratio."""
     import ray
     from ray.data.aggregate import Count, Sum
 
-    if not (0 < q_num <= q_den):
-        raise ValueError(f"kth_smallest_by: need 0 < q_num <= q_den, got {q_num}/{q_den}")
+    ratios = list(ratios)
+    for q_num, q_den in ratios:
+        if not (0 < q_num <= q_den):
+            raise ValueError(
+                f"kth_smallest_by_multi: need 0 < q_num <= q_den, got {q_num}/{q_den}"
+            )
 
     def to_u(batch: pa.Table) -> pa.Table:
         k = batch.column(key_col)
@@ -1030,21 +1050,23 @@ def kth_smallest_by(
 
     counts = us.groupby("key").aggregate(Count()).take_all()
     # bounded: one row per key (bounded key domain by contract)
-    state: dict = {}
+    state: dict = {}  # (key, q_idx) -> [lo, hi, rank]
     for r in counts:
         n = int(r["count()"])
         if n:
-            rank = (q_num * n + q_den - 1) // q_den  # ceil(q·n), exact
-            state[r["key"]] = [0, (1 << 64) - 1, rank]
+            for qi, (q_num, q_den) in enumerate(ratios):
+                rank = (q_num * n + q_den - 1) // q_den  # ceil(q·n), exact
+                state[(r["key"], qi)] = [0, (1 << 64) - 1, rank]
 
+    nq = len(ratios)
     while True:
-        active = {k: v for k, v in state.items() if v[0] < v[1]}
+        active = {s: v for s, v in state.items() if v[0] < v[1]}
         if not active:
             break
-        plan = {}
-        for k, (lo, hi, _rank) in active.items():
+        plan = {}  # key -> list of (q_idx, lo, hi, binw)
+        for (k, qi), (lo, hi, _rank) in active.items():
             width = hi - lo + 1
-            plan[k] = (lo, hi, (width + nbins - 1) // nbins)
+            plan.setdefault(k, []).append((qi, lo, hi, (width + nbins - 1) // nbins))
         plan_ref = ray.put(plan)
 
         def hist(batch: pa.Table, _plan_ref=plan_ref) -> pa.Table:
@@ -1054,58 +1076,100 @@ def kth_smallest_by(
                 karr = karr.combine_chunks()
             enc = karr.dictionary_encode()
             dvals = enc.dictionary.to_pylist()
-            # per-DISTINCT-key lookup (bounded), then fully vectorized
-            act = np.array([d in p for d in dvals], bool)
-            lo_a = np.array([p[d][0] if a else 0 for d, a in zip(dvals, act)], np.uint64)
-            hi_a = np.array([p[d][1] if a else 0 for d, a in zip(dvals, act)], np.uint64)
-            bw_a = np.array([p[d][2] if a else 1 for d, a in zip(dvals, act)], np.uint64)
             code = enc.indices.to_numpy(zero_copy_only=False)
             u = batch.column("u").to_numpy(zero_copy_only=False)
-            m = act[code] & (u >= lo_a[code]) & (u <= hi_a[code])
-            cu, cc = u[m], code[m]
-            b = ((cu - lo_a[cc]) // bw_a[cc]).astype(np.int64)
-            comb, cnt = np.unique(cc.astype(np.int64) * nbins + b, return_counts=True)
-            key_out = enc.dictionary.take(pa.array(comb // nbins, pa.int64()))
-            return pa.table(
-                {
-                    "key": key_out,
-                    "bin": pa.array(comb % nbins, pa.int64()),
-                    "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
-                }
-            )
+            outs = []
+            for qi in range(nq):
+                # per-DISTINCT-key lookup (bounded), then vectorized
+                st = {d: None for d in dvals}
+                for d in dvals:
+                    for (qj, lo, hi, bw) in p.get(d, ()):
+                        if qj == qi:
+                            st[d] = (lo, hi, bw)
+                act = np.array([st[d] is not None for d in dvals], bool)
+                if not act.any():
+                    continue
+                lo_a = np.array(
+                    [st[d][0] if st[d] else 0 for d in dvals], np.uint64
+                )
+                hi_a = np.array(
+                    [st[d][1] if st[d] else 0 for d in dvals], np.uint64
+                )
+                bw_a = np.array(
+                    [st[d][2] if st[d] else 1 for d in dvals], np.uint64
+                )
+                m = act[code] & (u >= lo_a[code]) & (u <= hi_a[code])
+                cu, cc = u[m], code[m]
+                b = ((cu - lo_a[cc]) // bw_a[cc]).astype(np.int64)
+                comb, cnt = np.unique(
+                    cc.astype(np.int64) * nbins + b, return_counts=True
+                )
+                outs.append(
+                    pa.table(
+                        {
+                            "key": enc.dictionary.take(
+                                pa.array(comb // nbins, pa.int64())
+                            ),
+                            "qi": pa.array(
+                                np.full(len(comb), qi, np.int64), pa.int64()
+                            ),
+                            "bin": pa.array(comb % nbins, pa.int64()),
+                            "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+                        }
+                    )
+                )
+            if not outs:
+                return pa.table(
+                    {
+                        "key": enc.dictionary.take(pa.array([], pa.int64())),
+                        "qi": pa.array([], pa.int64()),
+                        "bin": pa.array([], pa.int64()),
+                        "n_part": pa.array([], pa.int64()),
+                    }
+                )
+            return pa.concat_tables(outs)
 
         rows = (
             us.map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby(["key", "bin"])
+            .groupby(["key", "qi", "bin"])
             .aggregate(Sum("n_part"))
             .take_all()
-        )  # bounded: ≤ |keys|·nbins rows by construction (audit: kth_smallest_by)
-        per_key_counts: dict = {k: np.zeros(nbins, np.int64) for k in active}
+        )  # bounded: ≤ |keys|·|qs|·nbins rows by construction (audit: kth_smallest_by_multi)
+        per_state_counts: dict = {s: np.zeros(nbins, np.int64) for s in active}
         for r in rows:
-            if r["key"] in per_key_counts:
-                per_key_counts[r["key"]][int(r["bin"])] = int(r["sum(n_part)"])
-        for k, (lo, hi, rank) in active.items():
-            cum = np.cumsum(per_key_counts[k])
+            s = (r["key"], int(r["qi"]))
+            if s in per_state_counts:
+                per_state_counts[s][int(r["bin"])] = int(r["sum(n_part)"])
+        for (k, qi), (lo, hi, rank) in active.items():
+            cum = np.cumsum(per_state_counts[(k, qi)])
             total = int(cum[-1])
             if rank > total:
                 raise ValueError(
-                    f"kth_smallest_by: rank {rank} exceeds the {total} "
-                    f"in-range values for key {k!r}"
+                    f"kth_smallest_by_multi: rank {rank} exceeds the {total} "
+                    f"in-range values for key {k!r} (q index {qi})"
                 )
             sel = int(np.searchsorted(cum, rank, side="left"))
             if sel > 0:
                 rank -= int(cum[sel - 1])
-            binw = plan[k][2]
+            binw = next(
+                bw for (qj, plo, phi, bw) in plan[k] if qj == qi
+            )
             lo = lo + sel * binw
             hi = min(hi, lo + binw - 1)
-            state[k] = [lo, hi, rank]
+            state[(k, qi)] = [lo, hi, rank]
 
-    keys = sorted(state)
+    out_keys, out_qn, out_qd, out_v = [], [], [], []
+    for k in sorted({k for (k, _qi) in state}):
+        for qi, (q_num, q_den) in enumerate(ratios):
+            out_keys.append(k)
+            out_qn.append(q_num)
+            out_qd.append(q_den)
+            out_v.append(_ordered_u64_to_float64(state[(k, qi)][0]))
     return pa.table(
         {
-            "key": pa.array(keys),
-            "kth": pa.array(
-                [_ordered_u64_to_float64(state[k][0]) for k in keys], pa.float64()
-            ),
+            "key": pa.array(out_keys),
+            "q_num": pa.array(out_qn, pa.int64()),
+            "q_den": pa.array(out_qd, pa.int64()),
+            "kth": pa.array(out_v, pa.float64()),
         }
     )

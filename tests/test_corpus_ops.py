@@ -1980,6 +1980,27 @@ def test_kth_smallest_by_groups(ray_session):
             assert got_map[g] == s[rank - 1], (g, q_num, q_den)
         assert set(got_map) == set(groups)  # null key excluded
 
+    # multi-ratio: all (key, q) states bisect in the SAME shared passes
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_by_multi
+
+    ratios = [(1, 10), (1, 2), (9, 10)]
+    multi = kth_smallest_by_multi(ds, "k", "v", ratios, nbins=16)
+    got_multi = {
+        (k, qn, qd): v
+        for k, qn, qd, v in zip(
+            multi.column("key").to_pylist(),
+            multi.column("q_num").to_pylist(),
+            multi.column("q_den").to_pylist(),
+            multi.column("kth").to_pylist(),
+        )
+    }
+    assert len(got_multi) == len(groups) * len(ratios)
+    for g, vs in groups.items():
+        s = np.sort(vs)
+        for q_num, q_den in ratios:
+            rank = -(-q_num * len(vs) // q_den)
+            assert got_multi[(g, q_num, q_den)] == s[rank - 1], (g, q_num, q_den)
+
 
 def test_grouped_centroids_brute(ray_session):
     """Grouped centroid mass: exact integer parity vs numpy brute
