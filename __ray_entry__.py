@@ -3204,6 +3204,100 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_revenue_share_by_nation(sf_dir: str):
+    """Percent-of-total: each nation's revenue share in MICRO units via
+    integer floor division — no float accumulation, so the shares
+    hash-match the window-function oracle exactly. Probe side (orders)
+    streams against a broadcast customer→nation map; the per-nation
+    rollup is bounded (|nations|) so the share normalization runs on
+    the driver in arbitrary-precision Python ints (cents × 10^6
+    overflows int64 — numpy would wrap silently)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": b.column("o_custkey"),
+                "cents": pa.array(
+                    np.floor(_nn(b.column("o_totalprice")) * 100.0).astype(np.int64)
+                ),
+            }
+        )
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nations = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    joined = broadcast_join(
+        orders.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True),
+        cust,
+        key="o_custkey",
+        build_key="c_custkey",
+    )
+    named = broadcast_join(
+        joined, nations, key="c_nationkey", build_key="n_nationkey"
+    )
+    rows = (
+        named.groupby("n_name").aggregate(Sum("cents")).take_all()
+    )  # bounded: one row per nation
+    names = sorted(r["n_name"] for r in rows)
+    rev = {r["n_name"]: int(r["sum(cents)"]) for r in rows}
+    total = sum(rev.values())
+    return pa.table(
+        {
+            "n_name": pa.array(names),
+            "rev_cents": pa.array([rev[n] for n in names], pa.int64()),
+            "share_micro": pa.array(
+                [(rev[n] * 1_000_000) // total for n in names], pa.int64()
+            ),
+        }
+    )
+
+
+def _q_revenue_mom(sf_dir: str):
+    """Month-over-month revenue deltas: per-month integer-cents rollup
+    (the shuffle is one slim (month, cents) partial per block), then
+    the LAG diff over the BOUNDED month axis on the driver — the
+    aggregated-time-series window shape. First month's delta is NULL
+    (SQL lag semantics)."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        month_us = (
+            ts.astype("datetime64[us]").astype("datetime64[M]").astype("datetime64[us]")
+        ).astype(np.int64)
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100.0).astype(np.int64)
+        months, inv = np.unique(month_us, return_inverse=True)
+        sums = np.zeros(len(months), np.int64)
+        np.add.at(sums, inv, cents)
+        return pa.table(
+            {"month_us": pa.array(months), "cents": pa.array(sums)}
+        )
+
+    rows = (
+        orders.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month_us")
+        .aggregate(Sum("cents"))
+        .take_all()
+    )  # bounded: one row per calendar month
+    rows.sort(key=lambda r: int(r["month_us"]))
+    months = [int(r["month_us"]) for r in rows]
+    rev = [int(r["sum(cents)"]) for r in rows]
+    delta = [None] + [rev[i] - rev[i - 1] for i in range(1, len(rev))]
+    return pa.table(
+        {
+            "month_us": pa.array(months, pa.int64()),
+            "rev_cents": pa.array(rev, pa.int64()),
+            "delta_cents": pa.array(delta, pa.int64()),
+        }
+    )
+
+
 def _q_value_winsorized_sums(sf_dir: str):
     """Per-type WINSORIZED integer-cents sum: values clipped at the
     key's exact [p10, p90] (quantile_disc semantics) before summing —
@@ -3652,6 +3746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_triangles": _q_dup_triangles,
         "customer_activity_cogroup": _q_customer_activity_cogroup,
         "value_winsorized_sums": _q_value_winsorized_sums,
+        "revenue_share_by_nation": _q_revenue_share_by_nation,
+        "revenue_mom": _q_revenue_mom,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -4207,6 +4303,22 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0' "
             "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
             "WHERE source <> 'src0'"
+        ),
+        "revenue_share_by_nation": (
+            "WITH r AS (SELECT n_name, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name) "
+            "SELECT n_name, rev_cents, "
+            "CAST((rev_cents * 1000000) // (SELECT sum(rev_cents) FROM r) "
+            "AS BIGINT) AS share_micro FROM r"
+        ),
+        "revenue_mom": (
+            "WITH m AS (SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
+            "FROM orders GROUP BY 1) "
+            "SELECT month_us, rev_cents, "
+            "rev_cents - lag(rev_cents) OVER (ORDER BY month_us) AS delta_cents FROM m"
         ),
         "customer_activity_cogroup": (
             "SELECT coalesce(o.id, e.id) AS id, "

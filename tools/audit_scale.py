@@ -38,6 +38,8 @@ TAKE_ALL_ALLOWLIST = {
     ("__ray_entry__.py", "partial_min"): "pruned partial-min scan for query vectors",
     ("__ray_entry__.py", "pick"): "k query vectors, bounded by k",
     ("__ray_entry__.py", "_q_embedding_dups"): "planted-pair result, bounded by pair count",
+    ("__ray_entry__.py", "prep"): "revenue_share_by_nation: one row per nation, bounded; shares need Python-int precision",
+    ("__ray_entry__.py", "partial"): "revenue_mom: one row per calendar month, bounded time axis",
     ("pdf_table_extractor_ray/stages/bloom.py", "partial"): "one m/8-byte bitmap per block",
     ("pdf_table_extractor_ray/stages/dedup.py", "drop_by_ids"): "drop set, bounded by dup count",
     ("pdf_table_extractor_ray/stages/dedup.py", "pick"): "adaptive filter probe, bounded",
