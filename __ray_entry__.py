@@ -3204,6 +3204,41 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_dataset_split_counts(sf_dir: str):
+    """Deterministic train/val/test assignment — the split every
+    training corpus needs: md5(text) first TWO hex chars give 256
+    content-hash buckets; <0xfa → train (250/256 ≈ 97.7%), <0xfd →
+    val (3/256), rest → test. Stable across runs, cluster sizes and
+    row order, and duplicate content always lands in ONE split (no
+    train/test leakage through clones — the property random splits
+    lose). Map-only + one tiny (source, split) groupby."""
+    from ray.data.aggregate import Count
+
+    from pdf_table_extractor_ray.stages.dedup import add_md5_batch
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def assign(b: pa.Table) -> pa.Table:
+        h = add_md5_batch(b, "text").column("content_md5")
+        b2 = pc.utf8_slice_codeunits(h, 0, 2)
+        arr = np.asarray(b2.to_pandas() if isinstance(b2, pa.ChunkedArray) else b2.to_pandas())
+        split = np.where(arr < "fa", "train", np.where(arr < "fd", "val", "test"))
+        return pa.table({"source": b.column("source"), "split": pa.array(split)})
+
+    agg = (
+        ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "split"])
+        .aggregate(Count())
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("source"), b.column("split"), pc.cast(b.column("count()"), pa.int64())],
+            names=["source", "split", "n"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_revenue_share_by_nation(sf_dir: str):
     """Percent-of-total: each nation's revenue share in MICRO units via
     integer floor division — no float accumulation, so the shares
@@ -3748,6 +3783,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_winsorized_sums": _q_value_winsorized_sums,
         "revenue_share_by_nation": _q_revenue_share_by_nation,
         "revenue_mom": _q_revenue_mom,
+        "dataset_split_counts": _q_dataset_split_counts,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
@@ -4303,6 +4339,11 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0' "
             "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
             "WHERE source <> 'src0'"
+        ),
+        "dataset_split_counts": (
+            "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "
+            "WHEN substr(md5(text), 1, 2) < 'fd' THEN 'val' ELSE 'test' END AS split, "
+            "CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1, 2"
         ),
         "revenue_share_by_nation": (
             "WITH r AS (SELECT n_name, "
