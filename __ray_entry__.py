@@ -3204,6 +3204,20 @@ def _q_shared_prefix_sources(sf_dir: str):
     )
 
 
+def _q_orders_zorder_parts(sf_dir: str):
+    """Z-order (Morton) layout certificate over orders on
+    (o_custkey, o_orderdate): per equal key-range partition, row count
+    and how many distinct cells of EACH dimension it touches — the
+    Delta/Iceberg OPTIMIZE ZORDER BY shape; low spans in both
+    dimensions mean filters on either column prune partitions.
+    Rows-only (the curve is a layout policy, not SQL); bit-exact
+    reference parity + locality invariants in tests/test_zorder.py."""
+    from pdf_table_extractor_ray.stages.zorder import zorder_partition_stats
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+    return zorder_partition_stats(orders, "o_custkey", "o_orderdate", nbits=8, n_parts=16)
+
+
 def _q_dataset_split_counts(sf_dir: str):
     """Deterministic train/val/test assignment — the split every
     training corpus needs: md5(text) first TWO hex chars give 256
@@ -3221,9 +3235,15 @@ def _q_dataset_split_counts(sf_dir: str):
     def assign(b: pa.Table) -> pa.Table:
         h = add_md5_batch(b, "text").column("content_md5")
         b2 = pc.utf8_slice_codeunits(h, 0, 2)
-        arr = np.asarray(b2.to_pandas() if isinstance(b2, pa.ChunkedArray) else b2.to_pandas())
-        split = np.where(arr < "fa", "train", np.where(arr < "fd", "val", "test"))
-        return pa.table({"source": b.column("source"), "split": pa.array(split)})
+        if isinstance(b2, pa.ChunkedArray):
+            b2 = b2.combine_chunks()
+        # fixed-width lowercase hex ⇒ lexicographic == numeric bucket order
+        is_train = pc.less(b2, pa.scalar("fa"))
+        is_val = pc.and_(pc.invert(is_train), pc.less(b2, pa.scalar("fd")))
+        split = pc.if_else(
+            is_train, pa.scalar("train"), pc.if_else(is_val, pa.scalar("val"), pa.scalar("test"))
+        )
+        return pa.table({"source": b.column("source"), "split": split})
 
     agg = (
         ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
@@ -3784,6 +3804,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_share_by_nation": _q_revenue_share_by_nation,
         "revenue_mom": _q_revenue_mom,
         "dataset_split_counts": _q_dataset_split_counts,
+        "orders_zorder_parts": _q_orders_zorder_parts,
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
