@@ -3697,6 +3697,155 @@ def _q_prefix_except(sf_dir: str):
     return hash_shuffle_join(left, right, on="hh", how="left_anti")
 
 
+_DAY_US = 86_400 * 1_000_000
+
+
+def _q_urgent_daily_dense(sf_dir: str):
+    """Calendar densification (time-series gap fill): daily revenue of
+    1-URGENT orders with EVERY day of the observed span present —
+    orderless days surface as explicit 0 rows (672 of 2,405 days at
+    sf0.01; a plain GROUP BY silently loses them, breaking any
+    downstream rolling/lag computation). Plan: predicate-pushdown read
+    → per-batch cents combiner → day groupby-Sum (one row per
+    populated day) → distributed grid generate + hash LEFT join fill
+    (stages/calendar.py). Only day-sized rows ever shuffle."""
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_table_extractor_ray.stages.calendar import dense_time_fill
+
+    ds = _read(
+        sf_dir,
+        "orders",
+        ["o_orderdate", "o_totalprice"],
+        filter=pads.field("o_orderpriority") == "1-URGENT",
+    )
+
+    def combiner(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // _DAY_US) * _DAY_US
+        cents = np.floor(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        part = np.zeros(len(ud), np.int64)
+        np.add.at(part, inv, cents)
+        return pa.table(
+            {"day_us": pa.array(ud, pa.int64()), "part": pa.array(part, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("part"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day_us": b.column("day_us"),
+                    "rev_cents": pc.cast(b.column("sum(part)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()  # bounded: one row per populated day; read twice below
+    bounds = agg.aggregate(Min("day_us"), Max("day_us"))  # two scalars
+    return dense_time_fill(
+        agg,
+        "day_us",
+        "rev_cents",
+        step_us=_DAY_US,
+        lo_us=int(bounds["min(day_us)"]),
+        hi_us=int(bounds["max(day_us)"]),
+    )
+
+
+def _q_user_event_runs(sf_dir: str):
+    """Gaps-and-islands run collapse: per user, consecutive
+    equal-event_type events (in ts, event_id order) collapse into
+    runs; emits (user_id, n_runs, max_run). The SQL islands trick
+    (difference of two row_numbers) re-expressed as one bucket shuffle
+    + lexsort + boundary masks (stages/sessions.py run_length_stats —
+    group count fixed at 64 buckets whatever the user count)."""
+    from pdf_table_extractor_ray.stages.sessions import run_length_stats
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+    return run_length_stats(ds)
+
+
+def _q_order_skyline(sf_dir: str):
+    """2-D Pareto skyline of orders — earliest-date / highest-price
+    dominance frontier (minimize o_orderdate, maximize o_totalprice;
+    exact integer cents): the orders no other order beats on both
+    axes. Distributive local-frontier-then-merge plan
+    (stages/skyline.py): each block reduces to ~O(log B) frontier rows
+    before any movement; one single-block merge finishes."""
+    from pdf_table_extractor_ray.stages.skyline import pareto_frontier
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def to_ints(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "day_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "price_cents": pa.array(
+                    np.floor(
+                        b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    pts = ds.map_batches(to_ints, batch_format="pyarrow", zero_copy_batch=True)
+    return pareto_frontier(pts, "day_us", "price_cents")
+
+
+def _q_embedding_dim_stats(sf_dir: str):
+    """Per-dimension feature-scaler statistics over the embedding
+    column: n, Σ micro, Σ micro² per 1-based dim, integer-exact
+    (stages/similarity.py dim_moments) — the mean/variance mass a
+    standardization step needs before clustering/ANN. Only d slim
+    partial rows leave each batch; vectors never shuffle."""
+    from pdf_table_extractor_ray.stages.similarity import dim_moments
+
+    return dim_moments(_read(sf_dir, "embeddings", ["embedding"]))
+
+
+def _q_part_primary_suppliers(sf_dir: str):
+    """Deterministic ownership assignment (the partition-owner
+    primitive: every part gets exactly ONE owner — its lowest-key
+    supplier among all who ever shipped it), then parts-owned per
+    supplier. Plan: groupby(part).Min(supp) — Ray pre-combines the Min
+    per block, so only (part, partial-min) rows shuffle, never the
+    600k fact rows — → per-supplier Count over the part-sized
+    result."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    owners = ds.groupby("l_partkey").aggregate(Min("l_suppkey"))
+
+    def owner_col(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"l_suppkey": pc.cast(b.column("min(l_suppkey)"), pa.int64())}
+        )
+
+    return (
+        owners.map_batches(owner_col, batch_format="pyarrow")
+        .groupby("l_suppkey")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_suppkey": b.column("l_suppkey"),
+                    "n_owned": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -3794,6 +3943,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_p90_by_type": _q_value_p90_by_type,
         "shared_prefix_sources": _q_shared_prefix_sources,
         "prefix_except": _q_prefix_except,
+        "urgent_daily_dense": _q_urgent_daily_dense,
+        "user_event_runs": _q_user_event_runs,
+        "order_skyline": _q_order_skyline,
+        "embedding_dim_stats": _q_embedding_dim_stats,
+        "part_primary_suppliers": _q_part_primary_suppliers,
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
@@ -4360,6 +4514,50 @@ def oracle_sql() -> dict[str, str]:
             "WHERE source = 'src0' "
             "EXCEPT SELECT md5(substr(text, 1, 64)) FROM documents "
             "WHERE source <> 'src0'"
+        ),
+        "urgent_daily_dense": (
+            "WITH u AS (SELECT date_trunc('day', o_orderdate) AS d, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev "
+            "FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1), "
+            "b AS (SELECT min(d) AS lo, max(d) AS hi FROM u), "
+            "g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM b) "
+            "SELECT epoch_us(g.d) AS day_us, coalesce(u.rev, 0) AS rev_cents "
+            "FROM g LEFT JOIN u ON g.d = u.d"
+        ),
+        "user_event_runs": (
+            "WITH e AS (SELECT user_id, ts, event_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL AND ts IS NOT NULL), "
+            "r AS (SELECT user_id, event_type, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "- row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) "
+            "AS isl FROM e), "
+            "runs AS (SELECT user_id, event_type, isl, count(*) AS len "
+            "FROM r GROUP BY 1, 2, 3) "
+            "SELECT user_id, CAST(count(*) AS BIGINT) AS n_runs, "
+            "CAST(max(len) AS BIGINT) AS max_run FROM runs GROUP BY user_id"
+        ),
+        "order_skyline": (
+            "WITH d AS (SELECT DISTINCT epoch_us(o_orderdate) AS day_us, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents FROM orders "
+            "WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL), "
+            "s AS (SELECT day_us, price_cents, max(price_cents) OVER ("
+            "ORDER BY day_us ASC, price_cents DESC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d) "
+            "SELECT day_us, price_cents FROM s WHERE pm IS NULL OR price_cents > pm"
+        ),
+        "embedding_dim_stats": (
+            "SELECT CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(m) AS BIGINT) AS sum_micro, "
+            "CAST(sum(m * m) AS BIGINT) AS sumsq_micro2 FROM ("
+            "SELECT i, CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS m "
+            "FROM embeddings, range(1, 65) t(i) WHERE embedding IS NOT NULL) "
+            "GROUP BY i"
+        ),
+        "part_primary_suppliers": (
+            "WITH x AS (SELECT l_partkey, min(l_suppkey) AS sk FROM lineitem "
+            "GROUP BY 1) "
+            "SELECT sk AS l_suppkey, CAST(count(*) AS BIGINT) AS n_owned "
+            "FROM x GROUP BY sk"
         ),
         "dataset_split_counts": (
             "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "

@@ -644,3 +644,89 @@ def grouped_ffill(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def run_length_stats(
+    events: "ray.data.Dataset",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Gaps-and-islands run collapse: per user, order events by
+    (ts, id) and collapse consecutive equal-``type_col`` events into
+    runs; returns one row per user with ``n_runs`` and ``max_run``
+    (both int64). The SQL shape is the two-row_number islands trick —
+    here it is one lexsort + two boundary masks, no window functions.
+
+    Same partitioning contract as ``sessionize``: one shuffle by
+    user-id BUCKET (group count fixed at ``n_buckets`` whatever the
+    user count), only slim projected columns move, everything inside a
+    bucket is vectorized (run boundaries via np.flatnonzero, per-user
+    maxima via np.maximum.reduceat — no per-user Python loop). Null
+    users/types/timestamps are excluded (SQL aggregate semantics).
+    """
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col)
+        t = batch.column(type_col)
+        ts = batch.column(ts_col)
+        mask = pc.and_(pc.and_(pc.is_valid(u), pc.is_valid(t)), pc.is_valid(ts))
+        f = batch.filter(mask)
+        un = f.column(user_col).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                f.column(user_col),
+                pc.cast(f.column(ts_col), pa.int64()),
+                f.column(id_col),
+                f.column(type_col),
+                pa.array((un % n_buckets).astype(np.int64), pa.int64()),
+            ],
+            names=["user_id", "ts_us", "row_id", "etype", "bucket"],
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        rid = group.column("row_id").to_numpy(zero_copy_only=False)
+        et = group.column("etype")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        n = len(uid)
+        if n == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], pa.int64()),
+                    "n_runs": pa.array([], pa.int64()),
+                    "max_run": pa.array([], pa.int64()),
+                }
+            )
+        order = np.lexsort((rid, ts, uid))
+        su, sc = uid[order], codes[order]
+        new_run = np.empty(n, bool)
+        new_run[0] = True
+        new_run[1:] = (su[1:] != su[:-1]) | (sc[1:] != sc[:-1])
+        run_start = np.flatnonzero(new_run)
+        run_len = np.diff(np.append(run_start, n))
+        run_user = su[run_start]
+        user_first = np.empty(len(run_start), bool)
+        user_first[0] = True
+        user_first[1:] = run_user[1:] != run_user[:-1]
+        ustart = np.flatnonzero(user_first)
+        n_runs = np.diff(np.append(ustart, len(run_start)))
+        max_run = np.maximum.reduceat(run_len, ustart)
+        return pa.table(
+            {
+                "user_id": pa.array(run_user[ustart].astype(np.int64), pa.int64()),
+                "n_runs": pa.array(n_runs.astype(np.int64), pa.int64()),
+                "max_run": pa.array(max_run.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

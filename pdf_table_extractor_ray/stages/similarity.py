@@ -963,3 +963,68 @@ def nn_join(
         )
 
     return best.map_batches(rename, batch_format="pyarrow")
+
+
+def dim_moments(
+    ds: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    micro: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """Global per-dimension first and second moments of an embedding
+    column — the feature-scaler primitive (mean/variance per dim for
+    standardization before clustering / ANN): one row per 1-based dim
+    with ``n``, ``sum_micro = Σ floor(v·micro)`` and
+    ``sumsq_micro2 = Σ floor(v·micro)²``, all int64 so the result is
+    block-order deterministic and SQL-exact (consumer computes
+    mean = sum/n, var = sumsq/n − mean² in its own precision).
+
+    Per batch: one (n × d) matrix, three vectorized column reductions
+    — only d slim partial rows leave each batch; one d-row groupby-Sum
+    merges. int64 headroom: |v| ≤ ~2 ⇒ micro² ≤ 4·10¹², ~2.3M rows per
+    batch before a partial could overflow (batches are ≤ thousands).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch.column(vec_col)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        col = col.drop_null()  # null vectors excluded (SQL aggregate semantics)
+        m = _matrix(pa.chunked_array([col]))
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "p_n": pa.array([], pa.int64()),
+                    "p_s1": pa.array([], pa.int64()),
+                    "p_s2": pa.array([], pa.int64()),
+                }
+            )
+        d = m.shape[1]
+        mi = np.floor(m.astype(np.float64) * micro).astype(np.int64)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, d + 1), pa.int64()),
+                "p_n": pa.array(np.full(d, m.shape[0], np.int64), pa.int64()),
+                "p_s1": pa.array(mi.sum(axis=0, dtype=np.int64), pa.int64()),
+                "p_s2": pa.array((mi * mi).sum(axis=0, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("dim")
+        .aggregate(Sum("p_n"), Sum("p_s1"), Sum("p_s2"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "dim": b.column("dim"),
+                "n": pc.cast(b.column("sum(p_n)"), pa.int64()),
+                "sum_micro": pc.cast(b.column("sum(p_s1)"), pa.int64()),
+                "sumsq_micro2": pc.cast(b.column("sum(p_s2)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

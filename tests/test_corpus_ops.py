@@ -2635,3 +2635,133 @@ def test_containment_pairs_superset(ray_session):
     assert len(cont) == 1 and cont[0]["containment"] == 1.0
     jac = ngram_jaccard_pairs(ds, width=3, threshold=0.5).take_all()
     assert jac == []  # Jaccard misses the superset pair entirely
+
+
+def test_pareto_frontier_brute(ray_session):
+    """Skyline vs O(n²) dominance brute force: duplicates collapse,
+    nulls drop, many small blocks so the local-then-merge path is
+    exercised, canonical (x asc) output order."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.skyline import pareto_frontier
+
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 50, 400)
+    ys = rng.integers(0, 50, 400)
+    rows = [{"x": int(a), "y": int(b)} for a, b in zip(xs, ys)]
+    rows += [{"x": 3, "y": None}, {"x": None, "y": 99}]  # dropped
+    ds = ray.data.from_items(rows).repartition(8)
+    got = pareto_frontier(ds, "x", "y").take_all()
+    got_pairs = [(r["x"], r["y"]) for r in got]
+
+    pts = set(zip(xs.tolist(), ys.tolist()))
+    expect = sorted(
+        (x, y)
+        for x, y in pts
+        if not any(
+            (a <= x and b >= y and (a < x or b > y)) for a, b in pts
+        )
+    )
+    assert got_pairs == expect  # value AND canonical-order parity
+
+
+def test_run_length_stats_brute(ray_session):
+    """Gaps-and-islands collapse vs a per-user python RLE, with ties
+    broken by event_id and null users/types excluded."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import run_length_stats
+
+    rng = np.random.default_rng(11)
+    rows = []
+    eid = 0
+    for uid in range(1, 8):
+        for _ in range(int(rng.integers(1, 40))):
+            rows.append(
+                {
+                    "event_id": eid,
+                    "user_id": uid,
+                    "ts": int(rng.integers(0, 20)) * 1_000_000,
+                    "event_type": str(rng.choice(["a", "b", "c"])),
+                }
+            )
+            eid += 1
+    rows.append({"event_id": eid, "user_id": None, "ts": 0, "event_type": "a"})
+    rows.append({"event_id": eid + 1, "user_id": 1, "ts": 0, "event_type": None})
+
+    import pyarrow as pa_mod
+
+    tbl = pa_mod.table(
+        {
+            "event_id": pa_mod.array([r["event_id"] for r in rows], pa_mod.int64()),
+            "user_id": pa_mod.array([r["user_id"] for r in rows], pa_mod.int64()),
+            "ts": pa_mod.array(
+                [r["ts"] for r in rows], pa_mod.timestamp("us")
+            ),
+            "event_type": pa_mod.array([r["event_type"] for r in rows]),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    got = {
+        r["user_id"]: (r["n_runs"], r["max_run"])
+        for r in run_length_stats(ds, n_buckets=4).take_all()
+    }
+
+    expect = {}
+    by_user: dict = {}
+    for r in rows:
+        if r["user_id"] is None or r["event_type"] is None:
+            continue
+        by_user.setdefault(r["user_id"], []).append(r)
+    for uid, evs in by_user.items():
+        evs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        runs = []
+        for r in evs:
+            if runs and runs[-1][0] == r["event_type"]:
+                runs[-1][1] += 1
+            else:
+                runs.append([r["event_type"], 1])
+        expect[uid] = (len(runs), max(n for _, n in runs))
+    assert got == expect
+
+
+def test_dense_time_fill_gaps(ray_session):
+    """Gap fill: populated buckets keep their value, missing grid
+    buckets appear exactly once with the fill value, out-of-grid agg
+    rows drop."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.calendar import dense_time_fill
+
+    step = 10
+    agg = ray.data.from_items(
+        [
+            {"t": 20, "v": 7},
+            {"t": 50, "v": 3},
+            {"t": 90, "v": 1},  # outside [20, 60] → dropped
+        ]
+    )
+    out = dense_time_fill(agg, "t", "v", step_us=step, lo_us=20, hi_us=60).take_all()
+    got = {r["t"]: r["v"] for r in out}
+    assert got == {20: 7, 30: 0, 40: 0, 50: 3, 60: 0}
+    assert len(out) == 5
+
+
+def test_dim_moments_brute(ray_session):
+    """Per-dim moment mass vs numpy brute force; null vectors drop."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import dim_moments
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(scale=0.3, size=(40, 5)).astype(np.float32)
+    items = [{"embedding": v.tolist()} for v in vecs] + [{"embedding": None}]
+    ds = ray.data.from_items(items).repartition(3)
+    got = {r["dim"]: r for r in dim_moments(ds).take_all()}
+
+    micro = np.floor(vecs.astype(np.float64) * 1_000_000).astype(np.int64)
+    for d in range(5):
+        row = got[d + 1]
+        assert row["n"] == 40
+        assert row["sum_micro"] == int(micro[:, d].sum())
+        assert row["sumsq_micro2"] == int((micro[:, d] ** 2).sum())
