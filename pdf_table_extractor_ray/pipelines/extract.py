@@ -71,6 +71,38 @@ def list_shards(input_path: str) -> List[str]:
     return out
 
 
+def shard_fingerprint(path: str, tail_bytes: int = 65536) -> str:
+    """Content fingerprint of an input shard at metadata-scale I/O
+    cost: md5 over (file size, last ``tail_bytes`` of the file). The
+    tail of a parquet file is its footer — row-group offsets, page
+    indexes and column statistics — so ANY rewrite that changes data
+    changes the fingerprint, without reading the (payload-dominated)
+    body. A crafted same-size same-footer collision is possible but
+    not a failure mode of re-crawled corpora; callers needing
+    adversarial robustness can fingerprint full content offline and
+    seed lineage themselves."""
+    import hashlib
+
+    size = os.path.getsize(path)
+    h = hashlib.md5(str(size).encode())
+    with open(path, "rb") as f:
+        if size > tail_bytes:
+            f.seek(size - tail_bytes)
+        h.update(f.read(tail_bytes))
+    return h.hexdigest()
+
+
+def _fingerprints(shards: Sequence[str]) -> Dict[int, str]:
+    """part_id → fingerprint for every input shard; thread pool because
+    at 10^5-shard scale these are small remote-storage reads that
+    overlap perfectly (GIL released in file I/O)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        fps = list(ex.map(shard_fingerprint, shards))
+    return {shard_part_id(p): fp for p, fp in zip(shards, fps)}
+
+
 def _add_shard_keys(batch: pa.Table) -> pa.Table:
     """part_id from the carried file path + payload size class.
     Blocks are file-aligned, so the path column is near-constant —
@@ -284,6 +316,7 @@ def write_lineage(
     part_ids: Sequence[int],
     shard_of: Optional[Dict[int, str]] = None,
     run_seconds: Optional[float] = None,
+    fingerprint_of: Optional[Dict[int, str]] = None,
 ) -> dict:
     """Persist one lineage record per finished partition (north rule:
     per-partition lineage + metrics)."""
@@ -304,6 +337,7 @@ def write_lineage(
         rec = {
             "part_id": pid,
             "input_shard": (shard_of or {}).get(pid),
+            "input_fingerprint": (fingerprint_of or {}).get(pid),
             "docs": int(row["count()"]),
             "records": int(row["sum(n_records)"]),
             "chars": int(row["sum(n_chars)"]),
@@ -338,15 +372,46 @@ def run_extraction(
     t0 = time.time()
     shards = list_shards(input_path)
     shard_of = {shard_part_id(p): os.path.basename(p) for p in shards}
+    fp_of = _fingerprints(shards)
 
     finished = finished_partitions(out_path) if resume else set()
+    re_extracted, dropped = [], []
     if resume:
+        # incremental delta detection: a FINISHED shard stays skipped
+        # only while its recorded input fingerprint still matches the
+        # input file — a re-crawled/rewritten shard is re-extracted, a
+        # disappeared shard's output is dropped, so the output mirrors
+        # the CURRENT input, not the input of the first run. Lineage
+        # records predating fingerprints (None) are trusted as-is.
+        for pid in sorted(finished):
+            try:
+                with open(lineage_path(out_path, pid)) as f:
+                    rec = json.load(f)
+                prev_fp = rec.get("input_fingerprint")
+            except (OSError, json.JSONDecodeError):
+                prev_fp = None
+            stale = pid not in shard_of
+            changed = (
+                not stale and prev_fp is not None and prev_fp != fp_of.get(pid)
+            )
+            if stale or changed:
+                shutil.rmtree(
+                    os.path.join(out_path, f"part_id={pid}"), ignore_errors=True
+                )
+                try:
+                    os.remove(lineage_path(out_path, pid))
+                except OSError:
+                    pass
+                finished.discard(pid)
+                (dropped if stale else re_extracted).append(pid)
         clear_unfinished_partitions(out_path, finished)
     elif os.path.isdir(out_path):
         shutil.rmtree(out_path, ignore_errors=True)
 
     todo = [p for p in shards if shard_part_id(p) not in finished]
     totals = {"docs": 0, "records": 0, "chars": 0, "errors": 0, "partitions": len(finished)}
+    totals["re_extracted"] = re_extracted
+    totals["dropped_stale"] = dropped
     if not todo:
         totals["skipped"] = True
         totals["resumed_skipping"] = sorted(finished)
@@ -362,7 +427,13 @@ def run_extraction(
         # snappy default on this nested schema
         extracted.write_parquet(out_path, partition_cols=["part_id"], compression="zstd")
         wave_parts = [shard_part_id(p) for p in wave]
-        sub = write_lineage(out_path, wave_parts, shard_of, run_seconds=time.time() - t0)
+        sub = write_lineage(
+            out_path,
+            wave_parts,
+            shard_of,
+            run_seconds=time.time() - t0,
+            fingerprint_of=fp_of,
+        )
         for k in ("docs", "records", "chars", "errors", "partitions"):
             totals[k] += sub[k]
 

@@ -297,3 +297,72 @@ def test_distributed_generation_matches_local(ray_session, tmp_path):
     assert (got["url"].values == want["url"].values).all()
     assert (got["text"].values == want["text"].values).all()
     assert all(bytes(a) == bytes(b) for a, b in zip(got["html"], want["html"]))
+
+
+def test_incremental_reextracts_changed_shard(sharded_pages, tmp_path):
+    """Delta detection: after one input shard is rewritten, a resumed
+    run re-extracts exactly that shard (and nothing else), and the
+    incremental output is identical to a from-scratch run over the new
+    input; a deleted input shard's output is dropped."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import (
+        run_extraction,
+        shard_part_id,
+    )
+
+    src = str(tmp_path / "pages")
+    shutil.copytree(sharded_pages, src)
+    out = str(tmp_path / "out")
+    run_extraction(src, out, resume=False)
+
+    # rewrite one shard with a modified document text
+    victim_file = sorted(
+        f for f in os.listdir(src) if f.endswith(".parquet")
+    )[0]
+    victim_pid = shard_part_id(victim_file)
+    t = pq2.read_table(os.path.join(src, victim_file))
+    texts = t.column("text").to_pylist()
+    texts[0] = (texts[0] or "") + "\nDELTA MARKER LINE"
+    t = t.set_column(t.schema.get_field_index("text"), "text", pa.array(texts))
+    pq2.write_table(t, os.path.join(src, victim_file))
+
+    res = run_extraction(src, out, resume=True)
+    assert res["re_extracted"] == [victim_pid]
+    assert res["dropped_stale"] == []
+    assert victim_pid not in res["resumed_skipping"]
+    assert len(res["resumed_skipping"]) >= 1
+
+    # incremental output == from-scratch output over the NEW input
+    fresh = str(tmp_path / "fresh")
+    run_extraction(src, fresh, resume=False)
+    got = (
+        ray.data.read_parquet(out).to_pandas().sort_values("url").reset_index(drop=True)
+    )
+    want = (
+        ray.data.read_parquet(fresh)
+        .to_pandas()
+        .sort_values("url")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got["extracted_text"].values == want["extracted_text"].values).all()
+
+    # unchanged re-run: everything skipped, no churn
+    res2 = run_extraction(src, out, resume=True)
+    assert res2.get("skipped") is True and res2["re_extracted"] == []
+
+    # delete an input shard → its output partition is dropped
+    gone_file = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))[1]
+    gone_pid = shard_part_id(gone_file)
+    os.remove(os.path.join(src, gone_file))
+    res3 = run_extraction(src, out, resume=True)
+    assert gone_pid in res3["dropped_stale"]
+    assert not os.path.isdir(os.path.join(out, f"part_id={gone_pid}"))
+    n_now = ray.data.read_parquet(out).count()
+    n_expect = len(want) - pq2.read_table(os.path.join(sharded_pages, gone_file)).num_rows
+    assert n_now == n_expect
