@@ -3846,6 +3846,142 @@ def _q_part_primary_suppliers(sf_dir: str):
     )
 
 
+def _q_distinct_users_by_type_exact(sf_dir: str):
+    """EXACT grouped COUNT(DISTINCT): distinct users per event type via
+    two chained groupbys — (type, user) distinct-collapse (Ray
+    pre-combines per block, so repeated users within a block collapse
+    before the shuffle) → per-type Count. The exact counterpart of the
+    HLL-sketch `distinct_users_by_type`; costs a pair-sized shuffle
+    where the sketch ships 2 KB per type, which is the trade a 100-TB
+    pipeline chooses per query."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def drop_nulls(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("event_type")), pc.is_valid(b.column("user_id")))
+        return b.filter(m)
+
+    pairs = (
+        ds.map_batches(drop_nulls, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "user_id"])
+        .aggregate(Count())
+    )
+    return (
+        pairs.map_batches(lambda b: b.select(["event_type"]), batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "event_type": b.column("event_type"),
+                    "n_users": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _q_full_priority_customers(sf_dir: str):
+    """Relational division (the FOR ALL quantifier): customers who
+    placed orders in EVERY distinct order priority. Plan: distinct
+    (cust, prio) via groupby → per-cust distinct-priority Count →
+    filter count == |priority domain| (the divisor cardinality, a
+    one-row aggregate). Only pair-sized rows shuffle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+    pairs = (
+        ds.groupby(["o_custkey", "o_orderpriority"])
+        .aggregate(Count())
+        .map_batches(
+            lambda b: b.select(["o_custkey", "o_orderpriority"]), batch_format="pyarrow"
+        )
+    ).materialize()  # read twice: divisor cardinality + per-cust counts
+    n_prios = int(
+        pairs.map_batches(
+            lambda b: b.select(["o_orderpriority"]), batch_format="pyarrow"
+        )
+        .groupby("o_orderpriority")
+        .aggregate(Count())
+        .count()
+    )
+    per_cust = pairs.groupby("o_custkey").aggregate(Count())
+
+    def full(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.equal(b.column("count()"), n_prios))
+        return pa.table({"o_custkey": f.column("o_custkey")})
+
+    return per_cust.map_batches(full, batch_format="pyarrow")
+
+
+def _q_churned_users_dod(sf_dir: str):
+    """Day-over-day churn (temporal anti-join): per epoch-day, how
+    many users were active that day but have NO events the following
+    day. Plan: distinct (user, day) pairs → shift day forward by
+    one on a copy → hash LEFT ANTI join (active@d ⟂ active@d+1) →
+    per-day Count. The last observed day is excluded (its following
+    day is unobservable, every user would count as churned). Packed
+    (user, day) int64 join key: day ordinal < 2^20 (epoch days reach
+    that in year ~4840), user_id < 2^43 by contract."""
+    from ray.data.aggregate import Count, Max
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def to_day(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("user_id")), pc.is_valid(b.column("ts")))
+        f = b.filter(m)
+        ts = pc.cast(f.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        dy = ts // _DAY_US  # days since epoch
+        return pa.table(
+            {"user_id": f.column("user_id"), "day": pa.array(dy, pa.int64())}
+        )
+
+    pairs = (
+        ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["user_id", "day"])
+        .aggregate(Count())
+        .map_batches(lambda b: b.select(["user_id", "day"]), batch_format="pyarrow")
+    ).materialize()  # slim (user, day) distinct pairs; read three ways below
+    last_day = int(pairs.aggregate(Max("day"))["max(day)"])
+
+    def key_this(b: pa.Table) -> pa.Table:
+        f = b.filter(pc.less(b.column("day"), last_day))
+        u = f.column("user_id").to_numpy(zero_copy_only=False)
+        d = f.column("day").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "ud": pa.array(u * (1 << 20) + (d + 1), pa.int64()),
+                "day": pa.array(d, pa.int64()),
+            }
+        )
+
+    def key_next(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        return pa.table({"ud": pa.array(u * (1 << 20) + d, pa.int64())})
+
+    left = pairs.map_batches(key_this, batch_format="pyarrow", zero_copy_batch=True)
+    right = pairs.map_batches(key_next, batch_format="pyarrow", zero_copy_batch=True)
+    churned = hash_shuffle_join(left, right, on="ud", how="left_anti")
+    return (
+        churned.groupby("day")
+        .aggregate(Count())
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day": b.column("day"),
+                    "n_churned": pc.cast(b.column("count()"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -3948,6 +4084,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_skyline": _q_order_skyline,
         "embedding_dim_stats": _q_embedding_dim_stats,
         "part_primary_suppliers": _q_part_primary_suppliers,
+        "distinct_users_by_type_exact": _q_distinct_users_by_type_exact,
+        "full_priority_customers": _q_full_priority_customers,
+        "churned_users_dod": _q_churned_users_dod,
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
@@ -4558,6 +4697,27 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1) "
             "SELECT sk AS l_suppkey, CAST(count(*) AS BIGINT) AS n_owned "
             "FROM x GROUP BY sk"
+        ),
+        "distinct_users_by_type_exact": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+            "FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL "
+            "GROUP BY event_type"
+        ),
+        "full_priority_customers": (
+            "SELECT o_custkey FROM ("
+            "SELECT o_custkey, count(DISTINCT o_orderpriority) AS c "
+            "FROM orders GROUP BY 1) "
+            "WHERE c = (SELECT count(DISTINCT o_orderpriority) FROM orders)"
+        ),
+        "churned_users_dod": (
+            "WITH p AS (SELECT DISTINCT user_id, "
+            "epoch_us(ts) // 86400000000 AS day FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "l AS (SELECT max(day) AS ld FROM p) "
+            "SELECT a.day, CAST(count(*) AS BIGINT) AS n_churned "
+            "FROM p a, l WHERE a.day < l.ld AND NOT EXISTS ("
+            "SELECT 1 FROM p b WHERE b.user_id = a.user_id "
+            "AND b.day = a.day + 1) GROUP BY a.day"
         ),
         "dataset_split_counts": (
             "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "
