@@ -3982,6 +3982,59 @@ def _q_churned_users_dod(sf_dir: str):
     )
 
 
+def _q_new_users_daily(sf_dir: str):
+    """User-acquisition curve: per epoch-day, the number of users whose
+    FIRST-ever event lands on that day, plus the running cumulative
+    user count. Plan: per-batch (user → min day) partial → groupby
+    user Min (first-seen day) → per-day Count → single-block running
+    sum (bounded: one row per day). Only (user, day) partials
+    shuffle."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("user_id")), pc.is_valid(b.column("ts")))
+        f = b.filter(m)
+        u = f.column("user_id").to_numpy(zero_copy_only=False)
+        d = pc.cast(f.column("ts"), pa.int64()).to_numpy(zero_copy_only=False) // _DAY_US
+        uu, inv = np.unique(u, return_inverse=True)
+        md = np.full(len(uu), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(md, inv, d)
+        return pa.table(
+            {"user_id": pa.array(uu, pa.int64()), "day": pa.array(md, pa.int64())}
+        )
+
+    first_day = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .aggregate(Min("day"))
+        .map_batches(
+            lambda b: pa.table({"day": pc.cast(b.column("min(day)"), pa.int64())}),
+            batch_format="pyarrow",
+        )
+    )
+    per_day = first_day.groupby("day").aggregate(Count())
+
+    def running(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        n = pc.cast(b.column("count()"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.argsort(d, kind="stable")
+        ds_, ns_ = d[order], n[order]
+        return pa.table(
+            {
+                "day": pa.array(ds_, pa.int64()),
+                "n_new": pa.array(ns_, pa.int64()),
+                "cum_users": pa.array(np.cumsum(ns_), pa.int64()),
+            }
+        )
+
+    # bounded: one row per active day — single-block cumulative pass
+    return per_day.repartition(1).map_batches(
+        running, batch_format="pyarrow", batch_size=None
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -4087,6 +4140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_by_type_exact": _q_distinct_users_by_type_exact,
         "full_priority_customers": _q_full_priority_customers,
         "churned_users_dod": _q_churned_users_dod,
+        "new_users_daily": _q_new_users_daily,
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
@@ -4718,6 +4772,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM p a, l WHERE a.day < l.ld AND NOT EXISTS ("
             "SELECT 1 FROM p b WHERE b.user_id = a.user_id "
             "AND b.day = a.day + 1) GROUP BY a.day"
+        ),
+        "new_users_daily": (
+            "WITH f AS (SELECT user_id, min(epoch_us(ts) // 86400000000) AS day "
+            "FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL GROUP BY 1), "
+            "d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1) "
+            "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) "
+            "AS cum_users FROM d"
         ),
         "dataset_split_counts": (
             "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "
