@@ -4035,6 +4035,19 @@ def _q_new_users_daily(sf_dir: str):
     )
 
 
+def _q_value_weighted_median(sf_dir: str):
+    """EXACT quantity-weighted median of l_extendedprice (the
+    importance-weighted percentile primitive: each row counts with its
+    integer weight). Radix-bisection selection over a slim (u64, w)
+    materialization — no sort, ≤6 passes, ≤4096 driver rows per pass
+    (stages/sketches.py weighted_median)."""
+    from pdf_table_extractor_ray.stages.sketches import weighted_median
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    m = weighted_median(ds, "l_extendedprice", "l_quantity")
+    return pa.table({"wmedian": pa.array([m], pa.float64())})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -4141,6 +4154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_priority_customers": _q_full_priority_customers,
         "churned_users_dod": _q_churned_users_dod,
         "new_users_daily": _q_new_users_daily,
+        "value_weighted_median": _q_value_weighted_median,
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
@@ -4779,6 +4793,16 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1) "
             "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) "
             "AS cum_users FROM d"
+        ),
+        "value_weighted_median": (
+            "WITH t AS (SELECT l_extendedprice AS v, "
+            "CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem "
+            "WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL "
+            "AND floor(l_quantity) >= 1), "
+            "s AS (SELECT v, sum(w) OVER (ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), "
+            "tot AS (SELECT sum(w) AS tw FROM t) "
+            "SELECT min(v) AS wmedian FROM s, tot WHERE cum >= (tw + 1) // 2"
         ),
         "dataset_split_counts": (
             "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "

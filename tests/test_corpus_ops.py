@@ -2765,3 +2765,25 @@ def test_dim_moments_brute(ray_session):
         assert row["n"] == 40
         assert row["sum_micro"] == int(micro[:, d].sum())
         assert row["sumsq_micro2"] == int((micro[:, d] ** 2).sum())
+
+
+def test_weighted_median_brute(ray_session):
+    """Weighted median vs weight-expanded numpy median: duplicates,
+    skewed weights, fractional weights floored, w<1 and nulls dropped,
+    tiny nbins to force maximum bisection depth."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import weighted_median
+
+    rng = np.random.default_rng(5)
+    vals = np.round(rng.normal(scale=100, size=300), 2)
+    wts = rng.integers(1, 9, size=300)
+    rows = [{"v": float(v), "w": float(w) + 0.7} for v, w in zip(vals, wts)]
+    rows += [{"v": 1.0, "w": 0.4}, {"v": None, "w": 3.0}, {"v": 2.0, "w": None}]
+    ds = ray.data.from_items(rows).repartition(5)
+    got = weighted_median(ds, "v", "w", nbins=16)
+
+    expanded = np.repeat(vals, wts)  # floor(w+0.7) == w
+    s = np.sort(expanded)
+    rank = (len(s) + 1) // 2
+    assert got == s[rank - 1]
