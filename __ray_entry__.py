@@ -4048,6 +4048,21 @@ def _q_value_weighted_median(sf_dir: str):
     return pa.table({"wmedian": pa.array([m], pa.float64())})
 
 
+def _q_price_wmedian_by_flag(sf_dir: str):
+    """Per-key WEIGHTED exact median: quantity-weighted median
+    extendedprice per l_returnflag — the per-domain importance-weighted
+    percentile primitive. Same shared radix bisection as
+    value_p90_by_type with weight histograms: ≤6 passes regardless of
+    key count, only (key, bin, w) slim partials shuffle."""
+    from pdf_table_extractor_ray.stages.sketches import weighted_kth_smallest_by
+
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+    t = weighted_kth_smallest_by(
+        ds, "l_returnflag", "l_extendedprice", "l_quantity", 1, 2
+    )
+    return pa.table({"l_returnflag": t.column("key"), "wmedian": t.column("kth")})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -4155,6 +4170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_users_dod": _q_churned_users_dod,
         "new_users_daily": _q_new_users_daily,
         "value_weighted_median": _q_value_weighted_median,
+        "price_wmedian_by_flag": _q_price_wmedian_by_flag,
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
@@ -4803,6 +4819,18 @@ def oracle_sql() -> dict[str, str]:
             "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), "
             "tot AS (SELECT sum(w) AS tw FROM t) "
             "SELECT min(v) AS wmedian FROM s, tot WHERE cum >= (tw + 1) // 2"
+        ),
+        "price_wmedian_by_flag": (
+            "WITH t AS (SELECT l_returnflag AS k, l_extendedprice AS v, "
+            "CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem "
+            "WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL "
+            "AND l_quantity IS NOT NULL AND floor(l_quantity) >= 1), "
+            "s AS (SELECT k, v, sum(w) OVER (PARTITION BY k ORDER BY v "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM t), "
+            "tot AS (SELECT k, sum(w) AS tw FROM t GROUP BY k) "
+            "SELECT s.k AS l_returnflag, min(s.v) AS wmedian FROM s "
+            "JOIN tot ON s.k = tot.k WHERE s.cum >= (tot.tw + 1) // 2 "
+            "GROUP BY s.k"
         ),
         "dataset_split_counts": (
             "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "

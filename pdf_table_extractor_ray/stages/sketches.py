@@ -989,12 +989,33 @@ def kth_smallest_by(
     return pa.table({"key": t.column("key"), "kth": t.column("kth")})
 
 
+def weighted_kth_smallest_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    weight_col: str,
+    q_num: int,
+    q_den: int,
+    nbins: int = 4096,
+) -> pa.Table:
+    """Per-key WEIGHTED exact quantile: the smallest value whose
+    cumulative integer weight within its key reaches ⌈q·W_k⌉ — the
+    grouped counterpart of ``weighted_median`` (one-ratio wrapper over
+    ``kth_smallest_by_multi(weight_col=...)``; see it for plan and
+    contracts). Returns a driver-side ``pa.Table`` (key, kth)."""
+    t = kth_smallest_by_multi(
+        ds, key_col, col, [(q_num, q_den)], nbins, weight_col=weight_col
+    )
+    return pa.table({"key": t.column("key"), "kth": t.column("kth")})
+
+
 def kth_smallest_by_multi(
     ds: "ray.data.Dataset",
     key_col: str,
     col: str,
     ratios,
     nbins: int = 4096,
+    weight_col: str = None,
 ) -> pa.Table:
     """EXACT per-key discrete quantiles for SEVERAL q ratios at once
     (DuckDB ``quantile_disc`` parity: value at 1-based rank ⌈q·n_k⌉
@@ -1019,7 +1040,14 @@ def kth_smallest_by_multi(
     Nulls in ``col`` or ``key_col`` are excluded (SQL aggregate
     semantics). NaNs order above +inf (filter upstream if present).
     Returns a driver-side ``pa.Table`` (key, q_num, q_den, kth) —
-    one row per key per ratio."""
+    one row per key per ratio.
+
+    With ``weight_col`` set this computes the per-key WEIGHTED
+    discrete quantile — the smallest value whose cumulative weight
+    within its key reaches ⌈q·W_k⌉ — same plan, histograms summing
+    weights instead of counting rows. Weights are floored to int64
+    (exactness contract); rows with floored weight < 1 or null weight
+    are excluded; Σw per key must fit int64."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -1038,21 +1066,44 @@ def kth_smallest_by_multi(
         if isinstance(v, pa.ChunkedArray):
             v = v.combine_chunks()
         mask = pc.and_(pc.is_valid(k), pc.is_valid(v))
+        if weight_col is None:
+            k = k.filter(mask)
+            x = v.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {"key": k, "u": pa.array(_float64_to_ordered_u64(x), pa.uint64())}
+            )
+        w = batch.column(weight_col)
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        mask = pc.and_(mask, pc.is_valid(w))
         k = k.filter(mask)
         x = v.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        wi = np.floor(
+            w.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        keep = wi >= 1
         return pa.table(
-            {"key": k, "u": pa.array(_float64_to_ordered_u64(x), pa.uint64())}
+            {
+                "key": k.filter(pa.array(keep)),
+                "u": pa.array(_float64_to_ordered_u64(x[keep]), pa.uint64()),
+                "w": pa.array(wi[keep], pa.int64()),
+            }
         )
 
     us = ds.map_batches(
         to_u, batch_format="pyarrow", zero_copy_batch=True
-    ).materialize()  # slim (key, u): re-streamed once per bisection pass
+    ).materialize()  # slim (key, u[, w]): re-streamed once per bisection pass
 
-    counts = us.groupby("key").aggregate(Count()).take_all()
+    if weight_col is None:
+        counts = us.groupby("key").aggregate(Count()).take_all()
+        count_field = "count()"
+    else:
+        counts = us.groupby("key").aggregate(Sum("w")).take_all()
+        count_field = "sum(w)"
     # bounded: one row per key (bounded key domain by contract)
     state: dict = {}  # (key, q_idx) -> [lo, hi, rank]
     for r in counts:
-        n = int(r["count()"])
+        n = int(r[count_field])
         if n:
             for qi, (q_num, q_den) in enumerate(ratios):
                 rank = (q_num * n + q_den - 1) // q_den  # ceil(q·n), exact
@@ -1078,6 +1129,11 @@ def kth_smallest_by_multi(
             dvals = enc.dictionary.to_pylist()
             code = enc.indices.to_numpy(zero_copy_only=False)
             u = batch.column("u").to_numpy(zero_copy_only=False)
+            wgt = (
+                batch.column("w").to_numpy(zero_copy_only=False)
+                if weight_col is not None
+                else None
+            )
             outs = []
             for qi in range(nq):
                 # per-DISTINCT-key lookup (bounded), then vectorized
@@ -1101,9 +1157,16 @@ def kth_smallest_by_multi(
                 m = act[code] & (u >= lo_a[code]) & (u <= hi_a[code])
                 cu, cc = u[m], code[m]
                 b = ((cu - lo_a[cc]) // bw_a[cc]).astype(np.int64)
-                comb, cnt = np.unique(
-                    cc.astype(np.int64) * nbins + b, return_counts=True
-                )
+                if wgt is None:
+                    comb, cnt = np.unique(
+                        cc.astype(np.int64) * nbins + b, return_counts=True
+                    )
+                else:
+                    comb, inv = np.unique(
+                        cc.astype(np.int64) * nbins + b, return_inverse=True
+                    )
+                    cnt = np.zeros(len(comb), np.int64)
+                    np.add.at(cnt, inv, wgt[m])
                 outs.append(
                     pa.table(
                         {

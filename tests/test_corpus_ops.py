@@ -2787,3 +2787,42 @@ def test_weighted_median_brute(ray_session):
     s = np.sort(expanded)
     rank = (len(s) + 1) // 2
     assert got == s[rank - 1]
+
+
+def test_weighted_kth_by_groups(ray_session):
+    """Per-key weighted quantile vs weight-expanded numpy brute force;
+    unweighted path regression-checked in the same dataset."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import (
+        kth_smallest_by,
+        weighted_kth_smallest_by,
+    )
+
+    rng = np.random.default_rng(17)
+    rows = []
+    groups = {}
+    for g in ("a", "b", "c"):
+        n = int(rng.integers(20, 120))
+        vs = np.round(rng.normal(scale=50, size=n), 2)
+        ws = rng.integers(1, 7, size=n)
+        groups[g] = (vs, ws)
+        rows += [
+            {"k": g, "v": float(v), "w": float(w)} for v, w in zip(vs, ws)
+        ]
+    rows.append({"k": "a", "v": 1.0, "w": 0.2})  # floored to 0 → dropped
+    ds = ray.data.from_items(rows).repartition(4)
+
+    for q_num, q_den in ((1, 2), (3, 4)):
+        got = weighted_kth_smallest_by(ds, "k", "v", "w", q_num, q_den, nbins=16)
+        gm = dict(zip(got.column("key").to_pylist(), got.column("kth").to_pylist()))
+        for g, (vs, ws) in groups.items():
+            s = np.sort(np.repeat(vs, ws))
+            rank = -(-q_num * len(s) // q_den)
+            assert gm[g] == s[rank - 1], (g, q_num, q_den)
+
+    # unweighted path unchanged (the w=0.2 row COUNTS here: no weight col)
+    got_u = kth_smallest_by(ds, "k", "v", 1, 2, nbins=16)
+    gm_u = dict(zip(got_u.column("key").to_pylist(), got_u.column("kth").to_pylist()))
+    va = np.sort(np.append(groups["a"][0], 1.0))
+    assert gm_u["a"] == va[-(-len(va) // 2) - 1]
