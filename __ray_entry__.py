@@ -4063,6 +4063,141 @@ def _q_price_wmedian_by_flag(sf_dir: str):
     return pa.table({"l_returnflag": t.column("key"), "wmedian": t.column("kth")})
 
 
+def _q_top_supplier_window(sf_dir: str):
+    """TPC-H Q15 flavor: the top-revenue supplier(s) for 1996 Q1 —
+    argmax WITH TIES against the query's own aggregate. Plan:
+    predicate-pushdown read of the ship window → per-batch cents
+    combiner → per-supplier Sum (supplier-sized result) → one Max
+    scalar → equality filter. No join: the max is a broadcast-free
+    driver scalar; ties survive (SQL = WHERE rev = (SELECT max(...)))."""
+    from datetime import datetime
+
+    import pyarrow.dataset as pads
+
+    from ray.data.aggregate import Max, Sum
+
+    lo = datetime(1996, 1, 1)
+    hi = datetime(1996, 4, 1)
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_suppkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo) & (pads.field("l_shipdate") < hi),
+    )
+
+    def combiner(b: pa.Table) -> pa.Table:
+        s = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        price = b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = b.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        part = np.zeros(len(us), np.int64)
+        np.add.at(part, inv, cents)
+        return pa.table(
+            {"l_suppkey": pa.array(us, pa.int64()), "part": pa.array(part, pa.int64())}
+        )
+
+    rev = (
+        ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .aggregate(Sum("part"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_suppkey": b.column("l_suppkey"),
+                    "rev_cents": pc.cast(b.column("sum(part)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    ).materialize()  # bounded: one row per supplier; read twice below
+    top = int(rev.aggregate(Max("rev_cents"))["max(rev_cents)"])
+    return rev.map_batches(
+        lambda b: b.filter(pc.equal(b.column("rev_cents"), top)),
+        batch_format="pyarrow",
+    )
+
+
+def _q_small_qty_part_revenue(sf_dir: str):
+    """TPC-H Q17 flavor: total revenue of lineitems whose quantity is
+    below 20% of their part's average quantity — a fact table joined
+    against ITS OWN per-key aggregate with a threshold predicate.
+    Exact integer test: qty < sq/(5·n) ⟺ 5·qty·n < sq (quantities are
+    integral by data contract). Plan: slim fact projection → per-part
+    (Σqty, n) aggregate (part-sized, too big to broadcast) →
+    hash-shuffle join fact ⋈ agg on partkey → vectorized predicate →
+    one global cents Sum."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def slim(b: pa.Table) -> pa.Table:
+        q = np.floor(b.column("l_quantity").to_numpy(zero_copy_only=False)).astype(
+            np.int64
+        )
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "qty": pa.array(q, pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    fact = ds.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def agg_partial(b: pa.Table) -> pa.Table:
+        p = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        q = b.column("qty").to_numpy(zero_copy_only=False)
+        up, inv = np.unique(p, return_inverse=True)
+        sq = np.zeros(len(up), np.int64)
+        np.add.at(sq, inv, q)
+        n = np.bincount(inv, minlength=len(up)).astype(np.int64)
+        return pa.table(
+            {
+                "l_partkey": pa.array(up, pa.int64()),
+                "sq_p": pa.array(sq, pa.int64()),
+                "n_p": pa.array(n, pa.int64()),
+            }
+        )
+
+    agg = (
+        fact.map_batches(agg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_partkey")
+        .aggregate(Sum("sq_p"), Sum("n_p"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "l_partkey": b.column("l_partkey"),
+                    "sq": pc.cast(b.column("sum(sq_p)"), pa.int64()),
+                    "n": pc.cast(b.column("sum(n_p)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    j = hash_shuffle_join(fact, agg, on="l_partkey", how="inner")
+
+    def qualifying(b: pa.Table) -> pa.Table:
+        q = b.column("qty").to_numpy(zero_copy_only=False)
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        sq = b.column("sq").to_numpy(zero_copy_only=False)
+        c = b.column("cents").to_numpy(zero_copy_only=False)
+        keep = 5 * q * n < sq
+        return pa.table({"part": pa.array([int(c[keep].sum())], pa.int64())})
+
+    total = j.map_batches(
+        qualifying, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("part"))
+    return pa.table(
+        {"total_cents": pa.array([int(total["sum(part)"] or 0)], pa.int64())}
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -4171,6 +4306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": _q_new_users_daily,
         "value_weighted_median": _q_value_weighted_median,
         "price_wmedian_by_flag": _q_price_wmedian_by_flag,
+        "top_supplier_window": _q_top_supplier_window,
+        "small_qty_part_revenue": _q_small_qty_part_revenue,
         "pack_sequences": _q_pack_sequences,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
@@ -4831,6 +4968,23 @@ def oracle_sql() -> dict[str, str]:
             "SELECT s.k AS l_returnflag, min(s.v) AS wmedian FROM s "
             "JOIN tot ON s.k = tot.k WHERE s.cum >= (tot.tw + 1) // 2 "
             "GROUP BY s.k"
+        ),
+        "top_supplier_window": (
+            "WITH r AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) "
+            "AS BIGINT)) AS BIGINT) AS rev_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT l_suppkey, rev_cents FROM r "
+            "WHERE rev_cents = (SELECT max(rev_cents) FROM r)"
+        ),
+        "small_qty_part_revenue": (
+            "WITH a AS (SELECT l_partkey, "
+            "sum(CAST(floor(l_quantity) AS BIGINT)) AS sq, count(*) AS n "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(sum(CAST(floor(l.l_extendedprice * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_cents FROM lineitem l JOIN a USING (l_partkey) "
+            "WHERE 5 * CAST(floor(l.l_quantity) AS BIGINT) * a.n < a.sq"
         ),
         "dataset_split_counts": (
             "SELECT source, CASE WHEN substr(md5(text), 1, 2) < 'fa' THEN 'train' "
