@@ -4198,6 +4198,668 @@ def _q_small_qty_part_revenue(sf_dir: str):
     )
 
 
+def _q_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 flavor: revenue from line items whose SUPPLIER sits in
+    the CUSTOMER's own nation, by nation.
+
+    Join plan (100-TB shapes): supplier/nation are dimensions →
+    broadcast; orders ⋈ customer and lineitem ⋈ orders are fact ⋈ fact
+    → hash-shuffle joins co-partitioned on their keys (customer is NOT
+    broadcast — at web scale it is fact-sized, VERDICT r3 #4 lesson).
+    Only slim int key columns ride the shuffles; the nation-equality
+    filter and the integer-cents pre-reduce run map-side."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_nk = hash_shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_nk = broadcast_join(li, supp, key="l_suppkey", build_key="s_suppkey")
+
+    joined = hash_shuffle_join(li_nk, orders_nk, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("s_nationkey"), b.column("c_nationkey")))
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"s_nationkey": b.column("s_nationkey"), "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["s_nationkey"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["s_nationkey", "cents", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("s_nationkey")
+        .aggregate(Sum("cents"), Sum("n"))
+    )
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    named = broadcast_join(agg, nation, key="s_nationkey", build_key="n_nationkey")
+    return named.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("n_name"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+            ],
+            names=["nation", "n_items", "revenue"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_trade_volume_pairs(sf_dir: str):
+    """TPC-H Q7 flavor: shipped revenue between DISTINCT
+    (supplier nation → customer nation) pairs, by ship year — the
+    directed trade-volume matrix.
+
+    Same fact ⋈ fact plan as local_supplier_revenue; the pre-reduce
+    groups each batch down to ≤ |nations|² × |years| rows before the
+    final shuffle, so the wide exchange moves tiny partials. Nation
+    names attach AFTER aggregation on the bounded pair axis (25-row
+    dim pulled once to the driver — registered bounded contract)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_nk = hash_shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey")
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_nk = broadcast_join(li, supp, key="l_suppkey", build_key="s_suppkey")
+    joined = hash_shuffle_join(li_nk, orders_nk, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.not_equal(b.column("s_nationkey"), b.column("c_nationkey")))
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "s_nationkey": b.column("s_nationkey"),
+                "c_nationkey": b.column("c_nationkey"),
+                "ship_year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "cents": cents,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["s_nationkey", "c_nationkey", "ship_year"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["s_nationkey", "c_nationkey", "ship_year", "cents", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["s_nationkey", "c_nationkey", "ship_year"])
+        .aggregate(Sum("cents"), Sum("n"))
+    )
+    # bounded: 25-row nation dim, pulled once; probed twice (both pair ends)
+    nt = pa.Table.from_pylist(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).take_all()
+    )
+    nk = nt.column("n_nationkey").combine_chunks()
+    nn_names = nt.column("n_name").combine_chunks()
+
+    def finish(b: pa.Table) -> pa.Table:
+        si = pc.index_in(pc.cast(b.column("s_nationkey"), nk.type), value_set=nk)
+        ci = pc.index_in(pc.cast(b.column("c_nationkey"), nk.type), value_set=nk)
+        if isinstance(si, pa.ChunkedArray):
+            si, ci = si.combine_chunks(), ci.combine_chunks()
+        return pa.Table.from_arrays(
+            [
+                nn_names.take(si),
+                nn_names.take(ci),
+                b.column("ship_year"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+            ],
+            names=["supp_nation", "cust_nation", "ship_year", "n_items", "revenue"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_nation_market_share(sf_dir: str):
+    """TPC-H Q8 flavor: NATION_0 suppliers' share of ALL revenue sold
+    to region-0 customers, per order year.
+
+    Integer-cents sums (total + nation-0 conditional) ride every
+    shuffle; the share division happens once per year on the bounded
+    year axis, as exact float64 of exact int64 sums — bit-identical to
+    the SQL oracle's CAST(… AS DOUBLE) division."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_nk = hash_shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    orders_rg = broadcast_join(
+        orders_nk, nation, key="c_nationkey", build_key="n_nationkey"
+    )
+
+    def region0(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(pc.cast(b.column("n_regionkey"), pa.int64()), 0))
+        return pa.Table.from_arrays(
+            [
+                b.column("o_orderkey"),
+                pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+            ],
+            names=["o_orderkey", "o_year"],
+        )
+
+    orders_f = orders_rg.map_batches(region0, batch_format="pyarrow", zero_copy_batch=True)
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"]
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_nk = broadcast_join(li, supp, key="l_suppkey", build_key="s_suppkey")
+    joined = hash_shuffle_join(li_nk, orders_f, on="l_orderkey", right_on="o_orderkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        is0 = pc.equal(
+            pc.cast(b.column("s_nationkey"), pa.int64()), 0
+        ).to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "o_year": b.column("o_year"),
+                "cents": cents,
+                "cents0": np.where(is0, cents, 0),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["o_year"])
+            .aggregate([("cents", "sum"), ("cents0", "sum")])
+            .rename_columns(["o_year", "cents", "cents0"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_year")
+        .aggregate(Sum("cents"), Sum("cents0"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = pc.cast(b.column("sum(cents)"), pa.int64())
+        n0 = pc.cast(b.column("sum(cents0)"), pa.int64())
+        share = pc.divide(pc.cast(n0, pa.float64()), pc.cast(total, pa.float64()))
+        return pa.Table.from_arrays(
+            [b.column("o_year"), total, n0, share],
+            names=["o_year", "total_cents", "nation0_cents", "share"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_returned_item_customers(sf_dir: str):
+    """TPC-H Q10 flavor: top 20 customers by revenue of RETURNED items.
+
+    lineitem is filtered + pre-reduced to (orderkey, cents) partials
+    map-side BEFORE any shuffle; the per-customer rollup then joins
+    customer hash-shuffled (fact-sized side, never broadcast) and the
+    top 20 comes from the partial-top-k merge — no global sort."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"]
+    )
+
+    def returned_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("l_returnflag"), "R"))
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"), "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["l_orderkey"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["l_orderkey", "cents"])
+        )
+
+    per_order = li.map_batches(
+        returned_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    joined = hash_shuffle_join(per_order, orders, on="l_orderkey", right_on="o_orderkey")
+    per_cust = joined.groupby("o_custkey").aggregate(Sum("cents"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+    with_cust = hash_shuffle_join(per_cust, cust, on="o_custkey", right_on="c_custkey")
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    named = broadcast_join(with_cust, nation, key="c_nationkey", build_key="n_nationkey")
+
+    def slim(b: pa.Table) -> pa.Table:
+        # the shuffle join coalesces the right key into the left "on"
+        # column — o_custkey IS the customer key after the join
+        return pa.Table.from_arrays(
+            [
+                b.column("o_custkey"),
+                b.column("c_name"),
+                b.column("n_name"),
+                b.column("c_acctbal"),
+                pc.cast(b.column("sum(cents)"), pa.int64()),
+            ],
+            names=["c_custkey", "c_name", "nation", "c_acctbal", "cents"],
+        )
+
+    top = global_top_k(
+        named.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True),
+        [("cents", "descending"), ("c_custkey", "ascending")],
+        20,
+    )
+    return top.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("c_custkey"),
+                b.column("c_name"),
+                b.column("nation"),
+                b.column("c_acctbal"),
+                pc.divide(pc.cast(b.column("cents"), pa.float64()), 100.0),
+            ],
+            names=["c_custkey", "c_name", "nation", "c_acctbal", "revenue"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_big_volume_orders(sf_dir: str):
+    """TPC-H Q18 flavor: orders whose TOTAL line-item quantity exceeds
+    250 units, with their customer — the fact-vs-own-aggregate HAVING
+    shape at order grain.
+
+    Quantity rides as exact centi-units (int64); per-batch pre-reduce
+    shrinks lineitem to (orderkey, centi_qty) partials before the
+    groupby shuffle; the >threshold filter prunes to a tiny survivor
+    set BEFORE the two join shuffles."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def qty_partial(b: pa.Table) -> pa.Table:
+        cq = np.floor(_nn(b.column("l_quantity")) * 100).astype(np.int64)
+        t = pa.table({"l_orderkey": b.column("l_orderkey"), "cq": cq})
+        return (
+            pa.TableGroupBy(t, ["l_orderkey"])
+            .aggregate([("cq", "sum")])
+            .rename_columns(["l_orderkey", "cq"])
+        )
+
+    per_order = (
+        li.map_batches(qty_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("cq"))
+    )
+
+    def big(b: pa.Table) -> pa.Table:
+        cq = pc.cast(b.column("sum(cq)"), pa.int64())
+        t = pa.Table.from_arrays(
+            [b.column("l_orderkey"), cq], names=["l_orderkey", "cq"]
+        )
+        return t.filter(pc.greater(cq, 25000))
+
+    survivors = per_order.map_batches(big, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+    with_orders = hash_shuffle_join(
+        survivors, orders, on="l_orderkey", right_on="o_orderkey"
+    )
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    with_cust = hash_shuffle_join(with_orders, cust, on="o_custkey", right_on="c_custkey")
+    # the join coalesces c_custkey into o_custkey; rename on output
+    return with_cust.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("o_custkey"),
+                b.column("c_name"),
+                b.column("l_orderkey"),
+                b.column("o_orderdate"),
+                b.column("o_totalprice"),
+                pc.divide(pc.cast(b.column("cq"), pa.float64()), 100.0),
+            ],
+            names=[
+                "c_custkey",
+                "c_name",
+                "o_orderkey",
+                "o_orderdate",
+                "o_totalprice",
+                "total_qty",
+            ],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_promo_revenue(sf_dir: str):
+    """TPC-H Q14 flavor: PROMO parts' share of revenue per ship month.
+
+    part is fact-sized at web scale, so lineitem ⋈ part is an honest
+    hash-shuffle join on the part key (not a broadcast); the join
+    output pre-reduces to ≤ |months| rows per batch, and the share
+    division runs on the bounded month axis (exact int64 sums →
+    float64, matching the oracle's CAST AS DOUBLE division)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"])
+
+    def promo_flag(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("p_partkey"),
+                pc.cast(pc.equal(b.column("p_type"), "PROMO"), pa.int64()),
+            ],
+            names=["p_partkey", "is_promo"],
+        )
+
+    flags = part.map_batches(promo_flag, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_shuffle_join(li, flags, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        ts = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        month_us = (
+            ts.astype("datetime64[us]").astype("datetime64[M]").astype("datetime64[us]")
+        ).astype(np.int64)
+        promo = _nn(b.column("is_promo"))
+        t = pa.table(
+            {
+                "month_us": month_us,
+                "cents": cents,
+                "promo_cents": np.where(promo == 1, cents, 0),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["month_us"])
+            .aggregate([("cents", "sum"), ("promo_cents", "sum")])
+            .rename_columns(["month_us", "cents", "promo_cents"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month_us")
+        .aggregate(Sum("cents"), Sum("promo_cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        total = pc.cast(b.column("sum(cents)"), pa.int64())
+        promo = pc.cast(b.column("sum(promo_cents)"), pa.int64())
+        share = pc.divide(pc.cast(promo, pa.float64()), pc.cast(total, pa.float64()))
+        return pa.Table.from_arrays(
+            [b.column("month_us"), promo, total, share],
+            names=["month_us", "promo_cents", "total_cents", "promo_share"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_dormant_rich_customers(sf_dir: str):
+    """TPC-H Q22 flavor: customers whose balance exceeds the average
+    POSITIVE balance but who placed NO order since 2000-01-01, counted
+    per market segment.
+
+    The avg threshold is applied as an EXACT integer cross-multiply
+    (cents·N > S, both int64 — no float avg anywhere), computed from
+    one slim pre-pass; dormancy is a left_anti hash-shuffle join
+    against the filtered orders key stream (the distributed NOT IN)."""
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_acctbal", "c_mktsegment"])
+
+    def pos_cents(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.greater(b.column("c_acctbal"), 0.0))
+        cents = np.floor(_nn(b.column("c_acctbal")) * 100).astype(np.int64)
+        return pa.table({"cents": cents})
+
+    stats = cust.map_batches(
+        pos_cents, batch_format="pyarrow", zero_copy_batch=True
+    ).aggregate(Sum("cents"), Count())
+    s_total = int(stats["sum(cents)"])
+    n_pos = int(stats["count()"])
+
+    def rich(b: pa.Table) -> pa.Table:
+        cents = np.floor(_nn(b.column("c_acctbal")) * 100).astype(np.int64)
+        keep = cents * n_pos > s_total  # exact: cents/1 > S/N ⇔ cents·N > S
+        t = pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "cents": cents,
+            }
+        )
+        return t.filter(pa.array(keep))
+
+    rich_ds = cust.map_batches(rich, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+    def recent(b: pa.Table) -> pa.Table:
+        cutoff = pa.scalar(np.datetime64("2000-01-01", "us"))
+        return b.filter(pc.greater_equal(b.column("o_orderdate"), cutoff)).select(
+            ["o_custkey"]
+        )
+
+    recent_keys = orders.map_batches(recent, batch_format="pyarrow", zero_copy_batch=True)
+    dormant = hash_shuffle_join(
+        rich_ds, recent_keys, on="c_custkey", right_on="o_custkey", how="left_anti"
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.select(["c_mktsegment", "cents"])
+        return (
+            pa.TableGroupBy(t, ["c_mktsegment"])
+            .aggregate([("cents", "sum"), ([], "count_all")])
+            .rename_columns(["c_mktsegment", "cents", "n"])
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (
+        dormant.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("c_mktsegment")
+        .aggregate(_Sum("cents"), _Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("c_mktsegment"),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+                pc.cast(b.column("sum(cents)"), pa.int64()),
+            ],
+            names=["c_mktsegment", "n_custs", "bal_cents"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_hybrid_search_rrf(sf_dir: str):
+    """Reciprocal-rank fusion (RRF, k=60) of two retrieval rankings:
+    BM25 over fixed query terms and a length prior (n_chars desc) —
+    the standard hybrid-search merge step of a retrieval pipeline.
+
+    Both rankings come from partial-top-k merges (no global sort);
+    fusion runs on the driver over the bounded ≤2k candidate union.
+    Scores are 1/(60+rank) sums — identical two-operand float adds on
+    both sides, so the query is hash-exact against the SQL window
+    oracle, not just rank-exact."""
+    from pdf_table_extractor_ray.stages.search import bm25_topk
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    bm = bm25_topk(docs, ["hash", "vector", "window"], k=50)
+    ra = dict(
+        zip(bm.column("doc_id").to_pylist(), bm.column("rank").to_pylist())
+    )
+    size = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    # bounded: k=50 rows from the partial-top-k merge
+    ln_rows = global_top_k(
+        size, [("n_chars", "descending"), ("doc_id", "ascending")], 50
+    ).take_all()
+    ln_rows.sort(key=lambda r: (-int(r["n_chars"]), int(r["doc_id"])))
+    rb = {int(r["doc_id"]): i + 1 for i, r in enumerate(ln_rows)}
+
+    cands = sorted(set(ra) | set(rb))
+    scores = [
+        (1.0 / (60 + ra[d]) if d in ra else 0.0)
+        + (1.0 / (60 + rb[d]) if d in rb else 0.0)
+        for d in cands
+    ]
+    order = sorted(range(len(cands)), key=lambda i: (-scores[i], cands[i]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([cands[i] for i in order], pa.int64()),
+            "rrf": pa.array([scores[i] for i in order], pa.float64()),
+            "rank": pa.array(np.arange(1, len(order) + 1), pa.int64()),
+        }
+    )
+
+
+def _q_value_trend_by_type(sf_dir: str):
+    """Per-type OLS trend of event value over time (slope + intercept)
+    — grouped linear regression via INTEGER moments: minutes since a
+    fixed origin × integer cents, five int64 sums per group riding the
+    shuffle, the closed-form solution evaluated once per group on the
+    driver in arbitrary-precision Python ints (the n·Sxy−Sx·Sy cross
+    terms overflow int64; DuckDB's HUGEINT accumulators are matched
+    exactly, then both sides round once to float64)."""
+    from ray.data.aggregate import Sum
+
+    origin = int(np.datetime64("2020-01-01", "us").astype(np.int64))
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.and_(pc.is_valid(b.column("ts")), pc.is_valid(b.column("value"))),
+            pc.is_valid(b.column("event_type")),
+        )
+        f = b.filter(m)
+        ts = pc.cast(f.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        mins = (ts - origin) // 60_000_000
+        cents = np.floor(_nn(f.column("value")) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "event_type": f.column("event_type"),
+                "n": np.ones(len(mins), np.int64),
+                "sd": mins,
+                "sv": cents,
+                "sdd": mins * mins,
+                "sdv": mins * cents,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["event_type"])
+            .aggregate(
+                [("n", "sum"), ("sd", "sum"), ("sv", "sum"), ("sdd", "sum"), ("sdv", "sum")]
+            )
+            .rename_columns(["event_type", "n", "sd", "sv", "sdd", "sdv"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(Sum("n"), Sum("sd"), Sum("sv"), Sum("sdd"), Sum("sdv"))
+    )
+    rows = agg.take_all()  # bounded: one row per event_type
+    rows.sort(key=lambda r: r["event_type"])
+    out_t, out_n, out_s, out_i = [], [], [], []
+    for r in rows:
+        n, sd, sv = int(r["sum(n)"]), int(r["sum(sd)"]), int(r["sum(sv)"])
+        sdd, sdv = int(r["sum(sdd)"]), int(r["sum(sdv)"])
+        den = n * sdd - sd * sd  # exact Python ints — no int64 overflow
+        out_t.append(r["event_type"])
+        out_n.append(n)
+        out_s.append(float(n * sdv - sd * sv) / float(den))
+        out_i.append(float(sv * sdd - sd * sdv) / float(den))
+    return pa.table(
+        {
+            "event_type": pa.array(out_t, pa.string()),
+            "n": pa.array(out_n, pa.int64()),
+            "slope_cents_per_min": pa.array(out_s, pa.float64()),
+            "intercept_cents": pa.array(out_i, pa.float64()),
+        }
+    )
+
+
+def _q_user_counts_cms(sf_dir: str):
+    """Count-min-sketch point estimates of per-user event counts for a
+    fixed probe set (users 0–19) — the fixed-memory frequency oracle a
+    streaming pipeline keeps when exact per-key counts don't fit.
+
+    The sketch is a distributed (cell, count) table (≤ depth·width
+    bounded keys — the merge shuffle is tiny at any input scale);
+    only the probe keys' ≤ depth·20 cells are pulled. Rows-only
+    (CM estimates legitimately overestimate); the ≥-true and error-
+    bound guarantees are pytest-asserted in test_cms."""
+    from pdf_table_extractor_ray.stages.sketches import cms_build, cms_point_estimates
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    cms = cms_build(ds, "user_id", width=4096, depth=4)
+    keys = pa.array(np.arange(20, dtype=np.int64))
+    out = cms_point_estimates(cms, keys, width=4096, depth=4)
+    return out.rename_columns(["user_id", "est_n_events"])
+
+
+def _q_audio_spectral(sf_dir: str):
+    """Audio analysis end-to-end: deterministic synthetic PCM-WAV
+    clips → Hann-windowed rfft spectral features (rms, centroid,
+    bandwidth, rolloff, dominant frequency) through the actor-pool
+    stage, floored to integer milli-units for a layout-stable result.
+    Rows-only (binary audio has no SQL analog); feature math is
+    pytest-verified against a direct in-process oracle in
+    test_corpus_ops."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        audio_spectral_features,
+        synth_media_corpus,
+    )
+
+    corpus = synth_media_corpus()
+    audio = corpus.filter(pc.equal(corpus.column("kind"), "audio"))
+    ds = ray.data.from_arrow(audio).repartition(4)
+    feats = audio_spectral_features(ds, concurrency=(1, 4))
+
+    def to_milli(b: pa.Table) -> pa.Table:
+        out = {"media_id": b.column("media_id"), "n_samples": b.column("n_samples")}
+        for c in ("rms", "centroid_hz", "bandwidth_hz", "rolloff95_hz", "dominant_hz"):
+            out[c + "_milli"] = pc.cast(
+                pc.floor(pc.multiply(b.column(c), 1000.0)), pa.int64()
+            )
+        return pa.table(out)
+
+    return feats.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -4250,6 +4912,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_price_quartile": _q_revenue_by_price_quartile,
         "top_revenue_orders": _q_top_revenue_orders,
         "profit_by_nation_year": _q_profit_by_nation_year,
+        "local_supplier_revenue": _q_local_supplier_revenue,
+        "trade_volume_pairs": _q_trade_volume_pairs,
+        "nation_market_share": _q_nation_market_share,
+        "returned_item_customers": _q_returned_item_customers,
+        "big_volume_orders": _q_big_volume_orders,
+        "promo_revenue": _q_promo_revenue,
+        "dormant_rich_customers": _q_dormant_rich_customers,
+        "hybrid_search_rrf": _q_hybrid_search_rrf,
+        "value_trend_by_type": _q_value_trend_by_type,
+        "user_counts_cms": _q_user_counts_cms,
+        "audio_spectral": _q_audio_spectral,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
@@ -4545,6 +5218,96 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_orderdate < TIMESTAMP '1998-01-01' "
             "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
         ),
+        "local_supplier_revenue": (
+            "SELECT n_name AS nation, count(*) AS n_items, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE s_nationkey = c_nationkey "
+            "GROUP BY n_name"
+        ),
+        "trade_volume_pairs": (
+            "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS ship_year, count(*) AS n_items, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ns ON s_nationkey = ns.n_nationkey "
+            "JOIN nation nc ON c_nationkey = nc.n_nationkey "
+            "WHERE s_nationkey <> c_nationkey "
+            "GROUP BY 1, 2, 3"
+        ),
+        "nation_market_share": (
+            "SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) "
+            "  AS total_cents, "
+            "CAST(sum(CASE WHEN s_nationkey = 0 "
+            "  THEN CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) "
+            "  ELSE 0 END) AS BIGINT) AS nation0_cents, "
+            "CAST(sum(CASE WHEN s_nationkey = 0 "
+            "  THEN CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) "
+            "  ELSE 0 END) AS DOUBLE) "
+            " / CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE) "
+            "  AS share "
+            "FROM lineitem "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+            "WHERE cn.n_regionkey = 0 "
+            "GROUP BY 1"
+        ),
+        "returned_item_customers": (
+            "SELECT c_custkey, c_name, n_name AS nation, c_acctbal, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' "
+            "GROUP BY 1, 2, 3, 4 "
+            "ORDER BY revenue DESC, c_custkey LIMIT 20"
+        ),
+        "big_volume_orders": (
+            "SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice, "
+            "sum(CAST(floor(l_quantity*100) AS BIGINT))/100.0 AS total_qty "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1, 2, 3, 4, 5 "
+            "HAVING sum(CAST(floor(l_quantity*100) AS BIGINT)) > 25000"
+        ),
+        "promo_revenue": (
+            "SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us, "
+            "CAST(sum(CASE WHEN p_type = 'PROMO' "
+            "  THEN CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) "
+            "  ELSE 0 END) AS BIGINT) AS promo_cents, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) "
+            "  AS total_cents, "
+            "CAST(sum(CASE WHEN p_type = 'PROMO' "
+            "  THEN CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT) "
+            "  ELSE 0 END) AS DOUBLE) "
+            " / CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE) "
+            "  AS promo_share "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1"
+        ),
+        "dormant_rich_customers": (
+            "WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s, "
+            "  count(*) AS n FROM customer WHERE c_acctbal > 0) "
+            "SELECT c_mktsegment, count(*) AS n_custs, "
+            "CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS bal_cents "
+            "FROM customer, pos "
+            "WHERE CAST(floor(c_acctbal*100) AS BIGINT) * pos.n > pos.s "
+            "AND c_custkey NOT IN (SELECT o_custkey FROM orders "
+            "  WHERE o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY c_mktsegment"
+        ),
         "profit_by_nation_year": (
             "SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year, "
             "count(*) AS n_items, "
@@ -4827,6 +5590,44 @@ def oracle_sql() -> dict[str, str]:
             "  AS score FROM tf t, stats s) "
             "SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank "
             "FROM scored ORDER BY score DESC, doc_id LIMIT 10"
+        ),
+        "hybrid_search_rrf": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "tf AS (SELECT doc_id, len(w) AS dl, "
+            "  len(list_filter(w, x -> x = 'hash')) AS tf0, "
+            "  len(list_filter(w, x -> x = 'vector')) AS tf1, "
+            "  len(list_filter(w, x -> x = 'window')) AS tf2 FROM toks), "
+            "stats AS (SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE)/count(*) AS avgdl, "
+            "  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0, "
+            "  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1, "
+            "  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2 FROM tf), "
+            "scored AS (SELECT t.doc_id, "
+            "  ln((s.n - s.df0 + 0.5)/(s.df0 + 0.5) + 1.0)*(t.tf0*(1.2+1.0))/(t.tf0 + 1.2*(1.0 - 0.75 + 0.75*(t.dl/s.avgdl))) "
+            "+ ln((s.n - s.df1 + 0.5)/(s.df1 + 0.5) + 1.0)*(t.tf1*(1.2+1.0))/(t.tf1 + 1.2*(1.0 - 0.75 + 0.75*(t.dl/s.avgdl))) "
+            "+ ln((s.n - s.df2 + 0.5)/(s.df2 + 0.5) + 1.0)*(t.tf2*(1.2+1.0))/(t.tf2 + 1.2*(1.0 - 0.75 + 0.75*(t.dl/s.avgdl))) "
+            "  AS score FROM tf t, stats s), "
+            "bm AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS ra "
+            "  FROM scored ORDER BY score DESC, doc_id LIMIT 50), "
+            "lnr AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS rb "
+            "  FROM documents ORDER BY n_chars DESC, doc_id LIMIT 50) "
+            "SELECT coalesce(bm.doc_id, lnr.doc_id) AS doc_id, "
+            "coalesce(1.0/(60+ra), 0.0) + coalesce(1.0/(60+rb), 0.0) AS rrf, "
+            "CAST(row_number() OVER (ORDER BY coalesce(1.0/(60+ra), 0.0) + coalesce(1.0/(60+rb), 0.0) DESC, "
+            "  coalesce(bm.doc_id, lnr.doc_id)) AS BIGINT) AS rank "
+            "FROM bm FULL OUTER JOIN lnr ON bm.doc_id = lnr.doc_id "
+            "ORDER BY rrf DESC, doc_id LIMIT 10"
+        ),
+        "value_trend_by_type": (
+            "WITH e AS (SELECT event_type, "
+            "  date_diff('minute', TIMESTAMP '2020-01-01', ts) AS d, "
+            "  CAST(floor(value*100) AS BIGINT) AS v FROM events "
+            "  WHERE ts IS NOT NULL AND value IS NOT NULL AND event_type IS NOT NULL), "
+            "m AS (SELECT event_type, count(*) AS n, sum(d) AS sd, sum(v) AS sv, "
+            "  sum(d*d) AS sdd, sum(d*v) AS sdv FROM e GROUP BY 1) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "CAST(n*sdv - sd*sv AS DOUBLE)/CAST(n*sdd - sd*sd AS DOUBLE) AS slope_cents_per_min, "
+            "CAST(sv*sdd - sd*sdv AS DOUBLE)/CAST(n*sdd - sd*sd AS DOUBLE) AS intercept_cents "
+            "FROM m"
         ),
         "user_value_ffill": (
             "SELECT event_id, user_id, "

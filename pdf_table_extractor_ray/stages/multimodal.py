@@ -677,3 +677,108 @@ def media_feature_stats(features: "object") -> "object":
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def decode_wav_meta(payload: bytes):
+    """PCM WAV → (mono float32 samples in [-1, 1], sample rate Hz)."""
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as f:
+        rate = f.getframerate()
+    return decode_wav(payload), rate
+
+
+class AudioSpectral:
+    """Actor-pool stage: PCM WAV rows → spectral features (rms,
+    centroid, bandwidth, 95% spectral rolloff, dominant frequency)
+    via one Hann-windowed rfft per clip — the audio analog of the
+    image featurizer. Hann windows are cached per clip length in
+    actor state (built once per distinct length, not per row).
+    Non-audio or undecodable rows yield null features plus an in-band
+    ``error`` string (one bad payload never kills the job — same
+    fault contract as the extraction pipeline)."""
+
+    def __init__(self, media_col: str = "payload"):
+        self.media_col = media_col
+        self._hann: dict = {}
+
+    def _window(self, n: int) -> np.ndarray:
+        w = self._hann.get(n)
+        if w is None:
+            w = np.hanning(n)
+            self._hann[n] = w
+        return w
+
+    def _features(self, payload: bytes):
+        if payload is None or _sniff(payload) != "wav":
+            raise ValueError("not a WAV payload")
+        x, rate = decode_wav_meta(payload)
+        n = len(x)
+        if n == 0:
+            raise ValueError("empty WAV payload")
+        xf = x.astype(np.float64)
+        spec = np.abs(np.fft.rfft(xf * self._window(n)))
+        freqs = np.fft.rfftfreq(n, 1.0 / rate)
+        tot = float(spec.sum())
+        if tot > 0.0:
+            centroid = float((freqs * spec).sum() / tot)
+            bandwidth = float(np.sqrt((((freqs - centroid) ** 2) * spec).sum() / tot))
+            rolloff = float(freqs[int(np.searchsorted(np.cumsum(spec), 0.95 * tot))])
+        else:
+            centroid = bandwidth = rolloff = 0.0
+        return (
+            n,
+            float(np.sqrt(np.mean(xf * xf))),
+            centroid,
+            bandwidth,
+            rolloff,
+            float(freqs[int(np.argmax(spec))]),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = (
+            "n_samples",
+            "rms",
+            "centroid_hz",
+            "bandwidth_hz",
+            "rolloff95_hz",
+            "dominant_hz",
+        )
+        cols = {k: [] for k in names}
+        errs = []
+        for payload in batch.column(self.media_col).to_pylist():
+            try:
+                vals = self._features(payload)
+            except Exception as ex:  # in-band fault, never job-fatal
+                for k in names:
+                    cols[k].append(None)
+                errs.append(f"{type(ex).__name__}: {ex}")
+                continue
+            for k, v in zip(names, vals):
+                cols[k].append(v)
+            errs.append(None)
+        out = batch.drop_columns([self.media_col])
+        out = out.append_column("n_samples", pa.array(cols["n_samples"], pa.int64()))
+        for k in names[1:]:
+            out = out.append_column(k, pa.array(cols[k], pa.float64()))
+        return out.append_column("error", pa.array(errs, pa.string()))
+
+
+def audio_spectral_features(
+    ds,
+    media_col: str = "payload",
+    batch_size: int = 32,
+    concurrency=(1, 8),
+):
+    """audio Dataset → spectral features: actor pool, small batches
+    (clips are opaque binaries; batch × concurrency must fit worker
+    heaps)."""
+    return ds.map_batches(
+        AudioSpectral,
+        fn_constructor_kwargs={"media_col": media_col},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

@@ -1326,3 +1326,110 @@ def weighted_median(
         lo = lo + sel * binw
         hi = min(hi, lo + binw - 1)
     return _ordered_u64_to_float64(lo)
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+
+
+_CMS_MULT = np.array(
+    [0x9E3779B97F4A7C15, 0xBF58476D1CE4E5B9, 0x94D049BB133111EB, 0xD6E8FEB86659FD93],
+    np.uint64,
+)
+_CMS_ADD = np.array(
+    [0x2545F4914F6CDD1D, 0x27220A95FE58F3F9, 0x1D8E4E27C47D124F, 0xA24BAED4963EE407],
+    np.uint64,
+)
+
+
+def _cms_cells(h: np.ndarray, width: int, depth: int) -> np.ndarray:
+    """(depth, n) int64 cell ids in [0, depth·width): row d uses an
+    independent affine remix of the base 64-bit hash. Vectorized."""
+    if depth > len(_CMS_MULT):
+        raise ValueError(f"depth ≤ {len(_CMS_MULT)} supported")
+    out = np.empty((depth, len(h)), np.int64)
+    for d in range(depth):
+        hd = h * _CMS_MULT[d] + _CMS_ADD[d]  # uint64 wraparound is the mix
+        out[d] = (np.right_shift(hd, np.uint64(17)) % np.uint64(width)).astype(
+            np.int64
+        ) + d * width
+    return out
+
+
+def cms_build(
+    ds: "ray.data.Dataset", col: str, width: int = 4096, depth: int = 4
+) -> "ray.data.Dataset":
+    """Count-min sketch of ``col``'s non-null value frequencies as a
+    DISTRIBUTED ``(cell:int64, cnt:int64)`` table of the non-zero
+    cells — never a dense matrix on the driver.
+
+    Per batch the depth×width counters come from ``np.bincount`` (one
+    pass per depth row); merge is elementwise ADD, i.e. one
+    ``groupby(cell).sum`` over ≤ depth·width bounded keys — a tiny
+    shuffle regardless of input scale. Point estimates then read
+    ``depth`` cells per query key (``cms_point_estimates``). Standard
+    CM guarantees: est ≥ true; est ≤ true + e/width·N with prob
+    1−exp(−depth) (Cormode & Muthukrishnan 2005)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        h = _hash64_column(batch.column(col))  # nulls dropped
+        if len(h) == 0:
+            return pa.table(
+                {"cell": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        cells = _cms_cells(h, width, depth).ravel()
+        counts = np.bincount(cells, minlength=depth * width)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "cell": pa.array(nz.astype(np.int64)),
+                "cnt": pa.array(counts[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cell")
+        .aggregate(Sum("cnt"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("cell"), pc.cast(b.column("sum(cnt)"), pa.int64())],
+            names=["cell", "cnt"],
+        )
+
+    return agg.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cms_point_estimates(
+    cms: "ray.data.Dataset",
+    keys: pa.Array,
+    width: int = 4096,
+    depth: int = 4,
+) -> pa.Table:
+    """Frequency estimates for explicit ``keys`` from a ``cms_build``
+    table: min over each key's ``depth`` cells. The sketch stays
+    distributed — only the ≤ depth·|keys| relevant cells are filtered
+    map-side and pulled (bounded by the query-key count)."""
+    h = _hash64_column(keys)
+    cells = _cms_cells(h, width, depth)  # (depth, |keys|)
+    wanted = np.unique(cells.ravel())
+    wanted_arr = pa.array(wanted, pa.int64())
+
+    def pick(b: pa.Table) -> pa.Table:
+        m = pc.is_in(b.column("cell"), value_set=wanted_arr)
+        return b.filter(m)
+
+    rows = cms.map_batches(
+        pick, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # bounded: ≤ depth·|keys| cells
+    got = {int(r["cell"]): int(r["cnt"]) for r in rows}
+    est = np.array(
+        [min(got.get(int(c), 0) for c in cells[:, i]) for i in range(len(h))],
+        np.int64,
+    )
+    return pa.Table.from_arrays(
+        [keys, pa.array(est)], names=["key", "est"]
+    )

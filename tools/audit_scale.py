@@ -38,6 +38,9 @@ TAKE_ALL_ALLOWLIST = {
     ("__ray_entry__.py", "partial_min"): "pruned partial-min scan for query vectors",
     ("__ray_entry__.py", "pick"): "k query vectors, bounded by k",
     ("__ray_entry__.py", "_q_embedding_dups"): "planted-pair result, bounded by pair count",
+    ("__ray_entry__.py", "_q_trade_volume_pairs"): "25-row nation dim, pulled once to name the bounded pair axis",
+    ("__ray_entry__.py", "_q_hybrid_search_rrf"): "two k=50 top-k ranking lists; fusion axis bounded by 2k",
+    ("__ray_entry__.py", "_q_value_trend_by_type"): "one moment row per event_type; closed form needs Python-int precision",
     ("__ray_entry__.py", "prep"): "revenue_share_by_nation: one row per nation, bounded; shares need Python-int precision",
     ("__ray_entry__.py", "partial"): "revenue_mom: one row per calendar month, bounded time axis",
     ("pdf_table_extractor_ray/stages/bloom.py", "partial"): "one m/8-byte bitmap per block",
@@ -54,6 +57,7 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/sketches.py", "_key_thresholds"): "heavy_hitters_by: one threshold row per key, bounded key domain",
     ("pdf_table_extractor_ray/stages/sketches.py", "hist"): "kth_smallest: ≤ nbins histogram rows per pass by construction",
     ("pdf_table_extractor_ray/stages/sketches.py", "partial"): "HLL registers / checksum partials, one small row per block",
+    ("pdf_table_extractor_ray/stages/sketches.py", "pick"): "cms_point_estimates: ≤ depth·|query keys| sketch cells",
     ("pdf_table_extractor_ray/stages/stats.py", "grouped_minmax_normalize"): "one (min, max) row per group, bounded by group count",
     ("pdf_table_extractor_ray/stages/sketches.py", "sorted_value_counts"): "distinct values of a bounded-cardinality column",
     ("pdf_table_extractor_ray/stages/sketches.py", "to_u"): "kth_smallest_by: one count row per key + ≤ |keys|·nbins histogram rows per pass, bounded key domain",
