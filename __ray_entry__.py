@@ -4860,6 +4860,212 @@ def _q_audio_spectral(sf_dir: str):
     return feats.map_batches(to_milli, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_session_conversion(sf_dir: str):
+    """Within-session funnel: share of 30-min-gap sessions containing a
+    'view' that also contain a 'click' strictly after the session's
+    first view. One bucket shuffle (sessionize's shape), three int64
+    counters per bucket, one exact float division at the end."""
+    from pdf_table_extractor_ray.stages.sessions import session_funnel
+
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    return session_funnel(ev, first_step="view", second_step="click")
+
+
+def _q_last_view_before_click(sf_dir: str):
+    """As-of join WITH TOLERANCE (pandas merge_asof semantics): each
+    click event ⋈ the same user's most recent view at-or-before it,
+    but only within 10 minutes — the bounded-staleness variant of
+    last_order_asof. Views are first reduced to one row per
+    (user, ts) (max event_id wins) because as-of ties are undefined."""
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def clicks(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "click"))
+        return b.select(["event_id", "user_id", "ts"])
+
+    def views(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("event_type"), "view"))
+        return pa.Table.from_arrays(
+            [b.column("user_id"), b.column("ts"), b.column("event_id")],
+            names=["v_user", "v_ts", "view_id"],
+        )
+
+    click_ds = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
+    view_ds = ev.map_batches(views, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_ts(group: pa.Table) -> pa.Table:
+        keys = group.column("view_id").to_numpy(zero_copy_only=False)
+        i = int(np.argmax(keys))
+        return group.take(pa.array([i], pa.int64()))
+
+    view_1 = view_ds.groupby(["v_user", "v_ts"]).map_groups(per_ts, batch_format="pyarrow")
+    joined = asof_join(
+        click_ds,
+        view_1,
+        on="user_id",
+        right_on="v_user",
+        left_ts="ts",
+        right_ts="v_ts",
+        right_cols=["view_id"],
+        tolerance_us=10 * 60 * 1_000_000,
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.Table.from_arrays(
+            [
+                b.column("event_id"),
+                b.column("user_id"),
+                pc.cast(b.column("ts"), pa.int64()),
+                b.column("view_id"),
+            ],
+            names=["event_id", "user_id", "ts_us", "view_id"],
+        )
+        return t.filter(pc.is_valid(t.column("view_id")))  # SQL oracle is inner
+
+    return joined.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_lang_source_skew(sf_dir: str):
+    """Chi-square independence CONTRIBUTIONS for the (source, lang)
+    contingency table — the data-quality probe for 'does language mix
+    drift by source?'. Observed counts pre-reduce per batch and ride
+    one bounded shuffle (≤ |sources|·|langs| cells); marginals and the
+    (obs−exp)²/exp cell terms are computed once on the bounded cell
+    axis with the exact int→float ops the SQL oracle uses (per-cell
+    contributions, not the summed statistic, so no float-summation
+    order to disagree on)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"), "lang": b.column("lang")})
+        return (
+            pa.TableGroupBy(t, ["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "n"])
+        )
+
+    rows = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n"))
+        .take_all()
+    )  # bounded: one row per (source, lang) cell
+    rows.sort(key=lambda r: (r["source"], r["lang"]))
+    obs = {(r["source"], r["lang"]): int(r["sum(n)"]) for r in rows}
+    row_tot: dict = {}
+    col_tot: dict = {}
+    for (s, lg), v in obs.items():
+        row_tot[s] = row_tot.get(s, 0) + v
+        col_tot[lg] = col_tot.get(lg, 0) + v
+    total = sum(obs.values())
+    srcs, langs, ns, exps, contribs = [], [], [], [], []
+    for (s, lg), v in sorted(obs.items()):
+        exp = float(row_tot[s] * col_tot[lg]) / float(total)
+        d = float(v) - exp
+        srcs.append(s)
+        langs.append(lg)
+        ns.append(v)
+        exps.append(exp)
+        contribs.append(d * d / exp)
+    return pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "expected": pa.array(exps, pa.float64()),
+            "chi2_contrib": pa.array(contribs, pa.float64()),
+        }
+    )
+
+
+def _q_orders_snapshot_diff(sf_dir: str):
+    """Snapshot reconciliation: diff two versions of the orders table
+    (B is a deterministic mutation of A: keys %97 dropped, prices %13
+    bumped, keys %101 re-added under new ids) into added / removed /
+    changed / unchanged counts.
+
+    No join: both sides union with a side tag and pre-reduce per batch
+    to (key, a_cnt, b_cnt, a_cents, b_cents) partials; one keyed
+    shuffle, then a vectorized classification and a 4-key rollup —
+    the diff of two 100-TB snapshots moves only slim int columns."""
+    from ray.data.aggregate import Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def side_a(b: pa.Table) -> pa.Table:
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        k = _nn(b.column("o_orderkey"))
+        return pa.table(
+            {
+                "k": k,
+                "a_cnt": np.ones(len(k), np.int64),
+                "b_cnt": np.zeros(len(k), np.int64),
+                "a_cents": cents,
+                "b_cents": np.zeros(len(k), np.int64),
+            }
+        )
+
+    def side_b(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        keep = k % 97 != 0
+        k, cents = k[keep], cents[keep]
+        cents = np.where(k % 13 == 0, cents + 100, cents)  # price bump
+        add = k % 101 == 0
+        k2 = np.concatenate([k, k[add] + 100_000_000])  # re-added under new ids
+        c2 = np.concatenate([cents, cents[add]])
+        z = np.zeros(len(k2), np.int64)
+        return pa.table(
+            {
+                "k": k2,
+                "a_cnt": z,
+                "b_cnt": np.ones(len(k2), np.int64),
+                "a_cents": z,
+                "b_cents": c2,
+            }
+        )
+
+    tagged = orders.map_batches(
+        side_a, batch_format="pyarrow", zero_copy_batch=True
+    ).union(orders.map_batches(side_b, batch_format="pyarrow", zero_copy_batch=True))
+    agg = tagged.groupby("k").aggregate(
+        Sum("a_cnt"), Sum("b_cnt"), Sum("a_cents"), Sum("b_cents")
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        a = pc.cast(b.column("sum(a_cnt)"), pa.int64()).to_numpy(zero_copy_only=False)
+        bb = pc.cast(b.column("sum(b_cnt)"), pa.int64()).to_numpy(zero_copy_only=False)
+        ac = pc.cast(b.column("sum(a_cents)"), pa.int64()).to_numpy(zero_copy_only=False)
+        bc = pc.cast(b.column("sum(b_cents)"), pa.int64()).to_numpy(zero_copy_only=False)
+        cls = np.where(
+            a == 0, "added", np.where(bb == 0, "removed", np.where(ac != bc, "changed", "unchanged"))
+        )
+        t = pa.table({"class": pa.array(cls.astype(object), pa.string()),
+                      "n": np.ones(len(cls), np.int64)})
+        return (
+            pa.TableGroupBy(t, ["class"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["class", "n"])
+        )
+
+    out = (
+        agg.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("class")
+        .aggregate(Sum("n"))
+    )
+    return out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("class"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["class", "n"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -4923,6 +5129,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_trend_by_type": _q_value_trend_by_type,
         "user_counts_cms": _q_user_counts_cms,
         "audio_spectral": _q_audio_spectral,
+        "session_conversion": _q_session_conversion,
+        "last_view_before_click": _q_last_view_before_click,
+        "lang_source_skew": _q_lang_source_skew,
+        "orders_snapshot_diff": _q_orders_snapshot_diff,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
@@ -5628,6 +5838,62 @@ def oracle_sql() -> dict[str, str]:
             "CAST(n*sdv - sd*sv AS DOUBLE)/CAST(n*sdd - sd*sd AS DOUBLE) AS slope_cents_per_min, "
             "CAST(sv*sdd - sd*sdv AS DOUBLE)/CAST(n*sdd - sd*sd AS DOUBLE) AS intercept_cents "
             "FROM m"
+        ),
+        "session_conversion": (
+            "WITH ordered AS ("
+            "  SELECT user_id, epoch_us(ts) AS ts_us, event_type, "
+            "    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 "
+            "         OR lag(epoch_us(ts)) OVER w IS NULL THEN 1 ELSE 0 END AS new_s "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))), "
+            "tagged AS ("
+            "  SELECT user_id, ts_us, event_type, "
+            "    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us "
+            "      ROWS UNBOUNDED PRECEDING) AS session_id FROM ordered), "
+            "sess AS ("
+            "  SELECT user_id, session_id, "
+            "    min(CASE WHEN event_type = 'view' THEN ts_us END) AS v, "
+            "    max(CASE WHEN event_type = 'click' THEN ts_us END) AS c "
+            "  FROM tagged GROUP BY 1, 2) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_sessions, "
+            "CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_first_sessions, "
+            "CAST(sum(CASE WHEN c > v THEN 1 ELSE 0 END) AS BIGINT) AS n_converted, "
+            "CAST(sum(CASE WHEN c > v THEN 1 ELSE 0 END) AS DOUBLE) "
+            " / CAST(sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) AS conversion "
+            "FROM sess"
+        ),
+        "last_view_before_click": (
+            "WITH v AS (SELECT user_id AS v_user, ts AS v_ts, max(event_id) AS view_id "
+            "  FROM events WHERE event_type = 'view' GROUP BY 1, 2), "
+            "c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') "
+            "SELECT c.event_id, c.user_id, epoch_us(c.ts) AS ts_us, v.view_id "
+            "FROM c ASOF JOIN v ON c.user_id = v.v_user AND c.ts >= v.v_ts "
+            "WHERE epoch_us(c.ts) - epoch_us(v.v_ts) <= 600000000"
+        ),
+        "lang_source_skew": (
+            "WITH c AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2), "
+            "rt AS (SELECT source, sum(n) AS r FROM c GROUP BY 1), "
+            "ct AS (SELECT lang, sum(n) AS cc FROM c GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS t FROM c) "
+            "SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n, "
+            "CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE) AS expected, "
+            "(CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
+            " * (CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
+            " / (CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
+            "FROM c JOIN rt USING (source) JOIN ct USING (lang), tot"
+        ),
+        "orders_snapshot_diff": (
+            "WITH a AS (SELECT o_orderkey AS k, "
+            "  CAST(floor(o_totalprice*100) AS BIGINT) AS cents FROM orders), "
+            "b0 AS (SELECT k, CASE WHEN k % 13 = 0 THEN cents + 100 ELSE cents END AS cents "
+            "  FROM a WHERE k % 97 <> 0), "
+            "b AS (SELECT k, cents FROM b0 UNION ALL "
+            "  SELECT k + 100000000, cents FROM b0 WHERE k % 101 = 0), "
+            "j AS (SELECT CASE WHEN a.k IS NULL THEN 'added' "
+            "  WHEN b.k IS NULL THEN 'removed' "
+            "  WHEN a.cents <> b.cents THEN 'changed' "
+            "  ELSE 'unchanged' END AS class "
+            "  FROM a FULL OUTER JOIN b ON a.k = b.k) "
+            "SELECT class, CAST(count(*) AS BIGINT) AS n FROM j GROUP BY class"
         ),
         "user_value_ffill": (
             "SELECT event_id, user_id, "

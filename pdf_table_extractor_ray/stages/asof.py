@@ -37,12 +37,20 @@ def asof_join(
     direction: str = "backward",
     right_cols: Optional[list] = None,
     right_on: Optional[str] = None,
+    tolerance_us: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Left rows + matched right payload columns (null when no match).
 
     Column names must be disjoint across sides apart from the key.
     Timestamps are compared as int64 microseconds (timestamp columns
     are cast; plain ints pass through).
+
+    ``tolerance_us`` bounds the match distance (pandas ``merge_asof``
+    tolerance semantics): a backward match further than ``tolerance_us``
+    BEFORE the left timestamp (resp. forward: after) becomes a miss.
+    Because as-of picks the NEAREST candidate, rejecting it means no
+    in-tolerance candidate exists — so this equals the SQL
+    ``ASOF JOIN … WHERE matched_ts ≥ ts − tol`` post-filter.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(direction)
@@ -124,9 +132,13 @@ def asof_join(
         if direction == "backward":
             idx = np.searchsorted(r_ts, l_ts, side="right") - 1
             valid = (idx >= 0) & ~l_null
+            if tolerance_us is not None:
+                valid &= l_ts - r_ts[np.where(valid, idx, 0)] <= tolerance_us
         else:
             idx = np.searchsorted(r_ts, l_ts, side="left")
             valid = (idx < len(r_ts)) & ~l_null
+            if tolerance_us is not None:
+                valid &= r_ts[np.where(valid, idx, 0)] - l_ts <= tolerance_us
         idx = np.where(valid, idx, 0)
         # clipped take + vectorized null-out for misses
         picked = rt.select(right_cols).take(

@@ -730,3 +730,94 @@ def run_length_stats(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def session_funnel(
+    events: "ray.data.Dataset",
+    first_step: str = "view",
+    second_step: str = "click",
+    gap_us: int = DEFAULT_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    n_buckets: int = 64,
+) -> pa.Table:
+    """WITHIN-SESSION funnel conversion: of the sessions (same gap rule
+    as ``sessionize``) that contain a ``first_step`` event, how many
+    also contain a ``second_step`` event STRICTLY AFTER the session's
+    first ``first_step``?
+
+    Same bucket-vectorized shape as ``sessionize`` — one shuffle by
+    user-id bucket, per-bucket lexsort + ``reduceat`` over session
+    boundaries (min first-step ts, max second-step ts per session; the
+    strict-after test is ``max_second > min_first``, which needs no
+    within-session ordering). Each bucket emits THREE counters; the
+    driver sums ``n_buckets`` rows. Returns a one-row table
+    (n_sessions, n_first_sessions, n_converted, conversion)."""
+    _MAX = np.iinfo(np.int64).max
+    _MIN = np.iinfo(np.int64).min
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        u = batch.column(user_col).to_numpy(zero_copy_only=False)
+        et = batch.column(type_col)
+        return pa.Table.from_arrays(
+            [
+                batch.column(user_col),
+                pc.cast(batch.column(ts_col), pa.int64()),
+                pc.cast(pc.equal(et, first_step), pa.int8()),
+                pc.cast(pc.equal(et, second_step), pa.int8()),
+                pa.array((u % n_buckets).astype(np.int64), pa.int64()),
+            ],
+            names=["user_id", "ts_us", "is_first", "is_second", "bucket"],
+        )
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table(
+            {
+                "n_sessions": pa.array([0], pa.int64()),
+                "n_first": pa.array([0], pa.int64()),
+                "n_conv": pa.array([0], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        ts = group.column("ts_us").to_numpy(zero_copy_only=False)
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        f = group.column("is_first").to_numpy(zero_copy_only=False).astype(bool)
+        s = group.column("is_second").to_numpy(zero_copy_only=False).astype(bool)
+        order = np.lexsort((ts, uid))
+        su, st = uid[order], ts[order]
+        sf, ss = f[order], s[order]
+        new_session = np.empty(n, dtype=bool)
+        new_session[0] = True
+        new_session[1:] = (su[1:] != su[:-1]) | ((st[1:] - st[:-1]) > gap_us)
+        starts = np.nonzero(new_session)[0]
+        min_first = np.minimum.reduceat(np.where(sf, st, _MAX), starts)
+        max_second = np.maximum.reduceat(np.where(ss, st, _MIN), starts)
+        has_first = min_first != _MAX
+        conv = has_first & (max_second > min_first)
+        return pa.table(
+            {
+                "n_sessions": pa.array([len(starts)], pa.int64()),
+                "n_first": pa.array([int(has_first.sum())], pa.int64()),
+                "n_conv": pa.array([int(conv.sum())], pa.int64()),
+            }
+        )
+
+    bucketed = events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+    partials = bucketed.groupby("bucket").map_groups(per_bucket, batch_format="pyarrow")
+    sums = partials.sum(["n_sessions", "n_first", "n_conv"])
+    n_sessions = int(sums["sum(n_sessions)"])
+    n_first = int(sums["sum(n_first)"])
+    n_conv = int(sums["sum(n_conv)"])
+    return pa.table(
+        {
+            "n_sessions": pa.array([n_sessions], pa.int64()),
+            "n_first_sessions": pa.array([n_first], pa.int64()),
+            "n_converted": pa.array([n_conv], pa.int64()),
+            "conversion": pa.array(
+                [float(n_conv) / float(n_first) if n_first else 0.0], pa.float64()
+            ),
+        }
+    )

@@ -2826,3 +2826,96 @@ def test_weighted_kth_by_groups(ray_session):
     gm_u = dict(zip(got_u.column("key").to_pylist(), got_u.column("kth").to_pylist()))
     va = np.sort(np.append(groups["a"][0], 1.0))
     assert gm_u["a"] == va[-(-len(va) // 2) - 1]
+
+
+def test_asof_join_tolerance(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.asof import asof_join
+
+    left = ray.data.from_items(
+        [
+            {"k": 1, "lt": 10, "ev": "a"},   # nearest rt=7, distance 3
+            {"k": 1, "lt": 25, "ev": "b"},   # nearest rt=20, distance 5
+            {"k": 1, "lt": 40, "ev": "c"},   # nearest rt=30, distance 10
+        ]
+    )
+    right = ray.data.from_items(
+        [
+            {"rk": 1, "rt": 7, "px": 70},
+            {"rk": 1, "rt": 20, "px": 200},
+            {"rk": 1, "rt": 30, "px": 300},
+        ]
+    )
+    got = {
+        r["lt"]: r["px"]
+        for r in asof_join(
+            left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt",
+            tolerance_us=5,
+        ).take_all()
+    }
+    assert got[10] == 70      # within tolerance
+    assert got[25] == 200     # exactly at tolerance (≤)
+    assert got[40] is None    # nearest is 10 away → miss
+    fwd = {
+        r["lt"]: r["px"]
+        for r in asof_join(
+            left, right, on="k", right_on="rk", left_ts="lt", right_ts="rt",
+            direction="forward", tolerance_us=5,
+        ).take_all()
+    }
+    assert fwd[25] == 300     # rt=30, distance 5 ≤ tol
+    assert fwd[10] is None    # earliest rt ≥ 10 is 20, distance 10 → miss
+
+
+def test_session_funnel_brute_force(ray_session):
+    """Bucket-vectorized session funnel == a per-user driver oracle on
+    seeded random event streams."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sessions import session_funnel
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.integers(0, 150, n)
+    ts = rng.integers(0, 3 * 86_400_000_000, n)
+    types = rng.choice(["view", "click", "purchase", "error"], n)
+    gap = 30 * 60 * 1_000_000
+
+    # driver oracle: per-user sort, explicit session walk
+    n_sess = n_first = n_conv = 0
+    for u in np.unique(users):
+        m = users == u
+        order = np.argsort(ts[m], kind="stable")
+        ut, uty = ts[m][order], types[m][order]
+        sessions = []
+        cur = [0]
+        for i in range(1, len(ut)):
+            if ut[i] - ut[i - 1] > gap:
+                sessions.append(cur)
+                cur = []
+            cur.append(i)
+        sessions.append(cur)
+        for idxs in sessions:
+            n_sess += 1
+            vt = [ut[i] for i in idxs if uty[i] == "view"]
+            ct = [ut[i] for i in idxs if uty[i] == "click"]
+            if vt:
+                n_first += 1
+                if ct and max(ct) > min(vt):
+                    n_conv += 1
+
+    t = pa.table(
+        {
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "event_type": pa.array(types, pa.string()),
+        }
+    )
+    got = session_funnel(ray.data.from_arrow(t).repartition(8))
+    assert got.column("n_sessions").to_pylist() == [n_sess]
+    assert got.column("n_first_sessions").to_pylist() == [n_first]
+    assert got.column("n_converted").to_pylist() == [n_conv]
