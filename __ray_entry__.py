@@ -5066,6 +5066,70 @@ def _q_orders_snapshot_diff(sf_dir: str):
     )
 
 
+def _q_top_bigrams_by_lang(sf_dir: str):
+    """Top-5 whitespace bigrams per language — the per-subcorpus
+    collocation profile. Per-batch bigram extraction is the LM
+    trainer's vectorized ``_doc_ngrams`` kernel; counts pre-reduce per
+    batch, ride one slim (lang, bigram, n) shuffle, and the per-lang
+    top-5 uses the hot-key-safe grouped_top_k pre-reduce (a language is
+    the textbook hot key: one key can own most of the corpus)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.lm import _doc_bigrams
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    ds = _read(sf_dir, "documents", ["text", "lang"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        g, di, _n = _doc_bigrams(b, "text")
+        langs = b.column("lang")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        t = pa.table({"lang": langs.take(pa.array(di, pa.int64())), "bigram": g})
+        return (
+            pa.TableGroupBy(t, ["lang", "bigram"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "bigram", "n"])
+        )
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["lang", "bigram"])
+        .aggregate(Sum("n"))
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("lang"), b.column("bigram"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["lang", "bigram", "n"],
+        )
+
+    slim = counts.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_top_k(
+        slim, "lang", [("n", "descending"), ("bigram", "ascending")], 5
+    )
+
+
+def _q_phrase_docs(sf_dir: str):
+    """Exact-phrase retrieval: documents whose token stream contains
+    the adjacent pair 'hash vector' — token-level adjacency (not
+    substring match), the positional step past boolean-AND retrieval
+    (docs_with_terms). Map-only: the bigram kernel + one equality per
+    batch; only matching doc ids leave the scan."""
+    from pdf_table_extractor_ray.stages.lm import _doc_bigrams
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def match(b: pa.Table) -> pa.Table:
+        g, di, _n = _doc_bigrams(b, "text")
+        hit = pc.equal(g, "hash vector").to_numpy(zero_copy_only=False)
+        docs = np.unique(di[hit])
+        ids = b.column("doc_id").take(pa.array(docs, pa.int64()))
+        return pa.table({"doc_id": ids})
+
+    return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -5133,6 +5197,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "last_view_before_click": _q_last_view_before_click,
         "lang_source_skew": _q_lang_source_skew,
         "orders_snapshot_diff": _q_orders_snapshot_diff,
+        "top_bigrams_by_lang": _q_top_bigrams_by_lang,
+        "phrase_docs": _q_phrase_docs,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
@@ -5880,6 +5946,21 @@ def oracle_sql() -> dict[str, str]:
             " * (CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
             " / (CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
             "FROM c JOIN rt USING (source) JOIN ct USING (lang), tot"
+        ),
+        "top_bigrams_by_lang": (
+            "WITH toks AS (SELECT lang, regexp_extract_all(text, '\\S+') AS w FROM documents), "
+            "bg AS (SELECT lang, unnest(list_zip(w[:-2], w[2:])) AS p FROM toks), "
+            "c AS (SELECT lang, p[1] || ' ' || p[2] AS bigram, count(*) AS n "
+            "  FROM bg GROUP BY 1, 2), "
+            "r AS (SELECT lang, bigram, CAST(n AS BIGINT) AS n, "
+            "  row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rk FROM c) "
+            "SELECT lang, bigram, n FROM r WHERE rk <= 5"
+        ),
+        "phrase_docs": (
+            "WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents) "
+            "SELECT doc_id FROM toks "
+            "WHERE len(list_filter(list_zip(w[:-2], w[2:]), "
+            "  p -> p[1] = 'hash' AND p[2] = 'vector')) > 0"
         ),
         "orders_snapshot_diff": (
             "WITH a AS (SELECT o_orderkey AS k, "

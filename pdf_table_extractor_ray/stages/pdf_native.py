@@ -26,11 +26,18 @@ packed inside them resolve — the two shapes that distinguish modern
 bank PDFs from classic 1.4 files. The byte-walking scanner remains the
 fallback when the xref chain is damaged or absent.
 
+CID fonts (round 4): a page font carrying ``/ToUnicode`` gets its CMap
+stream parsed (``bfchar`` singletons + scalar ``bfrange`` runs) and HEX
+show strings decode as 2-byte CIDs through it — the composite-font
+shape whose text is unreadable without the CMap.
+
 Declared limitations (documented, not hidden): no font-metric glyph
 advance (every word must be positioned by its own ``Tm``/``Td``/``TD``
 — real bank PDFs from pdfplumber do the same per-word positioning;
-relative ``Td`` advances accumulate through the line matrix),
-Latin-1/PDFDoc text encoding only (no /ToUnicode CMaps).
+relative ``Td`` advances accumulate through the line matrix); literal
+strings decode as Latin-1/PDFDoc (CID text must be hex-written, as CID
+producers do); array-form ``bfrange`` destinations are skipped (their
+CIDs surface as U+FFFD, never misread).
 
 The extraction strategy reuses the exact y-cluster + x-threshold
 column logic of ``layout.extract_coordinate_columns`` — a PDF doc and
@@ -61,26 +68,82 @@ def _lit_string(text: str) -> str:
     return "(" + raw.translate(_LIT_ESCAPE) + ")"
 
 
-def _page_content(words: List[Word], h: float, positioning: str) -> bytes:
+def _page_content(
+    words: List[Word], h: float, positioning: str, cid_map: Optional[Dict[str, int]] = None
+) -> bytes:
     """One page's content-stream body. ``positioning="tm"`` emits one
     absolutely-positioned ``Tm … Tj`` per word (print-pipeline shape);
     ``"td"`` emits relative ``Td`` advances that accumulate through the
     line matrix (multi-op-line shape — the other common way real bank
     PDFs position words). Deltas are taken between the ROUNDED
     coordinates, so the accumulated position is exact to the 2-decimal
-    grid the absolute writer uses."""
+    grid the absolute writer uses. With ``cid_map`` (CID-keyed font),
+    show strings are 2-byte-CID HEX strings instead of literals — the
+    composite-font shape whose text is unreadable without the font's
+    /ToUnicode CMap."""
+
+    def show(text: str) -> str:
+        if cid_map is None:
+            return _lit_string(text)
+        return "<" + "".join(f"{cid_map[c]:04X}" for c in text) + ">"
+
     parts = ["BT", "/F1 10 Tf"]
     if positioning == "td":
         px = py = 0.0
         for x0, top, text in words:
             xr, yr = round(x0, 2), round(h - top, 2)
-            parts.append(f"{xr - px:.2f} {yr - py:.2f} Td {_lit_string(text)} Tj")
+            parts.append(f"{xr - px:.2f} {yr - py:.2f} Td {show(text)} Tj")
             px, py = xr, yr
     else:
         for x0, top, text in words:
-            parts.append(f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm {_lit_string(text)} Tj")
+            parts.append(f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm {show(text)} Tj")
     parts.append("ET")
     return "\n".join(parts).encode("latin-1")
+
+
+def _utf16_hex(ch: str) -> str:
+    return ch.encode("utf-16-be").hex().upper()
+
+
+def _tounicode_cmap(cid_map: Dict[str, int]) -> bytes:
+    """Serialize a char→CID table as a /ToUnicode CMap stream body:
+    consecutive (codepoint, CID) runs become ``bfrange`` entries,
+    singletons become ``bfchar`` entries (both shapes real font
+    subsetters emit), chunked at the spec's 100-entries-per-block
+    limit."""
+    items = sorted(cid_map.items(), key=lambda kv: kv[1])
+    runs: List[List[Tuple[str, int]]] = [[items[0]]] if items else []
+    for ch, cid in items[1:]:
+        pch, pcid = runs[-1][-1]
+        # only BMP single-unit chars extend a range (the range decode
+        # increments one UTF-16 code unit)
+        if cid == pcid + 1 and ord(ch) == ord(pch) + 1 and ord(ch) <= 0xFFFF:
+            runs[-1].append((ch, cid))
+        else:
+            runs.append([(ch, cid)])
+    chars = [r[0] for r in runs if len(r) == 1]
+    ranges = [r for r in runs if len(r) > 1]
+    parts = [
+        b"/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n"
+        b"/CMapName /Fixture-UTF16 def\n/CMapType 2 def\n"
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+    ]
+    for i in range(0, len(chars), 100):
+        blk = chars[i : i + 100]
+        parts.append(f"{len(blk)} beginbfchar\n".encode())
+        for ch, cid in blk:
+            parts.append(f"<{cid:04X}> <{_utf16_hex(ch)}>\n".encode())
+        parts.append(b"endbfchar\n")
+    for i in range(0, len(ranges), 100):
+        blk = ranges[i : i + 100]
+        parts.append(f"{len(blk)} beginbfrange\n".encode())
+        for r in blk:
+            parts.append(
+                f"<{r[0][1]:04X}> <{r[-1][1]:04X}> <{_utf16_hex(r[0][0])}>\n".encode()
+            )
+        parts.append(b"endbfrange\n")
+    parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
+    return b"".join(parts)
 
 
 def build_pdf(
@@ -89,6 +152,7 @@ def build_pdf(
     compress: bool = True,
     positioning: str = "tm",
     pdf15: bool = False,
+    encoding: str = "latin1",
 ) -> bytes:
     """Serialize word boxes into a real, standards-valid PDF:
     FlateDecode content streams, and either a classic xref table
@@ -99,7 +163,8 @@ def build_pdf(
     fixture corpora mint identically everywhere."""
     w, h = page_size
     n_pages = max(1, len(pages))
-    # object numbering: 1=Catalog 2=Pages 3=Font, then (page,content) pairs
+    # object numbering: 1=Catalog 2=Pages 3=Font, then (page,content)
+    # pairs; encoding="cid" appends a /ToUnicode CMap stream object
     first_page_obj = 4
     objs: Dict[int, bytes] = {}
     kids = " ".join(f"{first_page_obj + 2 * i} 0 R" for i in range(n_pages))
@@ -108,10 +173,31 @@ def build_pdf(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} "
         f"/MediaBox [0 0 {w:.2f} {h:.2f}] >>"
     ).encode("latin-1")
-    objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    cid_map: Optional[Dict[str, int]] = None
+    if encoding == "cid":
+        chars = sorted({c for pg in pages for _x, _t, text in pg for c in text})
+        cid_map = {c: i + 1 for i, c in enumerate(chars)}  # CID 0 = notdef
+        touni_num = first_page_obj + 2 * n_pages
+        objs[3] = (
+            f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
+            f"/Encoding /Identity-H /ToUnicode {touni_num} 0 R >>"
+        ).encode("latin-1")
+        cmap = _tounicode_cmap(cid_map)
+        cfilt = b""
+        if compress:
+            cmap = zlib.compress(cmap, 6)
+            cfilt = b"/Filter /FlateDecode "
+        objs[touni_num] = (
+            b"<< " + cfilt + b"/Length " + str(len(cmap)).encode() + b" >>"
+            b"\nstream\n" + cmap + b"\nendstream"
+        )
+    elif encoding == "latin1":
+        objs[3] = b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
+    else:
+        raise ValueError(f"unknown encoding {encoding!r}")
     for i in range(n_pages):
         words = pages[i] if i < len(pages) else []
-        content = _page_content(words, h, positioning)
+        content = _page_content(words, h, positioning, cid_map)
         filt = b""
         if compress:
             content = zlib.compress(content, 6)
@@ -153,7 +239,9 @@ def _serialize_pdf15(objs: Dict[int, bytes], first_page_obj: int, n_pages: int) 
     cross-reference stream. There is no classic trailer — /Root and
     /Size live in the XRef stream dict."""
     packed_nums = [1, 2, 3] + [first_page_obj + 2 * i for i in range(n_pages)]
-    stream_nums = [first_page_obj + 2 * i + 1 for i in range(n_pages)]
+    # everything else (content streams, and the /ToUnicode CMap stream
+    # when present) stays top-level — streams cannot live in an ObjStm
+    stream_nums = sorted(set(objs) - set(packed_nums))
     max_obj = max(objs)
     objstm_num, xref_num = max_obj + 1, max_obj + 2
 
@@ -525,6 +613,52 @@ def _decode_hex(tok: str) -> str:
     return bytes.fromhex(digits).decode("latin-1")
 
 
+def _decode_hex_cids(tok: str, cmap: Dict[int, str]) -> str:
+    """Hex show string under a CID font: 2-byte code groups mapped
+    through the font's /ToUnicode CMap (unmapped CIDs → U+FFFD, the
+    same stand-in pdfminer/pdfplumber surface)."""
+    digits = re.sub(r"\s", "", tok[1:-1])
+    pad = (-len(digits)) % 4
+    if pad:
+        digits += "0" * pad
+    return "".join(
+        cmap.get(int(digits[i : i + 4], 16), "�")
+        for i in range(0, len(digits), 4)
+    )
+
+
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_CMAP_HEX_RE = re.compile(rb"<([0-9A-Fa-f]+)>")
+_FONTDICT_REF_RE = re.compile(rb"/Font\s*<<\s*/F\d+\s+(\d+)\s+0\s+R")
+_TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
+
+
+def _parse_tounicode(data: bytes) -> Dict[int, str]:
+    """/ToUnicode CMap stream → {CID: unicode string}. Supports the two
+    shapes font subsetters emit — ``bfchar`` singletons and scalar
+    ``bfrange`` runs (destination = UTF-16BE hex, last code unit
+    incremented across the run). The array-form bfrange
+    (``[<..> <..>]`` destinations) is NOT parsed — declared limitation;
+    its entries are simply absent (→ U+FFFD), never misread."""
+    m: Dict[int, str] = {}
+    for blk in _BFCHAR_RE.findall(data):
+        toks = _CMAP_HEX_RE.findall(blk)
+        for src, dst in zip(toks[0::2], toks[1::2]):
+            m[int(src, 16)] = bytes.fromhex(dst.decode()).decode("utf-16-be")
+    for blk in _BFRANGE_RE.findall(data):
+        if b"[" in blk:
+            continue  # array-form destinations: declared unsupported
+        toks = _CMAP_HEX_RE.findall(blk)
+        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
+            lo_i, hi_i = int(lo, 16), int(hi, 16)
+            base = bytes.fromhex(dst.decode()).decode("utf-16-be")
+            head, last = base[:-1], ord(base[-1])
+            for k in range(hi_i - lo_i + 1):
+                m[lo_i + k] = head + chr(last + k)
+    return m
+
+
 # Fast path: absolutely-positioned show ops — `a b c d e f Tm (s) Tj`
 # — the shape print pipelines (and the fixture writer) emit. One C-speed
 # findall replaces the per-token Python interpreter (~10× on large
@@ -594,9 +728,14 @@ class _Str(str):
     to be '[' can never be mistaken for an array delimiter."""
 
 
-def _interpret_text(content: str, page_height: float) -> List[Word]:
+def _interpret_text(
+    content: str, page_height: float, cmap: Optional[Dict[int, str]] = None
+) -> List[Word]:
     """Run the text operators, emitting one word box per show op at the
-    current text-matrix origin (top-left convention)."""
+    current text-matrix origin (top-left convention). With ``cmap``
+    (the page font's /ToUnicode table) HEX show strings decode as
+    2-byte CIDs through it; literal strings stay Latin-1 (our CID
+    writer emits hex only — declared)."""
     words: List[Word] = []
     stack: List = []
     # text matrix / line matrix as affine (a, b, c, d, e, f); leading
@@ -620,7 +759,9 @@ def _interpret_text(content: str, page_height: float) -> List[Word]:
         if ch == "(":
             stack.append(_Str(_decode_literal(tok)))
         elif ch == "<":
-            stack.append(_Str(_decode_hex(tok)))
+            stack.append(
+                _Str(_decode_hex_cids(tok, cmap) if cmap else _decode_hex(tok))
+            )
         elif ch == "/" or ch == "[" or ch == "]":
             stack.append(tok)
         elif ch in "-+.0123456789":
@@ -684,6 +825,25 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
                 inherited_h = float(mb.group(4)) - float(mb.group(2))
             break
     pages: List[List[Word]] = []
+    cmap_cache: Dict[int, Optional[Dict[int, str]]] = {}
+
+    def page_cmap(page_head: bytes) -> Optional[Dict[int, str]]:
+        fm = _FONTDICT_REF_RE.search(page_head)
+        if not fm:
+            return None
+        font_num = int(fm.group(1))
+        if font_num not in cmap_cache:
+            cmap_cache[font_num] = None
+            fhead, _fs = objs.get(font_num, (b"", None))
+            tm_ = _TOUNICODE_REF_RE.search(fhead)
+            if tm_:
+                thead, tstream = objs.get(int(tm_.group(1)), (b"", None))
+                if tstream is not None:
+                    cmap_cache[font_num] = _parse_tounicode(
+                        _decode_stream(thead, tstream)
+                    )
+        return cmap_cache[font_num]
+
     for pnum in _page_objects(objs):
         head, _ = objs[pnum]
         mb = _MEDIABOX_RE.search(head)
@@ -697,6 +857,12 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
             pages.append([])
             continue
         content = _decode_stream(chead, cstream).decode("latin-1")
+        cmap = page_cmap(head)
+        if cmap is not None:
+            # CID hex strings need the CMap — the literal-string fast
+            # paths cannot apply
+            pages.append(_interpret_text(content, h, cmap))
+            continue
         fast = _interpret_text_fast(content, h)
         if fast is None:
             fast = _interpret_text_fast_td(content, h)

@@ -469,12 +469,54 @@ class TestPdfNativeVariants:
 
         for pos in ("tm", "td"):
             for p15 in (False, True):
-                got = parse_pdf_words(build_pdf(self.PAGES, positioning=pos, pdf15=p15))
-                assert len(got) == len(self.PAGES)
-                for orig, page in zip(self.PAGES, got):
-                    assert [t for _, _, t in page] == [t for _, _, t in orig]
-                    for (x, top, _), (gx, gtop, _) in zip(orig, page):
-                        assert abs(x - gx) < 1e-6 and abs(top - gtop) < 1e-6
+                for enc in ("latin1", "cid"):
+                    got = parse_pdf_words(
+                        build_pdf(self.PAGES, positioning=pos, pdf15=p15, encoding=enc)
+                    )
+                    assert len(got) == len(self.PAGES)
+                    for orig, page in zip(self.PAGES, got):
+                        assert [t for _, _, t in page] == [t for _, _, t in orig]
+                        for (x, top, _), (gx, gtop, _) in zip(orig, page):
+                            assert abs(x - gx) < 1e-6 and abs(top - gtop) < 1e-6
+
+    def test_cid_font_beyond_latin1(self):
+        """CID text can carry characters the Latin-1 writer cannot
+        (the whole point of /ToUnicode): round-trip a euro sign and a
+        CJK char, and check the CMap parse covers both bfchar and
+        bfrange shapes."""
+        from pdf_table_extractor_ray.stages.pdf_native import (
+            _BFCHAR_RE,
+            _BFRANGE_RE,
+            _parse_tounicode,
+            _tounicode_cmap,
+            build_pdf,
+            parse_pdf_words,
+        )
+
+        pages = [[(10.0, 20.0, "caf€ 東京 abcdef")]]
+        (page,) = parse_pdf_words(build_pdf(pages, encoding="cid"))
+        assert page[0][2] == "caf€ 東京 abcdef"
+        # consecutive codepoints (abcdef) become a bfrange; isolated
+        # ones (€, the CJK pair) become bfchars
+        cmap_src = _tounicode_cmap(
+            {c: i + 1 for i, c in enumerate(sorted(set("caf€ 東京 abcdef")))}
+        )
+        assert _BFRANGE_RE.search(cmap_src) and _BFCHAR_RE.search(cmap_src)
+        parsed = _parse_tounicode(cmap_src)
+        assert parsed[1] == " " and "€" in parsed.values() and "東" in parsed.values()
+
+    def test_cid_unmapped_and_array_bfrange(self):
+        from pdf_table_extractor_ray.stages.pdf_native import (
+            _decode_hex_cids,
+            _parse_tounicode,
+        )
+
+        m = _parse_tounicode(
+            b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
+            b"1 beginbfrange\n<0002> <0003> [<0042> <0043>]\nendbfrange\n"
+        )
+        assert m == {1: "A"}  # array-form bfrange skipped, never misread
+        assert _decode_hex_cids("<00010002>", m) == "A�"
 
     def test_xref_stream_locator(self):
         from pdf_table_extractor_ray.stages.pdf_native import (
@@ -531,9 +573,10 @@ class TestPdfNativeVariants:
             if ws:
                 pages.append(ws)
         results = [
-            extract_pdf_native(build_pdf(pages, positioning=pos, pdf15=p15))
+            extract_pdf_native(build_pdf(pages, positioning=pos, pdf15=p15, encoding=enc))
             for pos in ("tm", "td")
             for p15 in (False, True)
+            for enc in ("latin1", "cid")
         ]
         base = results[0]
         assert base.extracted_text
