@@ -5130,6 +5130,124 @@ def _q_phrase_docs(sf_dir: str):
     return ds.map_batches(match, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_source_overlap_matrix(sf_dir: str):
+    """Cross-source near-duplicate overlap: the exact n-gram Jaccard
+    pairs (same sample/threshold as jaccard_pairs) rolled up by the
+    (source_a, source_b) of their endpoints — the 'which feeds
+    contaminate each other' matrix a corpus audit wants.
+
+    The pair list is small by construction (near-dups only), but the
+    doc→source attach still runs as TWO hash-shuffle joins against the
+    full documents table (never a doc-table broadcast), so the plan
+    holds when the corpus is 100 TB and the pair list is merely
+    large."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.dedup import (
+        ngram_jaccard_pairs,
+        sample_by_content_hash,
+    )
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    sample = sample_by_content_hash(docs)
+    pairs = ngram_jaccard_pairs(sample, width=3, threshold=0.02)
+
+    src = _read(sf_dir, "documents", ["doc_id", "source"])
+    j1 = hash_shuffle_join(pairs, src, on="doc_a", right_on="doc_id")
+
+    def rn1(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("doc_a"), b.column("doc_b"), b.column("source")],
+            names=["doc_a", "doc_b", "source_a"],
+        )
+
+    j1 = j1.map_batches(rn1, batch_format="pyarrow", zero_copy_batch=True)
+    j2 = hash_shuffle_join(j1, src, on="doc_b", right_on="doc_id")
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source_a": b.column("source_a"), "source_b": b.column("source")})
+        return (
+            pa.TableGroupBy(t, ["source_a", "source_b"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source_a", "source_b", "n_pairs"])
+        )
+
+    agg = (
+        j2.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source_a", "source_b"])
+        .aggregate(Sum("n_pairs"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [
+                b.column("source_a"),
+                b.column("source_b"),
+                pc.cast(b.column("sum(n_pairs)"), pa.int64()),
+            ],
+            names=["source_a", "source_b", "n_pairs"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+_CORR_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def _q_lineitem_corr_matrix(sf_dir: str):
+    """Pairwise Pearson correlation matrix over four lineitem measures
+    in ONE pass — integer moments (value scale chosen so Σx² fits
+    int64: whole units for price, raw units for quantity, percent
+    units for discount/tax; bound n·C² < 2^63 documented), cross
+    products in arbitrary-precision Python ints on the driver, one
+    float64 rounding per term exactly mirroring the oracle's
+    CAST-AS-DOUBLE/sqrt ops."""
+    import math
+
+    cols = _CORR_COLS
+    ds = _read(sf_dir, "lineitem", list(cols))
+    pairs = [(i, j) for i in range(len(cols)) for j in range(i + 1, len(cols))]
+
+    def partial(b: pa.Table) -> pa.Table:
+        xs = []
+        for i, c in enumerate(cols):
+            v = _nn(b.column(c))
+            scale = 1.0 if c in ("l_quantity", "l_extendedprice") else 100.0
+            xs.append(np.floor(v * scale).astype(np.int64))
+        out = {"n": pa.array([b.num_rows], pa.int64())}
+        for i, c in enumerate(cols):
+            out[f"s{i}"] = pa.array([int(xs[i].sum())], pa.int64())
+            out[f"s{i}{i}"] = pa.array([int((xs[i] * xs[i]).sum())], pa.int64())
+        for i, j in pairs:
+            out[f"s{i}{j}"] = pa.array([int((xs[i] * xs[j]).sum())], pa.int64())
+        return pa.table(out)
+
+    names = (
+        ["n"]
+        + [f"s{i}" for i in range(len(cols))]
+        + [f"s{i}{i}" for i in range(len(cols))]
+        + [f"s{i}{j}" for i, j in pairs]
+    )
+    sums = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).sum(names)
+    g = {k: int(sums[f"sum({k})"]) for k in names}
+    n = g["n"]
+    ca, cb, corr = [], [], []
+    for i, j in pairs:
+        num = n * g[f"s{i}{j}"] - g[f"s{i}"] * g[f"s{j}"]
+        da = n * g[f"s{i}{i}"] - g[f"s{i}"] ** 2
+        db = n * g[f"s{j}{j}"] - g[f"s{j}"] ** 2
+        ca.append(cols[i])
+        cb.append(cols[j])
+        corr.append(float(num) / math.sqrt(float(da) * float(db)))
+    return pa.table(
+        {
+            "col_a": pa.array(ca, pa.string()),
+            "col_b": pa.array(cb, pa.string()),
+            "corr": pa.array(corr, pa.float64()),
+        }
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -5199,6 +5317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_snapshot_diff": _q_orders_snapshot_diff,
         "top_bigrams_by_lang": _q_top_bigrams_by_lang,
         "phrase_docs": _q_phrase_docs,
+        "source_overlap_matrix": _q_source_overlap_matrix,
+        "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
@@ -5946,6 +6066,54 @@ def oracle_sql() -> dict[str, str]:
             " * (CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
             " / (CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
             "FROM c JOIN rt USING (source) JOIN ct USING (lang), tot"
+        ),
+        "source_overlap_matrix": (
+            "WITH sample AS (SELECT doc_id, text FROM documents "
+            "  WHERE substr(md5(text), 1, 1) IN ('0','1','2','3')), "
+            "toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM sample), "
+            "sh AS ("
+            "  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g "
+            "  FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3 "
+            "  UNION "
+            "  SELECT doc_id, array_to_string(w, ' ') AS g FROM toks "
+            "  WHERE len(w) BETWEEN 1 AND 2), "
+            "sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id), "
+            "inter AS ("
+            "  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c "
+            "  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id "
+            "  GROUP BY a.doc_id, b.doc_id), "
+            "p AS (SELECT i.doc_a, i.doc_b FROM inter i "
+            "  JOIN sizes sa ON sa.doc_id = i.doc_a "
+            "  JOIN sizes sb ON sb.doc_id = i.doc_b "
+            "  WHERE CAST(i.c AS DOUBLE)/(sa.n + sb.n - i.c) >= 0.02) "
+            "SELECT da.source AS source_a, db.source AS source_b, "
+            "CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM p JOIN documents da ON p.doc_a = da.doc_id "
+            "JOIN documents db ON p.doc_b = db.doc_id "
+            "GROUP BY 1, 2"
+        ),
+        "lineitem_corr_matrix": (
+            "WITH v AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS x0, "
+            "  CAST(floor(l_extendedprice) AS BIGINT) AS x1, "
+            "  CAST(floor(l_discount*100) AS BIGINT) AS x2, "
+            "  CAST(floor(l_tax*100) AS BIGINT) AS x3 FROM lineitem), "
+            "m AS (SELECT count(*) AS n, "
+            "  sum(x0) AS s0, sum(x1) AS s1, sum(x2) AS s2, sum(x3) AS s3, "
+            "  sum(x0*x0) AS s00, sum(x1*x1) AS s11, sum(x2*x2) AS s22, sum(x3*x3) AS s33, "
+            "  sum(x0*x1) AS s01, sum(x0*x2) AS s02, sum(x0*x3) AS s03, "
+            "  sum(x1*x2) AS s12, sum(x1*x3) AS s13, sum(x2*x3) AS s23 FROM v) "
+            "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
+            "  CAST(n*s01 - s0*s1 AS DOUBLE)/sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)*CAST(n*s11 - s1*s1 AS DOUBLE)) AS corr FROM m "
+            "UNION ALL SELECT 'l_quantity', 'l_discount', "
+            "  CAST(n*s02 - s0*s2 AS DOUBLE)/sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)*CAST(n*s22 - s2*s2 AS DOUBLE)) FROM m "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', "
+            "  CAST(n*s03 - s0*s3 AS DOUBLE)/sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)*CAST(n*s33 - s3*s3 AS DOUBLE)) FROM m "
+            "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
+            "  CAST(n*s12 - s1*s2 AS DOUBLE)/sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)*CAST(n*s22 - s2*s2 AS DOUBLE)) FROM m "
+            "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
+            "  CAST(n*s13 - s1*s3 AS DOUBLE)/sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)*CAST(n*s33 - s3*s3 AS DOUBLE)) FROM m "
+            "UNION ALL SELECT 'l_discount', 'l_tax', "
+            "  CAST(n*s23 - s2*s3 AS DOUBLE)/sqrt(CAST(n*s22 - s2*s2 AS DOUBLE)*CAST(n*s33 - s3*s3 AS DOUBLE)) FROM m"
         ),
         "top_bigrams_by_lang": (
             "WITH toks AS (SELECT lang, regexp_extract_all(text, '\\S+') AS w FROM documents), "
