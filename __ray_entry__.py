@@ -5248,6 +5248,168 @@ def _q_lineitem_corr_matrix(sf_dir: str):
     )
 
 
+def _q_orders_scd2(sf_dir: str):
+    """Slowly-changing-dimension TYPE 2 history build: a deterministic
+    3-version change feed (all keys at v1, %7 keys re-priced at v2,
+    %21 keys again at v3) → one row per (key, version) with its
+    validity horizon (next version, NULL = current) — the
+    warehouse-history shape orders_upsert (type 1) discards.
+
+    One bucket shuffle (≤3 rows per key by construction); within a
+    bucket the LEAD is a vectorized lexsort + shifted same-key
+    compare — no per-key Python."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def feed(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        p = _nn(b.column("o_totalprice"))
+        ks, cs, vs = [k], [np.floor((p * 1) * 100).astype(np.int64)], [np.full(len(k), 1, np.int64)]
+        m2 = k % 7 == 0
+        ks.append(k[m2])
+        cs.append(np.floor((p[m2] * 2) * 100).astype(np.int64))
+        vs.append(np.full(int(m2.sum()), 2, np.int64))
+        m3 = k % 21 == 0
+        ks.append(k[m3])
+        cs.append(np.floor((p[m3] * 3) * 100).astype(np.int64))
+        vs.append(np.full(int(m3.sum()), 3, np.int64))
+        kk = np.concatenate(ks)
+        return pa.table(
+            {
+                "o_orderkey": kk,
+                "cents": np.concatenate(cs),
+                "version": np.concatenate(vs),
+                "bucket": (kk % 64).astype(np.int64),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], pa.int64()),
+                    "version": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "valid_to_version": pa.array([], pa.int64()),
+                    "is_current": pa.array([], pa.int64()),
+                }
+            )
+        k = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        v = g.column("version").to_numpy(zero_copy_only=False)
+        c = g.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, k))
+        k, v, c = k[order], v[order], c[order]
+        nxt = np.empty(len(k), np.int64)
+        same = np.zeros(len(k), bool)
+        if len(k) > 1:
+            same[:-1] = k[1:] == k[:-1]
+            nxt[:-1] = v[1:]
+        valid_to = pa.array(np.where(same, nxt, 0), pa.int64())
+        valid_to = pc.if_else(pa.array(same), valid_to, pa.scalar(None, pa.int64()))
+        return pa.table(
+            {
+                "o_orderkey": k,
+                "version": v,
+                "cents": c,
+                "valid_to_version": valid_to,
+                "is_current": (~same).astype(np.int64),
+            }
+        )
+
+    return (
+        ds.map_batches(feed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
+def _q_kanon_risk(sf_dir: str):
+    """K-anonymity audit over the (nation, segment) quasi-identifier:
+    the cells with fewer than k=10 members — each one a re-identifiable
+    population — with their sizes. Bounded cell axis (|nations|·
+    |segments|); per-batch pre-reduce, one tiny shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment"),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["c_nationkey", "c_mktsegment"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["c_nationkey", "c_mktsegment", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column("sum(n)"), pa.int64())
+        t = pa.Table.from_arrays(
+            [b.column("c_nationkey"), b.column("c_mktsegment"), n],
+            names=["c_nationkey", "c_mktsegment", "n"],
+        )
+        return t.filter(pc.less(n, 10))
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_value_imputed(sf_dir: str):
+    """Per-group median imputation: a deterministic null mask (every
+    17th event) filled with the event type's EXACT median of the
+    remaining values (quantile_disc semantics via the shared radix
+    bisection) — the standard feature-cleaning step. Medians broadcast
+    via ray.put; the fill is one map-side if_else, no re-shuffle."""
+    import ray as _ray
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_by_multi
+
+    ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def masked(b: pa.Table) -> pa.Table:
+        eid = _nn(b.column("event_id"))
+        keep = pa.array(eid % 17 != 0)
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": b.column("event_type"),
+                "v": pc.if_else(keep, b.column("value"), pa.scalar(None, pa.float64())),
+            }
+        )
+
+    mds = ds.map_batches(masked, batch_format="pyarrow", zero_copy_batch=True)
+    qt = kth_smallest_by_multi(mds, "event_type", "v", [(1, 2)])
+    med = {
+        k: v for k, v in zip(qt.column("key").to_pylist(), qt.column("kth").to_pylist())
+    }
+    med_ref = _ray.put(med)
+
+    def fill(b: pa.Table) -> pa.Table:
+        m = _ray.get(med_ref)
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        enc = et.dictionary_encode()
+        fills = np.array([m[d] for d in enc.dictionary.to_pylist()], np.float64)
+        per_row = pa.array(fills[enc.indices.to_numpy(zero_copy_only=False)])
+        return pa.table(
+            {
+                "event_id": b.column("event_id"),
+                "event_type": et,
+                "value_filled": pc.if_else(pc.is_valid(b.column("v")), b.column("v"), per_row),
+            }
+        )
+
+    return mds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -5319,6 +5481,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_docs": _q_phrase_docs,
         "source_overlap_matrix": _q_source_overlap_matrix,
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
+        "orders_scd2": _q_orders_scd2,
+        "kanon_risk": _q_kanon_risk,
+        "value_imputed": _q_value_imputed,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
@@ -6066,6 +6231,33 @@ def oracle_sql() -> dict[str, str]:
             " * (CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
             " / (CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
             "FROM c JOIN rt USING (source) JOIN ct USING (lang), tot"
+        ),
+        "orders_scd2": (
+            "WITH h AS ("
+            "  SELECT o_orderkey, CAST(floor((o_totalprice*1)*100) AS BIGINT) AS cents, "
+            "    CAST(1 AS BIGINT) AS version FROM orders "
+            "  UNION ALL SELECT o_orderkey, CAST(floor((o_totalprice*2)*100) AS BIGINT), 2 "
+            "    FROM orders WHERE o_orderkey % 7 = 0 "
+            "  UNION ALL SELECT o_orderkey, CAST(floor((o_totalprice*3)*100) AS BIGINT), 3 "
+            "    FROM orders WHERE o_orderkey % 21 = 0) "
+            "SELECT o_orderkey, version, cents, "
+            "lead(version) OVER w AS valid_to_version, "
+            "CAST(CASE WHEN lead(version) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "  AS is_current "
+            "FROM h WINDOW w AS (PARTITION BY o_orderkey ORDER BY version)"
+        ),
+        "kanon_risk": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, "
+            "count(*) AS n FROM customer "
+            "GROUP BY 1, 2 HAVING count(*) < 10"
+        ),
+        "value_imputed": (
+            "WITH masked AS (SELECT event_id, event_type, "
+            "  CASE WHEN event_id % 17 = 0 THEN NULL ELSE value END AS v FROM events), "
+            "med AS (SELECT event_type, quantile_disc(v, 0.5) AS m "
+            "  FROM masked WHERE v IS NOT NULL GROUP BY 1) "
+            "SELECT event_id, masked.event_type, coalesce(v, m) AS value_filled "
+            "FROM masked JOIN med USING (event_type)"
         ),
         "source_overlap_matrix": (
             "WITH sample AS (SELECT doc_id, text FROM documents "

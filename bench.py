@@ -131,6 +131,8 @@ def _bench_queries(sf_dir: str) -> dict:
         "late_events",  # watermark tagging: bucket shuffle + composite cummax
         "value_comoments_by_type",  # one-pass grouped co-moments (corr/cov base)
         "dup_span_stats",  # ExactSubstr-style duplicated-span marking
+        "trade_volume_pairs",  # r4: 4-table multi-fact join wave (2 shuffles)
+        "session_conversion",  # r4: sessionize + within-session funnel
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

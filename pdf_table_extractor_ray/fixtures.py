@@ -53,7 +53,7 @@ FAMILIES = (
 ALL_FAMILIES = FAMILIES + ("encrypted", "pdf_native")
 
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 6  # r4: pdf_native sub-families (relative-Td, PDF 1.5, CID/ToUnicode)
+FIXTURE_VERSION = 7  # r4: pdf_native sub-families (Td, PDF 1.5, CID/ToUnicode, line-TJ metrics)
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -457,11 +457,13 @@ def _html_wordboxes_to_pdf(html: str) -> bytes:
     the identical word boxes (page per ``<div class="page">``).
 
     The serialization sub-family is a pure function of the content
-    (crc32 mod 4): classic absolute-``Tm`` PDF 1.4, relative-``Td``
+    (crc32 mod 5): classic absolute-``Tm`` PDF 1.4, relative-``Td``
     multi-op lines, PDF 1.5 (object stream + xref stream) with
-    relative positioning, or a CID-keyed font whose hex show strings
-    only decode through the /ToUnicode CMap — so the golden gate
-    exercises all four shapes the native parser supports."""
+    relative positioning, a CID-keyed font whose hex show strings only
+    decode through the /ToUnicode CMap, or whole-line ``TJ`` arrays
+    whose word positions only recover through Helvetica glyph metrics
+    + kerning numbers — so the golden gate exercises all five shapes
+    the native parser supports."""
     import zlib as _zlib
 
     from pdf_table_extractor_ray.stages.layout import _PAGE_SPLIT_RE, _WORDBOX_RE
@@ -475,10 +477,11 @@ def _html_wordboxes_to_pdf(html: str) -> bytes:
         ]
         if words:
             pages.append(words)
-    variant = _zlib.crc32(html.encode()) % 4
+    variant = _zlib.crc32(html.encode()) % 5
+    positioning = {0: "tm", 1: "td", 2: "td", 3: "tm", 4: "line"}[variant]
     return build_pdf(
         pages,
-        positioning="td" if variant in (1, 2) else "tm",
+        positioning=positioning,
         pdf15=(variant == 2),
         encoding="cid" if variant == 3 else "latin1",
     )

@@ -31,13 +31,20 @@ stream parsed (``bfchar`` singletons + scalar ``bfrange`` runs) and HEX
 show strings decode as 2-byte CIDs through it — the composite-font
 shape whose text is unreadable without the CMap.
 
-Declared limitations (documented, not hidden): no font-metric glyph
-advance (every word must be positioned by its own ``Tm``/``Td``/``TD``
-— real bank PDFs from pdfplumber do the same per-word positioning;
-relative ``Td`` advances accumulate through the line matrix); literal
-strings decode as Latin-1/PDFDoc (CID text must be hex-written, as CID
-producers do); array-form ``bfrange`` destinations are skipped (their
-CIDs surface as U+FFFD, never misread).
+Font metrics (round 4): Helvetica AFM glyph widths drive intra-``TJ``
+advance — a whole LINE shown as one ``TJ`` array (strings + kerning
+numbers) recovers one word box per string at its metric x position,
+closing the two formerly-declared gaps (glyph advance, TJ kerning).
+
+Declared limitations (documented, not hidden): metric advance applies
+within ``TJ`` arrays under a known ``Tf`` size (independent ``Tj`` ops
+still need their own ``Tm``/``Td`` positioning); widths are the core-14
+Helvetica table whatever the declared font (the fixture writer uses the
+same table, so round-trips are exact; foreign fonts get approximate
+intra-line x); literal strings decode as Latin-1/PDFDoc (CID text must
+be hex-written, as CID producers do); array-form ``bfrange``
+destinations are skipped (their CIDs surface as U+FFFD, never
+misread).
 
 The extraction strategy reuses the exact y-cluster + x-threshold
 column logic of ``layout.extract_coordinate_columns`` — a PDF doc and
@@ -94,6 +101,31 @@ def _page_content(
             xr, yr = round(x0, 2), round(h - top, 2)
             parts.append(f"{xr - px:.2f} {yr - py:.2f} Td {show(text)} Tj")
             px, py = xr, yr
+    elif positioning == "line":
+        # one TJ array per LINE (words sharing a top): first word at the
+        # line's Tm, later words positioned by metric glyph advance plus
+        # a kerning number n = (x_after − x_next)·1000/size — the shape
+        # print pipelines emit when they show whole lines, readable only
+        # with font metrics (TJ numbers shift x by −n/1000·size)
+        size = 10.0
+        lines: Dict[float, List[Word]] = {}
+        for x0, top, text in words:
+            lines.setdefault(top, []).append((x0, top, text))
+        for top in sorted(lines):
+            ws = sorted(lines[top], key=lambda w: w[0])
+            x0 = ws[0][0]
+            arr: List[str] = []
+            x = x0
+            for j, (wx, _t, text) in enumerate(ws):
+                if j > 0:
+                    gap_n = (x - wx) * 1000.0 / size
+                    arr.append(f"{gap_n:.4f}")
+                    x -= gap_n / 1000.0 * size
+                arr.append(show(text))
+                x += _text_width(text, size)
+            parts.append(
+                f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm [{' '.join(arr)}] TJ"
+            )
     else:
         for x0, top, text in words:
             parts.append(f"1 0 0 1 {x0:.2f} {h - top:.2f} Tm {show(text)} Tj")
@@ -728,6 +760,44 @@ class _Str(str):
     to be '[' can never be mistaken for an array delimiter."""
 
 
+# Helvetica AFM glyph widths (per-1000 text-space units) — the public
+# Adobe core-14 metrics. Used for intra-TJ glyph advance so a whole
+# LINE shown as one TJ array still yields one word box per string, each
+# at its metric x position (pdfplumber does the same with the font's
+# widths). Accented Latin-1 letters take their NFD base letter's width;
+# unknown glyphs default to 556 (the Helvetica digit/average width).
+_HELV_W = {
+    " ": 278, "!": 278, '"': 355, "#": 556, "$": 556, "%": 889, "&": 667,
+    "'": 191, "(": 333, ")": 333, "*": 389, "+": 584, ",": 278, "-": 333,
+    ".": 278, "/": 278, "0": 556, "1": 556, "2": 556, "3": 556, "4": 556,
+    "5": 556, "6": 556, "7": 556, "8": 556, "9": 556, ":": 278, ";": 278,
+    "<": 584, "=": 584, ">": 584, "?": 556, "@": 1015, "A": 667, "B": 667,
+    "C": 722, "D": 722, "E": 667, "F": 611, "G": 778, "H": 722, "I": 278,
+    "J": 500, "K": 667, "L": 556, "M": 833, "N": 722, "O": 778, "P": 667,
+    "Q": 778, "R": 722, "S": 667, "T": 611, "U": 722, "V": 667, "W": 944,
+    "X": 667, "Y": 667, "Z": 611, "[": 278, "\\": 278, "]": 278, "^": 469,
+    "_": 556, "`": 333, "a": 556, "b": 556, "c": 500, "d": 556, "e": 556,
+    "f": 278, "g": 556, "h": 556, "i": 222, "j": 222, "k": 500, "l": 222,
+    "m": 833, "n": 556, "o": 556, "p": 556, "q": 556, "r": 333, "s": 500,
+    "t": 278, "u": 556, "v": 500, "w": 722, "x": 500, "y": 500, "z": 500,
+    "{": 334, "|": 260, "}": 334, "~": 584,
+}
+
+
+def _glyph_width(ch: str) -> int:
+    w = _HELV_W.get(ch)
+    if w is None:
+        import unicodedata
+
+        w = _HELV_W.get(unicodedata.normalize("NFD", ch)[0], 556)
+    return w
+
+
+def _text_width(s: str, size: float) -> float:
+    """Metric width of a shown string at ``size`` (text-space pts)."""
+    return sum(_glyph_width(c) for c in s) * size / 1000.0
+
+
 def _interpret_text(
     content: str, page_height: float, cmap: Optional[Dict[int, str]] = None
 ) -> List[Word]:
@@ -741,11 +811,16 @@ def _interpret_text(
     # text matrix / line matrix as affine (a, b, c, d, e, f); leading
     tm = lm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     leading = 0.0
+    font_size = 0.0  # set by Tf; 0 disables metric advance
 
     def emit(s: str):
         nonlocal tm
         if s:
             words.append((tm[4], page_height - tm[5], s))
+
+    def emit_at(x: float, s: str):
+        if s:
+            words.append((x, page_height - tm[5], s))
 
     def translate_line(tx: float, ty: float):
         nonlocal tm, lm
@@ -778,6 +853,8 @@ def _interpret_text(
                 translate_line(stack[-2], stack[-1])
             elif tok == "TL" and stack:
                 leading = stack[-1]
+            elif tok == "Tf" and stack and isinstance(stack[-1], float):
+                font_size = stack[-1]
             elif tok == "T*":
                 translate_line(0.0, -leading)
             elif tok == "Tj" and stack:
@@ -789,16 +866,27 @@ def _interpret_text(
                 translate_line(0.0, -leading)
                 emit(stack[-1] if isinstance(stack[-1], _Str) else "")
             elif tok == "TJ":
-                # strings between the enclosing [ ]; kerning numbers are
-                # ignored (no font metrics — declared limitation)
-                depth_items: List[str] = []
+                # strings AND kerning numbers between the enclosing
+                # [ ]: each string emits at the running metric x
+                # (Helvetica AFM glyph advance × Tf size), each number
+                # n shifts x by −n/1000·size — so a whole line shown
+                # as one TJ still yields per-word boxes at their true
+                # positions. With no Tf seen (size 0) both advances
+                # vanish and the legacy emit-at-origin behavior holds.
+                depth_items: List = []
                 for it in reversed(stack):
-                    if isinstance(it, _Str):
+                    if isinstance(it, _Str) or isinstance(it, float):
                         depth_items.append(it)
                     elif it == "[":
                         break
-                for s in reversed(depth_items):
-                    emit(s)
+                x = tm[4]
+                scale = tm[0]  # translation-scope matrices: a = x scale
+                for it in reversed(depth_items):
+                    if isinstance(it, _Str):
+                        emit_at(x, it)
+                        x += _text_width(it, font_size) * scale
+                    else:
+                        x -= it / 1000.0 * font_size * scale
             stack.clear()
     return words
 

@@ -505,6 +505,44 @@ class TestPdfNativeVariants:
         parsed = _parse_tounicode(cmap_src)
         assert parsed[1] == " " and "€" in parsed.values() and "東" in parsed.values()
 
+    def test_line_mode_tj_metrics(self):
+        """Whole-line TJ arrays: per-word boxes recover through
+        Helvetica glyph advance + kerning numbers (both previously
+        declared limitations)."""
+        from pdf_table_extractor_ray.stages.pdf_native import (
+            _text_width,
+            build_pdf,
+            parse_pdf_words,
+        )
+
+        import zlib
+
+        words = [(30.7, 52.3, "05"), (100.0, 52.3, "Pix Enviado"), (500.4, 52.3, "1.234,56")]
+        pdf = build_pdf([words], positioning="line")
+        # exactly one show op per LINE in the content stream
+        assert zlib.decompress(
+            pdf[pdf.find(b"stream\n") + 7 : pdf.find(b"\nendstream")]
+        ).count(b"TJ") == 1
+        (page,) = parse_pdf_words(pdf)
+        assert len(page) == len(words)
+        for (x, t, s), (wx, wt, ws) in zip(page, sorted(words)):
+            assert s == ws and abs(x - wx) < 1e-3 and abs(t - wt) < 1e-6
+        assert _text_width("05", 10.0) == (556 + 556) / 100.0
+
+    def test_tj_advance_without_tf_is_legacy(self):
+        """No Tf seen → size 0 → TJ strings emit at the matrix origin
+        (the conservative legacy behavior)."""
+        from pdf_table_extractor_ray.stages.pdf_native import _interpret_text
+
+        ws = _interpret_text("BT 1 0 0 1 10 100 Tm [(a) -120 (b)] TJ ET", 842.0)
+        assert [(x, s) for x, _, s in ws] == [(10.0, "a"), (10.0, "b")]
+        ws = _interpret_text(
+            "BT /F1 10 Tf 1 0 0 1 10 100 Tm [(a) -120 (b)] TJ ET", 842.0
+        )
+        assert ws[0][2] == "a" and ws[0][0] == 10.0
+        # b advances by width('a')·10/1000 = 5.56 plus −(−120)/1000·10 = 1.2
+        assert abs(ws[1][0] - (10.0 + 5.56 + 1.2)) < 1e-9
+
     def test_cid_unmapped_and_array_bfrange(self):
         from pdf_table_extractor_ray.stages.pdf_native import (
             _decode_hex_cids,
@@ -574,7 +612,7 @@ class TestPdfNativeVariants:
                 pages.append(ws)
         results = [
             extract_pdf_native(build_pdf(pages, positioning=pos, pdf15=p15, encoding=enc))
-            for pos in ("tm", "td")
+            for pos in ("tm", "td", "line")
             for p15 in (False, True)
             for enc in ("latin1", "cid")
         ]
