@@ -5410,6 +5410,148 @@ def _q_value_imputed(sf_dir: str):
     return mds.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_mix_rebalance_sample(sf_dir: str):
+    """Training-mix rebalancing: deterministically downsample every
+    language to (about) the smallest language's mass — per-lang
+    acceptance thresholds in 1/256 units from one bounded count
+    pre-pass, then a map-side content-hash accept test (md5 first
+    byte < threshold, the same oracle-reproducible device as
+    doc_sample). Output: per-lang kept counts."""
+    import hashlib
+
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"lang": b.column("lang")})
+        return (
+            pa.TableGroupBy(t, ["lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n"])
+        )
+
+    rows = (
+        ds.map_batches(count_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n"))
+        .take_all()
+    )  # bounded: one row per language
+    counts = {r["lang"]: int(r["sum(n)"]) for r in rows}
+    m = min(counts.values())
+    thresh = {lg: (m * 256) // n for lg, n in counts.items()}
+    t_ref = _ray.put(thresh)
+
+    def sample_partial(b: pa.Table) -> pa.Table:
+        th = _ray.get(t_ref)
+        langs = b.column("lang").to_pylist()
+        texts = b.column("text").to_pylist()
+        keep_langs = [
+            lg
+            for lg, tx in zip(langs, texts)
+            if hashlib.md5((tx or "").encode()).digest()[0] < th[lg]
+        ]
+        if not keep_langs:
+            return pa.table(
+                {"lang": pa.array([], pa.string()), "n_sampled": pa.array([], pa.int64())}
+            )
+        t = pa.table({"lang": pa.array(keep_langs, pa.string())})
+        return (
+            pa.TableGroupBy(t, ["lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["lang", "n_sampled"])
+        )
+
+    agg = (
+        ds.map_batches(sample_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("n_sampled"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("lang"), pc.cast(b.column("sum(n_sampled)"), pa.int64())],
+            names=["lang", "n_sampled"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_benford_digits(sf_dir: str):
+    """Benford's-law audit: first-significant-digit distribution of
+    order prices (integer cents) — the classic synthetic-data /
+    fraud smell test. Digit extraction is exact (decimal string head,
+    no log10 float); counts pre-reduce per batch; shares divide exact
+    int64 sums once on the bounded 9-digit axis."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        cents = cents[cents > 0]
+        s = pc.cast(pa.array(cents), pa.string())
+        first = pc.utf8_slice_codeunits(s, 0, 1)
+        t = pa.table({"digit": first})
+        return (
+            pa.TableGroupBy(t, ["digit"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["digit", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digit")
+        .aggregate(Sum("n"))
+        .take_all()
+    )  # bounded: nine digit rows
+    agg.sort(key=lambda r: r["digit"])
+    total = sum(int(r["sum(n)"]) for r in agg)
+    return pa.table(
+        {
+            "digit": pa.array([r["digit"] for r in agg], pa.string()),
+            "n": pa.array([int(r["sum(n)"]) for r in agg], pa.int64()),
+            "share": pa.array(
+                [float(int(r["sum(n)"])) / float(total) for r in agg], pa.float64()
+            ),
+        }
+    )
+
+
+def _q_rate_limited_events(sf_dir: str):
+    """Per-key rate limiting: keep at most 3 events per (user, hour) by
+    (ts, event_id) order — the throttling/dedup-cap primitive of an
+    ingest pipeline. The (user, hour) key packs into one int64 and the
+    cap rides the hot-key-safe grouped_top_k pre-reduce (each batch
+    clips itself to ≤3 rows per key BEFORE the shuffle)."""
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("user_id")), pc.is_valid(b.column("ts")))
+        f = b.filter(m)
+        ts = pc.cast(f.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        hour = ts // 3_600_000_000
+        uid = _nn(f.column("user_id"))
+        return pa.table(
+            {
+                "uh": uid * 1_000_000 + hour % 1_000_000,  # packed (user, hour)
+                "event_id": f.column("event_id"),
+                "ts_us": ts,
+            }
+        )
+
+    packed = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    kept = grouped_top_k(
+        packed, "uh", [("ts_us", "ascending"), ("event_id", "ascending")], 3
+    )
+    return kept.map_batches(
+        lambda b: b.select(["event_id", "ts_us"]),
+        batch_format="pyarrow",
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -5484,6 +5626,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2": _q_orders_scd2,
         "kanon_risk": _q_kanon_risk,
         "value_imputed": _q_value_imputed,
+        "mix_rebalance_sample": _q_mix_rebalance_sample,
+        "benford_digits": _q_benford_digits,
+        "rate_limited_events": _q_rate_limited_events,
         "urgent_customers": _q_urgent_customers,
         "quiet_customers": _q_quiet_customers,
         "cust_order_dist": _q_cust_order_dist,
@@ -6231,6 +6376,32 @@ def oracle_sql() -> dict[str, str]:
             " * (CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
             " / (CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
             "FROM c JOIN rt USING (source) JOIN ct USING (lang), tot"
+        ),
+        "mix_rebalance_sample": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "
+            "mn AS (SELECT min(n) AS m FROM c), "
+            "r AS (SELECT lang, (m * 256) // n AS thresh FROM c, mn) "
+            "SELECT d.lang, count(*) AS n_sampled "
+            "FROM documents d JOIN r ON d.lang = r.lang "
+            "WHERE r.thresh >= 256 "
+            "  OR substr(md5(coalesce(d.text, '')), 1, 2) < printf('%02x', r.thresh) "
+            "GROUP BY d.lang"
+        ),
+        "benford_digits": (
+            "WITH v AS (SELECT CAST(floor(o_totalprice*100) AS BIGINT) AS cents FROM orders), "
+            "d AS (SELECT substr(CAST(cents AS VARCHAR), 1, 1) AS digit, count(*) AS n "
+            "  FROM v WHERE cents > 0 GROUP BY 1), "
+            "t AS (SELECT sum(n) AS tot FROM d) "
+            "SELECT digit, CAST(n AS BIGINT) AS n, "
+            "CAST(n AS DOUBLE)/CAST(tot AS DOUBLE) AS share FROM d, t"
+        ),
+        "rate_limited_events": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+            "  epoch_us(ts) // 3600000000 AS hour FROM events "
+            "  WHERE user_id IS NOT NULL AND ts IS NOT NULL) "
+            "SELECT event_id, ts_us FROM e "
+            "QUALIFY row_number() OVER (PARTITION BY user_id, hour "
+            "  ORDER BY ts_us, event_id) <= 3"
         ),
         "orders_scd2": (
             "WITH h AS ("

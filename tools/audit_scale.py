@@ -41,6 +41,7 @@ TAKE_ALL_ALLOWLIST = {
     ("__ray_entry__.py", "_q_trade_volume_pairs"): "25-row nation dim, pulled once to name the bounded pair axis",
     ("__ray_entry__.py", "_q_hybrid_search_rrf"): "two k=50 top-k ranking lists; fusion axis bounded by 2k",
     ("__ray_entry__.py", "_q_value_trend_by_type"): "one moment row per event_type; closed form needs Python-int precision",
+    ("__ray_entry__.py", "count_partial"): "mix_rebalance_sample: one count row per language, bounded lang domain",
     ("__ray_entry__.py", "prep"): "revenue_share_by_nation: one row per nation, bounded; shares need Python-int precision",
     ("__ray_entry__.py", "partial"): "revenue_mom: one row per calendar month, bounded time axis",
     ("pdf_table_extractor_ray/stages/bloom.py", "partial"): "one m/8-byte bitmap per block",
