@@ -6331,8 +6331,8 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT event_type, count(*) AS n, sum(d) AS sd, sum(v) AS sv, "
             "  sum(d*d) AS sdd, sum(d*v) AS sdv FROM e GROUP BY 1) "
             "SELECT event_type, CAST(n AS BIGINT) AS n, "
-            "CAST(n*sdv - sd*sv AS DOUBLE)/CAST(n*sdd - sd*sd AS DOUBLE) AS slope_cents_per_min, "
-            "CAST(sv*sdd - sd*sdv AS DOUBLE)/CAST(n*sdd - sd*sd AS DOUBLE) AS intercept_cents "
+            "CAST(CAST(n*sdv - sd*sv AS VARCHAR) AS DOUBLE)/CAST(CAST(n*sdd - sd*sd AS VARCHAR) AS DOUBLE) AS slope_cents_per_min, "
+            "CAST(CAST(sv*sdd - sd*sdv AS VARCHAR) AS DOUBLE)/CAST(CAST(n*sdd - sd*sd AS VARCHAR) AS DOUBLE) AS intercept_cents "
             "FROM m"
         ),
         "session_conversion": (
@@ -6371,10 +6371,10 @@ def oracle_sql() -> dict[str, str]:
             "ct AS (SELECT lang, sum(n) AS cc FROM c GROUP BY 1), "
             "tot AS (SELECT sum(n) AS t FROM c) "
             "SELECT c.source, c.lang, CAST(c.n AS BIGINT) AS n, "
-            "CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE) AS expected, "
-            "(CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
-            " * (CAST(c.n AS DOUBLE) - CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) "
-            " / (CAST(r*cc AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
+            "CAST(CAST(r*cc AS VARCHAR) AS DOUBLE)/CAST(t AS DOUBLE) AS expected, "
+            "(CAST(c.n AS DOUBLE) - CAST(CAST(r*cc AS VARCHAR) AS DOUBLE)/CAST(t AS DOUBLE)) "
+            " * (CAST(c.n AS DOUBLE) - CAST(CAST(r*cc AS VARCHAR) AS DOUBLE)/CAST(t AS DOUBLE)) "
+            " / (CAST(CAST(r*cc AS VARCHAR) AS DOUBLE)/CAST(t AS DOUBLE)) AS chi2_contrib "
             "FROM c JOIN rt USING (source) JOIN ct USING (lang), tot"
         ),
         "mix_rebalance_sample": (
@@ -6466,17 +6466,17 @@ def oracle_sql() -> dict[str, str]:
             "  sum(x0*x1) AS s01, sum(x0*x2) AS s02, sum(x0*x3) AS s03, "
             "  sum(x1*x2) AS s12, sum(x1*x3) AS s13, sum(x2*x3) AS s23 FROM v) "
             "SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, "
-            "  CAST(n*s01 - s0*s1 AS DOUBLE)/sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)*CAST(n*s11 - s1*s1 AS DOUBLE)) AS corr FROM m "
+            "  CAST(CAST(n*s01 - s0*s1 AS VARCHAR) AS DOUBLE)/sqrt(CAST(CAST(n*s00 - s0*s0 AS VARCHAR) AS DOUBLE)*CAST(CAST(n*s11 - s1*s1 AS VARCHAR) AS DOUBLE)) AS corr FROM m "
             "UNION ALL SELECT 'l_quantity', 'l_discount', "
-            "  CAST(n*s02 - s0*s2 AS DOUBLE)/sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)*CAST(n*s22 - s2*s2 AS DOUBLE)) FROM m "
+            "  CAST(CAST(n*s02 - s0*s2 AS VARCHAR) AS DOUBLE)/sqrt(CAST(CAST(n*s00 - s0*s0 AS VARCHAR) AS DOUBLE)*CAST(CAST(n*s22 - s2*s2 AS VARCHAR) AS DOUBLE)) FROM m "
             "UNION ALL SELECT 'l_quantity', 'l_tax', "
-            "  CAST(n*s03 - s0*s3 AS DOUBLE)/sqrt(CAST(n*s00 - s0*s0 AS DOUBLE)*CAST(n*s33 - s3*s3 AS DOUBLE)) FROM m "
+            "  CAST(CAST(n*s03 - s0*s3 AS VARCHAR) AS DOUBLE)/sqrt(CAST(CAST(n*s00 - s0*s0 AS VARCHAR) AS DOUBLE)*CAST(CAST(n*s33 - s3*s3 AS VARCHAR) AS DOUBLE)) FROM m "
             "UNION ALL SELECT 'l_extendedprice', 'l_discount', "
-            "  CAST(n*s12 - s1*s2 AS DOUBLE)/sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)*CAST(n*s22 - s2*s2 AS DOUBLE)) FROM m "
+            "  CAST(CAST(n*s12 - s1*s2 AS VARCHAR) AS DOUBLE)/sqrt(CAST(CAST(n*s11 - s1*s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(n*s22 - s2*s2 AS VARCHAR) AS DOUBLE)) FROM m "
             "UNION ALL SELECT 'l_extendedprice', 'l_tax', "
-            "  CAST(n*s13 - s1*s3 AS DOUBLE)/sqrt(CAST(n*s11 - s1*s1 AS DOUBLE)*CAST(n*s33 - s3*s3 AS DOUBLE)) FROM m "
+            "  CAST(CAST(n*s13 - s1*s3 AS VARCHAR) AS DOUBLE)/sqrt(CAST(CAST(n*s11 - s1*s1 AS VARCHAR) AS DOUBLE)*CAST(CAST(n*s33 - s3*s3 AS VARCHAR) AS DOUBLE)) FROM m "
             "UNION ALL SELECT 'l_discount', 'l_tax', "
-            "  CAST(n*s23 - s2*s3 AS DOUBLE)/sqrt(CAST(n*s22 - s2*s2 AS DOUBLE)*CAST(n*s33 - s3*s3 AS DOUBLE)) FROM m"
+            "  CAST(CAST(n*s23 - s2*s3 AS VARCHAR) AS DOUBLE)/sqrt(CAST(CAST(n*s22 - s2*s2 AS VARCHAR) AS DOUBLE)*CAST(CAST(n*s33 - s3*s3 AS VARCHAR) AS DOUBLE)) FROM m"
         ),
         "top_bigrams_by_lang": (
             "WITH toks AS (SELECT lang, regexp_extract_all(text, '\\S+') AS w FROM documents), "

@@ -645,18 +645,30 @@ def _decode_hex(tok: str) -> str:
     return bytes.fromhex(digits).decode("latin-1")
 
 
-def _decode_hex_cids(tok: str, cmap: Dict[int, str]) -> str:
+def _decode_hex_cids(tok: str, cmap: Dict[int, str], memo: Optional[Dict[str, str]] = None) -> str:
     """Hex show string under a CID font: 2-byte code groups mapped
     through the font's /ToUnicode CMap (unmapped CIDs → U+FFFD, the
-    same stand-in pdfminer/pdfplumber surface)."""
-    digits = re.sub(r"\s", "", tok[1:-1])
+    same stand-in pdfminer/pdfplumber surface). ``memo`` (per-document,
+    since CID assignments are per-font) short-circuits repeated show
+    strings — a statement corpus re-shows the same words constantly
+    (profiled ~2× on CID parses)."""
+    if memo is not None:
+        hit = memo.get(tok)
+        if hit is not None:
+            return hit
+    digits = tok[1:-1]
+    if not digits.isalnum():  # rare: whitespace inside the hex string
+        digits = re.sub(r"\s", "", digits)
     pad = (-len(digits)) % 4
     if pad:
         digits += "0" * pad
-    return "".join(
+    out = "".join(
         cmap.get(int(digits[i : i + 4], 16), "�")
         for i in range(0, len(digits), 4)
     )
+    if memo is not None:
+        memo[tok] = out
+    return out
 
 
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
@@ -793,13 +805,23 @@ def _glyph_width(ch: str) -> int:
     return w
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 16)
 def _text_width(s: str, size: float) -> float:
-    """Metric width of a shown string at ``size`` (text-space pts)."""
+    """Metric width of a shown string at ``size`` (text-space pts).
+    Memoized: a statement corpus repeats a small word vocabulary
+    (dates, amounts, descriptions), so the per-char sum runs once per
+    distinct word — profiled 3× on line-mode parses."""
     return sum(_glyph_width(c) for c in s) * size / 1000.0
 
 
 def _interpret_text(
-    content: str, page_height: float, cmap: Optional[Dict[int, str]] = None
+    content: str,
+    page_height: float,
+    cmap: Optional[Dict[int, str]] = None,
+    cid_memo: Optional[Dict[str, str]] = None,
 ) -> List[Word]:
     """Run the text operators, emitting one word box per show op at the
     current text-matrix origin (top-left convention). With ``cmap``
@@ -835,7 +857,7 @@ def _interpret_text(
             stack.append(_Str(_decode_literal(tok)))
         elif ch == "<":
             stack.append(
-                _Str(_decode_hex_cids(tok, cmap) if cmap else _decode_hex(tok))
+                _Str(_decode_hex_cids(tok, cmap, cid_memo) if cmap else _decode_hex(tok))
             )
         elif ch == "/" or ch == "[" or ch == "]":
             stack.append(tok)
@@ -914,6 +936,7 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
             break
     pages: List[List[Word]] = []
     cmap_cache: Dict[int, Optional[Dict[int, str]]] = {}
+    cid_memos: Dict[int, Dict[str, str]] = {}
 
     def page_cmap(page_head: bytes) -> Optional[Dict[int, str]]:
         fm = _FONTDICT_REF_RE.search(page_head)
@@ -948,8 +971,10 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
         cmap = page_cmap(head)
         if cmap is not None:
             # CID hex strings need the CMap — the literal-string fast
-            # paths cannot apply
-            pages.append(_interpret_text(content, h, cmap))
+            # paths cannot apply. One decode memo per document (CID
+            # assignments are per-font, pages share the font).
+            memo = cid_memos.setdefault(id(cmap), {})
+            pages.append(_interpret_text(content, h, cmap, memo))
             continue
         fast = _interpret_text_fast(content, h)
         if fast is None:

@@ -2919,3 +2919,63 @@ def test_session_funnel_brute_force(ray_session):
     assert got.column("n_sessions").to_pylist() == [n_sess]
     assert got.column("n_first_sessions").to_pylist() == [n_first]
     assert got.column("n_converted").to_pylist() == [n_conv]
+
+
+def test_adaptive_join_matches_shuffle_join(ray_session):
+    """adaptive_join == hash_shuffle_join on BOTH sides of the
+    broadcast threshold, for every supported how."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import adaptive_join, hash_shuffle_join
+
+    rng = np.random.default_rng(4)
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(rng.integers(0, 50, 500), pa.int64()),
+                "lv": pa.array(np.arange(500), pa.int64()),
+            }
+        )
+    ).repartition(4)
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "rk": pa.array(np.arange(0, 40, 2), pa.int64()),
+                "rv": pa.array(np.arange(20) * 10, pa.int64()),
+            }
+        )
+    ).repartition(2)
+
+    def norm(rows, cols):
+        return sorted(tuple(r.get(c) for c in cols) for r in rows)
+
+    for how in ("inner", "left", "left_semi", "left_anti"):
+        want = hash_shuffle_join(left, right, on="k", right_on="rk", how=how).take_all()
+        cols = sorted(want[0].keys()) if want else ["k", "lv"]
+        for bmax in (1_000_000, 0):  # broadcast path, then forced shuffle path
+            got = adaptive_join(
+                left, right, on="k", right_on="rk", how=how, broadcast_max=bmax
+            ).take_all()
+            assert norm(got, cols) == norm(want, cols), (how, bmax)
+
+
+def test_adaptive_join_null_keys_never_match(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import adaptive_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, None, 3], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"rk": pa.array([1, None], pa.int64())})
+    )
+    semi = adaptive_join(left, right, on="k", right_on="rk", how="left_semi").take_all()
+    assert [r["k"] for r in semi] == [1]
+    anti = adaptive_join(left, right, on="k", right_on="rk", how="left_anti").take_all()
+    assert sorted(r["k"] is None or r["k"] == 3 for r in anti) == [True, True]

@@ -49,6 +49,7 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/dedup.py", "pick"): "adaptive filter probe, bounded",
     ("pdf_table_extractor_ray/stages/dedup.py", "shingle_rows"): "scalar count probe",
     ("pdf_table_extractor_ray/stages/joins.py", "broadcast_join"): "build side, bounded by contract",
+    ("pdf_table_extractor_ray/stages/joins.py", "adaptive_join"): "build keys, bounded by the count gate (≤ broadcast_max)",
     ("pdf_table_extractor_ray/stages/lm.py", "top_vocab"): "top-V vocab, bounded by V",
     ("pdf_table_extractor_ray/stages/search.py", "bm25_topk"): "per-term df stats, bounded by terms",
     ("pdf_table_extractor_ray/stages/search.py", "tfidf_top_terms"): "df table, bounded by vocab",
