@@ -715,6 +715,8 @@ _FAST_TM_TJ_RE = re.compile(
 def _interpret_text_fast(content: str, page_height: float) -> Optional[List[Word]]:
     if "Tm" not in content:  # C memchr pre-guard: skip the findall scan
         return None
+    if "TJ" in content:  # a TJ array can never be a fast Tm-Tj match;
+        return None  # skip the findall and let the TJ fast path try
     matches = _FAST_TM_TJ_RE.findall(content)
     # guards are plain substring counts (C memchr — a second regex pass
     # here measurably doubled parse cost): every show op must be a fast
@@ -763,6 +765,33 @@ def _interpret_text_fast_td(content: str, page_height: float) -> Optional[List[W
         s = _decode_literal(lit) if "\\" in lit else lit[1:-1]
         if s:
             words.append((float(dx[i]), page_height - float(dy[i]), s))
+    return words
+
+
+# Fast path #3: absolutely-positioned CID show ops — `a b c d e f Tm
+# <hex> Tj` — the composite-font twin of fast path #1. Same guards
+# (every show op must match, no line-translate ops); decode goes
+# through the memoized CMap lookup.
+_FAST_TM_HEXTJ_RE = re.compile(
+    r"[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+([\d.+-]+)\s+([\d.+-]+)\s+Tm\s*"
+    r"(<[0-9A-Fa-f\s]*>)\s*Tj"
+)
+
+
+def _interpret_text_fast_cid(
+    content: str, page_height: float, cmap: Dict[int, str], memo: Dict[str, str]
+) -> Optional[List[Word]]:
+    if "Tm" not in content:
+        return None
+    matches = _FAST_TM_HEXTJ_RE.findall(content)
+    n_show = content.count("Tj") + content.count("TJ") + content.count("'") + content.count('"')
+    if len(matches) != n_show or "Td" in content or "TD" in content or "T*" in content:
+        return None
+    words: List[Word] = []
+    for x, y, hx in matches:
+        s = _decode_hex_cids(hx, cmap, memo)
+        if s:
+            words.append((float(x), page_height - float(y), s))
     return words
 
 
@@ -815,6 +844,53 @@ def _text_width(s: str, size: float) -> float:
     (dates, amounts, descriptions), so the per-char sum runs once per
     distinct word — profiled 3× on line-mode parses."""
     return sum(_glyph_width(c) for c in s) * size / 1000.0
+
+
+# Fast path #4: whole-LINE TJ arrays — `a b c d e f Tm [(s) n (s) …] TJ`
+# per line, one Tf setting the size — the print-pipeline shape whose
+# word positions only recover through glyph metrics. One findall over
+# the line blocks plus one small item scan per array replaces the
+# token interpreter; the metric advance reuses the memoized
+# ``_text_width``. Guards: exactly one Tf, no other positioning ops,
+# every show op accounted for by the matched arrays.
+_FAST_TM_TJARR_RE = re.compile(
+    r"([\d.+-]+)\s+[\d.+-]+\s+[\d.+-]+\s+[\d.+-]+\s+([\d.+-]+)\s+([\d.+-]+)\s+Tm\s*"
+    r"\[((?:\((?:\\.|[^\\()])*\)|[^\]\\(])*)\]\s*TJ"
+)
+_TJ_ITEM_RE = re.compile(r"(\((?:\\.|[^\\()])*\))|([\d.+-]+)")
+_TF_RE = re.compile(r"/F\d+\s+([\d.+-]+)\s+Tf")
+
+
+def _interpret_text_fast_line(content: str, page_height: float) -> Optional[List[Word]]:
+    if "TJ" not in content or "Td" in content or "TD" in content or "T*" in content:
+        return None
+    sizes = _TF_RE.findall(content)
+    if len(sizes) != 1:
+        return None
+    size = float(sizes[0])
+    matches = _FAST_TM_TJARR_RE.findall(content)
+    if not matches:
+        return None
+    n_show = content.count("Tj") + content.count("TJ") + content.count("'") + content.count('"')
+    if len(matches) != n_show:
+        return None
+    words: List[Word] = []
+    add = words.append
+    item_iter = _TJ_ITEM_RE.finditer
+    for a, x0, y, body in matches:
+        x = float(x0)
+        top = page_height - float(y)
+        scale = float(a)
+        for im in item_iter(body):
+            lit = im.group(1)
+            if lit is not None:
+                s = _decode_literal(lit) if "\\" in lit else lit[1:-1]
+                if s:
+                    add((x, top, s))
+                x += _text_width(s, size) * scale
+            else:
+                x -= float(im.group(2)) / 1000.0 * size * scale
+    return words
 
 
 def _interpret_text(
@@ -974,11 +1050,16 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
             # paths cannot apply. One decode memo per document (CID
             # assignments are per-font, pages share the font).
             memo = cid_memos.setdefault(id(cmap), {})
-            pages.append(_interpret_text(content, h, cmap, memo))
+            fast = _interpret_text_fast_cid(content, h, cmap, memo)
+            pages.append(
+                fast if fast is not None else _interpret_text(content, h, cmap, memo)
+            )
             continue
         fast = _interpret_text_fast(content, h)
         if fast is None:
             fast = _interpret_text_fast_td(content, h)
+        if fast is None:
+            fast = _interpret_text_fast_line(content, h)
         pages.append(fast if fast is not None else _interpret_text(content, h))
     return pages
 
