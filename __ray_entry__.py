@@ -2870,6 +2870,23 @@ def _q_gopher_quality(sf_dir: str):
     return docs.map_batches(gopher_stats_batch, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_model_quality_by_source(sf_dir: str):
+    """Batched MODEL INFERENCE through the actor pool: a hashed
+    bag-of-words linear quality classifier (md5-derived integer token
+    weights, so DuckDB reproduces scoring bit-exactly) scores every
+    document — weights cached per actor across batches, per-batch
+    scoring one np.unique + gather + segment-sum — then one slim
+    per-source rollup: docs / scored / passing / exact score mass.
+    Map-only inference, NO shuffle of text."""
+    from pdf_table_extractor_ray.stages.classifier import (
+        quality_report_by_source,
+        score_documents,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    return quality_report_by_source(score_documents(docs))
+
+
 def _q_contamination_screen(sf_dir: str):
     """Benchmark-decontamination screen: per-doc count of 10-token
     chunks that appear in the 'benchmark' subset (docs with
@@ -5736,6 +5753,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_span_clean": _q_dup_span_clean,
         "bpe_merges": _q_bpe_merges,
         "gopher_quality": _q_gopher_quality,
+        "model_quality_by_source": _q_model_quality_by_source,
         "contamination_screen": _q_contamination_screen,
         "contamination_screen_join": _q_contamination_screen_join,
         "window_active_users": _q_window_active_users,
@@ -7067,6 +7085,20 @@ def oracle_sql() -> dict[str, str]:
             "       ELSE CAST(b.n_bi - b.nd_bi AS DOUBLE)/CAST(b.n_bi AS DOUBLE) END AS dup_bigram_frac "
             "FROM stats s JOIN tops t ON s.doc_id = t.doc_id AND t.rn = 1 "
             "LEFT JOIN bstats b ON s.doc_id = b.doc_id"
+        ),
+        "model_quality_by_source": (
+            "WITH tok AS (SELECT doc_id, source, "
+            "  unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+')) AS t "
+            "  FROM documents), "
+            "dw AS (SELECT doc_id, source, count(*) AS n_tok, "
+            "  sum(CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 1001 - 500) AS w "
+            "  FROM tok GROUP BY 1, 2) "
+            "SELECT a.source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(CASE WHEN d.n_tok > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored, "
+            "CAST(sum(CASE WHEN d.w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass, "
+            "CAST(coalesce(sum(d.w), 0) AS BIGINT) AS sum_w, "
+            "CAST(coalesce(sum(d.n_tok), 0) AS BIGINT) AS sum_tokens "
+            "FROM documents a LEFT JOIN dw d USING (doc_id) GROUP BY 1"
         ),
         "contamination_screen": (
             "WITH tok AS (SELECT doc_id, "

@@ -2979,3 +2979,63 @@ def test_adaptive_join_null_keys_never_match(ray_session):
     assert [r["k"] for r in semi] == [1]
     anti = adaptive_join(left, right, on="k", right_on="rk", how="left_anti").take_all()
     assert sorted(r["k"] is None or r["k"] == 3 for r in anti) == [True, True]
+
+
+def test_linear_quality_model_brute_force(ray_session):
+    """Actor-pool classifier == direct per-doc python scoring, and the
+    report is invariant to batch/partition layout."""
+    import hashlib
+    import re as _re
+
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.classifier import (
+        quality_report_by_source,
+        score_documents,
+        token_weight,
+    )
+
+    docs = [
+        ("a", "Hello World hello 42"),
+        ("a", ""),
+        ("b", None),
+        ("b", "x" * 50 + " the THE The!"),
+        ("a", "unique tokens only once"),
+        ("c", "repeat repeat repeat repeat"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "source": pa.array([s for s, _ in docs], pa.string()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+        }
+    )
+    tok_re = _re.compile(r"[a-z0-9]+")
+    # direct per-doc oracle
+    want = {}
+    for i, (src, txt) in enumerate(docs):
+        toks = tok_re.findall((txt or "").lower())
+        w = sum(token_weight(t) for t in toks)
+        want[i] = (src, len(toks), w)
+    # md5 device sanity: matches hashlib directly
+    assert token_weight("hello") == int(
+        hashlib.md5(b"hello").hexdigest()[:8], 16
+    ) % 1001 - 500
+
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        scored = {r["doc_id"]: r for r in score_documents(ds, concurrency=(1, 2)).take_all()}
+        assert len(scored) == len(docs)
+        for i, (src, ntok, w) in want.items():
+            assert scored[i]["n_model_tokens"] == ntok, i
+            assert scored[i]["w_sum"] == w, i
+        rep = {
+            r["source"]: r
+            for r in quality_report_by_source(score_documents(ds)).take_all()
+        }
+        assert rep["a"]["n_docs"] == 3 and rep["a"]["n_scored"] == 2
+        assert rep["b"]["n_scored"] == 1  # None-text doc scores 0 tokens
+        assert rep["c"]["sum_w"] == 4 * token_weight("repeat")
+        assert rep["c"]["n_pass"] == (1 if 4 * token_weight("repeat") > 0 else 0)
