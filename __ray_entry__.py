@@ -5569,6 +5569,180 @@ def _q_rate_limited_events(sf_dir: str):
     )
 
 
+def _q_mmr_diverse_docs(sf_dir: str):
+    """Diverse top-16 embedding rows by Maximal Marginal Relevance
+    against a deterministic query vector (the corpus's smallest-id
+    embedding — same anchor convention as knn_top5). Distributed
+    candidate generation (partial top-pool + merge, vectors ride the
+    exchange); bounded greedy on the driver. No SQL oracle (greedy
+    argmax chain is not SQL-expressible); brute-force parity is pinned
+    by tests/test_corpus_ops.py::test_mmr_matches_reference."""
+    from pdf_table_extractor_ray.stages.similarity import mmr_select
+
+    ds, q, _qids = _query_vectors(sf_dir, n=1)
+    out = mmr_select(ds, q[0], k=16, lam=0.7, pool=256)
+    return out.select(["rank", "vec_id"])
+
+
+def _q_discount_band_revenue(sf_dir: str):
+    """TPC-H Q6 flavor: revenue that WOULD be gained by dropping the
+    discount in a band — sum(l_extendedprice * l_discount) over rows
+    with discount in [0.05, 0.07] and quantity < 24, per ship year.
+
+    The cheapest TPC-H shape and the scale-canary for scan efficiency:
+    4-column projection at the read, map-side band filter + per-year
+    integer-cents partial sums (≤ |years| rows leave each batch), one
+    tiny groupby. Zero joins, zero wide shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        disc = _nn(b.column("l_discount"))
+        qty = _nn(b.column("l_quantity"))
+        mask = (disc >= 0.05) & (disc <= 0.07) & (qty < 24)
+        if not mask.any():
+            return pa.table(
+                {
+                    "ship_year": pa.array([], pa.int64()),
+                    "rev_c": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ext = _nn(b.column("l_extendedprice"))[mask]
+        d = disc[mask]
+        ts = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(zero_copy_only=False)[
+            mask
+        ]
+        year = ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64
+        ) + 1970
+        cents = np.floor(ext * d * 100).astype(np.int64)
+        t = pa.table({"ship_year": year, "rev_c": cents})
+        return (
+            pa.TableGroupBy(t, ["ship_year"])
+            .aggregate([("rev_c", "sum"), ([], "count_all")])
+            .rename_columns(["ship_year", "rev_c", "n"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ship_year")
+        .aggregate(Sum("rev_c"), Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("ship_year"),
+                pc.cast(b.column("sum(rev_c)"), pa.int64()),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+            ],
+            names=["ship_year", "rev_cents", "n_items"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_part_class_revenue(sf_dir: str):
+    """TPC-H Q19 flavor: revenue from three disjunctive (brand, size
+    band, quantity band) part classes — the OR-of-conjunctions join
+    predicate that defeats naive predicate pushdown.
+
+    Shape: the part side collapses to (p_partkey, class_code) for
+    matching parts ONLY (map-side CASE — non-matching parts never
+    reach the exchange), then ONE hash-shuffle inner join against the
+    slim lineitem projection (part is fact-sized at web scale — same
+    honest-join contract as promo_revenue); the per-class quantity
+    band applies vectorized post-join, and per-batch partial sums make
+    the final groupby see ≤ 3 rows per batch."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    # (class, brand, size_lo..size_hi, qty_lo..qty_hi) — exclusive by brand
+    _CLASSES = [
+        ("small", "Brand#12", 1, 5, 1, 11),
+        ("medium", "Brand#23", 1, 10, 10, 20),
+        ("big", "Brand#15", 1, 15, 20, 30),
+    ]
+    _names = pa.array([c[0] for c in _CLASSES], pa.string())
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    li = _read(
+        sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+    def classify(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand")
+        size = _nn(b.column("p_size"))
+        code = np.full(b.num_rows, -1, np.int64)
+        for i, (_, br, lo, hi, _, _) in enumerate(_CLASSES):
+            m = pc.equal(brand, br).to_numpy(zero_copy_only=False) & (
+                (size >= lo) & (size <= hi)
+            )
+            code[m] = i
+        keep = code >= 0
+        return pa.table(
+            {
+                "p_partkey": pa.array(
+                    _nn(b.column("p_partkey"))[keep].astype(np.int64)
+                ),
+                "cls_code": pa.array(code[keep]),
+            }
+        )
+
+    flags = part.map_batches(classify, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_shuffle_join(li, flags, on="l_partkey", right_on="p_partkey")
+
+    _qlo = np.array([c[4] for c in _CLASSES], np.float64)
+    _qhi = np.array([c[5] for c in _CLASSES], np.float64)
+
+    def partial(b: pa.Table) -> pa.Table:
+        code = _nn(b.column("cls_code"))
+        qty = _nn(b.column("l_quantity"))
+        m = (qty >= _qlo[code]) & (qty <= _qhi[code])
+        if not m.any():
+            return pa.table(
+                {
+                    "cls_code": pa.array([], pa.int64()),
+                    "rev_c": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ext = _nn(b.column("l_extendedprice"))[m]
+        disc = _nn(b.column("l_discount"))[m]
+        cents = np.floor(ext * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"cls_code": code[m], "rev_c": cents})
+        return (
+            pa.TableGroupBy(t, ["cls_code"])
+            .aggregate([("rev_c", "sum"), ([], "count_all")])
+            .rename_columns(["cls_code", "rev_c", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cls_code")
+        .aggregate(Sum("rev_c"), Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.take(_names, pc.cast(b.column("cls_code"), pa.int64())),
+                pc.cast(b.column("sum(rev_c)"), pa.int64()),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+            ],
+            names=["part_class", "rev_cents", "n_items"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -5627,6 +5801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_customers": _q_returned_item_customers,
         "big_volume_orders": _q_big_volume_orders,
         "promo_revenue": _q_promo_revenue,
+        "discount_band_revenue": _q_discount_band_revenue,
+        "mmr_diverse_docs": _q_mmr_diverse_docs,
+        "part_class_revenue": _q_part_class_revenue,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "value_trend_by_type": _q_value_trend_by_type,
@@ -6019,6 +6196,30 @@ def oracle_sql() -> dict[str, str]:
             " / CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE) "
             "  AS promo_share "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "GROUP BY 1"
+        ),
+        "discount_band_revenue": (
+            "SELECT year(l_shipdate) AS ship_year, "
+            "CAST(sum(CAST(floor(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) "
+            "  AS rev_cents, "
+            "count(*) AS n_items FROM lineitem "
+            "WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24 "
+            "GROUP BY 1"
+        ),
+        "part_class_revenue": (
+            "WITH pcls AS (SELECT p_partkey, CASE "
+            "WHEN p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 THEN 'small' "
+            "WHEN p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 THEN 'medium' "
+            "WHEN p_brand='Brand#15' AND p_size BETWEEN 1 AND 15 THEN 'big' END AS cls "
+            "FROM part) "
+            "SELECT cls AS part_class, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) "
+            "  AS rev_cents, "
+            "count(*) AS n_items "
+            "FROM lineitem JOIN pcls ON l_partkey = p_partkey "
+            "WHERE (cls='small' AND l_quantity BETWEEN 1 AND 11) "
+            "OR (cls='medium' AND l_quantity BETWEEN 10 AND 20) "
+            "OR (cls='big' AND l_quantity BETWEEN 20 AND 30) "
             "GROUP BY 1"
         ),
         "dormant_rich_customers": (

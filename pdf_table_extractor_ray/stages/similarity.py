@@ -1028,3 +1028,109 @@ def dim_moments(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Maximal Marginal Relevance — diverse top-k selection
+
+
+def mmr_select(
+    ds: "ray.data.Dataset",
+    query_vec: np.ndarray,
+    k: int = 16,
+    lam: float = 0.7,
+    pool: int = 256,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> pa.Table:
+    """Diverse top-k via Maximal Marginal Relevance (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick the item maximizing
+    ``lam * cos(q, d) − (1 − lam) * max_{s∈selected} cos(d, s)`` —
+    the de-duplicating retrieval/selection step of a RAG or
+    training-mix pipeline (plain top-k returns k near-copies of the
+    best hit; MMR trades relevance for coverage).
+
+    Scale shape: greedy MMR is inherently sequential in k, so the
+    distributed part is CANDIDATE GENERATION — one corpus pass with
+    per-batch cosine scoring and partial top-``pool`` (the
+    ``global_top_k`` merge, no global sort; the candidates' vectors
+    ride the k-rows-per-block exchange), then the greedy loop runs on
+    the driver over the bounded pool×dim matrix. Exact MMR when
+    ``pool`` ≥ corpus; otherwise the standard candidate-pool
+    approximation (every selected item still comes from the pool's
+    relevance top-``pool``). Deterministic: ties break by ascending
+    ``id_col``.
+
+    Returns a pa.Table (rank, id, relevance, mmr_score) with
+    ``rank`` 1-based in selection order.
+    """
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    q = np.asarray(query_vec, np.float64).ravel()
+    qn = q / (np.linalg.norm(q) or 1.0)
+    q_ref = ray.put(qn)
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = _matrix(batch.column(vec_col))
+        if m.shape[0] == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    vec_col: batch.column(vec_col),
+                    "relevance": pa.array([], pa.float64()),
+                }
+            )
+        rel = _normalize(m) @ ray.get(q_ref)
+        return pa.table(
+            {
+                id_col: pc.cast(batch.column(id_col), pa.int64()),
+                vec_col: batch.column(vec_col),
+                "relevance": pa.array(rel, pa.float64()),
+            }
+        )
+
+    cand = global_top_k(
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True),
+        [("relevance", "descending"), (id_col, "ascending")],
+        pool,
+    ).take_all()  # bounded: exactly ≤ pool rows by construction
+
+    if not cand:
+        return pa.table(
+            {
+                "rank": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+                "relevance": pa.array([], pa.float64()),
+                "mmr_score": pa.array([], pa.float64()),
+            }
+        )
+    # deterministic candidate order: by (−relevance, id)
+    cand.sort(key=lambda r: (-r["relevance"], r[id_col]))
+    ids = np.array([r[id_col] for r in cand], np.int64)
+    rel = np.array([r["relevance"] for r in cand], np.float64)
+    mat = _normalize(np.array([r[vec_col] for r in cand], np.float64))
+
+    n = len(ids)
+    kk = min(k, n)
+    selected = np.zeros(n, bool)
+    max_sim = np.zeros(n, np.float64)  # max cosine to the selected set
+    out_id, out_rel, out_score = [], [], []
+    for _ in range(kk):
+        score_vec = lam * rel - (1.0 - lam) * max_sim
+        score_vec[selected] = -np.inf
+        # argmax with (−score, id) tiebreak: among the max scores pick min id
+        best = np.flatnonzero(score_vec == score_vec.max())
+        pick = best[np.argmin(ids[best])]
+        selected[pick] = True
+        out_id.append(int(ids[pick]))
+        out_rel.append(float(rel[pick]))
+        out_score.append(float(score_vec[pick]))
+        max_sim = np.maximum(max_sim, mat @ mat[pick])
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, kk + 1, dtype=np.int64)),
+            id_col: pa.array(out_id, pa.int64()),
+            "relevance": pa.array(out_rel, pa.float64()),
+            "mmr_score": pa.array(out_score, pa.float64()),
+        }
+    )

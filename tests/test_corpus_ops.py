@@ -3039,3 +3039,53 @@ def test_linear_quality_model_brute_force(ray_session):
         assert rep["b"]["n_scored"] == 1  # None-text doc scores 0 tokens
         assert rep["c"]["sum_w"] == 4 * token_weight("repeat")
         assert rep["c"]["n_pass"] == (1 if 4 * token_weight("repeat") > 0 else 0)
+
+
+def test_mmr_matches_reference(ray_session):
+    """mmr_select with pool >= corpus == exact greedy MMR computed
+    directly in numpy, and the result is partition-layout invariant."""
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import mmr_select
+
+    rng = np.random.RandomState(7)
+    n, dim, k, lam = 40, 8, 6, 0.7
+    vecs = rng.standard_normal((n, dim))
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    q = rng.standard_normal(dim)
+
+    # direct greedy reference
+    def norm(m):
+        nn = np.linalg.norm(m, axis=-1, keepdims=True)
+        nn[nn == 0] = 1.0
+        return m / nn
+
+    vn = norm(vecs)
+    rel = vn @ (q / np.linalg.norm(q))
+    sel, max_sim = [], np.zeros(n)
+    avail = np.ones(n, bool)
+    for _ in range(k):
+        s = lam * rel - (1 - lam) * max_sim
+        s[~avail] = -np.inf
+        best = np.flatnonzero(s == s.max())
+        pick = best[np.argmin(ids[best])]
+        avail[pick] = False
+        sel.append(int(ids[pick]))
+        max_sim = np.maximum(max_sim, vn @ vn[pick])
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(vecs), pa.list_(pa.float64())),
+        }
+    )
+    for nparts in (1, 4):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        out = mmr_select(ds, q, k=k, lam=lam, pool=n)
+        assert out.column("vec_id").to_pylist() == sel, nparts
+        assert out.column("rank").to_pylist() == list(range(1, k + 1))
+        # rank-1 is the plain relevance argmax
+        assert out.column("vec_id")[0].as_py() == int(ids[np.argmax(rel)])
