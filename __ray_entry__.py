@@ -5569,6 +5569,177 @@ def _q_rate_limited_events(sf_dir: str):
     )
 
 
+def _q_daily_activity_outer(sf_dir: str):
+    """Order days vs event days, FULL OUTER joined on the day — the
+    coverage/reconciliation query shape (which days have orders but no
+    events, and vice versa). Exercises the one join mode nothing else
+    in the suite uses: both sides pre-aggregate to ≤ |days| rows
+    (map-side partials), so the full-outer exchange moves bounded
+    day-keyed rows, never facts."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    _DAY_US = 86_400_000_000
+
+    def day_counts(ds, ts_col, day_name, n_name):
+        def partial(b: pa.Table) -> pa.Table:
+            ts = pc.cast(b.column(ts_col), pa.int64()).to_numpy(zero_copy_only=False)
+            day = (ts // _DAY_US) * _DAY_US
+            ud, cnt = np.unique(day, return_counts=True)
+            return pa.table({day_name: ud, "n_part": cnt.astype(np.int64)})
+
+        agg = (
+            ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby(day_name)
+            .aggregate(Sum("n_part"))
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    day_name: b.column(day_name),
+                    n_name: pc.cast(b.column("sum(n_part)"), pa.int64()),
+                }
+            )
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    o = day_counts(_read(sf_dir, "orders", ["o_orderdate"]), "o_orderdate", "o_day", "n_orders")
+    e = day_counts(_read(sf_dir, "events", ["ts"]), "ts", "e_day", "n_events")
+    joined = hash_shuffle_join(o, e, on="o_day", right_on="e_day", how="full")
+
+    def finish(b: pa.Table) -> pa.Table:
+        # Ray's full-outer join coalesces left/right keys into the LEFT
+        # key column (o_day), so the day needs no explicit coalesce.
+        return pa.table(
+            {
+                "day_us": pc.cast(b.column("o_day"), pa.int64()),
+                "n_orders": pc.fill_null(pc.cast(b.column("n_orders"), pa.int64()), 0),
+                "n_events": pc.fill_null(pc.cast(b.column("n_events"), pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_event_gap_histogram(sf_dir: str):
+    """Power-of-two histogram of per-user inter-event gaps — the
+    latency/recency distribution every event pipeline reports. Bucket
+    is EXACT integer bit-length of the gap in µs (no float log2 —
+    boundary values land deterministically), so the SQL oracle
+    (length(bin(gap))) matches bit-for-bit.
+
+    Shape: the ``event_gaps`` bucket pattern — one shuffle of the slim
+    (user, ts, id) projection by user-id bucket; per bucket one lexsort
+    + one vectorized diff + one np.unique histogram partial; the final
+    groupby-Sum sees ≤ 64 rows per bucket."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "eid": b.column("event_id"),
+                "bucket": pa.array((u % 64).astype(np.int64), pa.int64()),
+            }
+        )
+
+    _POW2 = (2 ** np.arange(63, dtype=np.int64)).astype(np.int64)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n < 2:
+            return pa.table(
+                {"gap_bucket": pa.array([], pa.int64()), "n_part": pa.array([], pa.int64())}
+            )
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        su, st = uid[order], ts[order]
+        same = su[1:] == su[:-1]
+        gaps = (st[1:] - st[:-1])[same]
+        if gaps.size == 0:
+            return pa.table(
+                {"gap_bucket": pa.array([], pa.int64()), "n_part": pa.array([], pa.int64())}
+            )
+        # bit_length(gap): 0 for gap==0, floor(log2)+1 otherwise — exact
+        bl = np.searchsorted(_POW2, gaps, side="right").astype(np.int64)
+        ub, cnt = np.unique(bl, return_counts=True)
+        return pa.table({"gap_bucket": ub, "n_part": cnt.astype(np.int64)})
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("gap_bucket")
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "gap_bucket": b.column("gap_bucket"),
+                "n_gaps": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_token_concentration_curve(sf_dir: str):
+    """Corpus concentration: sources ranked by total whitespace-token
+    count, with each source's cumulative share of all tokens — the
+    "how much of the corpus do the top-k domains own" curve that
+    decides dedup/cap policy. Per-source token sums reduce map-side
+    (≤ |sources| rows per batch); the cumulative ordering runs on the
+    bounded source axis (source cardinality is a table contract, same
+    as doc_stats_by_source), exact int64 sums, one float division."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        counts = token_count_batch(b.select(["doc_id", "text"]))
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "tok": counts.column("n_tokens"),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["source"])
+            .aggregate([("tok", "sum")])
+            .rename_columns(["source", "tok"])
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("tok"))
+    )
+    rows = agg.take_all()  # bounded: one row per source
+    rows.sort(key=lambda r: (-r["sum(tok)"], r["source"]))
+    toks = np.array([r["sum(tok)"] for r in rows], np.int64)
+    total = int(toks.sum())
+    cum = np.cumsum(toks)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "n_tokens": pa.array(toks),
+            "cum_share": pa.array(cum / total if total else cum * 0.0, pa.float64()),
+        }
+    )
+
+
 def _q_mmr_diverse_docs(sf_dir: str):
     """Diverse top-16 embedding rows by Maximal Marginal Relevance
     against a deterministic query vector (the corpus's smallest-id
@@ -5803,6 +5974,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue": _q_promo_revenue,
         "discount_band_revenue": _q_discount_band_revenue,
         "mmr_diverse_docs": _q_mmr_diverse_docs,
+        "daily_activity_outer": _q_daily_activity_outer,
+        "event_gap_histogram": _q_event_gap_histogram,
+        "token_concentration_curve": _q_token_concentration_curve,
         "part_class_revenue": _q_part_class_revenue,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
@@ -6197,6 +6371,32 @@ def oracle_sql() -> dict[str, str]:
             "  AS promo_share "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY 1"
+        ),
+        "daily_activity_outer": (
+            "WITH o AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
+            "count(*) AS n_orders FROM orders GROUP BY 1), "
+            "e AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, "
+            "count(*) AS n_events FROM events GROUP BY 1) "
+            "SELECT COALESCE(o.day_us, e.day_us) AS day_us, "
+            "COALESCE(n_orders, 0) AS n_orders, COALESCE(n_events, 0) AS n_events "
+            "FROM o FULL JOIN e ON o.day_us = e.day_us"
+        ),
+        "event_gap_histogram": (
+            "WITH g AS (SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap FROM events) "
+            "SELECT CASE WHEN gap = 0 THEN 0 ELSE length(bin(gap)) END AS gap_bucket, "
+            "count(*) AS n_gaps FROM g WHERE gap IS NOT NULL GROUP BY 1"
+        ),
+        "token_concentration_curve": (
+            "WITH s AS (SELECT source, "
+            "CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS n_tokens "
+            "FROM documents GROUP BY 1) "
+            "SELECT row_number() OVER (ORDER BY n_tokens DESC, source) AS rank, "
+            "source, n_tokens, "
+            "CAST(sum(n_tokens) OVER (ORDER BY n_tokens DESC, source "
+            "ROWS UNBOUNDED PRECEDING) AS DOUBLE) "
+            " / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM s) AS cum_share "
+            "FROM s"
         ),
         "discount_band_revenue": (
             "SELECT year(l_shipdate) AS ship_year, "

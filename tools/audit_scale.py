@@ -54,6 +54,7 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/search.py", "bm25_topk"): "per-term df stats, bounded by terms",
     ("pdf_table_extractor_ray/stages/search.py", "tfidf_top_terms"): "df table, bounded by vocab",
     ("pdf_table_extractor_ray/stages/similarity.py", "train_ivf_centroids"): "training sample, bounded by sample_size",
+    ("pdf_table_extractor_ray/stages/similarity.py", "score"): "mmr_select candidate pool, ≤ pool rows by global_top_k construction",
     ("pdf_table_extractor_ray/stages/similarity.py", "train_pq_codebooks"): "training sample, bounded by sample_size",
     ("pdf_table_extractor_ray/stages/bpe.py", "top1"): "one best-pair row per block",
     ("pdf_table_extractor_ray/stages/sketches.py", "_key_thresholds"): "heavy_hitters_by: one threshold row per key, bounded key domain",
