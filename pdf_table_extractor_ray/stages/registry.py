@@ -20,6 +20,7 @@ from pdf_table_extractor_ray.stages.layout import (
     extract_coordinate_columns,
     extract_lattice_table,
 )
+from pdf_table_extractor_ray.functions.charset import decode_html
 from pdf_table_extractor_ray.stages.boilerplate import extract_boilerplate
 from pdf_table_extractor_ray.stages.ofx import extract_ofx
 from pdf_table_extractor_ray.stages.result import ExtractResult
@@ -41,7 +42,7 @@ def _html_strategy(fn):
     def wrapper(doc: dict) -> ExtractResult:
         html = doc.get("html") or b""
         if isinstance(html, (bytes, bytearray, memoryview)):
-            html = bytes(html).decode("utf-8", errors="replace")
+            html = decode_html(html)  # charset-sniffed (BOM / meta / utf-8)
         return fn(html)
 
     wrapper.__name__ = fn.__name__
@@ -66,7 +67,7 @@ def make_strategies(
     def coordinate_with_config(doc: dict) -> ExtractResult:
         html = doc.get("html") or b""
         if isinstance(html, (bytes, bytearray, memoryview)):
-            html = bytes(html).decode("utf-8", errors="replace")
+            html = decode_html(html)
         return extract_coordinate_columns(
             html, cfg.column_date_end_x, cfg.column_value_start_x
         )
@@ -157,7 +158,7 @@ def detect_format(html, text: Optional[str]) -> Optional[str]:
             return "pdf_native"
         if is_encrypted(html):
             return "encrypted"
-        html = bytes(html).decode("utf-8", errors="replace")
+        html = decode_html(html)
     html = html or ""
     text = text or ""
 
