@@ -5569,6 +5569,151 @@ def _q_rate_limited_events(sf_dir: str):
     )
 
 
+def _q_url_dup_groups(sf_dir: str):
+    """URL canonicalization dedup over the crawl corpus: every 4th
+    fixture url gets two deterministic tracking/port/fragment variants
+    planted (the operator must collapse them; untouched urls must NOT
+    group). Rows-only (fixture corpus isn't a SQL view); canonical-form
+    oracle in tests/test_links.py."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.stages.links import url_dup_groups
+
+    pages = read_pages(_fixture_pages(sf_dir), columns=("url",))
+
+    def plant(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        out = list(urls)
+        for u in urls:
+            if u is None:
+                continue
+            # deterministic by content, not position (layout-invariant)
+            if (len(u) + sum(u.encode().__iter__())) % 4 == 0:
+                out.append(u + "?utm_source=feed&utm_medium=rss")
+                out.append(u + "#section-2")
+        return pa.table({"url": pa.array(out, pa.string())})
+
+    planted = pages.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return url_dup_groups(planted)
+
+
+def _q_event_type_cooccurrence(sf_dir: str):
+    """Pairwise co-occurrence support — for every unordered pair of
+    event types, how many users performed BOTH (the market-basket
+    "frequent-itemset" support counts at k=2). The SQL shape is a
+    distinct-projection self-join; here no self-join runs: one shuffle
+    by user-id bucket, per bucket the distinct (user, type-code) pairs
+    expand to type-pair counts vectorized (vocab² bounded by the event
+    type domain), and a tiny (t1, t2) groupby sums bucket partials.
+    Type strings ride the shuffle once; pair expansion uses per-bucket
+    GLOBAL codes from a sorted vocab so partials agree across buckets."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("user_id")), pc.is_valid(b.column("event_type")))
+        f = b.filter(m)
+        u = f.column("user_id").to_numpy(zero_copy_only=False)
+        # per-batch distinct combiner: (user, type) pairs collapse early
+        t = pa.table(
+            {
+                "u": f.column("user_id"),
+                "t": f.column("event_type"),
+                "bucket": pa.array((u % 64).astype(np.int64), pa.int64()),
+            }
+        )
+        return t.group_by(["u", "t", "bucket"]).aggregate([])
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if g.num_rows == 0:
+            return empty
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        tcol = g.column("t")
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        enc = tcol.dictionary_encode()
+        # sorted vocab → codes comparable within this bucket
+        vocab = enc.dictionary.to_pylist()
+        order_map = np.argsort(np.argsort(vocab))
+        codes = order_map[enc.indices.to_numpy(zero_copy_only=False)]
+        V = len(vocab)
+        svocab = sorted(vocab)
+        # distinct (user, code) again (pairs may recur across batches)
+        key = uid.astype(np.int64) * V + codes
+        key = np.unique(key)
+        su, sc = key // V, key % V
+        # expand each user's sorted type set to ordered pairs (c1 < c2)
+        first = np.empty(len(su), bool)
+        if len(su):
+            first[0] = True
+            first[1:] = su[1:] != su[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, len(su)))
+        pairs = []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            rows = starts[lens == L]
+            block = sc[rows[:, None] + np.arange(L)]  # (n_users_L, L)
+            i, j = np.triu_indices(int(L), k=1)
+            pairs.append((block[:, i] * V + block[:, j]).ravel())
+        if not pairs:
+            return empty
+        allp = np.concatenate(pairs)
+        up, cnt = np.unique(allp, return_counts=True)
+        v1 = pa.array([svocab[int(c)] for c in up // V], pa.string())
+        v2 = pa.array([svocab[int(c)] for c in up % V], pa.string())
+        return pa.table({"t1": v1, "t2": v2, "n_part": pa.array(cnt.astype(np.int64))})
+
+    agg = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["t1", "t2"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t1": b.column("t1"),
+                "t2": b.column("t2"),
+                "n_users": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_sentence_stats(sf_dir: str):
+    """Per-document sentence segmentation counts: terminator-run
+    sentence boundaries (``[.!?]+`` followed by whitespace or EOS) —
+    the doc-shape feature a quality filter reads next to token counts.
+    Pure map: one Arrow RE2 count kernel per batch, zero shuffle; the
+    DuckDB oracle runs the same RE2 pattern so counts match exactly."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(b.column("text"), r"[.!?]+(\s|$)")
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_sentences": pc.cast(n, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_daily_activity_outer(sf_dir: str):
     """Order days vs event days, FULL OUTER joined on the day — the
     coverage/reconciliation query shape (which days have orders but no
@@ -5975,6 +6120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discount_band_revenue": _q_discount_band_revenue,
         "mmr_diverse_docs": _q_mmr_diverse_docs,
         "daily_activity_outer": _q_daily_activity_outer,
+        "event_type_cooccurrence": _q_event_type_cooccurrence,
+        "url_dup_groups": _q_url_dup_groups,
+        "sentence_stats": _q_sentence_stats,
         "event_gap_histogram": _q_event_gap_histogram,
         "token_concentration_curve": _q_token_concentration_curve,
         "part_class_revenue": _q_part_class_revenue,
@@ -6371,6 +6519,17 @@ def oracle_sql() -> dict[str, str]:
             "  AS promo_share "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY 1"
+        ),
+        "event_type_cooccurrence": (
+            "WITH d AS (SELECT DISTINCT user_id, event_type FROM events "
+            "WHERE user_id IS NOT NULL AND event_type IS NOT NULL) "
+            "SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_users "
+            "FROM d a JOIN d b ON a.user_id = b.user_id AND a.event_type < b.event_type "
+            "GROUP BY 1, 2"
+        ),
+        "sentence_stats": (
+            "SELECT doc_id, len(regexp_extract_all(text, '[.!?]+(\\s|$)')) "
+            "AS n_sentences FROM documents"
         ),
         "daily_activity_outer": (
             "WITH o AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "

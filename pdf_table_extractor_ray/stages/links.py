@@ -130,3 +130,97 @@ def link_target_counts(
         [("n", "descending"), ("target_host", "ascending"), ("href", "ascending")],
         k,
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — crawl-frontier / dedup-key normalization
+
+# tracking parameters that never change page identity (Google/Facebook/
+# Microsoft click ids, utm_* campaign tags)
+_TRACKING_EXACT = {
+    "gclid", "fbclid", "msclkid", "dclid", "igshid", "mc_cid", "mc_eid",
+    "ref", "ref_src",
+}
+_TRACKING_PREFIX = ("utm_",)
+_DEFAULT_PORTS = {"http": ":80", "https": ":443"}
+
+
+def canonicalize_url(url: str) -> str:
+    """Canonical form for URL-level dedup / frontier keys: lowercase
+    scheme+host, default port stripped, fragment dropped, tracking
+    params (utm_*, gclid, …) removed, remaining query params sorted
+    (stable for equal keys), empty path → '/'. Non-URL junk returns
+    unchanged — canonicalization must never lose a row."""
+    from urllib.parse import urlsplit, urlunsplit, parse_qsl, urlencode
+
+    try:
+        parts = urlsplit(url)
+    except ValueError:
+        return url
+    if not parts.scheme or not parts.netloc:
+        return url
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc.lower()
+    default = _DEFAULT_PORTS.get(scheme)
+    if default and netloc.endswith(default):
+        netloc = netloc[: -len(default)]
+    keep = [
+        (k, v)
+        for k, v in parse_qsl(parts.query, keep_blank_values=True)
+        if k not in _TRACKING_EXACT and not k.startswith(_TRACKING_PREFIX)
+    ]
+    keep.sort()
+    return urlunsplit(
+        (scheme, netloc, parts.path or "/", urlencode(keep), "")
+    )
+
+
+def url_dup_groups(
+    ds: "ray.data.Dataset", url_col: str = "url"
+) -> "ray.data.Dataset":
+    """Groups of distinct raw URLs that collapse to one canonical form
+    — the crawl-dedup report (tracking-tag/port/fragment variants of
+    the same page). Returns (canonical_url, n_variants) for groups
+    with ≥ 2 distinct raw members.
+
+    Shape: map-side canonicalize + per-batch distinct (canonical, raw)
+    combiner, ONE groupby on the canonical key counting distinct raw
+    forms (raw forms of one page are a handful by construction — the
+    group is bounded), filter n ≥ 2. URL parsing is per-string Python
+    (urlsplit — the same per-document granularity as the HTML parse
+    stages); everything around it is Arrow."""
+    from ray.data.aggregate import Sum
+
+    def canon(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        c = [canonicalize_url(u) if u is not None else None for u in urls]
+        t = pa.table(
+            {
+                "canonical_url": pa.array(c, pa.string()),
+                "raw": batch.column(url_col),
+            }
+        )
+        t = t.filter(pc.is_valid(t.column("canonical_url")))
+        # per-batch distinct (canonical, raw) pairs
+        return t.group_by(["canonical_url", "raw"]).aggregate([])
+
+    pairs = ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_group(g: pa.Table) -> pa.Table:
+        raw = g.column("raw")
+        n = len(pc.unique(raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw))
+        if n < 2:
+            return pa.table(
+                {
+                    "canonical_url": pa.array([], pa.string()),
+                    "n_variants": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "canonical_url": pa.array([g.column("canonical_url")[0].as_py()], pa.string()),
+                "n_variants": pa.array([n], pa.int64()),
+            }
+        )
+
+    return pairs.groupby("canonical_url").map_groups(per_group, batch_format="pyarrow")

@@ -3089,3 +3089,48 @@ def test_mmr_matches_reference(ray_session):
         assert out.column("rank").to_pylist() == list(range(1, k + 1))
         # rank-1 is the plain relevance argmax
         assert out.column("vec_id")[0].as_py() == int(ids[np.argmax(rel)])
+
+
+def test_canonicalize_url_rules():
+    from pdf_table_extractor_ray.stages.links import canonicalize_url as c
+
+    assert c("HTTP://Example.COM:80/a/b") == "http://example.com/a/b"
+    assert c("https://example.com:443/x") == "https://example.com/x"
+    assert c("https://example.com:8443/x") == "https://example.com:8443/x"
+    assert c("https://example.com/p?utm_source=a&b=2&a=1&gclid=Z") == (
+        "https://example.com/p?a=1&b=2"
+    )
+    assert c("https://example.com/p#frag") == "https://example.com/p"
+    assert c("https://example.com") == "https://example.com/"
+    # junk passes through unharmed
+    assert c("not a url") == "not a url"
+    assert c("") == ""
+
+
+def test_url_dup_groups_collapses_variants(ray_session):
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.links import url_dup_groups
+
+    urls = [
+        "https://a.test/page",
+        "https://a.test/page?utm_source=x",
+        "HTTPS://A.test:443/page#top",
+        "https://b.test/solo",
+        "https://c.test/q?x=1&y=2",
+        "https://c.test/q?y=2&x=1",  # param order variant
+        None,
+    ]
+    for nparts in (1, 3):
+        ds = ray.data.from_arrow(
+            pa.table({"url": pa.array(urls, pa.string())})
+        ).repartition(nparts)
+        got = {
+            r["canonical_url"]: r["n_variants"] for r in url_dup_groups(ds).take_all()
+        }
+        assert got == {
+            "https://a.test/page": 3,
+            "https://c.test/q?x=1&y=2": 2,
+        }, nparts
