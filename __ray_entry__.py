@@ -1143,17 +1143,13 @@ def _q_last_order_asof(sf_dir: str):
     orderkey wins — because as-of semantics are undefined on timestamp
     ties (both engines would pick arbitrarily)."""
     from pdf_table_extractor_ray.stages.asof import asof_join
+    from pdf_table_extractor_ray.stages.topk import keep_max_per_key
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
-    def per_day(group: pa.Table) -> pa.Table:
-        keys = group.column("o_orderkey").to_numpy(zero_copy_only=False)
-        i = int(np.argmax(keys))
-        return group.take(pa.array([i], pa.int64()))
-
-    orders_1 = orders.groupby(["o_custkey", "o_orderdate"]).map_groups(
-        per_day, batch_format="pyarrow"
-    )
+    # ARGMAX tie-dedup with NO per-(cust, date) Python: bucket-hash
+    # shuffle + vectorized run-boundary pick (orderkey unique per pair)
+    orders_1 = keep_max_per_key(orders, ["o_custkey", "o_orderdate"], "o_orderkey")
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
     joined = asof_join(
         ev,
@@ -1190,14 +1186,11 @@ def _q_first_event_after_order(sf_dir: str):
     (user_id, ts) — max event_id wins — because as-of semantics are
     undefined on timestamp ties."""
     from pdf_table_extractor_ray.stages.asof import asof_join
+    from pdf_table_extractor_ray.stages.topk import keep_max_per_key
 
     ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-
-    def per_ts(group: pa.Table) -> pa.Table:
-        keys = group.column("event_id").to_numpy(zero_copy_only=False)
-        return group.take(pa.array([int(np.argmax(keys))], pa.int64()))
-
-    ev1 = ev.groupby(["user_id", "ts"]).map_groups(per_ts, batch_format="pyarrow")
+    # ARGMAX tie-dedup, bucket-vectorized (event_id unique per (user, ts))
+    ev1 = keep_max_per_key(ev, ["user_id", "ts"], "event_id")
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
     joined = asof_join(
         orders,
@@ -1222,17 +1215,25 @@ def _q_first_event_after_order(sf_dir: str):
 
 
 def _q_top_orders_per_cust(sf_dir: str):
-    """Top-3 orders per customer (windowed top-k: groupby.map_groups
-    sort+head — the QUALIFY row_number() pattern)."""
+    """Top-3 orders per customer (the QUALIFY row_number() pattern) —
+    via the hot-key-safe ``grouped_top_k``: each batch pre-reduces to
+    ≤3 rows per customer BEFORE the shuffle and the merge group is
+    bounded by construction; no per-customer Python (a
+    ``groupby(o_custkey).map_groups`` would be one interpreter call
+    per customer — 10^7+ at scale)."""
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
     ds = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
-
-    def top3(group: pa.Table) -> pa.Table:
-        price = group.column("o_totalprice").to_numpy(zero_copy_only=False)
-        key = group.column("o_orderkey").to_numpy(zero_copy_only=False)
-        order = np.lexsort((key, -price))[:3]
-        return group.take(pa.array(order.astype(np.int64)))
-
-    return ds.groupby("o_custkey").map_groups(top3, batch_format="pyarrow")
+    kept = grouped_top_k(
+        ds,
+        "o_custkey",
+        [("o_totalprice", "descending"), ("o_orderkey", "ascending")],
+        3,
+    )
+    return kept.map_batches(
+        lambda b: b.select(["o_custkey", "o_orderkey", "o_totalprice"]),
+        batch_format="pyarrow",
+    )
 
 
 def _q_order_price_quantiles(sf_dir: str):
@@ -1822,19 +1823,42 @@ def _q_dup_clusters(sf_dir: str):
 
     ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
 
-    def star_edges(group: pa.Table) -> pa.Table:
-        ids = np.sort(group.column("o_orderkey").to_numpy(zero_copy_only=False))
+    # star edges with NO per-customer Python: one shuffle by customer
+    # BUCKET (fixed 64 groups), per bucket one lexsort + run-boundary
+    # masks — keeper = forward-filled first orderkey of each customer
+    # run, partner = every non-first member (the sessionize pattern)
+    def bucketize(b: pa.Table) -> pa.Table:
+        c = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return b.append_column("bucket", pa.array((c % 64).astype(np.int64), pa.int64()))
+
+    def star_edges(g: pa.Table) -> pa.Table:
+        cust = g.column("o_custkey").to_numpy(zero_copy_only=False)
+        okey = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        n = len(cust)
         empty = pa.Table.from_arrays(
             [pa.array([], pa.int64()), pa.array([], pa.int64())], names=["doc_a", "doc_b"]
         )
-        if len(ids) < 2:
+        if n < 2:
             return empty
-        keeper = np.full(len(ids) - 1, ids[0], dtype=np.int64)
+        order = np.lexsort((okey, cust))
+        sc, sk = cust[order], okey[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sc[1:] != sc[:-1]
+        keeper = sk[np.maximum.accumulate(np.where(first, np.arange(n), 0))]
+        m = ~first
+        if not m.any():
+            return empty
         return pa.Table.from_arrays(
-            [pa.array(keeper), pa.array(ids[1:].astype(np.int64))], names=["doc_a", "doc_b"]
+            [pa.array(keeper[m].astype(np.int64)), pa.array(sk[m].astype(np.int64))],
+            names=["doc_a", "doc_b"],
         )
 
-    pairs = ds.groupby("o_custkey").map_groups(star_edges, batch_format="pyarrow")
+    pairs = (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(star_edges, batch_format="pyarrow")
+    )
     return connected_components(pairs).map_batches(
         lambda b: pa.Table.from_arrays(
             [pc.cast(b.column("node"), pa.int64()), pc.cast(b.column("root"), pa.int64())],
@@ -4912,12 +4936,10 @@ def _q_last_view_before_click(sf_dir: str):
     click_ds = ev.map_batches(clicks, batch_format="pyarrow", zero_copy_batch=True)
     view_ds = ev.map_batches(views, batch_format="pyarrow", zero_copy_batch=True)
 
-    def per_ts(group: pa.Table) -> pa.Table:
-        keys = group.column("view_id").to_numpy(zero_copy_only=False)
-        i = int(np.argmax(keys))
-        return group.take(pa.array([i], pa.int64()))
+    from pdf_table_extractor_ray.stages.topk import keep_max_per_key
 
-    view_1 = view_ds.groupby(["v_user", "v_ts"]).map_groups(per_ts, batch_format="pyarrow")
+    # ARGMAX tie-dedup, bucket-vectorized (view_id unique per (user, ts))
+    view_1 = keep_max_per_key(view_ds, ["v_user", "v_ts"], "view_id")
     joined = asof_join(
         click_ds,
         view_1,

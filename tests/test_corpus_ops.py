@@ -3134,3 +3134,37 @@ def test_url_dup_groups_collapses_variants(ray_session):
             "https://a.test/page": 3,
             "https://c.test/q?x=1&y=2": 2,
         }, nparts
+
+
+def test_keep_max_per_key_matches_pandas(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.topk import keep_max_per_key
+
+    rng = np.random.RandomState(3)
+    n = 500
+    k1 = rng.randint(0, 40, n).astype(np.int64)
+    k2 = rng.randint(0, 5, n).astype(np.int64)
+    arg = rng.permutation(n).astype(np.int64)  # unique per row
+    val = rng.randint(0, 1000, n).astype(np.int64)
+    tbl = pa.table({"k1": k1, "k2": k2, "arg": arg, "val": val})
+
+    import pandas as pd
+
+    pdf = tbl.to_pandas()
+    want = (
+        pdf.sort_values("arg").groupby(["k1", "k2"]).tail(1).sort_values(["k1", "k2"])
+    )[["k1", "k2", "arg", "val"]].reset_index(drop=True)
+
+    for nparts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(nparts)
+        got = (
+            keep_max_per_key(ds, ["k1", "k2"], "arg")
+            .to_pandas()
+            .sort_values(["k1", "k2"])[["k1", "k2", "arg", "val"]]
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, want), nparts
