@@ -165,13 +165,41 @@ def exact_dup_drop_ids(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.d
 
     hashed = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
-    def non_keepers(group: pa.Table) -> pa.Table:
-        ids = group.column("doc_id")
-        keeper = pc.min(ids)
-        mask = pc.not_equal(ids, keeper)
-        return pa.Table.from_arrays([ids.filter(mask)], names=["doc_id"])
+    # shuffle by HASH-PREFIX BUCKET (64 fixed groups — not one Python
+    # call per distinct text): per bucket one Arrow sort over
+    # (md5, doc_id) + a shifted-equality run mask drops each run's
+    # first row (the keeper) vectorized
+    _hex2 = pa.array([f"{i:02x}" for i in range(256)], pa.string())
 
-    return hashed.groupby("content_md5").map_groups(non_keepers, batch_format="pyarrow")
+    def bucketize(b: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(b.column("content_md5"), 0, 2)
+        code = pc.cast(pc.index_in(prefix, value_set=_hex2), pa.int64())
+        bucket = pc.bit_wise_and(code, pa.scalar(63, pa.int64()))
+        return b.append_column("bucket", bucket)
+
+    def non_keepers(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.Table.from_arrays([pa.array([], pa.int64())], names=["doc_id"])
+        idx = pc.sort_indices(
+            g, sort_keys=[("content_md5", "ascending"), ("doc_id", "ascending")]
+        )
+        s = g.take(idx)
+        md5 = s.column("content_md5").combine_chunks()
+        first = np.ones(n, bool)
+        if n > 1:
+            first[1:] = ~pc.equal(md5.slice(1), md5.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+        return pa.Table.from_arrays(
+            [s.column("doc_id").filter(pa.array(~first))], names=["doc_id"]
+        )
+
+    return (
+        hashed.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(non_keepers, batch_format="pyarrow")
+    )
 
 
 def drop_by_ids(
@@ -230,8 +258,10 @@ def connected_components(
     each round unions the (static, materialized-once) adjacency rows
     with the current label table AND a request row per node addressed
     to its label-node, floods every node's min label to its neighbors
-    and requesters inside one ``groupby(node).map_groups``, and takes
-    a groupby-min. The request/answer leg is pointer jumping —
+    and requesters inside one ``groupby(node % 64)`` bucket shuffle
+    (per-node mins via one masked ``np.minimum.reduceat`` per bucket —
+    the per-round Python-call count is fixed at 64, not the node
+    count), and takes a groupby-min. The request/answer leg is pointer jumping —
     ``label(x) ← min(label(x), label(label(x)))`` — so label chains
     halve per round: convergence is O(log diameter) rounds (near-dup
     clusters are clique-like, so 1-2 in practice); ``max_iters``
@@ -246,17 +276,21 @@ def connected_components(
     2 groupbys here.)"""
     from ray.data.aggregate import Min, Sum
 
+    _NB = 64  # flood-shuffle buckets (fixed group count, not per-node)
+
     def to_adj(b: pa.Table) -> pa.Table:
         a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, bb])
         # kind 1 = neighbor row, kind 0 = label row (below)
         return pa.Table.from_arrays(
             [
-                pa.array(np.concatenate([a, bb])),
+                pa.array(node),
                 pa.array(np.concatenate([bb, a])),
                 pa.array(np.ones(2 * len(a), dtype=np.int8)),
+                pa.array(node % _NB),
             ],
-            names=["node", "val", "kind"],
+            names=["node", "val", "kind", "bucket"],
         )
 
     import ray
@@ -303,14 +337,15 @@ def connected_components(
         return int(v) if v is not None else 0
 
     def as_label_rows(b: pa.Table) -> pa.Table:
-        n = b.num_rows
+        node = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pc.cast(b.column("node"), pa.int64()),
+                pa.array(node),
                 pc.cast(b.column("label"), pa.int64()),
-                pa.array(np.zeros(n, dtype=np.int8)),
+                pa.array(np.zeros(len(node), dtype=np.int8)),
+                pa.array(node % _NB),
             ],
-            names=["node", "val", "kind"],
+            names=["node", "val", "kind", "bucket"],
         )
 
     def as_request_rows(b: pa.Table) -> pa.Table:
@@ -318,29 +353,52 @@ def connected_components(
         # (key = L, val = x, kind = 2); L answers with ITS min label →
         # label(x) ← min(label(x), label(label(x))) — chains halve per
         # round, so convergence is O(log diameter), not O(diameter)
-        n = b.num_rows
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pc.cast(b.column("label"), pa.int64()),
+                pa.array(lab),
                 pc.cast(b.column("node"), pa.int64()),
-                pa.array(np.full(n, 2, dtype=np.int8)),
+                pa.array(np.full(len(lab), 2, dtype=np.int8)),
+                pa.array(lab % _NB),
             ],
-            names=["node", "val", "kind"],
+            names=["node", "val", "kind", "bucket"],
         )
 
+    _I64MAX = np.iinfo(np.int64).max
+
     def flood(group: pa.Table) -> pa.Table:
-        val = group.column("val").to_numpy(zero_copy_only=False)
+        """One BUCKET of nodes per call (the shuffle key is node % _NB,
+        so the per-round Python-call count is fixed at _NB, not the
+        node count): per node run, min own label via one masked
+        ``np.minimum.reduceat``; fan the min out to that run's
+        neighbor/requester rows with one gather."""
+        n = group.num_rows
+        if n == 0:
+            return pa.Table.from_arrays(
+                [pa.array([], pa.int64()), pa.array([], pa.int64())],
+                names=["node", "label"],
+            )
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
         kind = group.column("kind").to_numpy(zero_copy_only=False)
-        node = int(group.column("node")[0].as_py())
-        own = val[kind == 0]
-        # a pure request target always has a label row (labels cover all
-        # nodes, and requests go to label values, which are node ids)
-        m = int(own.min()) if len(own) else node
-        neighbors = val[kind == 1]
-        requesters = val[kind == 2]
-        out_nodes = np.concatenate([[node], neighbors, requesters]).astype(np.int64)
+        order = np.argsort(node, kind="stable")
+        sn, sv, sk = node[order], val[order], kind[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        # min own label per run; a run with no label row (pure request
+        # target cannot happen — labels cover all nodes — but neighbor-
+        # only runs of fresh nodes can) falls back to the node id
+        own = np.where(sk == 0, sv, _I64MAX)
+        m = np.minimum.reduceat(own, starts)
+        m = np.where(m == _I64MAX, sn[starts], m)
+        fan = sk != 0  # neighbor + requester rows receive the min
+        out_nodes = np.concatenate([sn[starts], sv[fan]])
+        out_labels = np.concatenate([m, m[run_id[fan]]])
         return pa.Table.from_arrays(
-            [pa.array(out_nodes), pa.array(np.full(len(out_nodes), m, dtype=np.int64))],
+            [pa.array(out_nodes), pa.array(out_labels)],
             names=["node", "label"],
         )
 
@@ -353,7 +411,7 @@ def connected_components(
             as_request_rows, batch_format="pyarrow", zero_copy_batch=True
         )
         rows = adj.union(label_rows).union(request_rows)
-        candidates = rows.groupby("node").map_groups(flood, batch_format="pyarrow")
+        candidates = rows.groupby("bucket").map_groups(flood, batch_format="pyarrow")
         labels = bounded(
             candidates.groupby("node")
             .aggregate(Min("label"))
