@@ -57,16 +57,20 @@ def pagerank(
     ``rank_micro`` sums to ≈ n_nodes·10^9 (floor-division leakage
     aside) and is deterministic across block layouts."""
 
+    _NB = 64  # spread-shuffle buckets (fixed group count, not per-node)
+
     def to_adj(b: pa.Table) -> pa.Table:
         a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
         bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, bb])
         return pa.Table.from_arrays(
             [
-                pa.array(np.concatenate([a, bb])),
+                pa.array(node),
                 pa.array(np.concatenate([bb, a])),
                 pa.array(np.ones(2 * len(a), dtype=np.int8)),
+                pa.array(node % _NB),
             ],
-            names=["node", "val", "kind"],
+            names=["node", "val", "kind", "bucket"],
         )
 
     P = max(8, int(ray.cluster_resources().get("CPU", 8)))
@@ -92,29 +96,53 @@ def pagerank(
     base = ((100 - damping_pct) * RANK_UNIT) // 100
 
     def as_rank_rows(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.Table.from_arrays(
             [
-                pc.cast(b.column("node"), pa.int64()),
+                pa.array(node),
                 pc.cast(b.column("rank"), pa.int64()),
-                pa.array(np.zeros(b.num_rows, dtype=np.int8)),
+                pa.array(np.zeros(len(node), dtype=np.int8)),
+                pa.array(node % _NB),
             ],
-            names=["node", "val", "kind"],
+            names=["node", "val", "kind", "bucket"],
         )
 
     def spread(group: pa.Table) -> pa.Table:
-        val = group.column("val").to_numpy(zero_copy_only=False)
+        """One BUCKET of nodes per call (shuffle key = node % _NB —
+        the per-round Python-call count is fixed, not per-node): per
+        node run, degree + own rank via two ``reduceat``s, integer
+        contribution fanned to the run's neighbor rows by one gather.
+        A run with no rank row (cannot occur — ranks cover all nodes)
+        fans zero contribution, which leaves every sum unchanged."""
+        n = group.num_rows
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["node", "contrib"],
+        )
+        if n == 0:
+            return empty
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
         kind = group.column("kind").to_numpy(zero_copy_only=False)
-        neighbors = val[kind == 1]
-        own = val[kind == 0]
-        deg = len(neighbors)
-        if deg == 0 or len(own) == 0:  # isolated rank row can't occur, but be safe
-            return pa.Table.from_arrays(
-                [pa.array([], pa.int64()), pa.array([], pa.int64())],
-                names=["node", "contrib"],
-            )
-        contrib = (int(own[0]) * damping_pct) // (100 * deg)
+        order = np.argsort(node, kind="stable")
+        sn, sv, sk = node[order], val[order], kind[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        is_nb = sk == 1
+        deg = np.add.reduceat(is_nb.astype(np.int64), starts)
+        own = np.maximum.reduceat(np.where(sk == 0, sv, -1), starts)  # ranks ≥ 0
+        ok = (deg > 0) & (own >= 0)
+        contrib_run = np.where(
+            ok, (np.where(ok, own, 0) * damping_pct) // np.maximum(100 * deg, 1), 0
+        )
+        fan = is_nb
+        if not fan.any():
+            return empty
         return pa.Table.from_arrays(
-            [pa.array(neighbors), pa.array(np.full(deg, contrib, np.int64))],
+            [pa.array(sv[fan]), pa.array(contrib_run[run_id[fan]])],
             names=["node", "contrib"],
         )
 
@@ -127,7 +155,7 @@ def pagerank(
         rank_rows = ranks.map_batches(as_rank_rows, batch_format="pyarrow")
         ranks = bounded(
             adj.union(rank_rows)
-            .groupby("node")
+            .groupby("bucket")
             .map_groups(spread, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Sum("contrib"))
@@ -236,31 +264,65 @@ def triangle_count(
 
     oriented = with_both.map_batches(orient, batch_format="pyarrow", zero_copy_batch=True)
 
+    # wedge enumeration with NO per-source-node Python: shuffle by
+    # src BUCKET (64 fixed groups); per bucket one lexsort, then pair
+    # expansion batched by out-degree (one triu_indices + one gather
+    # per DISTINCT degree value — degree-ordering bounds out-degree by
+    # O(√m), so the distinct-degree count per bucket is tiny)
+    def bucketize_src(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "bucket", pa.array((s % 64).astype(np.int64), pa.int64())
+        )
+
     def wedges(g: pa.Table) -> pa.Table:
-        d = np.sort(g.column("dst").to_numpy(zero_copy_only=False))
-        k = len(d)
-        if k < 2:
-            return pa.table(
-                {
-                    "lo": pa.array([], pa.int64()),
-                    "hi": pa.array([], pa.int64()),
-                    "is_edge": pa.array([], pa.int64()),
-                    "is_wedge": pa.array([], pa.int64()),
-                }
-            )
-        iu, ju = np.triu_indices(k, 1)
-        x, y = d[iu], d[ju]  # sorted ⇒ x < y, already id-canonical
-        one = np.ones(len(x), np.int64)
+        empty = pa.table(
+            {
+                "lo": pa.array([], pa.int64()),
+                "hi": pa.array([], pa.int64()),
+                "is_edge": pa.array([], pa.int64()),
+                "is_wedge": pa.array([], pa.int64()),
+            }
+        )
+        n = g.num_rows
+        if n < 2:
+            return empty
+        src = g.column("src").to_numpy(zero_copy_only=False)
+        dst = g.column("dst").to_numpy(zero_copy_only=False)
+        order = np.lexsort((dst, src))
+        ss, sd = src[order], dst[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = ss[1:] != ss[:-1]
+        starts = np.flatnonzero(first)
+        lens = np.diff(np.append(starts, n))
+        xs, ys = [], []
+        for L in np.unique(lens):
+            if L < 2:
+                continue
+            rows = starts[lens == L]
+            block = sd[rows[:, None] + np.arange(L)]  # dst ascending per run
+            iu, ju = np.triu_indices(int(L), 1)
+            xs.append(block[:, iu].ravel())
+            ys.append(block[:, ju].ravel())
+        if not xs:
+            return empty
+        x = np.concatenate(xs)
+        y = np.concatenate(ys)  # run-sorted ⇒ x < y, already id-canonical
         return pa.table(
             {
-                "lo": pa.array(x),
-                "hi": pa.array(y),
+                "lo": pa.array(x.astype(np.int64)),
+                "hi": pa.array(y.astype(np.int64)),
                 "is_edge": pa.array(np.zeros(len(x), np.int64)),
-                "is_wedge": pa.array(one),
+                "is_wedge": pa.array(np.ones(len(x), np.int64)),
             }
         )
 
-    wedge_rows = oriented.groupby("src").map_groups(wedges, batch_format="pyarrow")
+    wedge_rows = (
+        oriented.map_batches(bucketize_src, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(wedges, batch_format="pyarrow")
+    )
     edge_rows = edges.map_batches(
         lambda b: pa.table(
             {
