@@ -555,30 +555,25 @@ def minhash_lsh_pairs(
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        doc_ids = group.column("doc_id").to_numpy(zero_copy_only=False)
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
-            names=["doc_a", "doc_b", "est_jaccard"],
-        )
-        if len(doc_ids) < 2:
-            return empty
-        sigs = np.asarray(group.column("sig").combine_chunks().flatten()).reshape(
-            len(doc_ids), MINHASH_K
-        )
+    # shuffle by SUPER-BUCKET (first hex byte of band_key & 63 → 64
+    # fixed shuffle groups); individual LSH buckets become runs inside
+    # one task — the per-bucket work stays identical, but the Python-
+    # call count per round is 64, not one per (band, key) bucket
+    _hex2 = pa.array([f"{i:02x}" for i in range(256)], pa.string())
+
+    def add_sb(b: pa.Table) -> pa.Table:
+        prefix = pc.utf8_slice_codeunits(b.column("band_key"), 0, 2)
+        code = pc.cast(pc.index_in(prefix, value_set=_hex2), pa.int64())
+        return b.append_column("sb", pc.bit_wise_and(code, pa.scalar(63, pa.int64())))
+
+    def _emit_bucket(doc_ids, sigs, add) -> None:
+        """One LSH bucket (same band_id + band_key): identical-signature
+        collapse then cross-unique agreement — unchanged inner logic."""
         order = np.argsort(doc_ids, kind="stable")
         doc_ids, sigs = doc_ids[order], sigs[order]
         # collapse identical signatures: verify cost O(u²), not O(n²)
         uniq, inverse = np.unique(sigs, axis=0, return_inverse=True)
         members = [doc_ids[inverse == g] for g in range(len(uniq))]
-        a_out, b_out, j_out = [], [], []
-
-        def add(a: int, b: int, j: float) -> None:
-            if a != b:
-                a_out.append(min(a, b))
-                b_out.append(max(a, b))
-                j_out.append(j)
-
         for m in members:  # identical-signature groups: est_jaccard 1.0
             if len(m) < 2:
                 continue
@@ -600,6 +595,43 @@ def minhash_lsh_pairs(
                     for x in members[gi]:
                         for y in other:
                             add(int(x), int(y), est)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.float64())],
+            names=["doc_a", "doc_b", "est_jaccard"],
+        )
+        if n < 2:
+            return empty
+        idx = pc.sort_indices(
+            group, sort_keys=[("band_id", "ascending"), ("band_key", "ascending")]
+        )
+        g = group.take(idx)
+        doc_all = g.column("doc_id").to_numpy(zero_copy_only=False)
+        sig_all = np.asarray(g.column("sig").combine_chunks().flatten()).reshape(
+            n, MINHASH_K
+        )
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bkey = g.column("band_key").combine_chunks()
+        first = np.ones(n, bool)
+        if n > 1:
+            same_key = pc.equal(bkey.slice(1), bkey.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False
+            )
+            first[1:] = (bid[1:] != bid[:-1]) | ~same_key
+        bounds = np.append(np.flatnonzero(first), n)
+        a_out, b_out, j_out = [], [], []
+
+        def add(a: int, b: int, j: float) -> None:
+            if a != b:
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
+                j_out.append(j)
+
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                _emit_bucket(doc_all[s:e], sig_all[s:e], add)
         if not a_out:
             return empty
         return pa.Table.from_arrays(
@@ -607,7 +639,11 @@ def minhash_lsh_pairs(
             names=["doc_a", "doc_b", "est_jaccard"],
         )
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = (
+        banded.map_batches(add_sb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sb")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
     # same pair can surface from several bands → keep one
     from ray.data.aggregate import Max
 
@@ -674,27 +710,22 @@ def simhash_pairs(
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        doc = group.column("doc_id").to_numpy(zero_copy_only=False)
-        empty = pa.Table.from_arrays(
-            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.int64())],
-            names=["doc_a", "doc_b", "hamming"],
+    # super-bucket shuffle: 64 fixed groups (band_id ⊕ band_key mix);
+    # each (band, chunk) bucket is a run inside the task — per-bucket
+    # logic unchanged, Python-call count fixed instead of one per
+    # bucket (up to 4·2^16 groups otherwise)
+    def add_sb(b: pa.Table) -> pa.Table:
+        bid = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        bkey = b.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "sb", pa.array((bid * 65536 + bkey) % 64, pa.int64())
         )
-        if len(doc) < 2:
-            return empty
-        h = group.column("simhash64").to_numpy(zero_copy_only=False)
+
+    def _emit_bucket(doc, h, add) -> None:
         order = np.argsort(doc, kind="stable")
         doc, h = doc[order], h[order]
         uniq, inverse = np.unique(h, return_inverse=True)
         members = [doc[inverse == g] for g in range(len(uniq))]
-        a_out, b_out, d_out = [], [], []
-
-        def add(a: int, b: int, d: int) -> None:
-            if a != b:
-                a_out.append(min(a, b))
-                b_out.append(max(a, b))
-                d_out.append(d)
-
         for m in members:  # identical hashes: hamming 0
             if len(m) < 2:
                 continue
@@ -717,6 +748,37 @@ def simhash_pairs(
                     for xx in members[gi]:
                         for y in other:
                             add(int(xx), int(y), d)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["doc_a", "doc_b", "hamming"],
+        )
+        if n < 2:
+            return empty
+        idx = pc.sort_indices(
+            group, sort_keys=[("band_id", "ascending"), ("band_key", "ascending")]
+        )
+        g = group.take(idx)
+        doc_all = g.column("doc_id").to_numpy(zero_copy_only=False)
+        h_all = g.column("simhash64").to_numpy(zero_copy_only=False)
+        bid = g.column("band_id").to_numpy(zero_copy_only=False)
+        bkey = g.column("band_key").to_numpy(zero_copy_only=False)
+        first = np.ones(n, bool)
+        first[1:] = (bid[1:] != bid[:-1]) | (bkey[1:] != bkey[:-1])
+        bounds = np.append(np.flatnonzero(first), n)
+        a_out, b_out, d_out = [], [], []
+
+        def add(a: int, b: int, d: int) -> None:
+            if a != b:
+                a_out.append(min(a, b))
+                b_out.append(max(a, b))
+                d_out.append(d)
+
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s >= 2:
+                _emit_bucket(doc_all[s:e], h_all[s:e], add)
         if not a_out:
             return empty
         return pa.Table.from_arrays(
@@ -724,7 +786,11 @@ def simhash_pairs(
             names=["doc_a", "doc_b", "hamming"],
         )
 
-    pairs = banded.groupby(["band_id", "band_key"]).map_groups(bucket_pairs, batch_format="pyarrow")
+    pairs = (
+        banded.map_batches(add_sb, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("sb")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming")).map_batches(
         lambda b: pa.Table.from_arrays(
             [b.column("doc_a"), b.column("doc_b"), b.column("min(hamming)")],
