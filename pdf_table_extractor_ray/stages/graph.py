@@ -11,7 +11,8 @@ Design (the same discipline as ``dedup.connected_components``):
 - **Groupby-only iteration.** Each round unions the static,
   materialized-once adjacency rows with the current rank table and
   spreads ``damping·rank/deg`` to neighbors inside ONE
-  ``groupby(node).map_groups``; a second groupby sums incoming
+  ``groupby(node % 64)`` bucket shuffle (per-node work vectorized
+  inside each bucket via ``reduceat``); a second groupby sums incoming
   contributions. No ``Dataset.join`` (Ray 2.49's hash-shuffle join
   trips on schema-less empty blocks in iterative loops) and no
   edge/rank materialization on the driver — the driver sees nothing

@@ -184,12 +184,12 @@ def url_dup_groups(
     with ≥ 2 distinct raw members.
 
     Shape: map-side canonicalize + per-batch distinct (canonical, raw)
-    combiner, ONE groupby on the canonical key counting distinct raw
-    forms (raw forms of one page are a handful by construction — the
-    group is bounded), filter n ≥ 2. URL parsing is per-string Python
-    (urlsplit — the same per-document granularity as the HTML parse
-    stages); everything around it is Arrow."""
-    from ray.data.aggregate import Sum
+    combiner, then TWO native Arrow groupby-aggregates — a global
+    (canonical, raw) distinct and a per-canonical row count — and a
+    filter. No ``map_groups`` anywhere: zero per-URL Python beyond the
+    urlsplit itself (per-string parsing, the same per-document
+    granularity as the HTML parse stages)."""
+    from ray.data.aggregate import Count
 
     def canon(batch: pa.Table) -> pa.Table:
         urls = batch.column(url_col).to_pylist()
@@ -205,22 +205,24 @@ def url_dup_groups(
         return t.group_by(["canonical_url", "raw"]).aggregate([])
 
     pairs = ds.map_batches(canon, batch_format="pyarrow", zero_copy_batch=True)
+    # global distinct (a raw form may recur across batches), then count
+    # raw variants per canonical — both native Arrow aggregates
+    distinct = (
+        pairs.groupby(["canonical_url", "raw"])
+        .aggregate(Count())  # Dataset.aggregate requires ≥1 agg; unused
+        .map_batches(
+            lambda b: b.select(["canonical_url", "raw"]), batch_format="pyarrow"
+        )
+    )
+    counted = distinct.groupby("canonical_url").aggregate(Count())
 
-    def per_group(g: pa.Table) -> pa.Table:
-        raw = g.column("raw")
-        n = len(pc.unique(raw.combine_chunks() if isinstance(raw, pa.ChunkedArray) else raw))
-        if n < 2:
-            return pa.table(
-                {
-                    "canonical_url": pa.array([], pa.string()),
-                    "n_variants": pa.array([], pa.int64()),
-                }
-            )
-        return pa.table(
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table(
             {
-                "canonical_url": pa.array([g.column("canonical_url")[0].as_py()], pa.string()),
-                "n_variants": pa.array([n], pa.int64()),
+                "canonical_url": b.column("canonical_url"),
+                "n_variants": pc.cast(b.column("count()"), pa.int64()),
             }
         )
+        return t.filter(pc.greater(t.column("n_variants"), 1))
 
-    return pairs.groupby("canonical_url").map_groups(per_group, batch_format="pyarrow")
+    return counted.map_batches(finish, batch_format="pyarrow")
