@@ -5591,6 +5591,121 @@ def _q_rate_limited_events(sf_dir: str):
     )
 
 
+def _q_brand_type_fd_audit(sf_dir: str):
+    """Functional-dependency discovery audit: does p_brand → p_type
+    hold? For every brand report the distinct-type count and the
+    violation mass (rows outside the brand's most common type) — the
+    profiling primitive behind schema-inference and data-contract
+    checks. Shape: one distinct-pair groupby (map-side combiner), then
+    per-brand reduce on the bounded (brand × type) axis — the exact
+    grouped count-distinct pattern; no row ever shuffles twice."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    ds = _read(sf_dir, "part", ["p_brand", "p_type"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"p_brand": b.column("p_brand"), "p_type": b.column("p_type")})
+        return (
+            pa.TableGroupBy(t, ["p_brand", "p_type"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["p_brand", "p_type", "n_part"])
+        )
+
+    per_pair = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_type"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    per_brand = (
+        per_pair.map_batches(slim, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Count(), Sum("n"), Max("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_types = pc.cast(b.column("count()"), pa.int64())
+        total = pc.cast(b.column("sum(n)"), pa.int64())
+        top = pc.cast(b.column("max(n)"), pa.int64())
+        return pa.table(
+            {
+                "p_brand": b.column("p_brand"),
+                "n_types": n_types,
+                "n_violations": pc.subtract(total, top),
+            }
+        )
+
+    return per_brand.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_hourly_value_spikes(sf_dir: str):
+    """Hourly anomaly windows: hours whose total event value exceeds
+    median + 3·MAD of the hourly series — the ops-dashboard spike
+    detector. Raw events pre-reduce map-side to (hour, cents) partials;
+    the robust stats run on the BOUNDED hour axis (one row per hour —
+    the `grouped_mad_outliers` bounded-key contract, key = constant).
+    Exact integer cents; the threshold compare uses the same float64
+    ops as the SQL oracle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", ["ts", "value"])
+    _HOUR_US = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("ts")), pc.is_valid(b.column("value")))
+        f = b.filter(m)
+        ts = pc.cast(f.column("ts"), pa.int64()).to_numpy(zero_copy_only=False)
+        cents = np.floor(_nn(f.column("value")) * 100).astype(np.int64)
+        hour = (ts // _HOUR_US) * _HOUR_US
+        t = pa.table({"hour_us": hour, "cents": cents})
+        return (
+            pa.TableGroupBy(t, ["hour_us"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["hour_us", "cents"])
+        )
+
+    hourly = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("hour_us")
+        .aggregate(Sum("cents"))
+    )
+    rows = hourly.take_all()  # bounded: one row per hour in the data
+    hours = np.array([r["hour_us"] for r in rows], np.int64)
+    cents = np.array([r["sum(cents)"] for r in rows], np.int64)
+    x = np.sort(cents.astype(np.float64))
+    n = len(x)
+    if n == 0:
+        return pa.table(
+            {
+                "hour_us": pa.array([], pa.int64()),
+                "total_cents": pa.array([], pa.int64()),
+                "is_spike": pa.array([], pa.int64()),
+            }
+        )
+    # DuckDB-interpolation-compatible median (linear between mids)
+    med = float(np.median(x))
+    mad = float(np.median(np.sort(np.abs(cents.astype(np.float64) - med))))
+    spike = (np.abs(cents.astype(np.float64) - med) > 3.0 * mad) & (
+        cents.astype(np.float64) > med
+    )
+    order = np.argsort(hours)
+    return pa.table(
+        {
+            "hour_us": pa.array(hours[order]),
+            "total_cents": pa.array(cents[order]),
+            "is_spike": pa.array(spike[order].astype(np.int64)),
+        }
+    )
+
+
 def _q_url_dup_groups(sf_dir: str):
     """URL canonicalization dedup over the crawl corpus: every 4th
     fixture url gets two deterministic tracking/port/fragment variants
@@ -6144,6 +6259,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_activity_outer": _q_daily_activity_outer,
         "event_type_cooccurrence": _q_event_type_cooccurrence,
         "url_dup_groups": _q_url_dup_groups,
+        "brand_type_fd_audit": _q_brand_type_fd_audit,
+        "hourly_value_spikes": _q_hourly_value_spikes,
         "sentence_stats": _q_sentence_stats,
         "event_gap_histogram": _q_event_gap_histogram,
         "token_concentration_curve": _q_token_concentration_curve,
@@ -6541,6 +6658,25 @@ def oracle_sql() -> dict[str, str]:
             "  AS promo_share "
             "FROM lineitem JOIN part ON l_partkey = p_partkey "
             "GROUP BY 1"
+        ),
+        "brand_type_fd_audit": (
+            "WITH pt AS (SELECT p_brand, p_type, count(*) AS n FROM part "
+            "GROUP BY 1, 2) "
+            "SELECT p_brand, count(*) AS n_types, "
+            "CAST(sum(n) AS BIGINT) - CAST(max(n) AS BIGINT) AS n_violations "
+            "FROM pt GROUP BY 1"
+        ),
+        "hourly_value_spikes": (
+            "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, "
+            "CAST(sum(CAST(floor(value*100) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM events WHERE ts IS NOT NULL AND value IS NOT NULL GROUP BY 1), "
+            "s AS (SELECT median(CAST(total_cents AS DOUBLE)) AS med, "
+            "median(abs(CAST(total_cents AS DOUBLE) - "
+            " (SELECT median(CAST(total_cents AS DOUBLE)) FROM h))) AS mad FROM h) "
+            "SELECT hour_us, total_cents, "
+            "CAST(abs(CAST(total_cents AS DOUBLE) - med) > 3.0 * mad "
+            " AND CAST(total_cents AS DOUBLE) > med AS BIGINT) AS is_spike "
+            "FROM h, s"
         ),
         "event_type_cooccurrence": (
             "WITH d AS (SELECT DISTINCT user_id, event_type FROM events "
