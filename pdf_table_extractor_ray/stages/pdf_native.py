@@ -11,7 +11,11 @@ pdfplumber/pikepdf in this container):
 - object scanner with exact ``/Length``-based stream skipping (a
   naive ``endobj`` regex would tear FlateDecode streams that happen
   to contain the token),
-- zlib FlateDecode,
+- filter chains (``/Filter [/ASCII85Decode /FlateDecode]`` etc.):
+  FlateDecode, ASCIIHexDecode, ASCII85Decode, RunLengthDecode applied
+  in declared order; unknown raster codecs pass through opaque,
+- inline-image (``BI … ID <binary> EI``) stripping before text
+  interpretation, so raster payload bytes can't surface phantom text,
 - page tree walk (``/Root → /Pages → /Kids`` order),
 - content-stream text interpreter (``BT/ET Tm Td TD TL T* Tj ' " TJ``
   with literal/hex string decoding) tracking the text matrix, so each
@@ -185,6 +189,8 @@ def build_pdf(
     positioning: str = "tm",
     pdf15: bool = False,
     encoding: str = "latin1",
+    content_filter: Optional[str] = None,
+    inline_image: bool = False,
 ) -> bytes:
     """Serialize word boxes into a real, standards-valid PDF:
     FlateDecode content streams, and either a classic xref table
@@ -230,8 +236,27 @@ def build_pdf(
     for i in range(n_pages):
         words = pages[i] if i < len(pages) else []
         content = _page_content(words, h, positioning, cid_map)
+        if inline_image:
+            # BI/ID/EI inline raster whose BINARY payload deliberately
+            # contains text-operator bytes — the interpreter must strip
+            # the image, not show "FAKE" at (99, 720)
+            content += (
+                b"\nq BI /W 2 /H 2 /BPC 8 /CS /RGB ID\n"
+                + b"\x01\x02( 1 0 0 1 99 720 Tm (FAKE) Tj \x03\xff"
+                + b"\nEI Q"
+            )
         filt = b""
-        if compress:
+        if content_filter == "a85":
+            import base64
+
+            content = base64.a85encode(zlib.compress(content, 6)) + b"~>"
+            filt = b"/Filter [/ASCII85Decode /FlateDecode] "
+        elif content_filter == "ahx":
+            import binascii
+
+            content = binascii.hexlify(zlib.compress(content, 6)) + b">"
+            filt = b"/Filter [/ASCIIHexDecode /FlateDecode] "
+        elif compress:
             content = zlib.compress(content, 6)
             filt = b"/Filter /FlateDecode "
         page_obj = first_page_obj + 2 * i
@@ -411,15 +436,78 @@ def _page_objects(objs: Dict[int, Tuple[bytes, Optional[bytes]]]) -> List[int]:
     return order
 
 
+_FILTER_RE = re.compile(rb"/Filter\s*(?:\[([^\]]*)\]|/([A-Za-z0-9]+))")
+_STREAM_WS = b" \t\r\n\x0c\x00"
+
+
+def _ascii_hex_decode(data: bytes) -> bytes:
+    body = data.translate(None, delete=_STREAM_WS)
+    end = body.find(b">")
+    if end != -1:
+        body = body[:end]
+    if len(body) % 2:
+        body += b"0"  # spec: odd final digit implies a trailing 0
+    return bytes.fromhex(body.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+
+    body = data.strip()
+    if body.startswith(b"<~"):
+        body = body[2:]
+    end = body.find(b"~>")
+    if end != -1:
+        body = body[:end]
+    return base64.a85decode(body, adobe=False, ignorechars=b" \t\r\n\x0c\x00")
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        ln = data[i]
+        if ln == 128:  # EOD
+            break
+        if ln < 128:
+            out += data[i + 1 : i + 2 + ln]
+            i += 2 + ln
+        else:
+            out += data[i + 1 : i + 2] * (257 - ln)
+            i += 2
+    return bytes(out)
+
+
 def _decode_stream(head: bytes, stream: bytes) -> bytes:
-    if b"/FlateDecode" in head:
-        # decompressobj tolerates trailing bytes (the EOL before
-        # ``endstream`` when the slice came from the endstream-scan
-        # fallback — indirect or missing /Length)
-        d = zlib.decompressobj()
-        out = d.decompress(stream) + d.flush()
+    """Apply the stream's declared filter CHAIN in order. Supported:
+    ASCIIHexDecode, ASCII85Decode (both Adobe framings), FlateDecode,
+    RunLengthDecode — the full non-image-codec set real bank PDFs use
+    (DCT/JBIG2/CCITT are raster codecs; their streams never carry text
+    operators, so an unknown filter passes through untouched rather
+    than failing the document)."""
+    m = _FILTER_RE.search(head)
+    if m:
+        names = (
+            re.findall(rb"/([A-Za-z0-9]+)", m.group(1)) if m.group(1) else [m.group(2)]
+        )
     else:
-        out = stream
+        names = []
+    out = stream
+    for name in names:
+        if name == b"FlateDecode" or name == b"Fl":
+            # decompressobj tolerates trailing bytes (the EOL before
+            # ``endstream`` when the slice came from the endstream-scan
+            # fallback — indirect or missing /Length)
+            d = zlib.decompressobj()
+            out = d.decompress(out) + d.flush()
+        elif name == b"ASCIIHexDecode" or name == b"AHx":
+            out = _ascii_hex_decode(out)
+        elif name == b"ASCII85Decode" or name == b"A85":
+            out = _ascii85_decode(out)
+        elif name == b"RunLengthDecode" or name == b"RL":
+            out = _run_length_decode(out)
+        else:  # raster codec / crypt filter: opaque, pass through
+            break
     pred = _dict_int(head, b"Predictor")
     if pred is not None and pred >= 10:
         out = _apply_png_predictor(out, _dict_int(head, b"Columns") or 1)
@@ -989,6 +1077,38 @@ def _interpret_text(
     return words
 
 
+_BI_RE = re.compile(r"(?:^|(?<=[\s>\]]))BI\b")
+_ID_RE = re.compile(r"ID[ \r\n]")
+_EI_RE = re.compile(r"[ \r\n\t\x00]EI(?=[ \r\n\t\x00/\[\]<(]|$)")
+
+
+def _strip_inline_images(content: str) -> str:
+    """Remove ``BI … ID <binary> EI`` inline-image segments before text
+    interpretation — the raster payload is raw binary and would
+    otherwise be tokenized as operators/strings (a payload byte pair
+    like ``(…) Tj`` would show phantom text). End-of-image detection is
+    the standard heuristic (whitespace-delimited ``EI`` followed by a
+    delimiter): a payload containing that exact sequence terminates
+    early, same as other /Length-less inline-image parsers."""
+    out = []
+    pos = 0
+    while True:
+        m = _BI_RE.search(content, pos)
+        if not m:
+            out.append(content[pos:])
+            break
+        out.append(content[pos : m.start()])
+        idm = _ID_RE.search(content, m.end())
+        if not idm:
+            out.append(content[m.start() :])  # malformed: keep verbatim
+            break
+        eim = _EI_RE.search(content, idm.end())
+        if not eim:
+            break  # unterminated image: drop the remainder
+        pos = eim.end()
+    return "".join(out)
+
+
 def parse_pdf_words(data: bytes) -> List[List[Word]]:
     """``pdf bytes → [page][(x0, top, text)]`` (pdfplumber
     ``page.extract_words`` analog for absolutely-positioned text)."""
@@ -1044,6 +1164,8 @@ def parse_pdf_words(data: bytes) -> List[List[Word]]:
             pages.append([])
             continue
         content = _decode_stream(chead, cstream).decode("latin-1")
+        if "BI" in content:
+            content = _strip_inline_images(content)
         cmap = page_cmap(head)
         if cmap is not None:
             # CID hex strings need the CMap — the literal-string fast

@@ -479,6 +479,46 @@ class TestPdfNativeVariants:
                         for (x, top, _), (gx, gtop, _) in zip(orig, page):
                             assert abs(x - gx) < 1e-6 and abs(top - gtop) < 1e-6
 
+    def test_filter_chain_roundtrips(self):
+        """ASCII85/ASCIIHex + Flate filter CHAINS (``/Filter [/A /B]``)
+        decode in declared order, in both classic and PDF-1.5 layouts."""
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        for cf in ("a85", "ahx"):
+            for p15 in (False, True):
+                got = parse_pdf_words(
+                    build_pdf(self.PAGES, content_filter=cf, pdf15=p15)
+                )
+                for orig, page in zip(self.PAGES, got):
+                    assert [t for _, _, t in page] == [t for _, _, t in orig]
+
+    def test_filter_kernels(self):
+        import base64
+
+        from pdf_table_extractor_ray.stages.pdf_native import (
+            _ascii85_decode,
+            _ascii_hex_decode,
+            _run_length_decode,
+        )
+
+        assert _ascii_hex_decode(b"48 65 6C 6C 6F 7>") == b"Hellop"  # odd digit pads 0
+        assert _ascii85_decode(base64.a85encode(b"xy z") + b"~>") == b"xy z"
+        assert _ascii85_decode(b"<~" + base64.a85encode(b"xy z") + b"~>") == b"xy z"
+        assert (
+            _run_length_decode(bytes([2]) + b"abc" + bytes([253]) + b"z" + bytes([128]))
+            == b"abczzzz"
+        )
+
+    def test_inline_image_is_stripped(self):
+        """A BI/ID/EI inline raster whose binary payload contains
+        text-operator bytes must not surface phantom words."""
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        got = parse_pdf_words(build_pdf(self.PAGES, inline_image=True))
+        texts = [[t for _, _, t in p] for p in got]
+        assert texts == [[t for _, _, t in p] for p in self.PAGES]
+        assert not any("FAKE" in t for p in texts for t in p)
+
     def test_cid_font_beyond_latin1(self):
         """CID text can carry characters the Latin-1 writer cannot
         (the whole point of /ToUnicode): round-trip a euro sign and a
