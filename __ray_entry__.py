@@ -5706,6 +5706,20 @@ def _q_hourly_value_spikes(sf_dir: str):
     )
 
 
+def _q_langs_by_source(sf_dir: str):
+    """Per-source language manifest: the DISTINCT langs of each source,
+    ascending, joined with ',' — ordered string aggregation
+    (``string_agg(DISTINCT … ORDER BY …)``), an order-sensitive grouped
+    aggregate Ray Data's fold/combine API can't express. Map-side
+    distinct-pair combiner, bounded pair groupby, then ONE key-hash
+    bucket shuffle where ListArray offsets + pc.binary_join emit every
+    key's join with zero per-key Python (stages/collect.py)."""
+    from pdf_table_extractor_ray.stages.collect import collect_sorted_distinct
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    return collect_sorted_distinct(ds, "source", "lang", sep=",", out_col="langs")
+
+
 def _q_url_dup_groups(sf_dir: str):
     """URL canonicalization dedup over the crawl corpus: every 4th
     fixture url gets two deterministic tracking/port/fragment variants
@@ -6261,6 +6275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dup_groups": _q_url_dup_groups,
         "brand_type_fd_audit": _q_brand_type_fd_audit,
         "hourly_value_spikes": _q_hourly_value_spikes,
+        "langs_by_source": _q_langs_by_source,
         "sentence_stats": _q_sentence_stats,
         "event_gap_histogram": _q_event_gap_histogram,
         "token_concentration_curve": _q_token_concentration_curve,
@@ -6677,6 +6692,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(abs(CAST(total_cents AS DOUBLE) - med) > 3.0 * mad "
             " AND CAST(total_cents AS DOUBLE) > med AS BIGINT) AS is_spike "
             "FROM h, s"
+        ),
+        "langs_by_source": (
+            "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs, "
+            "count(DISTINCT lang) AS n_values FROM documents "
+            "WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1"
         ),
         "event_type_cooccurrence": (
             "WITH d AS (SELECT DISTINCT user_id, event_type FROM events "

@@ -3168,3 +3168,44 @@ def test_keep_max_per_key_matches_pandas(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(got, want), nparts
+
+
+def test_collect_sorted_distinct_brute_force(ray_session):
+    """collect_sorted_distinct == sorted-distinct join per key, for
+    string AND int keys, with nulls on both axes excluded, across
+    enough keys that every hash bucket path is exercised."""
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.collect import collect_sorted_distinct
+
+    rng = random.Random(7)
+    keys, vals = [], []
+    for _ in range(3000):
+        keys.append(rng.choice([f"s{i}" for i in range(40)] + [None]))
+        vals.append(rng.choice([f"v{i}" for i in range(9)] + [None]))
+    ds = ray.data.from_arrow(pa.table({"k": keys, "v": vals}))
+    got = {
+        r["k"]: (r["values"], r["n_values"])
+        for r in collect_sorted_distinct(ds, "k", "v", sep="|").take_all()
+    }
+    expect = {}
+    for k, v in zip(keys, vals):
+        if k is not None and v is not None:
+            expect.setdefault(k, set()).add(v)
+    assert got == {
+        k: ("|".join(sorted(vs)), len(vs)) for k, vs in expect.items()
+    }
+    # int keys round-trip with their type preserved
+    ds2 = ray.data.from_arrow(
+        pa.table({"k": [2, 1, 2, 1], "v": ["b", "z", "a", "z"]})
+    )
+    rows = sorted(
+        collect_sorted_distinct(ds2, "k", "v").take_all(), key=lambda r: r["k"]
+    )
+    assert [(r["k"], r["values"], r["n_values"]) for r in rows] == [
+        (1, "z", 1),
+        (2, "a,b", 2),
+    ]
