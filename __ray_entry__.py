@@ -5720,6 +5720,53 @@ def _q_langs_by_source(sf_dir: str):
     return collect_sorted_distinct(ds, "source", "lang", sep=",", out_col="langs")
 
 
+def _q_langs_ranked_by_source(sf_dir: str):
+    """Per-source language ranking: langs joined in (doc-count DESC,
+    lang ASC) order — rank-ordered string aggregation (``string_agg(v
+    ORDER BY w DESC, v)``). The pair-count reduction happens first
+    (map-side combiner + bounded groupby), then ``collect_ranked``
+    adds one key-hash bucket shuffle; no per-key Python."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.collect import collect_ranked
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+
+    def pairs(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"), "lang": b.column("lang")})
+        t = t.filter(
+            pc.and_(pc.is_valid(t.column("source")), pc.is_valid(t.column("lang")))
+        )
+        return (
+            pa.TableGroupBy(t, ["source", "lang"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "lang", "n"])
+        )
+
+    counted = (
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n"))
+    )
+
+    def slim(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "lang": b.column("lang"),
+                "n": pc.cast(b.column("sum(n)"), pa.int64()),
+            }
+        )
+
+    return collect_ranked(
+        counted.map_batches(slim, batch_format="pyarrow"),
+        "source",
+        "lang",
+        "n",
+        out_col="langs_ranked",
+    )
+
+
 def _q_url_dup_groups(sf_dir: str):
     """URL canonicalization dedup over the crawl corpus: every 4th
     fixture url gets two deterministic tracking/port/fragment variants
@@ -6276,6 +6323,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_type_fd_audit": _q_brand_type_fd_audit,
         "hourly_value_spikes": _q_hourly_value_spikes,
         "langs_by_source": _q_langs_by_source,
+        "langs_ranked_by_source": _q_langs_ranked_by_source,
         "sentence_stats": _q_sentence_stats,
         "event_gap_histogram": _q_event_gap_histogram,
         "token_concentration_curve": _q_token_concentration_curve,
@@ -6697,6 +6745,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs, "
             "count(DISTINCT lang) AS n_values FROM documents "
             "WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1"
+        ),
+        "langs_ranked_by_source": (
+            "WITH p AS (SELECT source, lang, count(*) AS n FROM documents "
+            "WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2) "
+            "SELECT source, string_agg(lang, ',' ORDER BY n DESC, lang) "
+            "AS langs_ranked, count(*) AS n_values FROM p GROUP BY 1"
         ),
         "event_type_cooccurrence": (
             "WITH d AS (SELECT DISTINCT user_id, event_type FROM events "

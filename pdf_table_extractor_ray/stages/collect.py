@@ -115,3 +115,82 @@ def collect_sorted_distinct(
         .groupby("bucket")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def collect_ranked(
+    pairs: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    weight_col: str,
+    sep: str = ",",
+    out_col: str = "values",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Rank-ordered string aggregation over an ALREADY-REDUCED
+    (key, value, weight) table: per key, join the values ordered by
+    (weight DESC, value ASC) — ``string_agg(v, sep ORDER BY w DESC,
+    v)``. The caller owns the reduction (typically a pair-count
+    groupby), so the input is bounded by the distinct-pair axis; this
+    stage adds ONE key-hash bucket shuffle and the same
+    ListArray + binary_join emit as ``collect_sorted_distinct``.
+    Output: (key_col, out_col, n_values)."""
+    from pdf_table_extractor_ray.stages.sketches import _hash64_column
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column(key_col)), pc.is_valid(b.column(value_col)))
+        f = b.filter(m)
+        h = _hash64_column(f.column(key_col))
+        return pa.table(
+            {
+                key_col: f.column(key_col),
+                value_col: f.column(value_col),
+                weight_col: f.column(weight_col),
+                "bucket": pa.array(
+                    (h % np.uint64(n_buckets)).astype(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], g.schema.field(key_col).type),
+                    out_col: pa.array([], pa.string()),
+                    "n_values": pa.array([], pa.int64()),
+                }
+            )
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                (key_col, "ascending"),
+                (weight_col, "descending"),
+                (value_col, "ascending"),
+            ],
+        )
+        s = g.take(idx)
+        keys = s.column(key_col).combine_chunks()
+        vals = pc.cast(s.column(value_col), pa.string()).combine_chunks()
+        n = len(keys)
+        same = pc.equal(keys.slice(1, n - 1), keys.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False
+        )
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = ~same
+        starts = np.flatnonzero(first)
+        offsets = np.append(starts, n).astype(np.int32)
+        lists = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), vals)
+        return pa.table(
+            {
+                key_col: keys.take(pa.array(starts, pa.int64())),
+                out_col: pc.binary_join(lists, sep),
+                "n_values": pa.array(np.diff(offsets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )

@@ -3209,3 +3209,29 @@ def test_collect_sorted_distinct_brute_force(ray_session):
         (1, "z", 1),
         (2, "a,b", 2),
     ]
+
+
+def test_collect_ranked_brute_force(ray_session):
+    """collect_ranked orders by (weight desc, value asc) per key."""
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.collect import collect_ranked
+
+    pairs = pa.table(
+        {
+            "k": ["a", "a", "a", "b", "b", None],
+            "v": ["x", "y", "z", "q", "p", "r"],
+            "w": [2, 9, 2, 1, 1, 5],
+        }
+    )
+    rows = sorted(
+        collect_ranked(
+            ray.data.from_arrow(pairs), "k", "v", "w", out_col="r"
+        ).take_all(),
+        key=lambda r: r["k"],
+    )
+    assert [(r["k"], r["r"], r["n_values"]) for r in rows] == [
+        ("a", "y,x,z", 3),  # 9 first; tie 2-2 broken by value asc
+        ("b", "p,q", 2),  # tie broken by value asc
+    ]
