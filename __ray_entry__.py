@@ -2995,6 +2995,18 @@ def _q_window_active_users(sf_dir: str):
     return tumbling_window_stats(_read(sf_dir, "events", ["ts", "user_id"]))
 
 
+def _q_rolling_active_users(sf_dir: str):
+    """Trailing 7-day rolling active users per data day — the sliding-
+    window EXACT COUNT DISTINCT (stages/sessions.py
+    sliding_window_distinct): distinct (day, user) pairs fan out to the
+    7 windows they serve, one (window, user) Min-offset groupby folds
+    duplicates and marks real data days, one slim count per window.
+    Raw events never shuffle."""
+    from pdf_table_extractor_ray.stages.sessions import sliding_window_distinct
+
+    return sliding_window_distinct(_read(sf_dir, "events", ["ts", "user_id"]))
+
+
 def _q_window_active_users_approx(sf_dir: str):
     """HLL variant of window_active_users — the sketch path when
     per-window user cardinality makes even the (window,user) pair
@@ -6257,6 +6269,416 @@ def _q_part_class_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+_LATE_US = 60 * 86_400_000_000  # 60 days in µs — the "late ship" horizon
+
+
+def _q_shipping_priority(sf_dir: str):
+    """TPC-H Q3 flavor: top-10 unshipped BUILDING-segment orders by
+    open revenue as of 1998-01-01 — the classic 3-table shipping-
+    priority query.
+
+    Shape: customer collapses map-side to the BUILDING key set and
+    semi-joins orders (customer is fact-sized at web scale — hash
+    shuffle, never broadcast); the surviving slim (o_orderkey,
+    o_orderdate, o_orderpriority) rows hash-join the date-filtered
+    lineitem projection; per-batch partials pre-reduce to one row per
+    orderkey before the final groupby, and the top-10 comes from the
+    partial-top-k merge (stages/topk.py), not a global sort."""
+    from ray.data.aggregate import Max, Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    cutoff = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def building_keys(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("c_mktsegment"), "BUILDING")
+        return b.filter(m).select(["c_custkey"])
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def open_orders(b: pa.Table) -> pa.Table:
+        od = pc.cast(b.column("o_orderdate"), pa.int64())
+        return b.filter(pc.less(od, cutoff))
+
+    kept = hash_shuffle_join(
+        orders.map_batches(open_orders, batch_format="pyarrow", zero_copy_batch=True),
+        cust.map_batches(building_keys, batch_format="pyarrow", zero_copy_batch=True),
+        on="o_custkey",
+        right_on="c_custkey",
+        how="left_semi",
+    )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def shipped_after(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64())
+        return b.filter(pc.greater(sd, cutoff)).drop_columns(["l_shipdate"])
+
+    joined = hash_shuffle_join(
+        li.map_batches(shipped_after, batch_format="pyarrow", zero_copy_batch=True),
+        kept.select_columns(["o_orderkey", "o_orderdate", "o_orderpriority"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "cents": cents,
+                "od_us": pc.cast(b.column("o_orderdate"), pa.int64()),
+                "o_orderpriority": b.column("o_orderpriority"),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["l_orderkey"])
+            .aggregate([("cents", "sum"), ("od_us", "max"), ("o_orderpriority", "max")])
+            .rename_columns(["l_orderkey", "cents", "od_us", "o_orderpriority"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_orderkey")
+        .aggregate(Sum("cents"), Max("od_us"), Max("o_orderpriority"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("l_orderkey"),
+                pc.divide(pc.cast(b.column("sum(cents)"), pa.float64()), 100.0),
+                b.column("max(od_us)"),
+                b.column("max(o_orderpriority)"),
+            ],
+            names=["l_orderkey", "revenue", "o_orderdate_us", "o_orderpriority"],
+        )
+
+    scored = agg.map_batches(finish, batch_format="pyarrow")
+    return global_top_k(
+        scored, [("revenue", "descending"), ("l_orderkey", "ascending")], 10
+    )
+
+
+def _q_late_ship_priority_counts(sf_dir: str):
+    """TPC-H Q4 flavor: per order priority, how many DISTINCT orders
+    had at least one line shipped > 60 days after the order date — the
+    EXISTS-subquery order-priority-checking query.
+
+    The EXISTS collapses via the chained-distinct pattern
+    (distinct_users_by_type_exact): join + filter → per-batch distinct
+    (priority, orderkey) collapse → groupby the composite key (one
+    exchange of already-distinct slim pairs) → per-priority count.
+    No order-sized broadcast, no second pass over lineitem."""
+    from ray.data.aggregate import Count
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = hash_shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def late_pairs(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        m = sd > od + _LATE_US
+        t = pa.table(
+            {
+                "o_orderpriority": pc.array_filter(b.column("o_orderpriority"), pa.array(m)),
+                "l_orderkey": pa.array(b.column("l_orderkey").to_numpy(zero_copy_only=False)[m]),
+            }
+        )
+        # block-level distinct: ≤ one row per (priority, orderkey) leaves the task
+        return (
+            pa.TableGroupBy(t, ["o_orderpriority", "l_orderkey"])
+            .aggregate([])
+        )
+
+    distinct_pairs = (
+        joined.map_batches(late_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["o_orderpriority", "l_orderkey"])
+        .aggregate(Count())
+    )
+
+    def per_priority_partial(b: pa.Table) -> pa.Table:
+        t = b.select(["o_orderpriority"])
+        return (
+            pa.TableGroupBy(t, ["o_orderpriority"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["o_orderpriority", "n"])
+        )
+
+    from ray.data.aggregate import Sum
+
+    agg = (
+        distinct_pairs.map_batches(per_priority_partial, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("o_orderpriority"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["o_orderpriority", "n_late_orders"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_returnflag_priority_mix(sf_dir: str):
+    """TPC-H Q12 flavor: per return flag, line counts split by whether
+    the parent order is critical (1-URGENT / 2-HIGH) or not — the
+    two-tier conditional-count shape of the shipmode query.
+
+    Orders collapse map-side to (o_orderkey, is_critical ∈ {0,1})
+    before the fact⋈fact hash join; per-batch partials reduce each
+    batch to ≤ |returnflags| rows of (high, low) sums."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        crit = pc.is_in(
+            b.column("o_orderpriority"),
+            value_set=pa.array(["1-URGENT", "2-HIGH"], pa.string()),
+        )
+        return pa.Table.from_arrays(
+            [b.column("o_orderkey"), pc.cast(crit, pa.int64())],
+            names=["o_orderkey", "is_crit"],
+        )
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+    joined = hash_shuffle_join(
+        li,
+        orders.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        crit = b.column("is_crit").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_returnflag": b.column("l_returnflag"),
+                "high": crit,
+                "low": 1 - crit,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["l_returnflag"])
+            .aggregate([("high", "sum"), ("low", "sum")])
+            .rename_columns(["l_returnflag", "high", "low"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(Sum("high"), Sum("low"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("l_returnflag"),
+                pc.cast(b.column("sum(high)"), pa.int64()),
+                pc.cast(b.column("sum(low)"), pa.int64()),
+            ],
+            names=["l_returnflag", "critical_lines", "other_lines"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_supplier_variety(sf_dir: str):
+    """TPC-H Q16 flavor: distinct suppliers that shipped each
+    (p_brand, p_size) class, excluding blacklisted (negative-balance)
+    suppliers — the NOT-IN + grouped COUNT(DISTINCT) supplier query.
+
+    The NOT IN is the ADAPTIVE anti join (stages/joins.py): one
+    distributed count of the blacklist picks the broadcast key-set
+    probe when it is tiny (here: a handful of rows — zero shuffle of
+    lineitem) and degrades to the hash-shuffle anti join when the
+    blacklist is fact-sized. Distinct (partkey, suppkey) pairs
+    collapse block-side before their one exchange; part attaches by
+    hash join (fact-sized at web scale); the final grouped
+    COUNT(DISTINCT supplier) is the chained-groupby pattern."""
+    from ray.data.aggregate import Count, Sum
+
+    from pdf_table_extractor_ray.stages.joins import adaptive_join, hash_shuffle_join
+
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"])
+
+    def blacklist(b: pa.Table) -> pa.Table:
+        return b.filter(pc.less(b.column("s_acctbal"), 0.0)).select(["s_suppkey"])
+
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+    def distinct_ps(b: pa.Table) -> pa.Table:
+        return pa.TableGroupBy(b, ["l_partkey", "l_suppkey"]).aggregate([])
+
+    clean = adaptive_join(
+        li.map_batches(distinct_ps, batch_format="pyarrow", zero_copy_batch=True),
+        supp.map_batches(blacklist, batch_format="pyarrow", zero_copy_batch=True).materialize(),
+        on="l_suppkey",
+        right_on="s_suppkey",
+        how="left_anti",
+    )
+    pairs = clean.groupby(["l_partkey", "l_suppkey"]).aggregate(Count())
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+    tagged = hash_shuffle_join(
+        pairs.drop_columns(["count()"]),
+        part,
+        on="l_partkey",
+        right_on="p_partkey",
+    )
+
+    def distinct_bss(b: pa.Table) -> pa.Table:
+        t = b.select(["p_brand", "p_size", "l_suppkey"])
+        return pa.TableGroupBy(t, ["p_brand", "p_size", "l_suppkey"]).aggregate([])
+
+    distinct_triples = (
+        tagged.map_batches(distinct_bss, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["p_brand", "p_size", "l_suppkey"])
+        .aggregate(Count())
+    )
+
+    def per_class_partial(b: pa.Table) -> pa.Table:
+        t = b.select(["p_brand", "p_size"])
+        return (
+            pa.TableGroupBy(t, ["p_brand", "p_size"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["p_brand", "p_size", "n"])
+        )
+
+    agg = (
+        distinct_triples.map_batches(per_class_partial, batch_format="pyarrow")
+        .groupby(["p_brand", "p_size"])
+        .aggregate(Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("p_brand"),
+                pc.cast(b.column("p_size"), pa.int64()),
+                pc.cast(b.column("sum(n)"), pa.int64()),
+            ],
+            names=["p_brand", "p_size", "supplier_cnt"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_sole_late_suppliers(sf_dir: str):
+    """TPC-H Q21 flavor: suppliers who were the ONLY late shipper in a
+    multi-supplier order (late = shipped > 60 days after order date),
+    counted per supplier, top 10 — the EXISTS + NOT-EXISTS
+    waiting-orders query.
+
+    Two keyed reductions replace the correlated subqueries: (1) per
+    (orderkey, suppkey): any-late flag via Max; (2) per orderkey:
+    supplier count, late-supplier count, and the candidate supplier id
+    as Max(suppkey if late else -1) — when exactly one supplier is
+    late, that Max IS the culprit. Both reductions ride per-batch
+    partials; the supplier name attaches from the bounded supplier dim
+    AFTER the per-supplier rollup (top-k rows only)."""
+    from ray.data.aggregate import Max, Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = hash_shuffle_join(li, orders, on="l_orderkey", right_on="o_orderkey")
+
+    def partial_os(b: pa.Table) -> pa.Table:
+        sd = pc.cast(b.column("l_shipdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        od = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        late = (sd > od + _LATE_US).astype(np.int64)
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "l_suppkey": b.column("l_suppkey"),
+                "late": late,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["l_orderkey", "l_suppkey"])
+            .aggregate([("late", "max")])
+            .rename_columns(["l_orderkey", "l_suppkey", "late"])
+        )
+
+    os_late = (
+        joined.map_batches(partial_os, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_orderkey", "l_suppkey"])
+        .aggregate(Max("late"))
+    )
+
+    def partial_order(b: pa.Table) -> pa.Table:
+        late = pc.cast(b.column("max(late)"), pa.int64()).to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "l_orderkey": b.column("l_orderkey"),
+                "n_supp": np.ones(len(sk), np.int64),
+                "n_late": late,
+                "late_sk": np.where(late == 1, sk, -1),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["l_orderkey"])
+            .aggregate([("n_supp", "sum"), ("n_late", "sum"), ("late_sk", "max")])
+            .rename_columns(["l_orderkey", "n_supp", "n_late", "late_sk"])
+        )
+
+    per_order = (
+        os_late.map_batches(partial_order, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("n_supp"), Sum("n_late"), Max("late_sk"))
+    )
+
+    def partial_supp(b: pa.Table) -> pa.Table:
+        ns = pc.cast(b.column("sum(n_supp)"), pa.int64())
+        nl = pc.cast(b.column("sum(n_late)"), pa.int64())
+        m = pc.and_(pc.greater_equal(ns, 2), pc.equal(nl, 1))
+        t = pa.table({"s_suppkey": pc.array_filter(b.column("max(late_sk)"), m)})
+        return (
+            pa.TableGroupBy(t, ["s_suppkey"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["s_suppkey", "n"])
+        )
+
+    per_supp = (
+        per_order.map_batches(partial_supp, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("s_suppkey"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["s_suppkey", "waiting_orders"],
+        )
+
+    top = global_top_k(
+        per_supp.map_batches(finish, batch_format="pyarrow"),
+        [("waiting_orders", "descending"), ("s_suppkey", "ascending")],
+        10,
+    )
+    names = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    return broadcast_join(top, names, key="s_suppkey", build_key="s_suppkey").select_columns(
+        ["s_suppkey", "s_name", "waiting_orders"]
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -6328,6 +6750,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gap_histogram": _q_event_gap_histogram,
         "token_concentration_curve": _q_token_concentration_curve,
         "part_class_revenue": _q_part_class_revenue,
+        "shipping_priority": _q_shipping_priority,
+        "rolling_active_users": _q_rolling_active_users,
+        "late_ship_priority_counts": _q_late_ship_priority_counts,
+        "returnflag_priority_mix": _q_returnflag_priority_mix,
+        "supplier_variety": _q_supplier_variety,
+        "sole_late_suppliers": _q_sole_late_suppliers,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "value_trend_by_type": _q_value_trend_by_type,
@@ -6812,6 +7240,62 @@ def oracle_sql() -> dict[str, str]:
             "OR (cls='medium' AND l_quantity BETWEEN 10 AND 20) "
             "OR (cls='big' AND l_quantity BETWEEN 20 AND 30) "
             "GROUP BY 1"
+        ),
+        "rolling_active_users": (
+            "SELECT CAST(epoch_us(d.day) AS BIGINT) AS window_day_us, "
+            "count(DISTINCT e.user_id) AS n_users "
+            "FROM (SELECT DISTINCT date_trunc('day', ts) AS day FROM events) d "
+            "JOIN events e ON e.ts >= d.day - INTERVAL 6 DAY "
+            "AND e.ts < d.day + INTERVAL 1 DAY "
+            "GROUP BY 1"
+        ),
+        "shipping_priority": (
+            "SELECT l_orderkey, "
+            "sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0 AS revenue, "
+            "CAST(epoch_us(o_orderdate) AS BIGINT) AS o_orderdate_us, o_orderpriority "
+            "FROM lineitem "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 3, 4 "
+            "ORDER BY revenue DESC, l_orderkey LIMIT 10"
+        ),
+        "late_ship_priority_counts": (
+            "SELECT o_orderpriority, count(*) AS n_late_orders FROM ("
+            "SELECT o_orderpriority, l_orderkey "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "GROUP BY 1, 2) GROUP BY 1"
+        ),
+        "returnflag_priority_mix": (
+            "SELECT l_returnflag, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) "
+            "  AS BIGINT) AS critical_lines, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) "
+            "  AS BIGINT) AS other_lines "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "GROUP BY 1"
+        ),
+        "supplier_variety": (
+            "SELECT p_brand, CAST(p_size AS BIGINT) AS p_size, count(*) AS supplier_cnt "
+            "FROM (SELECT p_brand, p_size, l_suppkey "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_suppkey NOT IN "
+            "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+            "GROUP BY 1, 2, 3) GROUP BY 1, 2"
+        ),
+        "sole_late_suppliers": (
+            "WITH os AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "
+            "max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 1 ELSE 0 END) AS late "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), "
+            "per_order AS (SELECT ok, count(*) AS n_supp, sum(late) AS n_late, "
+            "max(CASE WHEN late = 1 THEN sk END) AS late_sk FROM os GROUP BY 1) "
+            "SELECT s_suppkey, s_name, count(*) AS waiting_orders "
+            "FROM per_order JOIN supplier ON late_sk = s_suppkey "
+            "WHERE n_supp >= 2 AND n_late = 1 "
+            "GROUP BY 1, 2 ORDER BY waiting_orders DESC, s_suppkey LIMIT 10"
         ),
         "dormant_rich_customers": (
             "WITH pos AS (SELECT CAST(sum(CAST(floor(c_acctbal*100) AS BIGINT)) AS BIGINT) AS s, "

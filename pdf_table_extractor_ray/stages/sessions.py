@@ -258,6 +258,99 @@ def tumbling_window_stats(
     return out.map_batches(rename, batch_format="pyarrow")
 
 
+def sliding_window_distinct(
+    ds: "ray.data.Dataset",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    slide_us: int = 86_400_000_000,
+    width_slides: int = 7,
+) -> "ray.data.Dataset":
+    """Trailing sliding-window EXACT distinct: for every slide period
+    (day) with data, the distinct-user count over the trailing
+    ``width_slides`` periods — COUNT(DISTINCT) OVER RANGE 6 DAYS
+    PRECEDING, the rolling-active-users metric.
+
+    Shape: each batch collapses to its distinct (day, user) pairs,
+    then each pair fans out to the ``width_slides`` windows it serves
+    with its replica offset k (window = day + k·slide); ONE
+    groupby((window, user)) with Min(k) folds cross-batch duplicates
+    AND remembers whether the user was active on the window day
+    itself; ONE slim groupby(window) counts users and keeps only
+    windows whose min-offset is 0 (= the day exists in the data — no
+    phantom trailing windows), so no day-table join and no driver
+    pull. Shuffled volume = width_slides × distinct (day, user) pairs
+    of 3 int64s — raw events never move; a hot day spreads across
+    (window, user) partitions in the first exchange.
+
+    Output: (window_day_us, n_users), one row per data day.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min, Sum
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(pc.cast(batch.column(ts_col), pa.timestamp("us")), pa.int64()).to_numpy(
+            zero_copy_only=False
+        )
+        uid = batch.column(user_col).to_numpy(zero_copy_only=False)
+        day = (ts // slide_us) * slide_us
+        upair = np.unique(np.stack([day, uid], axis=1), axis=0)
+        k = np.arange(width_slides, dtype=np.int64)
+        w = (upair[:, 0][:, None] + k * slide_us).ravel()
+        u = np.repeat(upair[:, 1], width_slides)
+        kk = np.tile(k, len(upair))
+        # within-batch distinct (w, user) with min offset: one lexsort
+        order = np.lexsort((kk, u, w))
+        ws, us, ks = w[order], u[order], kk[order]
+        first = np.ones(len(ws), bool)
+        if len(ws):
+            first[1:] = (ws[1:] != ws[:-1]) | (us[1:] != us[:-1])
+        return pa.Table.from_arrays(
+            [
+                pa.array(ws[first], pa.int64()),
+                pa.array(us[first], pa.int64()),
+                pa.array(ks[first], pa.int64()),
+            ],
+            names=["window_day_us", "user_id", "k"],
+        )
+
+    per_pair = (
+        ds.map_batches(fanout, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["window_day_us", "user_id"])
+        .aggregate(Min("k"))
+    )
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "window_day_us": b.column("window_day_us"),
+                "n": np.ones(b.num_rows, np.int64),
+                "min_k": pc.cast(b.column("min(k)"), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["window_day_us"])
+            .aggregate([("n", "sum"), ("min_k", "min")])
+            .rename_columns(["window_day_us", "n", "min_k"])
+        )
+
+    agg = (
+        per_pair.map_batches(count_partial, batch_format="pyarrow")
+        .groupby("window_day_us")
+        .aggregate(Sum("n"), Min("min_k"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        valid = pc.equal(pc.cast(b.column("min(min_k)"), pa.int64()), 0)
+        b = b.filter(valid)
+        return pa.Table.from_arrays(
+            [b.column("window_day_us"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["window_day_us", "n_users"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def funnel_counts(
     events: "ray.data.Dataset",
     steps,

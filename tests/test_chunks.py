@@ -283,6 +283,45 @@ class TestTumblingWindowStats:
         assert got == {w: (ev, len(us)) for w, (ev, us) in want.items()}
 
 
+class TestSlidingWindowDistinct:
+    def test_matches_brute_force_any_layout(self, ray_session):
+        """Trailing-7-slide distinct == per-day brute force, identical
+        across block layouts (the Min-offset fold must be layout-
+        invariant), and no phantom windows past the last data day."""
+        import random
+
+        import ray.data
+
+        from pdf_table_extractor_ray.stages.sessions import sliding_window_distinct
+
+        rng = random.Random(11)
+        D = 86_400_000_000
+        ts = [rng.randrange(0, 10 * D) for _ in range(400)]
+        uid = [rng.randrange(0, 20) for _ in range(400)]
+        # punch a hole: no events on day 4 → day 4 must have NO row
+        ts = [t for t in ts if t // D != 4]
+        uid = uid[: len(ts)]
+        tbl = pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "user_id": pa.array(uid, pa.int64()),
+            }
+        )
+        days = sorted({t // D for t in ts})
+        want = {}
+        for d in days:
+            want[d * D] = len(
+                {u for t, u in zip(ts, uid) if d - 6 <= t // D <= d}
+            )
+        for parts in (1, 7):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            got = {
+                r["window_day_us"]: r["n_users"]
+                for r in sliding_window_distinct(ds).take_all()
+            }
+            assert got == want
+
+
 def test_window_hll_tracks_exact(ray_session):
     """The HLL windowed-distinct must track the exact twin within HLL
     error (~2% at p=12; assert 10% slack) on every window."""
