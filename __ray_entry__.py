@@ -475,6 +475,20 @@ def _q_pagerank_dups(sf_dir: str):
     return pagerank(pairs, "doc_a", "doc_b")
 
 
+def _q_lpa_communities(sf_dir: str):
+    """Community detection over the MinHash near-dup graph:
+    synchronous label propagation (5 rounds, groupby-only iteration,
+    packed-int64 argmax tie-break — bit-identical across layouts).
+    Splits chained near-dup components into dense cores where CC
+    alone over-merges. Rows-only (iterative); sequential-reference
+    parity + layout invariance tested in test_graph."""
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_table_extractor_ray.stages.graph import label_propagation
+
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return label_propagation(pairs, "doc_a", "doc_b")
+
+
 def _q_weighted_doc_sample(sf_dir: str):
     """Deterministic weighted sample (Efraimidis-Spirakis, hash
     uniforms): 100 docs drawn with probability ∝ n_chars. Rows-only
@@ -6752,6 +6766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_class_revenue": _q_part_class_revenue,
         "shipping_priority": _q_shipping_priority,
         "rolling_active_users": _q_rolling_active_users,
+        "lpa_communities": _q_lpa_communities,
         "late_ship_priority_counts": _q_late_ship_priority_counts,
         "returnflag_priority_mix": _q_returnflag_priority_mix,
         "supplier_variety": _q_supplier_variety,

@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Sum
+from ray.data.aggregate import Count, Max, Sum
 
 RANK_UNIT = 1_000_000_000  # initial micro-rank per node
 
@@ -352,3 +352,158 @@ def triangle_count(
     ).aggregate(Sum("t"))
     n = 0 if total is None else int(total["sum(t)"] or 0)
     return ray.data.from_arrow(pa.table({"n_triangles": pa.array([n], pa.int64())}))
+
+
+def label_propagation(
+    pairs: "ray.data.Dataset",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    iters: int = 5,
+) -> "ray.data.Dataset":
+    """Synchronous label-propagation communities (Raghavan et al. 2007)
+    over the undirected pair graph — the community detector that needs
+    no cluster count up front; near-dup pipelines use it to split a
+    connected component that chains several true clusters through
+    weak links (CC alone merges them; LPA keeps dense cores apart).
+
+    Deterministic variant: every node starts labeled with its own id;
+    each round, every node simultaneously adopts the most frequent
+    label among its neighbors, ties broken by SMALLEST label. Fixed
+    ``iters`` rounds (no convergence probe → no driver traffic).
+
+    Same distribution discipline as :func:`pagerank`: the static
+    adjacency unions with the current label table, ONE
+    ``groupby(node % 64)`` bucket shuffle fans each node's label to
+    its neighbors as (neighbor, label) votes — per-bucket work is one
+    argsort + reduceat family, Python-call count fixed at 64 — then
+    one keyed groupby counts votes and ONE packed-int64 Max
+    (count·2^40 + (2^40−1−label)) picks argmax-with-min-tie-break per
+    node: bit-identical across block layouts and cluster sizes.
+    Packing contract: labels (node ids) < 2^40 and per-node degree
+    < 2^23 — both hold for any graph whose *pair list* fits a real
+    corpus (document ids are dense int64 well under 2^40; a node with
+    ≥2^23 candidate-pair neighbors would have defeated the LSH
+    banding long before this stage).
+
+    Returns (node, community) — community = the converged label.
+    """
+    _NB = 64
+    _PACK = 1 << 40
+
+    def to_adj(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        node = np.concatenate([a, bb])
+        return pa.Table.from_arrays(
+            [
+                pa.array(node),
+                pa.array(np.concatenate([bb, a])),
+                pa.array(np.ones(2 * len(a), dtype=np.int8)),
+                pa.array(node % _NB),
+            ],
+            names=["node", "val", "kind", "bucket"],
+        )
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bounded(ds_in):
+        m = ds_in.materialize()
+        if m.num_blocks() > P:
+            m = m.repartition(P).materialize()
+        return m
+
+    adj = bounded(pairs.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True))
+
+    def init_label(b: pa.Table) -> pa.Table:
+        node = b.column("node")
+        return pa.Table.from_arrays([node, node], names=["node", "label"])
+
+    nodes = adj.groupby("node").aggregate(Sum("kind")).drop_columns(["sum(kind)"])
+    labels = bounded(nodes.map_batches(init_label, batch_format="pyarrow"))
+
+    def as_label_rows(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(node),
+                pc.cast(b.column("label"), pa.int64()),
+                pa.array(np.zeros(len(node), dtype=np.int8)),
+                pa.array(node % _NB),
+            ],
+            names=["node", "val", "kind", "bucket"],
+        )
+
+    def fan_votes(group: pa.Table) -> pa.Table:
+        """One bucket of SENDING nodes: fan each node's current label
+        to its neighbor rows, pre-counted within the bucket — emits
+        distinct (voter-target, label, n) triples."""
+        n = group.num_rows
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.int64()), pa.array([], pa.int64()), pa.array([], pa.int64())],
+            names=["node", "label", "n"],
+        )
+        if n == 0:
+            return empty
+        node = group.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = group.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        sn, sv, sk = node[order], val[order], kind[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        run_id = np.cumsum(first) - 1
+        starts = np.flatnonzero(first)
+        own = np.maximum.reduceat(np.where(sk == 0, sv, -1), starts)  # labels ≥ 0
+        fan = sk == 1
+        if not fan.any():
+            return empty
+        tgt = sv[fan]
+        lab = own[run_id[fan]]
+        # within-bucket pre-count: the (target, label) vote multiset
+        pairs_arr = np.stack([tgt, lab], axis=1)
+        upair, cnt = np.unique(pairs_arr, axis=0, return_counts=True)
+        return pa.Table.from_arrays(
+            [
+                pa.array(upair[:, 0]),
+                pa.array(upair[:, 1]),
+                pa.array(cnt.astype(np.int64)),
+            ],
+            names=["node", "label", "n"],
+        )
+
+    def pack(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b.column("sum(n)"), pa.int64()).to_numpy(zero_copy_only=False)
+        lab = b.column("label").to_numpy(zero_copy_only=False)
+        packed = cnt * _PACK + (_PACK - 1 - lab)
+        return pa.Table.from_arrays(
+            [b.column("node"), pa.array(packed)], names=["node", "packed"]
+        )
+
+    def unpack(b: pa.Table) -> pa.Table:
+        packed = pc.cast(b.column("max(packed)"), pa.int64()).to_numpy(zero_copy_only=False)
+        lab = _PACK - 1 - (packed % _PACK)
+        return pa.Table.from_arrays(
+            [b.column("node"), pa.array(lab)], names=["node", "label"]
+        )
+
+    for _ in range(iters):
+        label_rows = labels.map_batches(as_label_rows, batch_format="pyarrow")
+        labels = bounded(
+            adj.union(label_rows)
+            .groupby("bucket")
+            .map_groups(fan_votes, batch_format="pyarrow")
+            .groupby(["node", "label"])
+            .aggregate(Sum("n"))
+            .map_batches(pack, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Max("packed"))
+            .map_batches(unpack, batch_format="pyarrow")
+        )
+
+    return labels.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"), b.column("label")], names=["node", "community"]
+        ),
+        batch_format="pyarrow",
+    )

@@ -120,3 +120,69 @@ def test_triangle_count_brute_force(ray_session):
         )
     )
     assert triangle_count(star).take_all()[0]["n_triangles"] == 0
+
+
+def _seq_lpa(edges, iters=5):
+    """Sequential synchronous LPA reference: most-frequent neighbor
+    label, ties to the smallest label."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            c = Counter(labels[m] for m in nbrs)
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_sequential_and_layout(ray_session):
+    """Distributed sync LPA == the sequential reference on a random
+    graph with two planted cliques joined by one weak edge, for every
+    block layout; the two cliques must land in different communities."""
+    import random
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import label_propagation
+
+    rng = random.Random(7)
+    edges = set()
+    # two 6-cliques, ids 0-5 and 100-105, bridged by (5, 100)
+    for base in (0, 100):
+        for i in range(6):
+            for j in range(i + 1, 6):
+                edges.add((base + i, base + j))
+    edges.add((5, 100))
+    # plus random sparse noise on 200..239
+    for _ in range(30):
+        a, b = rng.sample(range(200, 240), 2)
+        edges.add((min(a, b), max(a, b)))
+    edges = sorted(edges)
+    want = _seq_lpa(edges, iters=5)
+    tbl = pa.table(
+        {
+            "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+            "doc_b": pa.array([b for _, b in edges], pa.int64()),
+        }
+    )
+    got_by_layout = []
+    for parts in (1, 5):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        got = {
+            r["node"]: r["community"]
+            for r in label_propagation(ds, iters=5).take_all()
+        }
+        assert got == want
+        got_by_layout.append(got)
+    assert got_by_layout[0] == got_by_layout[1]
+    # community structure: the cliques keep distinct labels
+    c1 = {got_by_layout[0][i] for i in range(5)}
+    c2 = {got_by_layout[0][100 + i] for i in range(1, 6)}
+    assert len(c1) == 1 and len(c2) == 1 and c1 != c2
