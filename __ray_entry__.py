@@ -2898,6 +2898,20 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merge_table(docs, n_merges=10)
 
 
+def _q_bpe_token_counts(sf_dir: str):
+    """Tokenizer APPLICATION at corpus scale: learn a 10-merge BPE
+    ladder, then encode every document with it through the BpeEncoder
+    actor pool (vectorized ladder fold over each batch's DISTINCT
+    words — Zipf collapse — then scatter back). The post-training
+    tokenize pass of a pretraining pipeline. Rows-only (depends on the
+    learned ladder); sequential-encode parity tested in test_bpe."""
+    from pdf_table_extractor_ray.stages.bpe import bpe_encode_lengths, learn_bpe
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text"])
+    merges = learn_bpe(docs, n_merges=10)
+    return bpe_encode_lengths(docs, merges)
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher-style per-doc repetition stats (dup-word fraction,
     top-word char fraction, dup-bigram fraction) — map-only,
@@ -6767,6 +6781,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shipping_priority": _q_shipping_priority,
         "rolling_active_users": _q_rolling_active_users,
         "lpa_communities": _q_lpa_communities,
+        "bpe_token_counts": _q_bpe_token_counts,
         "late_ship_priority_counts": _q_late_ship_priority_counts,
         "returnflag_priority_mix": _q_returnflag_priority_mix,
         "supplier_variety": _q_supplier_variety,

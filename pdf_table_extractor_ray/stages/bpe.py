@@ -236,6 +236,11 @@ def learn_bpe(
                 "right": _sym_str(right, parts),
                 "pair": _sym_str(new_id, parts),
                 "pair_count": cnt,
+                # integer form, for applying the ladder (BpeEncoder);
+                # bpe_merge_table's explicit schema drops these keys
+                "left_id": left,
+                "right_id": right,
+                "new_id": new_id,
             }
         )
         ws = ws.map_batches(
@@ -260,4 +265,95 @@ def bpe_merge_table(
                 ("pair_count", pa.int64()),
             ]
         ),
+    )
+
+
+class BpeEncoder:
+    """Warm tokenizer-APPLICATION stage: encode documents with a
+    learned merge ladder — the "tokenize the corpus with the trained
+    tokenizer" pass every pretraining pipeline runs after ``learn_bpe``.
+
+    Actor-pool contract (§2.7): construct once per actor with the
+    integer merge ladder (tiny — one (left, right, new_id) triple per
+    merge, closure-shipped, never per batch); ``__call__`` encodes one
+    Arrow batch. Per batch the work is fully vectorized AND
+    Zipf-collapsed: split to words, ``np.unique`` down to the batch's
+    DISTINCT words, symbolize those once (shared ``_symbolize``
+    kernel), fold the ladder over the one flattened int64 array
+    (``_apply_merge`` — the training kernel, so encode≡train
+    semantics: leftmost-non-overlapping, run-parity on self-pairs),
+    then scatter per-word token counts back to documents through the
+    unique-inverse. Cost per batch: O(n_merges × distinct-word chars);
+    no Python loop over words or tokens anywhere.
+
+    Output: input id column + ``n_tokens_bpe`` (BPE tokens per doc,
+    end-of-word markers merged like any symbol, one token per merged
+    symbol) + ``n_words`` (whitespace words).
+
+    Use ``ds.map_batches(BpeEncoder, fn_constructor_kwargs=dict(
+    merges=ladder), concurrency=(m, n), batch_size=B)``.
+    """
+
+    def __init__(self, merges, text_col: str = "text", id_col: str = "doc_id"):
+        self._ladder = [
+            (int(m["left_id"]), int(m["right_id"]), int(m["new_id"])) for m in merges
+        ]
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def __call__(self, b: pa.Table) -> pa.Table:
+        text = pc.fill_null(b.column(self._text_col), "")
+        words_list = pc.split_pattern_regex(text, pattern=r"\s+")
+        flat_words = pc.list_flatten(words_list)
+        if isinstance(flat_words, pa.ChunkedArray):
+            flat_words = flat_words.combine_chunks()
+        per_doc = pc.list_value_length(words_list).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(len(per_doc)), per_doc)
+        w = flat_words.to_numpy(zero_copy_only=False)  # object array of str
+        keep = np.array([len(x) > 0 for x in w], bool)  # regex split yields '' on edges
+        w, doc_idx = w[keep], doc_idx[keep]
+        n_words = np.bincount(doc_idx, minlength=len(per_doc)).astype(np.int64)
+        n_tokens = np.zeros(len(per_doc), np.int64)
+        if len(w):
+            uniq, inv = np.unique(w, return_inverse=True)
+            wt = pa.table(
+                {
+                    "word": pa.array(uniq.tolist(), pa.string()),
+                    "n": pa.array(np.ones(len(uniq), np.int64)),
+                }
+            )
+            st = _symbolize(wt)
+            for left, right, new_id in self._ladder:
+                st = _apply_merge(left, right, new_id)(st)
+            tok_per_word = pc.list_value_length(
+                st.column("syms").combine_chunks()
+                if isinstance(st.column("syms"), pa.ChunkedArray)
+                else st.column("syms")
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            np.add.at(n_tokens, doc_idx, tok_per_word[inv])
+        return pa.Table.from_arrays(
+            [
+                b.column(self._id_col),
+                pa.array(n_tokens),
+                pa.array(n_words),
+            ],
+            names=[self._id_col, "n_tokens_bpe", "n_words"],
+        )
+
+
+def bpe_encode_lengths(
+    docs: "ray.data.Dataset",
+    merges,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    concurrency=(1, 8),
+) -> "ray.data.Dataset":
+    """Encode every document with a learned merge ladder via the
+    BpeEncoder actor pool; returns (id, n_tokens_bpe, n_words)."""
+    return docs.map_batches(
+        BpeEncoder,
+        fn_constructor_kwargs={"merges": merges, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
     )

@@ -6,6 +6,7 @@ application."""
 
 import re
 
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -99,3 +100,62 @@ def test_bpe_real_corpus_parity(ray_session):
     # merged symbol strings compose left+right
     for m in got:
         assert m["pair"] == m["left"] + m["right"]
+
+
+def _ref_encode(text, int_merges):
+    """Sequential encode: apply the ladder in rank order with leftmost
+    greedy merging per word; returns total token count."""
+    total = 0
+    for w in re.split(r"\s+", text or ""):
+        if not w:
+            continue
+        syms = [ord(c) for c in w] + [END_ID]
+        for left, right, new_id in int_merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(new_id)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        total += len(syms)
+    return total
+
+
+def test_bpe_encode_matches_sequential(ray_session):
+    """BpeEncoder (vectorized ladder fold over batch-distinct words)
+    == per-word sequential greedy encode, across block layouts,
+    including docs with repeated words, self-pair runs and empties."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.bpe import bpe_encode_lengths, learn_bpe
+
+    texts = [
+        "the cat sat on the mat the cat",
+        "aaaa aaa aa a",  # self-pair runs exercise run-parity
+        "",
+        "low lower lowest newer newest wider wide",
+        "the the the the",
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(texts))), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    merges = learn_bpe(ds, n_merges=8)
+    ladder = [(m["left_id"], m["right_id"], m["new_id"]) for m in merges]
+    want = {i: _ref_encode(t, ladder) for i, t in enumerate(texts)}
+    for parts in (1, 3):
+        out = {
+            r["doc_id"]: (r["n_tokens_bpe"], r["n_words"])
+            for r in bpe_encode_lengths(
+                ds.repartition(parts), merges, concurrency=(1, 2)
+            ).take_all()
+        }
+        assert {k: v[0] for k, v in out.items()} == want
+        assert out[2] == (0, 0)  # empty doc
+        assert out[4][1] == 4
