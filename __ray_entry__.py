@@ -2898,6 +2898,20 @@ def _q_bpe_merges(sf_dir: str):
     return bpe_merge_table(docs, n_merges=10)
 
 
+def _q_orders_profile(sf_dir: str):
+    """ANALYZE-style one-pass table profile of orders: per column, row
+    and null counters, HLL approximate distinct, numeric/lexicographic
+    min-max (stages/profile.py — the catalog-statistics pass before
+    planning over an unknown table). One row per COLUMN (bounded by
+    schema). Rows-only (HLL estimates have no SQL form); exact
+    counters/min-max + HLL accuracy + layout invariance tested in
+    test_profile."""
+    from pdf_table_extractor_ray.stages.profile import table_profile
+
+    # all columns read on purpose: profiling IS the whole-schema scan
+    return table_profile(_read(sf_dir, "orders", None))
+
+
 def _q_bpe_token_counts(sf_dir: str):
     """Tokenizer APPLICATION at corpus scale: learn a 10-merge BPE
     ladder, then encode every document with it through the BpeEncoder
@@ -6782,6 +6796,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_active_users": _q_rolling_active_users,
         "lpa_communities": _q_lpa_communities,
         "bpe_token_counts": _q_bpe_token_counts,
+        "orders_profile": _q_orders_profile,
         "late_ship_priority_counts": _q_late_ship_priority_counts,
         "returnflag_priority_mix": _q_returnflag_priority_mix,
         "supplier_variety": _q_supplier_variety,
