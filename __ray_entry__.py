@@ -489,6 +489,21 @@ def _q_lpa_communities(sf_dir: str):
     return label_propagation(pairs, "doc_a", "doc_b")
 
 
+def _q_dup_kcore_nodes(sf_dir: str):
+    """Dense-cluster extraction: the 2-core of the MinHash near-dup
+    graph — keeps duplicate groups that close a cycle, sheds the
+    pendant LSH false-positive fringe (the synthetic corpus's dup
+    graph is sparse: its 3-core is empty, so k=2 is the interesting
+    core here). Join-free distributed peeling (stages/graph.py
+    k_core). Rows-only (iterative); sequential parity + layout
+    invariance tested in test_graph."""
+    from pdf_table_extractor_ray.stages.dedup import minhash_lsh_pairs
+    from pdf_table_extractor_ray.stages.graph import k_core
+
+    pairs = minhash_lsh_pairs(_read(sf_dir, "documents", ["doc_id", "text"]))
+    return k_core(pairs, k=2)
+
+
 def _q_weighted_doc_sample(sf_dir: str):
     """Deterministic weighted sample (Efraimidis-Spirakis, hash
     uniforms): 100 docs drawn with probability ∝ n_chars. Rows-only
@@ -6797,6 +6812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lpa_communities": _q_lpa_communities,
         "bpe_token_counts": _q_bpe_token_counts,
         "orders_profile": _q_orders_profile,
+        "dup_kcore_nodes": _q_dup_kcore_nodes,
         "late_ship_priority_counts": _q_late_ship_priority_counts,
         "returnflag_priority_mix": _q_returnflag_priority_mix,
         "supplier_variety": _q_supplier_variety,

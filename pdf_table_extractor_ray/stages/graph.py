@@ -507,3 +507,172 @@ def label_propagation(
         ),
         batch_format="pyarrow",
     )
+
+
+def k_core(
+    pairs: "ray.data.Dataset",
+    k: int = 3,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 16,
+) -> "ray.data.Dataset":
+    """Nodes of the k-core (maximal subgraph with min degree ≥ k) of
+    the undirected pair graph — the dense-cluster extractor: in a
+    near-dup graph the 3-core keeps true duplicate cliques and sheds
+    the LSH-false-positive fringe that chains them together.
+
+    Distributed peeling, join-free like :func:`pagerank` (Ray's hash
+    join misbehaves on schema-less empty blocks in iterative loops):
+    each round (1) degrees via one keyed groupby over half-edge rows,
+    (2) survivor set = deg ≥ k, (3) edges re-filtered by BOTH
+    endpoints with one ``groupby(node % 64)`` bucket shuffle (in-bucket
+    survivor membership via sorted searchsorted — vectorized) and one
+    (lo, hi) pair groupby that keeps edges whose two halves both
+    survived. Early exit when the surviving half-edge count is stable
+    — ONE scalar to the driver per round (same budget as the CC
+    convergence probe). Peeling converges in ≤ diameter-ish rounds;
+    ``max_iters`` bounds the worst case (a path graph peels one layer
+    per round).
+
+    Returns (node, core_degree) for every node of the k-core, where
+    core_degree = its degree within the core (≥ k by construction).
+    """
+    _NB = 64
+
+    def halves(b: pa.Table) -> pa.Table:
+        a = b.column(a_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        bb = b.column(b_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = a != bb  # self-loops never help a core
+        a, bb = a[keep], bb[keep]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([a, bb])),
+                pa.array(np.concatenate([bb, a])),
+            ],
+            names=["node", "other"],
+        )
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bounded(ds_in):
+        m = ds_in.materialize()
+        if m.num_blocks() > P:
+            m = m.repartition(P).materialize()
+        return m
+
+    # collapse parallel edges up front: distinct (node, other) halves
+    edges = bounded(
+        pairs.map_batches(halves, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["node", "other"])
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+    n_half = edges.count()
+
+    def deg_partial(b: pa.Table) -> pa.Table:
+        node = b.column("node").to_numpy(zero_copy_only=False)
+        u, c = np.unique(node, return_counts=True)
+        return pa.Table.from_arrays(
+            [pa.array(u.astype(np.int64)), pa.array(c.astype(np.int64))],
+            names=["node", "d"],
+        )
+
+    def filter_by_survivors(group: pa.Table) -> pa.Table:
+        """One bucket: survivor ids (kind 0) + half-edges keyed by
+        their 'node' endpoint (kind 1); emit the (lo, hi) of halves
+        whose keyed endpoint survives."""
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        other = group.column("other").to_numpy(zero_copy_only=False)
+        surv = np.sort(node[kind == 0])
+        he = kind == 1
+        n, o = node[he], other[he]
+        if len(surv) == 0 or len(n) == 0:
+            e = pa.array([], pa.int64())
+            return pa.Table.from_arrays([e, e], names=["lo", "hi"])
+        pos = np.searchsorted(surv, n)
+        ok = (pos < len(surv)) & (surv[np.minimum(pos, len(surv) - 1)] == n)
+        n, o = n[ok], o[ok]
+        return pa.Table.from_arrays(
+            [pa.array(np.minimum(n, o)), pa.array(np.maximum(n, o))],
+            names=["lo", "hi"],
+        )
+
+    def reexpand(b: pa.Table) -> pa.Table:
+        cnt = pc.cast(b.column("count()"), pa.int64()).to_numpy(zero_copy_only=False)
+        lo = b.column("lo").to_numpy(zero_copy_only=False)
+        hi = b.column("hi").to_numpy(zero_copy_only=False)
+        both = cnt == 2  # both endpoints survived
+        lo, hi = lo[both], hi[both]
+        return pa.Table.from_arrays(
+            [
+                pa.array(np.concatenate([lo, hi])),
+                pa.array(np.concatenate([hi, lo])),
+            ],
+            names=["node", "other"],
+        )
+
+    for _ in range(max_iters):
+        if n_half == 0:
+            break
+        deg = (
+            edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("node")
+            .aggregate(Sum("d"))
+        )
+
+        def survivors(b: pa.Table) -> pa.Table:
+            d = pc.cast(b.column("sum(d)"), pa.int64())
+            keep = pc.greater_equal(d, k)
+            node = pc.array_filter(b.column("node"), keep)
+            n = len(node)
+            return pa.Table.from_arrays(
+                [
+                    pc.cast(node, pa.int64()),
+                    pa.array(np.zeros(n, np.int64)),
+                    pa.array(np.zeros(n, np.int8)),
+                    pa.array(pc.cast(node, pa.int64()).to_numpy(zero_copy_only=False) % _NB),
+                ],
+                names=["node", "other", "kind", "bucket"],
+            )
+
+        def tag_halves(b: pa.Table) -> pa.Table:
+            node = b.column("node").to_numpy(zero_copy_only=False)
+            return pa.Table.from_arrays(
+                [
+                    b.column("node"),
+                    b.column("other"),
+                    pa.array(np.ones(len(node), np.int8)),
+                    pa.array(node % _NB),
+                ],
+                names=["node", "other", "kind", "bucket"],
+            )
+
+        surv_rows = deg.map_batches(survivors, batch_format="pyarrow")
+        half_rows = edges.map_batches(tag_halves, batch_format="pyarrow", zero_copy_batch=True)
+        edges = bounded(
+            surv_rows.union(half_rows)
+            .groupby("bucket")
+            .map_groups(filter_by_survivors, batch_format="pyarrow")
+            .groupby(["lo", "hi"])
+            .aggregate(Count())
+            .map_batches(reexpand, batch_format="pyarrow")
+        )
+        new_half = edges.count()
+        if new_half == n_half:
+            break
+        n_half = new_half
+
+    out = (
+        edges.map_batches(deg_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Sum("d"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"), pc.cast(b.column("sum(d)"), pa.int64())],
+            names=["node", "core_degree"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")

@@ -186,3 +186,60 @@ def test_label_propagation_matches_sequential_and_layout(ray_session):
     c1 = {got_by_layout[0][i] for i in range(5)}
     c2 = {got_by_layout[0][100 + i] for i in range(1, 6)}
     assert len(c1) == 1 and len(c2) == 1 and c1 != c2
+
+
+def _seq_kcore(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    changed = True
+    while changed:
+        changed = False
+        for n in list(adj):
+            if len(adj[n]) < k:
+                for m in adj.pop(n):
+                    adj[m].discard(n)
+                changed = True
+    return {n: len(nbrs) for n, nbrs in adj.items() if nbrs}
+
+
+def test_kcore_matches_sequential_and_layout(ray_session):
+    """Distributed peel == sequential k-core on a graph with a planted
+    5-clique (4-core), a chain (no 3-core), parallel edges and a
+    self-loop, for several block layouts."""
+    import random
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import k_core
+
+    rng = random.Random(13)
+    edges = []
+    for i in range(5):  # 5-clique on 0..4
+        for j in range(i + 1, 5):
+            edges.append((i, j))
+    edges += [(10 + i, 11 + i) for i in range(8)]  # chain 10..18
+    edges += [(0, 1), (3, 3)]  # parallel edge + self-loop
+    for _ in range(25):  # random sparse noise
+        a, b = rng.sample(range(30, 60), 2)
+        edges.append((a, b))
+    for k in (2, 3, 4):
+        want = _seq_kcore(edges, k)
+        tbl = pa.table(
+            {
+                "doc_a": pa.array([a for a, _ in edges], pa.int64()),
+                "doc_b": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        for parts in (1, 4):
+            ds = ray.data.from_arrow(tbl).repartition(parts)
+            got = {
+                r["node"]: r["core_degree"] for r in k_core(ds, k=k).take_all()
+            }
+            assert got == want, (k, parts)
+    # the 5-clique is exactly the 4-core
+    assert set(_seq_kcore(edges, 4)) == {0, 1, 2, 3, 4}
