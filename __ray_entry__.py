@@ -4443,6 +4443,128 @@ def _q_trade_volume_pairs(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_nation_year_flows(sf_dir: str):
+    """Outbound (supplier-side) vs inbound (customer-side) revenue per
+    (nation, ship/order year) — two independent fact rollups matched
+    by a COMPOSITE-KEY hash join (joins.py ``on=[nationkey, year]``:
+    the key tuple hashes in one exchange, no synthetic concatenated
+    key). Both inputs to the join are already aggregate-sized (≤
+    |nations|·|years| rows), so the exchange is nearly free; the heavy
+    lifting is the usual per-batch cents partials."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+
+    # outbound: revenue shipped BY each nation's suppliers, by ship year
+    li = _read(
+        sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]
+    )
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    li_s = broadcast_join(
+        li.select_columns(["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"]),
+        supp,
+        key="l_suppkey",
+        build_key="s_suppkey",
+    )
+
+    def out_partial(b: pa.Table) -> pa.Table:
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "nationkey": b.column("s_nationkey"),
+                "year": pc.cast(pc.year(b.column("l_shipdate")), pa.int64()),
+                "cents": cents,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["nationkey", "year"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nationkey", "year", "cents"])
+        )
+
+    outbound = (
+        li_s.map_batches(out_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nationkey", "year"])
+        .aggregate(Sum("cents"))
+    )
+
+    def finish_out(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("nationkey"),
+                b.column("year"),
+                pc.cast(b.column("sum(cents)"), pa.int64()),
+            ],
+            names=["nationkey", "year", "out_cents"],
+        )
+
+    # inbound: revenue bought BY each nation's customers, by order year
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders_nk = hash_shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    li2 = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+    li_c = hash_shuffle_join(
+        li2,
+        orders_nk.select_columns(["o_orderkey", "o_orderdate", "c_nationkey"]),
+        on="l_orderkey",
+        right_on="o_orderkey",
+    )
+
+    def in_partial(b: pa.Table) -> pa.Table:
+        price = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table(
+            {
+                "nationkey": b.column("c_nationkey"),
+                "year": pc.cast(pc.year(b.column("o_orderdate")), pa.int64()),
+                "cents": cents,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["nationkey", "year"])
+            .aggregate([("cents", "sum")])
+            .rename_columns(["nationkey", "year", "cents"])
+        )
+
+    inbound = (
+        li_c.map_batches(in_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["nationkey", "year"])
+        .aggregate(Sum("cents"))
+    )
+
+    def finish_in(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("nationkey"),
+                b.column("year"),
+                pc.cast(b.column("sum(cents)"), pa.int64()),
+            ],
+            names=["nationkey", "year", "in_cents"],
+        )
+
+    flows = hash_shuffle_join(
+        outbound.map_batches(finish_out, batch_format="pyarrow"),
+        inbound.map_batches(finish_in, batch_format="pyarrow"),
+        on=["nationkey", "year"],
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("nationkey"), pa.int64()),
+                b.column("year"),
+                b.column("out_cents"),
+                b.column("in_cents"),
+            ],
+            names=["nationkey", "year", "out_cents", "in_cents"],
+        )
+
+    return flows.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_nation_market_share(sf_dir: str):
     """TPC-H Q8 flavor: NATION_0 suppliers' share of ALL revenue sold
     to region-0 customers, per order year.
@@ -6817,6 +6939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returnflag_priority_mix": _q_returnflag_priority_mix,
         "supplier_variety": _q_supplier_variety,
         "sole_late_suppliers": _q_sole_late_suppliers,
+        "nation_year_flows": _q_nation_year_flows,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "value_trend_by_type": _q_value_trend_by_type,
@@ -7346,6 +7469,23 @@ def oracle_sql() -> dict[str, str]:
             "WHERE l_suppkey NOT IN "
             "  (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
             "GROUP BY 1, 2, 3) GROUP BY 1, 2"
+        ),
+        "nation_year_flows": (
+            "WITH outb AS (SELECT s_nationkey AS nationkey, "
+            "CAST(year(l_shipdate) AS BIGINT) AS year, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) "
+            "  AS out_cents "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), "
+            "inb AS (SELECT c_nationkey AS nationkey, "
+            "CAST(year(o_orderdate) AS BIGINT) AS year, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) "
+            "  AS in_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2) "
+            "SELECT CAST(outb.nationkey AS BIGINT) AS nationkey, outb.year, "
+            "out_cents, in_cents "
+            "FROM outb JOIN inb ON outb.nationkey = inb.nationkey "
+            "AND outb.year = inb.year"
         ),
         "sole_late_suppliers": (
             "WITH os AS (SELECT l_orderkey AS ok, l_suppkey AS sk, "

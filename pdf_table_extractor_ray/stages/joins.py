@@ -196,13 +196,18 @@ _JOIN_TYPES = {
 def hash_shuffle_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",
-    on: str,
-    right_on: Optional[str] = None,
+    on,
+    right_on=None,
     how: str = "inner",
     num_partitions: Optional[int] = None,
 ) -> "ray.data.Dataset":
     """Large-large join: hash-partition BOTH sides on the key (one
     all-to-all exchange each) and join per partition.
+
+    ``on`` / ``right_on`` accept a single column name or a SEQUENCE of
+    names — the composite-key join (e.g. (nationkey, year)) hashes the
+    whole tuple in one exchange; never pre-concatenate key columns
+    into a synthetic string key, which doubles the shuffled bytes.
 
     The relational primitive broadcast_join can't cover: when neither
     side fits in a worker heap (fact ⋈ fact, e.g. lineitem ⋈ orders at
@@ -223,12 +228,16 @@ def hash_shuffle_join(
     _patch_join_empty_partitions()
     if num_partitions is None:
         num_partitions = max(8, int(ray.cluster_resources().get("CPU", 8)) // 4)
+    on_t = (on,) if isinstance(on, str) else tuple(on)
+    right_t = None
+    if right_on is not None:
+        right_t = (right_on,) if isinstance(right_on, str) else tuple(right_on)
     joined = left.join(
         right,
         join_type=_JOIN_TYPES[how],
         num_partitions=num_partitions,
-        on=(on,),
-        right_on=(right_on,) if right_on else None,
+        on=on_t,
+        right_on=right_t,
     )
 
     def _drop_schemaless(batch: pa.Table):

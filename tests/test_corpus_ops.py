@@ -1113,6 +1113,28 @@ def test_hash_shuffle_join(ray_session):
     assert semi.count() == 50 and "name" not in semi.schema().names
 
 
+def test_hash_shuffle_join_composite_key(ray_session):
+    """Multi-column join keys hash as a tuple in one exchange; matches
+    require BOTH columns equal, and differing right-key names map
+    positionally."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    left = ray.data.from_items(
+        [{"a": i % 4, "b": i % 3, "v": i} for i in range(60)]
+    )
+    right = ray.data.from_items(
+        [{"ra": a, "rb": b, "tag": f"{a}-{b}"} for a in range(4) for b in range(2)]
+    )
+    out = hash_shuffle_join(
+        left, right, on=["a", "b"], right_on=["ra", "rb"], num_partitions=4
+    ).take_all()
+    want = [r for r in range(60) if r % 3 < 2]
+    assert sorted(r["v"] for r in out) == want
+    assert all(r["tag"] == f"{r['a']}-{r['b']}" for r in out)
+
+
 def test_near_dedup_keep_ids(docs_with_dups):
     from pdf_table_extractor_ray.stages.dedup import near_dedup_keep_ids
 
