@@ -3064,6 +3064,68 @@ def _q_rolling_active_users(sf_dir: str):
     return sliding_window_distinct(_read(sf_dir, "events", ["ts", "user_id"]))
 
 
+def _q_windowed_late_split(sf_dir: str):
+    """Streaming-window semantics end-to-end: watermark/late tagging
+    (late_events' arrival model) FEEDING a tumbling 1-hour event-time
+    window that counts on-time vs late arrivals per window — the
+    on-time-pane / late-side-output split a streaming engine's
+    allowed-lateness trigger produces. One bucket shuffle for the
+    tagging, slim (window, on_time, late) partials, one window
+    groupby."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.sessions import tag_late_events
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+    def add_arrival(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        arr = ((eid % 65536) * 2654435761) % 4294967296
+        return b.append_column("arrival", pa.array(arr, pa.int64()))
+
+    tagged = tag_late_events(
+        ds.map_batches(add_arrival, batch_format="pyarrow", zero_copy_batch=True),
+        arrival_col="arrival",
+        emit_ts=True,
+    )
+
+    W = 3_600_000_000
+
+    def partial(b: pa.Table) -> pa.Table:
+        ts = b.column("ts_us").to_numpy(zero_copy_only=False)
+        late = b.column("is_late").to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                "window_start_us": (ts // W) * W,
+                "on_time": 1 - late,
+                "late": late,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["window_start_us"])
+            .aggregate([("on_time", "sum"), ("late", "sum")])
+            .rename_columns(["window_start_us", "on_time", "late"])
+        )
+
+    agg = (
+        tagged.map_batches(partial, batch_format="pyarrow")
+        .groupby("window_start_us")
+        .aggregate(Sum("on_time"), Sum("late"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                b.column("window_start_us"),
+                pc.cast(b.column("sum(on_time)"), pa.int64()),
+                pc.cast(b.column("sum(late)"), pa.int64()),
+            ],
+            names=["window_start_us", "n_on_time", "n_late"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_window_active_users_approx(sf_dir: str):
     """HLL variant of window_active_users — the sketch path when
     per-window user cardinality makes even the (window,user) pair
@@ -6940,6 +7002,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_variety": _q_supplier_variety,
         "sole_late_suppliers": _q_sole_late_suppliers,
         "nation_year_flows": _q_nation_year_flows,
+        "windowed_late_split": _q_windowed_late_split,
         "dormant_rich_customers": _q_dormant_rich_customers,
         "hybrid_search_rrf": _q_hybrid_search_rrf,
         "value_trend_by_type": _q_value_trend_by_type,
@@ -7138,6 +7201,18 @@ def oracle_sql() -> dict[str, str]:
         "doc_length_pct_rank": (
             "SELECT doc_id, n_chars, "
             "percent_rank() OVER (ORDER BY n_chars) AS pct_rank FROM documents"
+        ),
+        "windowed_late_split": (
+            "WITH t AS (SELECT event_id, user_id, ts, "
+            "((event_id % 65536) * 2654435761) % 4294967296 AS arrival FROM events), "
+            "tagged AS (SELECT ts, "
+            "CAST(COALESCE(ts < max(ts) OVER (PARTITION BY user_id ORDER BY arrival, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "- INTERVAL 30 MINUTE, FALSE) AS BIGINT) AS is_late FROM t) "
+            "SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us, "
+            "CAST(sum(1 - is_late) AS BIGINT) AS n_on_time, "
+            "CAST(sum(is_late) AS BIGINT) AS n_late "
+            "FROM tagged GROUP BY 1"
         ),
         "value_comoments_by_type": (
             "WITH t AS (SELECT event_type, "

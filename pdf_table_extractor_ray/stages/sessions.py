@@ -103,6 +103,7 @@ def tag_late_events(
     lateness_us: int = 30 * 60 * 1_000_000,
     n_buckets: int = 64,
     arrival_col: str | None = None,
+    emit_ts: bool = False,
 ) -> "ray.data.Dataset":
     """Watermark / late-data tagging — the streaming-engine semantics
     replayed over a batch table: events arrive per user in
@@ -123,7 +124,8 @@ def tag_late_events(
     sequence; ``order_col`` breaks its ties and labels the output.
 
     Output: (order_col, user_col, is_late ∈ {0,1}; first event per
-    user is never late).
+    user is never late); ``emit_ts=True`` appends the event-time as
+    ``ts_us`` so a window operator can consume the tags directly.
     """
     import pyarrow.compute as pc
 
@@ -165,14 +167,16 @@ def tag_late_events(
         wm[1:] = cummax[:-1] - rank[1:] * span + t0 - 1
         wm[0] = 0
         is_late = (~first) & (st < wm - np.int64(lateness_us))
-        return pa.Table.from_arrays(
-            [
-                pa.array(se.astype(np.int64)),
-                pa.array(su.astype(np.int64)),
-                pa.array(is_late.astype(np.int64)),
-            ],
-            names=[order_col, user_col, "is_late"],
-        )
+        cols = [
+            pa.array(se.astype(np.int64)),
+            pa.array(su.astype(np.int64)),
+            pa.array(is_late.astype(np.int64)),
+        ]
+        names = [order_col, user_col, "is_late"]
+        if emit_ts:
+            cols.append(pa.array(st))
+            names.append("ts_us")
+        return pa.Table.from_arrays(cols, names=names)
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
