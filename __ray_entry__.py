@@ -3163,6 +3163,21 @@ def _q_cdc_dup_stats(sf_dir: str):
     return cdc_dup_stats(read_pages(pages, columns=("url", "html")))
 
 
+def _q_page_metadata(sf_dir: str):
+    """Crawl-index head fields per HTML page — title, meta
+    description, canonical url (relative hrefs resolved), robots
+    noindex/nofollow directives, og:title, html lang: one compiled-
+    regex map pass with charset-sniffed decode, zero shuffle; non-HTML
+    payloads contribute zero rows in-band. Rows-only (the fixture
+    corpus isn't a SQL view); handcrafted-HTML + attr-order-invariance
+    oracles in pytest."""
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.stages.links import extract_page_metadata
+
+    pages = _fixture_pages(sf_dir)
+    return extract_page_metadata(read_pages(pages, columns=("url", "html")))
+
+
 def _q_extract_outlinks(sf_dir: str):
     """Outlink/anchor extraction over the crawl corpus: one compiled-
     regex map pass, zero shuffle; non-HTML payloads (PDF magic,
@@ -4204,6 +4219,141 @@ def _q_new_users_daily(sf_dir: str):
     # bounded: one row per active day — single-block cumulative pass
     return per_day.repartition(1).map_batches(
         running, batch_format="pyarrow", batch_size=None
+    )
+
+
+def _daily_order_cents(sf_dir: str):
+    """Shared day-axis rollup: total order value (integer cents) per
+    epoch-µs day — per-batch np.add.at combiner, one day-keyed
+    groupby-Sum. The output is bounded by the calendar span (~2,400
+    rows at any scale), so downstream consumers may fan out or
+    materialize it under the bounded-cardinality contract."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def combiner(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // _DAY_US) * _DAY_US
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        part = np.zeros(len(ud), np.int64)
+        np.add.at(part, inv, cents)
+        return pa.table(
+            {"day_us": pa.array(ud, pa.int64()), "part": pa.array(part, pa.int64())}
+        )
+
+    return (
+        ds.map_batches(combiner, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("part"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "day_us": b.column("day_us"),
+                    "cents": pc.cast(b.column("sum(part)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def _q_trailing_7d_revenue(sf_dir: str):
+    """Trailing 7-day revenue per populated day — the RANGE-window sum
+    (day-6 .. day) every dashboard needs, WITHOUT the window sort: the
+    bounded daily rollup fans each day's total out to the ≤7 anchor
+    days it serves (a 0-cents sentinel marks the day itself as real),
+    one more day-keyed groupby folds the window, and anchors past the
+    data's edge — fan-out targets that are not populated days — are
+    dropped by the sentinel (real == 0), matching the join oracle's
+    d1-anchored semantics. Row traffic after the first rollup is ≤7×
+    the day count, independent of the order count."""
+    from ray.data.aggregate import Sum
+
+    daily = _daily_order_cents(sf_dir)
+
+    def fan_out(b: pa.Table) -> pa.Table:
+        day = b.column("day_us").to_numpy(zero_copy_only=False)
+        cents = b.column("cents").to_numpy(zero_copy_only=False)
+        n = len(day)
+        offs = np.arange(7, dtype=np.int64) * _DAY_US
+        anchor = (day[:, None] + offs[None, :]).ravel()
+        val = np.repeat(cents, 7)
+        real = np.zeros(n * 7, np.int64)
+        real[::7] = 1  # offset 0 == the day itself: marks it populated
+        return pa.table(
+            {
+                "day_us": pa.array(anchor, pa.int64()),
+                "cents": pa.array(val, pa.int64()),
+                "real": pa.array(real, pa.int64()),
+            }
+        )
+
+    folded = (
+        daily.map_batches(fan_out, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("cents"), Sum("real"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "day_us": b.column("day_us"),
+                "trail7_cents": pc.cast(b.column("sum(cents)"), pa.int64()),
+                "real": pc.cast(b.column("sum(real)"), pa.int64()),
+            }
+        )
+        return t.filter(pc.greater(t.column("real"), 0)).select(
+            ["day_us", "trail7_cents"]
+        )
+
+    return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def _q_revenue_autocorr(sf_dir: str):
+    """Lag-1 Pearson autocorrelation of the daily revenue series —
+    the is-today-predicted-by-yesterday signal over calendar-adjacent
+    populated days. The pair axis is the bounded daily rollup
+    (bounded-cardinality contract), so the lag match + co-moments run
+    on the driver in arbitrary-precision Python ints (daily cents² ×
+    days overflows int64 — exactly why this is NOT a Sum-of-int64
+    shuffle); one float64 rounding per term mirrors the oracle's
+    CAST-AS-DOUBLE/sqrt ops bit-for-bit."""
+    import math
+
+    rows = _daily_order_cents(sf_dir).take_all()
+    day = np.array([r["day_us"] for r in rows], np.int64)
+    cents = np.array([r["cents"] for r in rows], np.int64)
+    order = np.argsort(day)
+    day, cents = day[order], cents[order]
+    # pairs (x=day d, y=day d+1) where both calendar days are populated
+    nxt = np.searchsorted(day, day + _DAY_US)
+    ok = (nxt < len(day)) & (day[np.minimum(nxt, len(day) - 1)] == day + _DAY_US)
+    x = cents[ok]
+    y = cents[np.minimum(nxt, len(day) - 1)[ok]]
+    n = int(len(x))
+    if n == 0:
+        corr = float("nan")
+    else:
+        xi = [int(v) for v in x]
+        yi = [int(v) for v in y]
+        sx, sy = sum(xi), sum(yi)
+        sxy = sum(a * b for a, b in zip(xi, yi))
+        sxx = sum(a * a for a in xi)
+        syy = sum(b * b for b in yi)
+        num = n * sxy - sx * sy
+        da, db = n * sxx - sx * sx, n * syy - sy * sy
+        corr = (
+            float(num) / math.sqrt(float(da) * float(db))
+            if da > 0 and db > 0
+            else float("nan")
+        )
+    return pa.table(
+        {
+            "n_pairs": pa.array([n], pa.int64()),
+            "lag1_corr": pa.array([corr], pa.float64()),
+        }
     )
 
 
@@ -7076,6 +7226,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "full_priority_customers": _q_full_priority_customers,
         "churned_users_dod": _q_churned_users_dod,
         "new_users_daily": _q_new_users_daily,
+        "trailing_7d_revenue": _q_trailing_7d_revenue,
+        "revenue_autocorr": _q_revenue_autocorr,
         "value_weighted_median": _q_value_weighted_median,
         "price_wmedian_by_flag": _q_price_wmedian_by_flag,
         "top_supplier_window": _q_top_supplier_window,
@@ -7137,6 +7289,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen_bloom": _q_contamination_screen_bloom,
         "cdc_dup_stats": _q_cdc_dup_stats,
         "extract_outlinks": _q_extract_outlinks,
+        "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,
         "extract_records": _q_extract_records,
@@ -8195,6 +8348,32 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT day, CAST(count(*) AS BIGINT) AS n_new FROM f GROUP BY 1) "
             "SELECT day, n_new, CAST(sum(n_new) OVER (ORDER BY day) AS BIGINT) "
             "AS cum_users FROM d"
+        ),
+        "trailing_7d_revenue": (
+            "WITH daily AS (SELECT (epoch_us(o_orderdate) // 86400000000) "
+            "* 86400000000 AS day_us, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1) "
+            "SELECT d1.day_us AS day_us, CAST(sum(d2.cents) AS BIGINT) "
+            "AS trail7_cents FROM daily d1 JOIN daily d2 "
+            "ON d2.day_us BETWEEN d1.day_us - 6 * 86400000000 AND d1.day_us "
+            "GROUP BY 1"
+        ),
+        "revenue_autocorr": (
+            "WITH daily AS (SELECT (epoch_us(o_orderdate) // 86400000000) "
+            "* 86400000000 AS day_us, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1), "
+            "p AS (SELECT CAST(a.cents AS HUGEINT) AS x, "
+            "CAST(b.cents AS HUGEINT) AS y FROM daily a JOIN daily b "
+            "ON b.day_us = a.day_us + 86400000000) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_pairs, "
+            "CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) / "
+            "sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE) * "
+            "CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)) "
+            "AS lag1_corr FROM p"
         ),
         "value_weighted_median": (
             "WITH t AS (SELECT l_extendedprice AS v, "

@@ -226,3 +226,149 @@ def url_dup_groups(
         return t.filter(pc.greater(t.column("n_variants"), 1))
 
     return counted.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# Page metadata extraction — the crawl-index head fields
+# ---------------------------------------------------------------------------
+
+_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.I | re.S)
+_META_RE = re.compile(r"<meta\b[^>]*>", re.I)
+_LINK_TAG_RE = re.compile(r"<link\b[^>]*>", re.I)
+_HTML_LANG_RE = re.compile(
+    r"<html\b[^>]*?\blang\s*=\s*(?:\"([^\"]*)\"|'([^']*)')", re.I
+)
+_ATTR_RE = re.compile(
+    r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s\"'>]+))"
+)
+_WS_STR_RE = re.compile(r"\s+")
+
+# the 5 predefined XML entities only — full HTML5 entity tables are a
+# declared non-goal (the fixture corpus never emits them; real crawls
+# would route through a proper DOM in the WarmParser actor)
+_ENTITIES = (("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"))
+
+
+def _unescape_basic(s: str) -> str:
+    for k, v in _ENTITIES:
+        if k in s:
+            s = s.replace(k, v)
+    return s
+
+
+def _attrs(tag: str) -> dict:
+    """Lowercased attr dict of one tag — attribute ORDER must never
+    matter (real-world meta tags put name/content in either order)."""
+    out = {}
+    for m in _ATTR_RE.finditer(tag):
+        key = m.group(1).lower()
+        if key not in out:
+            out[key] = m.group(2) or m.group(3) or m.group(4) or ""
+    return out
+
+
+def extract_page_metadata(
+    ds: "ray.data.Dataset",
+    html_col: str = "html",
+    url_col: str = "url",
+) -> "ray.data.Dataset":
+    """One row per HTML page with the crawl-index head fields:
+
+    (url, title, meta_description, canonical_url, og_title,
+    robots_noindex, robots_nofollow, html_lang, n_meta_tags)
+
+    Semantics (first-wins, matching what crawl indexers keep):
+    - ``title``: first ``<title>`` body, whitespace-collapsed, basic
+      XML entities unescaped; '' when absent.
+    - ``meta_description`` / ``og_title``: first ``<meta>`` whose
+      ``name``/``property`` matches (case-insensitive, attr order
+      irrelevant); '' when absent.
+    - ``canonical_url``: first ``<link rel=canonical href>``; relative
+      hrefs resolve against the page url (rel may be a space-separated
+      token list).
+    - ``robots_noindex`` / ``robots_nofollow``: token present in the
+      comma-split content of the first ``<meta name=robots>``.
+    - payload decode is charset-sniffed (``functions/charset.py``) so
+      latin-1 / BOM'd pages index without U+FFFD damage.
+
+    Scale shape: pure map — one compiled-regex pass per document in
+    ``map_batches``, zero shuffle; non-HTML payloads (PDF magic,
+    binary) contribute zero rows in-band, same contract as
+    ``extract_outlinks``.
+    """
+    from urllib.parse import urljoin
+
+    from pdf_table_extractor_ray.functions.charset import decode_html
+
+    def per_batch(batch: pa.Table) -> pa.Table:
+        urls = batch.column(url_col).to_pylist()
+        payloads = batch.column(html_col).to_pylist()
+        cols = {
+            "url": [],
+            "title": [],
+            "meta_description": [],
+            "canonical_url": [],
+            "og_title": [],
+            "robots_noindex": [],
+            "robots_nofollow": [],
+            "html_lang": [],
+            "n_meta_tags": [],
+        }
+        for url, payload in zip(urls, payloads):
+            if payload is None or url is None:
+                continue
+            raw = payload.encode("utf-8", "replace") if isinstance(payload, str) else bytes(payload)
+            if not _looks_like_html(raw):
+                continue
+            text = decode_html(raw)
+            tm = _TITLE_RE.search(text)
+            title = _unescape_basic(_WS_STR_RE.sub(" ", tm.group(1)).strip()) if tm else ""
+            desc = og_title = robots = None
+            metas = _META_RE.findall(text)
+            for tag in metas:
+                a = _attrs(tag)
+                name = a.get("name", "").lower()
+                prop = a.get("property", "").lower()
+                if desc is None and name == "description":
+                    desc = a.get("content", "")
+                elif og_title is None and prop == "og:title":
+                    og_title = a.get("content", "")
+                elif robots is None and name == "robots":
+                    robots = a.get("content", "")
+                if desc is not None and og_title is not None and robots is not None:
+                    break
+            canonical = ""
+            for tag in _LINK_TAG_RE.finditer(text):
+                a = _attrs(tag.group(0))
+                rel = a.get("rel", "").lower().split()
+                if "canonical" in rel and a.get("href"):
+                    canonical = urljoin(url, a["href"])
+                    break
+            robots_tokens = (
+                {t.strip().lower() for t in robots.split(",")} if robots else set()
+            )
+            lm = _HTML_LANG_RE.search(text)
+            cols["url"].append(url)
+            cols["title"].append(title)
+            cols["meta_description"].append(_unescape_basic(desc or ""))
+            cols["canonical_url"].append(canonical)
+            cols["og_title"].append(_unescape_basic(og_title or ""))
+            cols["robots_noindex"].append("noindex" in robots_tokens)
+            cols["robots_nofollow"].append("nofollow" in robots_tokens)
+            cols["html_lang"].append((lm.group(1) or lm.group(2)) if lm else "")
+            cols["n_meta_tags"].append(len(metas))
+        return pa.table(
+            {
+                "url": pa.array(cols["url"], pa.string()),
+                "title": pa.array(cols["title"], pa.string()),
+                "meta_description": pa.array(cols["meta_description"], pa.string()),
+                "canonical_url": pa.array(cols["canonical_url"], pa.string()),
+                "og_title": pa.array(cols["og_title"], pa.string()),
+                "robots_noindex": pa.array(cols["robots_noindex"], pa.bool_()),
+                "robots_nofollow": pa.array(cols["robots_nofollow"], pa.bool_()),
+                "html_lang": pa.array(cols["html_lang"], pa.string()),
+                "n_meta_tags": pa.array(cols["n_meta_tags"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

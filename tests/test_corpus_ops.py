@@ -3257,3 +3257,58 @@ def test_collect_ranked_brute_force(ray_session):
         ("a", "y,x,z", 3),  # 9 first; tie 2-2 broken by value asc
         ("b", "p,q", 2),  # tie broken by value asc
     ]
+
+
+def test_extract_page_metadata(ray_session):
+    """Crawl-index head fields: first-wins semantics, attribute-order
+    invariance, relative canonical resolution, robots token split,
+    charset-sniffed decode, non-HTML payloads skipped in-band."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.links import extract_page_metadata
+
+    html1 = (
+        b"<html lang='pt-BR'><head>"
+        b"<title>  First \n Title &amp; Co </title>"
+        b"<title>second ignored</title>"
+        b'<meta content="Desc one" name="DESCRIPTION">'
+        b'<meta name="description" content="desc two ignored">'
+        b"<meta property='og:title' content='OG &quot;T&quot;'>"
+        b'<meta name="robots" content=" NOINDEX , follow ">'
+        b'<link rel="alternate canonical" href="/canon/page">'
+        b'<link rel="canonical" href="https://late.test/x">'
+        b"</head><body>hi</body></html>"
+    )
+    # latin-1 payload with meta charset: title must decode without U+FFFD
+    html2 = (
+        '<html><head><meta charset="iso-8859-1">'
+        "<title>Ação</title></head></html>"
+    ).encode("iso-8859-1")
+    html3 = b"<p>bare page: no head fields at all</p>"
+    rows = [
+        {"url": "https://a.test/dir/p", "html": html1},
+        {"url": "https://b.test/q", "html": html2},
+        {"url": "https://c.test/r", "html": html3},
+        {"url": "https://d.test/pdf", "html": b"%PDF-1.4 binary"},
+        {"url": "https://e.test/none", "html": None},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    got = {r["url"]: r for r in extract_page_metadata(ds).take_all()}
+    assert sorted(got) == ["https://a.test/dir/p", "https://b.test/q", "https://c.test/r"]
+
+    a = got["https://a.test/dir/p"]
+    assert a["title"] == "First Title & Co"  # first wins, ws-collapsed, entity
+    assert a["meta_description"] == "Desc one"  # attr order + case invariant
+    assert a["og_title"] == 'OG "T"'
+    assert a["canonical_url"] == "https://a.test/canon/page"  # rel token list + relative resolve
+    assert a["robots_noindex"] is True and a["robots_nofollow"] is False
+    assert a["html_lang"] == "pt-BR"
+    assert a["n_meta_tags"] == 4
+
+    b = got["https://b.test/q"]
+    assert b["title"] == "Ação"  # charset-sniffed, no U+FFFD
+    assert b["canonical_url"] == "" and b["meta_description"] == ""
+
+    c = got["https://c.test/r"]
+    assert c["title"] == "" and c["html_lang"] == "" and c["n_meta_tags"] == 0
+    assert c["robots_noindex"] is False
