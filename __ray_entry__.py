@@ -4357,6 +4357,83 @@ def _q_revenue_autocorr(sf_dir: str):
     )
 
 
+def _q_weekday_revenue(sf_dir: str):
+    """Day-of-week seasonality profile: total order value and populated
+    day count per weekday (0 = Thursday epoch anchor shifted so
+    0 = Monday via the +4 offset). Folds the shared bounded daily
+    rollup — 7 output rows; the only full-data pass is the daily cents
+    combiner."""
+    from ray.data.aggregate import Count, Sum
+
+    daily = _daily_order_cents(sf_dir)
+
+    def weekday(b: pa.Table) -> pa.Table:
+        day = b.column("day_us").to_numpy(zero_copy_only=False) // _DAY_US
+        return pa.table(
+            {
+                "weekday": pa.array((day + 4) % 7, pa.int64()),
+                "cents": b.column("cents"),
+            }
+        )
+
+    agg = (
+        daily.map_batches(weekday, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("weekday")
+        .aggregate(Sum("cents"), Count())
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "weekday": b.column("weekday"),
+                "rev_cents": pc.cast(b.column("sum(cents)"), pa.int64()),
+                "n_days": pc.cast(b.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_dup_cluster_sizes(sf_dir: str):
+    """Cluster-size histogram of the connected-components output —
+    the dedup REPORT every corpus-prep run ends with (how much mass
+    sits in pairs vs giant near-dup families). Two slim groupbys on
+    top of the CC fixed point: per-root member count, then per-size
+    cluster count; verifies component SIZES end-to-end against the
+    window oracle, complementing dup_clusters' membership check."""
+    from ray.data.aggregate import Count
+
+    cc = _q_dup_clusters(sf_dir)  # (node, root), multi-member clusters only
+    sizes = cc.groupby("root").aggregate(Count())
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({"cluster_size": pc.cast(b.column("count()"), pa.int64())})
+
+    hist = (
+        sizes.map_batches(rename, batch_format="pyarrow")
+        .groupby("cluster_size")
+        .aggregate(Count())
+    )
+    return hist.map_batches(
+        lambda b: pa.table(
+            {
+                "cluster_size": b.column("cluster_size"),
+                "n_clusters": pc.cast(b.column("count()"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _q_term_contexts(sf_dir: str):
+    """KWIC concordance for the term 'data': occurrence count + first
+    ±30-char context window per matching doc — one RE2 extraction on
+    both oracle sides (stages/search.py term_contexts)."""
+    from pdf_table_extractor_ray.stages.search import term_contexts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return term_contexts(ds, "data")
+
+
 def _q_value_weighted_median(sf_dir: str):
     """EXACT quantity-weighted median of l_extendedprice (the
     importance-weighted percentile primitive: each row counts with its
@@ -7228,6 +7305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "new_users_daily": _q_new_users_daily,
         "trailing_7d_revenue": _q_trailing_7d_revenue,
         "revenue_autocorr": _q_revenue_autocorr,
+        "weekday_revenue": _q_weekday_revenue,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
+        "term_contexts": _q_term_contexts,
         "value_weighted_median": _q_value_weighted_median,
         "price_wmedian_by_flag": _q_price_wmedian_by_flag,
         "top_supplier_window": _q_top_supplier_window,
@@ -8374,6 +8454,29 @@ def oracle_sql() -> dict[str, str]:
             "sqrt(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE) * "
             "CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE)) "
             "AS lag1_corr FROM p"
+        ),
+        "weekday_revenue": (
+            "WITH daily AS (SELECT epoch_us(o_orderdate) // 86400000000 AS day, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1) "
+            "SELECT CAST((day + 4) % 7 AS BIGINT) AS weekday, "
+            "CAST(sum(cents) AS BIGINT) AS rev_cents, "
+            "CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1"
+        ),
+        "dup_cluster_sizes": (
+            "WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS sz "
+            "FROM orders GROUP BY 1 HAVING count(*) > 1) "
+            "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
+            "FROM c GROUP BY 1"
+        ),
+        "term_contexts": (
+            "SELECT doc_id, "
+            "CAST((length(text) - length(replace(text, 'data', ''))) / 4 "
+            "AS BIGINT) AS n_occ, "
+            "regexp_extract(text, '.{0,30}data.{0,30}') AS context "
+            "FROM documents WHERE text IS NOT NULL "
+            "AND contains(text, 'data')"
         ),
         "value_weighted_median": (
             "WITH t AS (SELECT l_extendedprice AS v, "

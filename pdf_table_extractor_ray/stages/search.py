@@ -533,3 +533,58 @@ def docs_with_all_terms(
         return pa.table(out)
 
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def term_contexts(
+    ds: "ray.data.Dataset",
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 30,
+) -> "ray.data.Dataset":
+    """KWIC (keyword-in-context) concordance: for every document that
+    contains ``term``, its occurrence count and the first context
+    window (``≤width`` chars either side of the first hit).
+
+    Parity design: the context is produced by ONE RE2 extraction —
+    ``.{0,width}term.{0,width}`` — on BOTH sides of the oracle
+    (DuckDB's ``regexp_extract`` is RE2 too, the ``sentence_stats``
+    convention), so greedy/leftmost and byte-vs-char subtleties cancel
+    by construction instead of being re-implemented. The occurrence
+    count is Arrow ``count_substring`` vs the oracle's replace-length
+    formula — identical for any term with no proper border (a
+    self-overlap-free term like ``data``); callers passing a
+    self-overlapping term (e.g. ``aa``) void the oracle, not the
+    kernel.
+
+    Scale shape: pure map — three vectorized kernels per batch
+    (count_substring, filter, extract_regex), zero shuffle, no
+    per-token or per-doc Python.
+    """
+    import re as _re
+
+    pattern = (
+        f"(?P<context>.{{0,{width}}}{_re.escape(term)}.{{0,{width}}})"
+    )
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        text = b.column(text_col)
+        n_occ = pc.count_substring(text, term)
+        keep = pc.greater(pc.fill_null(n_occ, 0), 0)
+        t = pa.table(
+            {
+                id_col: b.column(id_col),
+                "n_occ": pc.cast(n_occ, pa.int64()),
+                "_text": text,
+            }
+        ).filter(keep)
+        ctx = pc.struct_field(pc.extract_regex(t.column("_text"), pattern), "context")
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "n_occ": t.column("n_occ"),
+                "context": ctx,
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)

@@ -3312,3 +3312,29 @@ def test_extract_page_metadata(ray_session):
     c = got["https://c.test/r"]
     assert c["title"] == "" and c["html_lang"] == "" and c["n_meta_tags"] == 0
     assert c["robots_noindex"] is False
+
+
+def test_term_contexts_kwic(ray_session):
+    """KWIC windows: width clamp at both string edges, first-hit
+    window when the term recurs, exact occurrence counts, non-matching
+    and null docs absent."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.search import term_contexts
+
+    rows = [
+        {"doc_id": 1, "text": "data at the very start of this document body"},
+        {"doc_id": 2, "text": "x" * 50 + " data " + "y" * 50},
+        {"doc_id": 3, "text": "a data b data c data d"},
+        {"doc_id": 4, "text": "nothing to see here"},
+        {"doc_id": 5, "text": None},
+        {"doc_id": 6, "text": "tail hit ends with data"},
+    ]
+    ds = ray.data.from_items(rows).repartition(2)
+    got = {r["doc_id"]: r for r in term_contexts(ds, "data", width=5).take_all()}
+    assert sorted(got) == [1, 2, 3, 6]
+    assert got[1]["n_occ"] == 1 and got[1]["context"] == "data at t"
+    assert got[2]["n_occ"] == 1 and got[2]["context"] == "xxxx data yyyy"
+    # greedy leftmost RE2 window anchored at the FIRST occurrence
+    assert got[3]["n_occ"] == 3 and got[3]["context"] == "a data b da"
+    assert got[6]["n_occ"] == 1 and got[6]["context"] == "with data"
