@@ -4424,6 +4424,75 @@ def _q_dup_cluster_sizes(sf_dir: str):
     )
 
 
+def _daily_rollup_spec():
+    """Shared RollupSpec: per epoch-µs day, order revenue (integer
+    cents) and order count — additive measures only, the retraction
+    contract of pipelines/incremental.py."""
+    from pdf_table_extractor_ray.pipelines.incremental import RollupSpec
+
+    def combine(b: pa.Table) -> pa.Table:
+        ts = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        day = (ts // _DAY_US) * _DAY_US
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        rev = np.zeros(len(ud), np.int64)
+        np.add.at(rev, inv, cents)
+        n = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        return pa.table(
+            {
+                "day_us": pa.array(ud, pa.int64()),
+                "rev_cents": pa.array(rev, pa.int64()),
+                "n_orders": pa.array(n, pa.int64()),
+            }
+        )
+
+    return RollupSpec(keys=("day_us",), measures=("rev_cents", "n_orders"), combine=combine)
+
+
+def _q_incremental_daily_rollup(sf_dir: str):
+    """Incremental materialized-rollup maintenance end-to-end: the
+    orders table arrives as 4 hash shards folded one update at a time
+    into a generation-atomic store (pipelines/incremental.py) — each
+    update reads ONLY its new shard, retractions ready for changed
+    shards, snapshot merge unions rollup-sized inputs only. The final
+    snapshot must equal the one-shot SQL rollup (hash-verified), the
+    incremental-view-maintenance invariant."""
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pdf_table_extractor_ray.pipelines.incremental import update_rollup
+
+    spec = _daily_rollup_spec()
+
+    # mint 4 deterministic ingestion shards of orders (cached per sf)
+    shard_dir = os.path.join(
+        "/tmp/pdfx_incremental", f"{_sf_name(sf_dir)}_orders4"
+    )
+    marker = os.path.join(shard_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderdate", "o_totalprice"]
+        )
+        key = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        for pid in range(4):
+            pq.write_table(
+                t.filter(pa.array(key % 4 == pid)),
+                os.path.join(shard_dir, f"shard-{pid}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    store = tempfile.mkdtemp(prefix="rollup_store_", dir="/tmp")
+    snap = None
+    shards = {}
+    for pid in range(4):  # one arriving shard per update
+        shards[str(pid)] = os.path.join(shard_dir, f"shard-{pid}.parquet")
+        snap = update_rollup(store, spec, dict(shards))
+    return snap
+
+
 def _q_term_contexts(sf_dir: str):
     """KWIC concordance for the term 'data': occurrence count + first
     ±30-char context window per matching doc — one RE2 extraction on
@@ -7308,6 +7377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekday_revenue": _q_weekday_revenue,
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "term_contexts": _q_term_contexts,
+        "incremental_daily_rollup": _q_incremental_daily_rollup,
         "value_weighted_median": _q_value_weighted_median,
         "price_wmedian_by_flag": _q_price_wmedian_by_flag,
         "top_supplier_window": _q_top_supplier_window,
@@ -8469,6 +8539,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1 HAVING count(*) > 1) "
             "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
             "FROM c GROUP BY 1"
+        ),
+        "incremental_daily_rollup": (
+            "SELECT (epoch_us(o_orderdate) // 86400000000) * 86400000000 AS day_us, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS rev_cents, CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1"
         ),
         "term_contexts": (
             "SELECT doc_id, "
