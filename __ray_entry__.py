@@ -4493,6 +4493,85 @@ def _q_incremental_daily_rollup(sf_dir: str):
     return snap
 
 
+def _q_zone_pruned_revenue(sf_dir: str):
+    """Zone-map data skipping end-to-end: orders re-laid-out as 16
+    date-CLUSTERED parquet files (minted once per sf), a one-year (1997) band
+    scan prunes non-intersecting files from footer metadata alone
+    (stages/zonemap.py), and the monthly revenue rollup over the
+    survivors must hash-match the SQL band filter over the original
+    table — pruning is I/O-only, never semantics. The query asserts
+    its PruneCertificate actually skipped files (the clustered layout
+    guarantees it); the unclustered/conservative paths are pytest-
+    covered."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.zonemap import pruned_read
+
+    shard_dir = os.path.join("/tmp/pdfx_zonemap", f"{_sf_name(sf_dir)}_orders16")
+    marker = os.path.join(shard_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+        ).sort_by("o_orderdate")
+        n = t.num_rows
+        for i in range(16):
+            pq.write_table(
+                t.slice(i * n // 16, (i + 1) * n // 16 - i * n // 16),
+                os.path.join(shard_dir, f"part-{i:02d}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = [
+        os.path.join(shard_dir, p)
+        for p in os.listdir(shard_dir)
+        if p.endswith(".parquet")
+    ]
+
+    lo = datetime.datetime(1997, 1, 1)
+    hi = datetime.datetime(1998, 1, 1) - datetime.timedelta(microseconds=1)
+    ds, cert = pruned_read(
+        paths, "o_orderdate", lo, hi, columns=["o_orderdate", "o_totalprice"]
+    )
+    if cert.files_read >= cert.files_total:
+        raise AssertionError(
+            f"clustered layout failed to prune: {cert}"
+        )
+
+    def monthly(b: pa.Table) -> pa.Table:
+        d = b.column("o_orderdate")
+        ym = pc.add(
+            pc.multiply(pc.cast(pc.year(d), pa.int64()), 100),
+            pc.cast(pc.month(d), pa.int64()),
+        ).to_numpy(zero_copy_only=False)
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        uk, inv = np.unique(ym, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table(
+            {"ym": pa.array(uk, pa.int64()), "part": pa.array(s, pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(monthly, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("ym")
+        .aggregate(Sum("part"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "ym": b.column("ym"),
+                "rev_cents": pc.cast(b.column("sum(part)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_term_contexts(sf_dir: str):
     """KWIC concordance for the term 'data': occurrence count + first
     ±30-char context window per matching doc — one RE2 extraction on
@@ -7378,6 +7457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_sizes": _q_dup_cluster_sizes,
         "term_contexts": _q_term_contexts,
         "incremental_daily_rollup": _q_incremental_daily_rollup,
+        "zone_pruned_revenue": _q_zone_pruned_revenue,
         "value_weighted_median": _q_value_weighted_median,
         "price_wmedian_by_flag": _q_price_wmedian_by_flag,
         "top_supplier_window": _q_top_supplier_window,
@@ -8539,6 +8619,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1 HAVING count(*) > 1) "
             "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
             "FROM c GROUP BY 1"
+        ),
+        "zone_pruned_revenue": (
+            "SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) "
+            "AS ym, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS rev_cents FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' GROUP BY 1"
         ),
         "incremental_daily_rollup": (
             "SELECT (epoch_us(o_orderdate) // 86400000000) * 86400000000 AS day_us, "

@@ -1,0 +1,68 @@
+"""Zone-map file pruning (stages/zonemap.py): clustered layouts skip
+files, unclustered layouts stay correct, stats-less files are read
+conservatively, empty bands keep the schema."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdf_table_extractor_ray.stages.zonemap import build_zone_map, pruned_read
+
+
+def _write(path, vals, stats=True):
+    pq.write_table(
+        pa.table({"v": pa.array(vals, pa.int64()), "tag": pa.array([os.path.basename(path)] * len(vals))}),
+        path,
+        write_statistics=stats,
+    )
+    return path
+
+
+def test_clustered_layout_prunes(ray_session, tmp_path):
+    paths = [
+        _write(str(tmp_path / f"f{i}.parquet"), list(range(i * 100, i * 100 + 100)))
+        for i in range(8)
+    ]
+    zmap = build_zone_map(paths, "v")
+    assert [z["min"] for z in zmap] == [i * 100 for i in range(8)]
+    assert all(z["rows"] == 100 for z in zmap)
+
+    ds, cert = pruned_read(paths, "v", 150, 320)
+    assert cert.files_total == 8 and cert.files_read == 3  # f1, f2, f3
+    got = sorted(r["v"] for r in ds.take_all())
+    assert got == list(range(150, 321))  # residual filter still exact
+
+
+def test_unclustered_layout_reads_all_still_correct(ray_session, tmp_path):
+    rng = np.random.default_rng(3)
+    all_vals = rng.permutation(400)
+    paths = [
+        _write(str(tmp_path / f"r{i}.parquet"), all_vals[i * 100 : (i + 1) * 100].tolist())
+        for i in range(4)
+    ]
+    ds, cert = pruned_read(paths, "v", 50, 99)
+    assert cert.files_read == 4  # random layout: every envelope intersects
+    assert sorted(r["v"] for r in ds.take_all()) == list(range(50, 100))
+
+
+def test_statless_file_read_conservatively(ray_session, tmp_path):
+    p1 = _write(str(tmp_path / "a.parquet"), [0, 1, 2])
+    p2 = _write(str(tmp_path / "b.parquet"), [1000, 1001], stats=False)
+    zmap = build_zone_map([p1, p2], "v")
+    nostats = [z for z in zmap if z["min"] is None]
+    assert len(nostats) == 1  # b.parquet carries no envelope
+    ds, cert = pruned_read([p1, p2], "v", 0, 5)
+    # b must be READ (no envelope → cannot prove disjoint) but its rows
+    # are filtered out by the residual predicate
+    assert cert.files_read == 2
+    assert sorted(r["v"] for r in ds.take_all()) == [0, 1, 2]
+
+
+def test_empty_band_keeps_schema(ray_session, tmp_path):
+    paths = [_write(str(tmp_path / "x.parquet"), [10, 20])]
+    ds, cert = pruned_read(paths, "v", 500, 600)
+    assert cert.files_read == 0 and cert.files_skipped == 1
+    assert ds.count() == 0
+    assert set(ds.schema().names) == {"v", "tag"}
