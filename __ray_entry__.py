@@ -4572,6 +4572,90 @@ def _q_zone_pruned_revenue(sf_dir: str):
     )
 
 
+def _q_bucketed_priority_revenue(sf_dir: str):
+    """SMB bucketed co-located join end-to-end: orders and lineitem are
+    re-laid-out ONCE per sf as hash-bucketed parquet (32 buckets on the
+    orderkey, stages/bucketed.py), then the orders x lineitem join runs
+    with ZERO shuffle — one task per bucket reads its bucket from both
+    layouts and joins locally with Arrow's native hash join. Revenue
+    cents per order priority over the join must hash-match the plain
+    SQL join — bucketing is layout-only, never semantics. The one-time
+    layout write is the amortized exchange; every later join on the
+    orderkey is map-only (the Hive/Iceberg bucket-transform story)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.bucketed import bucketed_join, write_bucketed
+
+    base = os.path.join("/tmp/pdfx_bucketed", _sf_name(sf_dir))
+    odir, ldir = os.path.join(base, "orders32"), os.path.join(base, "lineitem32")
+    marker = os.path.join(base, "_COMPLETE")
+    if not os.path.exists(marker):
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base, exist_ok=True)
+        write_bucketed(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]),
+            "o_orderkey",
+            32,
+            odir,
+        )
+        write_bucketed(
+            _read(
+                sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"]
+            ),
+            "l_orderkey",
+            32,
+            ldir,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    joined = bucketed_join(
+        odir,
+        ldir,
+        "o_orderkey",
+        "l_orderkey",
+        left_cols=["o_orderpriority"],
+        right_cols=["l_extendedprice", "l_discount"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "o_orderpriority": pa.array([], pa.string()),
+                    "rev_c": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        ext = _nn(b.column("l_extendedprice"))
+        disc = _nn(b.column("l_discount"))
+        cents = np.floor(ext * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"o_orderpriority": b.column("o_orderpriority"), "rev_c": cents})
+        return (
+            pa.TableGroupBy(t, ["o_orderpriority"])
+            .aggregate([("rev_c", "sum"), ([], "count_all")])
+            .rename_columns(["o_orderpriority", "rev_c", "n"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("rev_c"), Sum("n"))
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b.column("o_orderpriority"),
+                "rev_cents": pc.cast(b.column("sum(rev_c)"), pa.int64()),
+                "n_items": pc.cast(b.column("sum(n)"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_term_contexts(sf_dir: str):
     """KWIC concordance for the term 'data': occurrence count + first
     ±30-char context window per matching doc — one RE2 extraction on
@@ -7458,6 +7542,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_contexts": _q_term_contexts,
         "incremental_daily_rollup": _q_incremental_daily_rollup,
         "zone_pruned_revenue": _q_zone_pruned_revenue,
+        "bucketed_priority_revenue": _q_bucketed_priority_revenue,
         "value_weighted_median": _q_value_weighted_median,
         "price_wmedian_by_flag": _q_price_wmedian_by_flag,
         "top_supplier_window": _q_top_supplier_window,
@@ -8619,6 +8704,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM orders GROUP BY 1 HAVING count(*) > 1) "
             "SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters "
             "FROM c GROUP BY 1"
+        ),
+        "bucketed_priority_revenue": (
+            "SELECT o_orderpriority, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) "
+            "  AS BIGINT) AS rev_cents, "
+            "CAST(count(*) AS BIGINT) AS n_items "
+            "FROM orders JOIN lineitem ON o_orderkey = l_orderkey GROUP BY 1"
         ),
         "zone_pruned_revenue": (
             "SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) "
