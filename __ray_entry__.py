@@ -6358,6 +6358,69 @@ def _q_brand_type_fd_audit(sf_dir: str):
     return per_brand.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_event_hour_association(sf_dir: str):
+    """Contingency-table independence audit (chi-square residuals in
+    EXACT integers): for each observed (event_type, hour-of-day) cell,
+    the observed count and the chi-square residual NUMERATOR
+    ``o*N - rowtot*coltot`` — positive means the type is over-
+    represented in that hour vs independence. Keeping the rational
+    numerator (never dividing by the expected count) makes the result
+    int64-exact and hash-comparable; the float chi-square statistic is
+    one vectorized divide away for consumers. Shape: map-side partial
+    counts pre-reduce each batch to <= |types| x 24 rows, the groupby
+    sees only partials, and the residual pass runs on the BOUNDED cell
+    axis (one block — |types| x 24 rows by contract)."""
+    from ray.data.aggregate import Sum
+
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        m = pc.and_(pc.is_valid(b.column("event_type")), pc.is_valid(b.column("ts")))
+        b = b.filter(m)
+        t = pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "hour": pc.cast(pc.hour(b.column("ts")), pa.int64()),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["event_type", "hour"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["event_type", "hour", "o"])
+        )
+
+    cells = (
+        ev.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "hour"])
+        .aggregate(Sum("o"))
+    )
+
+    def residuals(b: pa.Table) -> pa.Table:
+        # bounded axis: |event types| x 24 cells in ONE block
+        et = b.column("event_type")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        hour = _nn(b.column("hour"))
+        o = _nn(b.column("sum(o)")).astype(np.int64)
+        codes = et.dictionary_encode().indices.to_numpy(zero_copy_only=False)
+        n = int(o.sum())
+        row_tot = np.zeros(codes.max() + 1 if len(codes) else 0, np.int64)
+        np.add.at(row_tot, codes, o)
+        col_tot = np.zeros(24, np.int64)
+        np.add.at(col_tot, hour, o)
+        resid = o * n - row_tot[codes] * col_tot[hour]
+        return pa.table(
+            {
+                "event_type": et,
+                "hour": pa.array(hour, pa.int64()),
+                "observed": pa.array(o, pa.int64()),
+                "resid_num": pa.array(resid, pa.int64()),
+            }
+        )
+
+    return cells.repartition(1).map_batches(residuals, batch_format="pyarrow")
+
+
 def _q_hourly_value_spikes(sf_dir: str):
     """Hourly anomaly windows: hours whose total event value exceeds
     median + 3·MAD of the hourly series — the ops-dashboard spike
@@ -7444,6 +7507,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dup_groups": _q_url_dup_groups,
         "brand_type_fd_audit": _q_brand_type_fd_audit,
         "hourly_value_spikes": _q_hourly_value_spikes,
+        "event_hour_association": _q_event_hour_association,
         "langs_by_source": _q_langs_by_source,
         "langs_ranked_by_source": _q_langs_ranked_by_source,
         "sentence_stats": _q_sentence_stats,
@@ -7883,6 +7947,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p_brand, count(*) AS n_types, "
             "CAST(sum(n) AS BIGINT) - CAST(max(n) AS BIGINT) AS n_violations "
             "FROM pt GROUP BY 1"
+        ),
+        "event_hour_association": (
+            "WITH c AS (SELECT event_type, "
+            "CAST(extract(hour FROM ts) AS BIGINT) AS hour, "
+            "CAST(count(*) AS BIGINT) AS o FROM events "
+            "WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2) "
+            "SELECT event_type, hour, o AS observed, "
+            "CAST(o * (SELECT sum(o) FROM c) "
+            " - sum(o) OVER (PARTITION BY event_type) "
+            " * sum(o) OVER (PARTITION BY hour) AS BIGINT) AS resid_num "
+            "FROM c"
         ),
         "hourly_value_spikes": (
             "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, "
