@@ -6421,6 +6421,191 @@ def _q_event_hour_association(sf_dir: str):
     return cells.repartition(1).map_batches(residuals, batch_format="pyarrow")
 
 
+def _q_doclen_ks(sf_dir: str):
+    """Two-sample Kolmogorov–Smirnov distance between the doc-length
+    distributions of two sources, in EXACT integers — the
+    distribution-drift test a corpus monitor runs between crawls or
+    between a source and the corpus. D = max_x |F_a(x) − F_b(x)| is
+    emitted as the integer numerator ``max_x |n_b·cum_a(x) −
+    n_a·cum_b(x)|`` over the pooled support (never dividing by
+    n_a·n_b), plus the smallest x attaining it — int64-exact and
+    hash-comparable; D itself is one divide away for consumers.
+
+    Shape: map-side per-batch value-count partials over the BOUNDED
+    distinct-length axis (lengths, not docs — the ``value_histogram``
+    contract), ONE groupby(x) Sum folds the partials, and the
+    cumulative scan runs on that bounded axis in one block. Raw docs
+    never shuffle."""
+    from ray.data.aggregate import Sum
+
+    src_a, src_b = "src0", "src1"
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column("source")
+        keep = pc.and_(
+            pc.is_in(src, value_set=pa.array([src_a, src_b])),
+            pc.is_valid(b.column("n_chars")),
+        )
+        b = b.filter(keep)
+        x = _nn(b.column("n_chars")).astype(np.int64)
+        is_a = pc.equal(b.column("source"), src_a).to_numpy(zero_copy_only=False)
+        ux, inv = np.unique(x, return_inverse=True)
+        ca = np.zeros(len(ux), np.int64)
+        cb = np.zeros(len(ux), np.int64)
+        np.add.at(ca, inv[is_a], 1)
+        np.add.at(cb, inv[~is_a], 1)
+        return pa.table(
+            {
+                "x": pa.array(ux, pa.int64()),
+                "ca": pa.array(ca, pa.int64()),
+                "cb": pa.array(cb, pa.int64()),
+            }
+        )
+
+    per_x = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("x")
+        .aggregate(Sum("ca"), Sum("cb"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        # bounded axis: one row per distinct length, in ONE block
+        x = _nn(b.column("x")).astype(np.int64)
+        ca = _nn(b.column("sum(ca)")).astype(np.int64)
+        cb = _nn(b.column("sum(cb)")).astype(np.int64)
+        order = np.argsort(x, kind="stable")
+        x, ca, cb = x[order], ca[order], cb[order]
+        na, nb = int(ca.sum()), int(cb.sum())
+        dv = np.abs(nb * np.cumsum(ca) - na * np.cumsum(cb))
+        ks = int(dv.max()) if len(dv) else 0
+        at = int(x[int(np.argmax(dv))]) if len(dv) else 0
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "ks_num": pa.array([ks], pa.int64()),
+                "ks_at": pa.array([at], pa.int64()),
+            }
+        )
+
+    return per_x.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def _q_readability(sf_dir: str):
+    """Per-document Flesch reading-ease signals in EXACT integers: word
+    count (non-space runs), sentence count (the ``sentence_stats``
+    terminator-run kernel), syllable proxy (ASCII vowel-group runs) and
+    the Flesch score's RATIONAL NUMERATOR ``206835·s·w − 1015·w² −
+    84600·y·s`` (the score × 1000·s·w — no division anywhere, so the
+    column is int64-exact and hash-comparable; the float score is one
+    divide by 1000·s·w away, and the zero-sentence/zero-word edge needs
+    no guard because nothing divides). Pure map: three RE2 count
+    kernels + one integer polynomial per batch, zero shuffle."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stats(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("text")))
+        t = b.column("text")
+        w = pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64())
+        s = pc.cast(pc.count_substring_regex(t, r"[.!?]+(\s|$)"), pa.int64())
+        y = pc.cast(pc.count_substring_regex(t, r"[aeiouyAEIOUY]+"), pa.int64())
+        wn, sn, yn = _nn(w), _nn(s), _nn(y)
+        flesch_num = 206835 * sn * wn - 1015 * wn * wn - 84600 * yn * sn
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_words": w,
+                "n_sentences": s,
+                "n_syllables": y,
+                "flesch_num": pa.array(flesch_num, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_token_budget_head(sf_dir: str):
+    """Token-budget HEAD selection — the data-mixing primitive: take
+    documents in (n_chars DESC, doc_id ASC) priority order while the
+    running whitespace-token total stays within B = ⌊W/2⌋ (half the
+    corpus), and report per-source how many docs and tokens made the
+    cut. The SQL shape is a running-sum window over a GLOBAL sort; here
+    there is NO sort: priority and tiebreak pack into one integer key
+    (``(2²⁰−n_chars)·2³² + doc_id`` — unique per doc, < 2⁵³ so the
+    float64 round-trip in the bisection is exact) and
+    ``weighted_prefix_threshold`` radix-bisects to the exact greedy
+    boundary in ≤6 histogram passes; one map-side-combined groupby then
+    rolls up the selected rows. Contract (checked): n_chars < 2²⁰,
+    0 ≤ doc_id < 2³² — re-tune the pack widths for corpora beyond it."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.sketches import weighted_prefix_threshold
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "n_chars", "text"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.and_(pc.is_valid(b.column("text")), pc.is_valid(b.column("n_chars"))),
+            pc.is_valid(b.column("doc_id")),
+        )
+        b = b.filter(keep)
+        nc = _nn(b.column("n_chars")).astype(np.int64)
+        did = _nn(b.column("doc_id")).astype(np.int64)
+        if len(nc) and (int(nc.max()) >= (1 << 20) or int(did.max()) >= (1 << 32) or int(did.min()) < 0):
+            raise ValueError(
+                "token_budget_head: pack contract violated (n_chars < 2^20, 0 <= doc_id < 2^32)"
+            )
+        toks = pc.cast(pc.count_substring_regex(b.column("text"), r"\S+"), pa.int64())
+        pack = ((1 << 20) - nc) * (1 << 32) + did
+        return pa.table(
+            {
+                "pack": pa.array(pack, pa.int64()),
+                "toks": toks,
+                "source": b.column("source"),
+            }
+        )
+
+    slim = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    # budget = half the corpus's token mass (exact integer floor)
+    total = slim.aggregate(Sum("toks"))["sum(toks)"]
+    budget = (0 if total is None else int(total)) // 2
+    threshold, _w = weighted_prefix_threshold(slim, "pack", "toks", budget)
+
+    def selected_partial(b: pa.Table) -> pa.Table:
+        if threshold is not None:
+            b = b.filter(pc.less(b.column("pack"), pa.scalar(int(threshold), pa.int64())))
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "n": np.ones(b.num_rows, np.int64),
+                "toks": b.column("toks"),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["source"])
+            .aggregate([("n", "sum"), ("toks", "sum")])
+            .rename_columns(["source", "n", "toks"])
+        )
+
+    agg = (
+        slim.map_batches(selected_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .aggregate(Sum("n"), Sum("toks"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "n_selected": pc.cast(b.column("sum(n)"), pa.int64()),
+                "tokens_selected": pc.cast(b.column("sum(toks)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_hourly_value_spikes(sf_dir: str):
     """Hourly anomaly windows: hours whose total event value exceeds
     median + 3·MAD of the hourly series — the ops-dashboard spike
@@ -7508,6 +7693,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brand_type_fd_audit": _q_brand_type_fd_audit,
         "hourly_value_spikes": _q_hourly_value_spikes,
         "event_hour_association": _q_event_hour_association,
+        "doclen_ks": _q_doclen_ks,
+        "readability": _q_readability,
+        "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,
         "langs_ranked_by_source": _q_langs_ranked_by_source,
         "sentence_stats": _q_sentence_stats,
@@ -7958,6 +8146,43 @@ def oracle_sql() -> dict[str, str]:
             " - sum(o) OVER (PARTITION BY event_type) "
             " * sum(o) OVER (PARTITION BY hour) AS BIGINT) AS resid_num "
             "FROM c"
+        ),
+        "doclen_ks": (
+            "WITH ab AS (SELECT n_chars AS x, "
+            "CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ca, "
+            "CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS cb "
+            "FROM documents WHERE source IN ('src0', 'src1') "
+            "AND n_chars IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT x, sum(ca) OVER (ORDER BY x) AS cuma, "
+            "sum(cb) OVER (ORDER BY x) AS cumb FROM ab), "
+            "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM ab), "
+            "d AS (SELECT x, abs(nb * cuma - na * cumb) AS dv FROM c, t), "
+            "m AS (SELECT max(dv) AS mx FROM d) "
+            "SELECT na AS n_a, nb AS n_b, CAST(mx AS BIGINT) AS ks_num, "
+            "CAST((SELECT min(x) FROM d, m WHERE dv = mx) AS BIGINT) AS ks_at "
+            "FROM t, m"
+        ),
+        "readability": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(text, '\\S+')) AS n_words, "
+            "len(regexp_extract_all(text, '[.!?]+(\\s|$)')) AS n_sentences, "
+            "len(regexp_extract_all(text, '[aeiouyAEIOUY]+')) AS n_syllables, "
+            "CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words "
+            "- 84600 * n_syllables * n_sentences AS BIGINT) AS flesch_num "
+            "FROM documents WHERE text IS NOT NULL"
+        ),
+        "token_budget_head": (
+            "WITH t AS (SELECT doc_id, source, n_chars, "
+            "len(regexp_extract_all(text, '\\S+')) AS toks FROM documents "
+            "WHERE text IS NOT NULL AND n_chars IS NOT NULL "
+            "AND doc_id IS NOT NULL), "
+            "w AS (SELECT sum(toks) // 2 AS b FROM t), "
+            "o AS (SELECT source, toks, "
+            "sum(toks) OVER (ORDER BY n_chars DESC, doc_id) AS cum FROM t) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_selected, "
+            "CAST(sum(toks) AS BIGINT) AS tokens_selected "
+            "FROM o, w WHERE cum <= b GROUP BY source"
         ),
         "hourly_value_spikes": (
             "WITH h AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, "

@@ -1288,6 +1288,16 @@ def weighted_median(
     if total_w is None or int(total_w) < 1:
         raise ValueError("weighted_median: no rows with positive weight")
     rank = (int(total_w) + 1) // 2  # lower weighted median, exact integer
+    return _ordered_u64_to_float64(_bisect_weighted_rank(us, rank, nbins))
+
+
+def _bisect_weighted_rank(us: "ray.data.Dataset", rank: int, nbins: int) -> int:
+    """Radix-bisect a materialized slim ``(u:uint64, w:int64)`` table to
+    the smallest u whose cumulative weight reaches ``rank`` (1-based,
+    1 ≤ rank ≤ Σw) — the shared kernel of ``weighted_median`` and
+    ``weighted_prefix_threshold``. ≤⌈64/log2(nbins)⌉ histogram passes,
+    each moving ≤ nbins (bin, weight) rows to the driver."""
+    from ray.data.aggregate import Sum
 
     lo, hi = 0, (1 << 64) - 1
     while lo < hi:
@@ -1325,7 +1335,68 @@ def weighted_median(
             rank -= int(cum[sel - 1])
         lo = lo + sel * binw
         hi = min(hi, lo + binw - 1)
-    return _ordered_u64_to_float64(lo)
+    return lo
+
+
+def weighted_prefix_threshold(
+    ds: "ray.data.Dataset",
+    col: str,
+    weight_col: str,
+    budget: int,
+    nbins: int = 4096,
+) -> tuple:
+    """Greedy prefix selection under a WEIGHT BUDGET — the data-mixing
+    primitive "take rows in ascending ``col`` order while the running
+    ``weight_col`` total stays ≤ budget" (token-budget head selection,
+    cost-capped sampling) WITHOUT a global sort: one slim projection +
+    the ``weighted_median`` radix bisection aimed at the absolute
+    cumulative rank ``budget+1``.
+
+    Returns ``(threshold, total_w)``: rows with ``col < threshold``
+    are EXACTLY the greedy prefix (cumulative weight ≤ budget);
+    ``threshold is None`` means the whole input fits the budget.
+    Correctness needs ``col`` values UNIQUE per row (pack a tiebreak id
+    into the low bits, as ``token_budget_head`` does) — with duplicate
+    keys the strict-< cut cannot split inside a tie group. Weights are
+    floored to int64; rows with null value/weight or floored weight < 1
+    carry no weight (they are cut by the same threshold, matching SQL
+    running-sum semantics where a zero-weight row never moves the
+    cumulative). Σw must fit int64."""
+    from ray.data.aggregate import Sum
+
+    if budget < 0:
+        raise ValueError("weighted_prefix_threshold: budget must be >= 0")
+
+    def to_uw(batch: pa.Table) -> pa.Table:
+        v = batch.column(col)
+        w = batch.column(weight_col)
+        if isinstance(v, pa.ChunkedArray):
+            v = v.combine_chunks()
+        if isinstance(w, pa.ChunkedArray):
+            w = w.combine_chunks()
+        mask = pc.and_(pc.is_valid(v), pc.is_valid(w))
+        x = v.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        wi = np.floor(
+            w.filter(mask).to_numpy(zero_copy_only=False).astype(np.float64)
+        ).astype(np.int64)
+        keep = wi >= 1
+        return pa.table(
+            {
+                "u": pa.array(_float64_to_ordered_u64(x[keep]), pa.uint64()),
+                "w": pa.array(wi[keep], pa.int64()),
+            }
+        )
+
+    us = ds.map_batches(
+        to_uw, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # slim (u64, w): re-streamed once per bisection pass
+
+    total_w = us.aggregate(Sum("w"))["sum(w)"]
+    total_w = 0 if total_w is None else int(total_w)
+    if total_w <= budget:
+        return None, total_w
+    u_star = _bisect_weighted_rank(us, budget + 1, nbins)
+    return _ordered_u64_to_float64(u_star), total_w
 
 
 # ---------------------------------------------------------------------------

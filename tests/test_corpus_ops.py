@@ -2,6 +2,8 @@
 n-gram Jaccard / embedding), text stats, similarity search, multimodal
 plumbing — over the driver testdata plus planted duplicates."""
 
+import os
+
 import numpy as np
 import pyarrow as pa
 import pytest
@@ -3338,3 +3340,72 @@ def test_term_contexts_kwic(ray_session):
     # greedy leftmost RE2 window anchored at the FIRST occurrence
     assert got[3]["n_occ"] == 3 and got[3]["context"] == "a data b da"
     assert got[6]["n_occ"] == 1 and got[6]["context"] == "with data"
+
+
+def test_weighted_prefix_threshold_greedy_parity(ray_session):
+    """Budget-head threshold vs brute-force greedy prefix: unique keys,
+    zero-weight rows ride free, budget edges (0, exactly-total,
+    over-total), tiny nbins to force maximum bisection depth."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import weighted_prefix_threshold
+
+    rng = np.random.default_rng(11)
+    n = 200
+    keys = rng.permutation(n).astype(np.int64)  # unique, shuffled
+    wts = rng.integers(0, 9, size=n).astype(np.int64)  # zeros included
+    rows = [{"k": float(k), "w": float(w)} for k, w in zip(keys, wts)]
+    ds = ray.data.from_items(rows).repartition(7)
+
+    order = np.argsort(keys)
+    sk, sw = keys[order], wts[order]
+    cum = np.cumsum(sw)
+    total = int(sw.sum())
+
+    for budget in (0, 1, total // 3, total // 2, total - 1, total, total + 5):
+        thr, tw = weighted_prefix_threshold(ds, "k", "w", budget, nbins=16)
+        assert tw == total
+        if budget >= total:
+            assert thr is None
+            continue
+        got = set(sk[sk < thr].tolist())
+        want = set(sk[cum <= budget].tolist())
+        assert got == want, budget
+
+
+def test_doclen_ks_brute(ray_session):
+    """KS integer numerator vs a direct two-sample scan over the same
+    synthetic table written to parquet (src0/src1 only, other sources
+    and null lengths ignored)."""
+    import importlib
+
+    import pyarrow.parquet as pq
+
+    entry = importlib.import_module("__ray_entry__")
+    rng = np.random.default_rng(23)
+    na, nb = 120, 80
+    xa = rng.integers(10, 60, size=na)
+    xb = rng.integers(20, 80, size=nb)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(na + nb + 2), pa.int64()),
+            "text": ["w"] * (na + nb + 2),
+            "lang": ["en"] * (na + nb + 2),
+            "source": ["src0"] * na + ["src1"] * nb + ["src9", "src0"],
+            "n_chars": pa.array(
+                list(xa) + list(xb) + [999, None], pa.int64()
+            ),
+        }
+    )
+    d = "/tmp/pdfx_test_ks"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/documents.parquet")
+    row = entry._q_doclen_ks(d).take_all()[0]
+
+    support = np.unique(np.concatenate([xa, xb]))
+    cuma = np.searchsorted(np.sort(xa), support, side="right")
+    cumb = np.searchsorted(np.sort(xb), support, side="right")
+    dv = np.abs(nb * cuma - na * cumb)
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["ks_num"] == int(dv.max())
+    assert row["ks_at"] == int(support[int(np.argmax(dv))])
