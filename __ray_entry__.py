@@ -6492,6 +6492,136 @@ def _q_doclen_ks(sf_dir: str):
     return per_x.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
+def _q_doclen_mwu(sf_dir: str):
+    """Mann–Whitney U rank-sum test between the same two sources'
+    doc-length distributions — the KS companion that is sensitive to
+    location shift rather than max CDF gap. EXACT integers throughout:
+    with ties, the pooled midrank of value x is ``less_x +
+    (eq_x+1)/2`` (a half-integer), so the statistic is emitted DOUBLED
+    — ``u2_a = Σ_x ca_x·(2·less_x + eq_x + 1) − n_a·(n_a+1)`` = 2·U_a,
+    int64-exact and hash-comparable (2·U_b = 2·n_a·n_b − u2_a by the
+    rank-sum identity). Same shape as ``doclen_ks``: value-count
+    partials on the bounded distinct-length axis, one groupby(x) Sum,
+    rank arithmetic on that bounded axis in one block."""
+    from ray.data.aggregate import Sum
+
+    src_a, src_b = "src0", "src1"
+    ds = _read(sf_dir, "documents", ["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        src = b.column("source")
+        keep = pc.and_(
+            pc.is_in(src, value_set=pa.array([src_a, src_b])),
+            pc.is_valid(b.column("n_chars")),
+        )
+        b = b.filter(keep)
+        x = _nn(b.column("n_chars")).astype(np.int64)
+        is_a = pc.equal(b.column("source"), src_a).to_numpy(zero_copy_only=False)
+        ux, inv = np.unique(x, return_inverse=True)
+        ca = np.zeros(len(ux), np.int64)
+        cb = np.zeros(len(ux), np.int64)
+        np.add.at(ca, inv[is_a], 1)
+        np.add.at(cb, inv[~is_a], 1)
+        return pa.table(
+            {
+                "x": pa.array(ux, pa.int64()),
+                "ca": pa.array(ca, pa.int64()),
+                "cb": pa.array(cb, pa.int64()),
+            }
+        )
+
+    per_x = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("x")
+        .aggregate(Sum("ca"), Sum("cb"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        x = _nn(b.column("x")).astype(np.int64)
+        ca = _nn(b.column("sum(ca)")).astype(np.int64)
+        cb = _nn(b.column("sum(cb)")).astype(np.int64)
+        order = np.argsort(x, kind="stable")
+        ca, cb = ca[order], cb[order]
+        na, nb = int(ca.sum()), int(cb.sum())
+        eq = ca + cb
+        less = np.concatenate([[0], np.cumsum(eq)[:-1]])
+        u2_a = int((ca * (2 * less + eq + 1)).sum()) - na * (na + 1)
+        return pa.table(
+            {
+                "n_a": pa.array([na], pa.int64()),
+                "n_b": pa.array([nb], pa.int64()),
+                "u2_a": pa.array([u2_a], pa.int64()),
+            }
+        )
+
+    return per_x.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def _q_revenue_cusum(sf_dir: str):
+    """CUSUM change-point scan over the daily order-revenue series:
+    the day where the cumulative deviation from the series mean peaks
+    — the classic level-shift detector. EXACT integers: with k the
+    1-based day index, cum_k the running cents total and T the grand
+    total over n days, the deviation numerator is ``n·cum_k − k·T``
+    (the mean never materializes as a float); emitted are n_days, the
+    grand total, max_k |n·cum_k − k·T| and the earliest day attaining
+    it. Shape: map-side (day, cents) partials pre-reduce each batch,
+    one groupby(day) Sum, then the scan runs on the BOUNDED day axis
+    in one block."""
+    from ray.data.aggregate import Sum
+
+    _DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column("o_orderdate")), pc.is_valid(b.column("o_totalprice"))
+        )
+        b = b.filter(keep)
+        ts = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        day = (ts.to_numpy(zero_copy_only=False) // _DAY_US) * _DAY_US
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table(
+            {"day_us": pa.array(ud, pa.int64()), "cents": pa.array(tot, pa.int64())}
+        )
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        day = _nn(b.column("day_us")).astype(np.int64)
+        cents = _nn(b.column("sum(cents)")).astype(np.int64)
+        order = np.argsort(day, kind="stable")
+        day, cents = day[order], cents[order]
+        n = len(day)
+        cum = np.cumsum(cents, dtype=np.int64)
+        total = int(cum[-1]) if n else 0
+        # headroom contract: n_days · total_cents must fit int64
+        # (≈2.4k days × 2.3e10 cents at sf0.1 → 5.5e13; raise, don't wrap)
+        if n and total > (1 << 62) // max(n, 1):
+            raise ValueError("revenue_cusum: n_days x total_cents exceeds int64")
+        k = np.arange(1, n + 1, dtype=np.int64)
+        dev = np.abs(np.int64(n) * cum - k * np.int64(total))
+        peak = int(dev.max()) if n else 0
+        at = int(day[int(np.argmax(dev))]) if n else 0
+        return pa.table(
+            {
+                "n_days": pa.array([n], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+                "cusum_num": pa.array([peak], pa.int64()),
+                "cusum_at_us": pa.array([at], pa.int64()),
+            }
+        )
+
+    return per_day.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def _q_readability(sf_dir: str):
     """Per-document Flesch reading-ease signals in EXACT integers: word
     count (non-space runs), sentence count (the ``sentence_stats``
@@ -7694,6 +7824,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_value_spikes": _q_hourly_value_spikes,
         "event_hour_association": _q_event_hour_association,
         "doclen_ks": _q_doclen_ks,
+        "doclen_mwu": _q_doclen_mwu,
+        "revenue_cusum": _q_revenue_cusum,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,
@@ -8162,6 +8294,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT na AS n_a, nb AS n_b, CAST(mx AS BIGINT) AS ks_num, "
             "CAST((SELECT min(x) FROM d, m WHERE dv = mx) AS BIGINT) AS ks_at "
             "FROM t, m"
+        ),
+        "doclen_mwu": (
+            "WITH ab AS (SELECT n_chars AS x, "
+            "CAST(count(*) FILTER (WHERE source = 'src0') AS BIGINT) AS ca, "
+            "CAST(count(*) FILTER (WHERE source = 'src1') AS BIGINT) AS cb "
+            "FROM documents WHERE source IN ('src0', 'src1') "
+            "AND n_chars IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT x, ca, cb, ca + cb AS eq, "
+            "CAST(coalesce(sum(ca + cb) OVER (ORDER BY x "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) "
+            "AS less FROM ab), "
+            "t AS (SELECT CAST(sum(ca) AS BIGINT) AS na, "
+            "CAST(sum(cb) AS BIGINT) AS nb FROM ab) "
+            "SELECT na AS n_a, nb AS n_b, "
+            "CAST(sum(ca * (2 * less + eq + 1)) - na * (na + 1) AS BIGINT) AS u2_a "
+            "FROM c, t GROUP BY na, nb"
+        ),
+        "revenue_cusum": (
+            "WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1), "
+            "c AS (SELECT day_us, "
+            "CAST(sum(cents) OVER (ORDER BY day_us) AS BIGINT) AS cum, "
+            "CAST(row_number() OVER (ORDER BY day_us) AS BIGINT) AS k FROM d), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(cents) AS BIGINT) AS total FROM d), "
+            "v AS (SELECT day_us, abs(n * cum - k * total) AS dev FROM c, t), "
+            "m AS (SELECT max(dev) AS mx FROM v) "
+            "SELECT t.n AS n_days, t.total AS total_cents, "
+            "CAST(m.mx AS BIGINT) AS cusum_num, "
+            "CAST((SELECT min(day_us) FROM v, m WHERE dev = mx) AS BIGINT) "
+            "AS cusum_at_us FROM t, m"
         ),
         "readability": (
             "SELECT doc_id, "

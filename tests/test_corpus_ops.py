@@ -3409,3 +3409,47 @@ def test_doclen_ks_brute(ray_session):
     assert row["n_a"] == na and row["n_b"] == nb
     assert row["ks_num"] == int(dv.max())
     assert row["ks_at"] == int(support[int(np.argmax(dv))])
+
+
+def test_doclen_mwu_brute(ray_session):
+    """Doubled Mann-Whitney U vs direct midrank computation over the
+    same parquet table (ties present by construction)."""
+    import importlib
+
+    import pyarrow.parquet as pq
+
+    entry = importlib.import_module("__ray_entry__")
+    rng = np.random.default_rng(31)
+    na, nb = 90, 110
+    xa = rng.integers(5, 25, size=na)  # narrow range forces heavy ties
+    xb = rng.integers(10, 30, size=nb)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(na + nb), pa.int64()),
+            "text": ["w"] * (na + nb),
+            "lang": ["en"] * (na + nb),
+            "source": ["src0"] * na + ["src1"] * nb,
+            "n_chars": pa.array(list(xa) + list(xb), pa.int64()),
+        }
+    )
+    d = "/tmp/pdfx_test_mwu"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/documents.parquet")
+    row = entry._q_doclen_mwu(d).take_all()[0]
+
+    pooled = np.concatenate([xa, xb])
+    order = np.argsort(pooled, kind="stable")
+    ranks2 = np.empty(len(pooled), np.int64)  # doubled midranks
+    sp = pooled[order]
+    i = 0
+    while i < len(sp):
+        j = i
+        while j < len(sp) and sp[j] == sp[i]:
+            j += 1
+        ranks2[order[i:j]] = (i + 1) + j  # 2·midrank = (i+1 + j)
+        i = j
+    u2 = int(ranks2[:na].sum()) - na * (na + 1)
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["u2_a"] == u2
+    # rank-sum identity: 2·U_a + 2·U_b = 2·n_a·n_b
+    assert 0 <= u2 <= 2 * na * nb
