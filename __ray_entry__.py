@@ -6655,6 +6655,104 @@ def _q_readability(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_doc_length_deciles(sf_dir: str):
+    """Global NTILE(10) curriculum binning over (n_chars, doc_id) —
+    every doc labeled with its length decile, deterministic because the
+    ORDER BY key is unique — WITHOUT the global sort a window plan
+    implies. Two-part rank: the cross-group base comes from the bounded
+    distinct-length value-count table (the ``global_percent_rank``
+    contract — lengths, not docs, bound the driver state) and the
+    within-tie-group rank from ONE groupby(n_chars) whose group count
+    is that same bounded axis; ntile's uneven-bucket split is exact
+    integer arithmetic on row_number (first n mod 10 buckets get one
+    extra row, SQL semantics)."""
+    from pdf_table_extractor_ray.stages.sketches import sorted_value_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def clean(b: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(b.column("doc_id")), pc.is_valid(b.column("n_chars")))
+        return b.filter(keep)
+
+    slim = ds.map_batches(clean, batch_format="pyarrow", zero_copy_batch=True)
+    vals, cnts = sorted_value_counts(slim, "n_chars")  # bounded distinct lengths
+    below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+    n = int(cnts.sum())
+    size, rem = n // 10, n % 10
+
+    def per_len(g: pa.Table) -> pa.Table:
+        did = _nn(g.column("doc_id")).astype(np.int64)
+        nc = _nn(g.column("n_chars")).astype(np.int64)
+        order = np.argsort(did, kind="stable")
+        did, nc = did[order], nc[order]
+        wr = np.arange(1, len(did) + 1, dtype=np.int64)
+        base = below[np.searchsorted(vals, nc, "left")]
+        r = base + wr  # global row_number over (n_chars, doc_id)
+        cut = rem * (size + 1)
+        dec = np.where(
+            r <= cut,
+            (r - 1) // max(size + 1, 1) + 1,
+            rem + (r - 1 - cut) // max(size, 1) + 1,
+        ).astype(np.int64)
+        return pa.table({"doc_id": pa.array(did), "decile": pa.array(dec)})
+
+    return slim.groupby("n_chars").map_groups(per_len, batch_format="pyarrow")
+
+
+def _q_daily_revenue_gini(sf_dir: str):
+    """Gini concentration coefficient of the daily order-revenue series
+    in EXACT integers: with x_(k) the ascending day totals (cents) and
+    T their sum, the numerator is ``2·Σ k·x_(k) − (n+1)·T`` (Gini =
+    numerator / (n·T), one divide away). Ties make the k·x sum
+    order-invariant, so no tiebreak ambiguity. Shape: map-side (day,
+    cents) partials, one groupby(day) Sum, the sorted scan on the
+    BOUNDED day axis in one block."""
+    from ray.data.aggregate import Sum
+
+    _DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column("o_orderdate")), pc.is_valid(b.column("o_totalprice"))
+        )
+        b = b.filter(keep)
+        ts = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        day = (ts.to_numpy(zero_copy_only=False) // _DAY_US) * _DAY_US
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table(
+            {"day_us": pa.array(ud, pa.int64()), "cents": pa.array(tot, pa.int64())}
+        )
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = np.sort(_nn(b.column("sum(cents)")).astype(np.int64))
+        n = len(cents)
+        total = int(cents.sum())
+        # headroom contract: n·total must fit int64 (see revenue_cusum)
+        if n and total > (1 << 62) // max(n, 1):
+            raise ValueError("daily_revenue_gini: n_days x total_cents exceeds int64")
+        k = np.arange(1, n + 1, dtype=np.int64)
+        g = 2 * int((k * cents).sum()) - (n + 1) * total
+        return pa.table(
+            {
+                "n_days": pa.array([n], pa.int64()),
+                "total_cents": pa.array([total], pa.int64()),
+                "gini_num": pa.array([g], pa.int64()),
+            }
+        )
+
+    return per_day.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def _q_token_budget_head(sf_dir: str):
     """Token-budget HEAD selection — the data-mixing primitive: take
     documents in (n_chars DESC, doc_id ASC) priority order while the
@@ -7826,6 +7924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_ks": _q_doclen_ks,
         "doclen_mwu": _q_doclen_mwu,
         "revenue_cusum": _q_revenue_cusum,
+        "doc_length_deciles": _q_doc_length_deciles,
+        "daily_revenue_gini": _q_daily_revenue_gini,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,
@@ -8336,6 +8436,24 @@ def oracle_sql() -> dict[str, str]:
             "CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words "
             "- 84600 * n_syllables * n_sentences AS BIGINT) AS flesch_num "
             "FROM documents WHERE text IS NOT NULL"
+        ),
+        "doc_length_deciles": (
+            "SELECT doc_id, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) "
+            "AS BIGINT) AS decile FROM documents "
+            "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
+        ),
+        "daily_revenue_gini": (
+            "WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderdate IS NOT NULL "
+            "AND o_totalprice IS NOT NULL GROUP BY 1), "
+            "r AS (SELECT cents, "
+            "CAST(row_number() OVER (ORDER BY cents, day_us) AS BIGINT) AS k FROM d), "
+            "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(cents) AS BIGINT) AS total FROM d) "
+            "SELECT n AS n_days, total AS total_cents, "
+            "CAST(2 * sum(k * cents) - (n + 1) * total AS BIGINT) AS gini_num "
+            "FROM r, t GROUP BY n, total"
         ),
         "token_budget_head": (
             "WITH t AS (SELECT doc_id, source, n_chars, "
