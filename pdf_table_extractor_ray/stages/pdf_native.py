@@ -46,9 +46,9 @@ still need their own ``Tm``/``Td`` positioning); widths are the core-14
 Helvetica table whatever the declared font (the fixture writer uses the
 same table, so round-trips are exact; foreign fonts get approximate
 intra-line x); literal strings decode as Latin-1/PDFDoc (CID text must
-be hex-written, as CID producers do); array-form ``bfrange``
-destinations are skipped (their CIDs surface as U+FFFD, never
-misread).
+be hex-written, as CID producers do). All three /ToUnicode shapes
+parse (bfchar, scalar bfrange runs, array-form bfrange destinations);
+CIDs a CMap leaves unmapped surface as U+FFFD, never misread.
 
 The extraction strategy reuses the exact y-cluster + x-threshold
 column logic of ``layout.extract_coordinate_columns`` — a PDF doc and
@@ -766,28 +766,50 @@ _FONTDICT_REF_RE = re.compile(rb"/Font\s*<<\s*/F\d+\s+(\d+)\s+0\s+R")
 _TOUNICODE_REF_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+0\s+R")
 
 
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
+
+
 def _parse_tounicode(data: bytes) -> Dict[int, str]:
-    """/ToUnicode CMap stream → {CID: unicode string}. Supports the two
-    shapes font subsetters emit — ``bfchar`` singletons and scalar
+    """/ToUnicode CMap stream → {CID: unicode string}. Supports all
+    three shapes font subsetters emit — ``bfchar`` singletons, scalar
     ``bfrange`` runs (destination = UTF-16BE hex, last code unit
-    incremented across the run). The array-form bfrange
-    (``[<..> <..>]`` destinations) is NOT parsed — declared limitation;
-    its entries are simply absent (→ U+FFFD), never misread."""
+    incremented across the run), and array-form ``bfrange``
+    (``<lo> <hi> [<d0> <d1> …]`` — one explicit destination per code,
+    the shape subsetters use for non-consecutive glyph→unicode maps).
+    Extra array destinations beyond the range are ignored; short
+    arrays leave the tail codes absent (→ U+FFFD, never misread)."""
     m: Dict[int, str] = {}
     for blk in _BFCHAR_RE.findall(data):
         toks = _CMAP_HEX_RE.findall(blk)
         for src, dst in zip(toks[0::2], toks[1::2]):
             m[int(src, 16)] = bytes.fromhex(dst.decode()).decode("utf-16-be")
     for blk in _BFRANGE_RE.findall(data):
-        if b"[" in blk:
-            continue  # array-form destinations: declared unsupported
-        toks = _CMAP_HEX_RE.findall(blk)
-        for lo, hi, dst in zip(toks[0::3], toks[1::3], toks[2::3]):
-            lo_i, hi_i = int(lo, 16), int(hi, 16)
-            base = bytes.fromhex(dst.decode()).decode("utf-16-be")
-            head, last = base[:-1], ord(base[-1])
-            for k in range(hi_i - lo_i + 1):
-                m[lo_i + k] = head + chr(last + k)
+        toks = _CMAP_TOK_RE.findall(blk)
+        i = 0
+        while i + 1 < len(toks):
+            lo_t, hi_t = toks[i][0], toks[i + 1][0]
+            if not (lo_t and hi_t):
+                i += 1  # stray bracket / malformed entry: resync
+                continue
+            lo_i, hi_i = int(lo_t, 16), int(hi_t, 16)
+            i += 2
+            if i < len(toks) and toks[i][1]:  # '[' — array form
+                i += 1
+                k = 0
+                while i < len(toks) and not toks[i][2]:
+                    if toks[i][0] and lo_i + k <= hi_i:
+                        m[lo_i + k] = bytes.fromhex(
+                            toks[i][0].decode()
+                        ).decode("utf-16-be")
+                    k += 1
+                    i += 1
+                i += 1  # skip ']'
+            elif i < len(toks) and toks[i][0]:  # scalar run
+                base = bytes.fromhex(toks[i][0].decode()).decode("utf-16-be")
+                head, last = base[:-1], ord(base[-1])
+                for k in range(hi_i - lo_i + 1):
+                    m[lo_i + k] = head + chr(last + k)
+                i += 1
     return m
 
 

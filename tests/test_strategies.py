@@ -593,8 +593,22 @@ class TestPdfNativeVariants:
             b"1 beginbfchar\n<0001> <0041>\nendbfchar\n"
             b"1 beginbfrange\n<0002> <0003> [<0042> <0043>]\nendbfrange\n"
         )
-        assert m == {1: "A"}  # array-form bfrange skipped, never misread
-        assert _decode_hex_cids("<00010002>", m) == "A�"
+        # array-form bfrange: one explicit destination per code
+        assert m == {1: "A", 2: "B", 3: "C"}
+        assert _decode_hex_cids("<00010002>", m) == "AB"
+        # unmapped CID still surfaces as U+FFFD, never misread
+        assert _decode_hex_cids("<00010009>", m) == "A�"
+        # mixed block: scalar run + array entry + short array tail
+        m2 = _parse_tounicode(
+            b"3 beginbfrange\n"
+            b"<0010> <0012> <0061>\n"
+            b"<0020> <0021> [<0058> <0059>]\n"
+            b"<0030> <0032> [<005A>]\n"
+            b"endbfrange\n"
+        )
+        assert m2[0x10] == "a" and m2[0x11] == "b" and m2[0x12] == "c"
+        assert m2[0x20] == "X" and m2[0x21] == "Y"
+        assert m2[0x30] == "Z" and 0x31 not in m2 and 0x32 not in m2
 
     def test_xref_stream_locator(self):
         from pdf_table_extractor_ray.stages.pdf_native import (
