@@ -141,12 +141,14 @@ def _utf16_hex(ch: str) -> str:
     return ch.encode("utf-16-be").hex().upper()
 
 
-def _tounicode_cmap(cid_map: Dict[str, int]) -> bytes:
+def _tounicode_cmap(cid_map: Dict[str, int], style: str = "scalar") -> bytes:
     """Serialize a char→CID table as a /ToUnicode CMap stream body:
     consecutive (codepoint, CID) runs become ``bfrange`` entries,
     singletons become ``bfchar`` entries (both shapes real font
     subsetters emit), chunked at the spec's 100-entries-per-block
-    limit."""
+    limit. ``style="array"`` writes each run's destinations as the
+    array form (``<lo> <hi> [<d0> <d1> …]``) instead of a scalar base
+    — the third subsetter shape, exercised for parser parity."""
     items = sorted(cid_map.items(), key=lambda kv: kv[1])
     runs: List[List[Tuple[str, int]]] = [[items[0]]] if items else []
     for ch, cid in items[1:]:
@@ -174,9 +176,13 @@ def _tounicode_cmap(cid_map: Dict[str, int]) -> bytes:
         blk = ranges[i : i + 100]
         parts.append(f"{len(blk)} beginbfrange\n".encode())
         for r in blk:
-            parts.append(
-                f"<{r[0][1]:04X}> <{r[-1][1]:04X}> <{_utf16_hex(r[0][0])}>\n".encode()
-            )
+            if style == "array":
+                dsts = " ".join(f"<{_utf16_hex(ch)}>" for ch, _cid in r)
+                parts.append(f"<{r[0][1]:04X}> <{r[-1][1]:04X}> [{dsts}]\n".encode())
+            else:
+                parts.append(
+                    f"<{r[0][1]:04X}> <{r[-1][1]:04X}> <{_utf16_hex(r[0][0])}>\n".encode()
+                )
         parts.append(b"endbfrange\n")
     parts.append(b"endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend")
     return b"".join(parts)
@@ -191,6 +197,7 @@ def build_pdf(
     encoding: str = "latin1",
     content_filter: Optional[str] = None,
     inline_image: bool = False,
+    cmap_style: str = "scalar",
 ) -> bytes:
     """Serialize word boxes into a real, standards-valid PDF:
     FlateDecode content streams, and either a classic xref table
@@ -220,7 +227,7 @@ def build_pdf(
             f"<< /Type /Font /Subtype /Type0 /BaseFont /FixtureCID "
             f"/Encoding /Identity-H /ToUnicode {touni_num} 0 R >>"
         ).encode("latin-1")
-        cmap = _tounicode_cmap(cid_map)
+        cmap = _tounicode_cmap(cid_map, cmap_style)
         cfilt = b""
         if compress:
             cmap = zlib.compress(cmap, 6)

@@ -545,6 +545,17 @@ class TestPdfNativeVariants:
         parsed = _parse_tounicode(cmap_src)
         assert parsed[1] == " " and "€" in parsed.values() and "東" in parsed.values()
 
+    def test_cid_array_cmap_end_to_end(self):
+        """A PDF whose /ToUnicode writes runs in ARRAY form must decode
+        word-for-word identically to its scalar-form twin."""
+        from pdf_table_extractor_ray.stages.pdf_native import build_pdf, parse_pdf_words
+
+        pages = [[(10.0, 20.0, "caf€ 東京 abcdef"), (10.0, 40.0, "saldo 1.234,56")]]
+        scalar = parse_pdf_words(build_pdf(pages, encoding="cid"))
+        arr = parse_pdf_words(build_pdf(pages, encoding="cid", cmap_style="array"))
+        assert arr == scalar
+        assert arr[0][0][2] == "caf€ 東京 abcdef"
+
     def test_line_mode_tj_metrics(self):
         """Whole-line TJ arrays: per-word boxes recover through
         Helvetica glyph advance + kerning numbers (both previously
