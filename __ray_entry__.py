@@ -6655,6 +6655,19 @@ def _q_readability(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_embedding_pca(sf_dir: str):
+    """Top-3 principal components of the embedding cloud by
+    distributed block power iteration — O(d·k) driver state and
+    shuffle volume per pass, ``iters``+2 passes total regardless of
+    component count. Rows-only check (float eigenvectors cannot
+    hash-match SQL); the pytest oracle gates against numpy ``eigh``
+    on cosine and eigenvalue tolerance."""
+    from pdf_table_extractor_ray.stages.similarity import pca_top_components
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+    return pca_top_components(ds, "embedding", n_components=3, iters=30)
+
+
 def _q_doc_length_deciles(sf_dir: str):
     """Global NTILE(10) curriculum binning over (n_chars, doc_id) —
     every doc labeled with its length decile, deterministic because the
@@ -7926,6 +7939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cusum": _q_revenue_cusum,
         "doc_length_deciles": _q_doc_length_deciles,
         "daily_revenue_gini": _q_daily_revenue_gini,
+        "embedding_pca": _q_embedding_pca,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,

@@ -3453,3 +3453,40 @@ def test_doclen_mwu_brute(ray_session):
     assert row["u2_a"] == u2
     # rank-sum identity: 2·U_a + 2·U_b = 2·n_a·n_b
     assert 0 <= u2 <= 2 * na * nb
+
+
+def test_pca_power_iteration_matches_eigh(ray_session):
+    """Block power iteration vs numpy eigh on an anisotropic gaussian:
+    eigenvalue parity (rtol 1e-3), loading direction parity
+    (|cos| >= 0.999), and block-layout invariance (repartition)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import pca_top_components
+
+    rng = np.random.default_rng(3)
+    d, n = 12, 400
+    scales = np.array([9.0, 4.0, 2.0] + [0.3] * (d - 3))
+    q = np.linalg.qr(rng.standard_normal((d, d)))[0]
+    x = (rng.standard_normal((n, d)) * scales) @ q.T + rng.standard_normal(d)
+    rows = [{"embedding": r.tolist()} for r in x]
+
+    xc = x - x.mean(axis=0)
+    evals, evecs = np.linalg.eigh(xc.T @ xc / (n - 1))
+    evals, evecs = evals[::-1], evecs[:, ::-1]
+
+    got = pca_top_components(
+        ray.data.from_items(rows).repartition(6), n_components=3, iters=60
+    )
+    lam = got.column("eigenvalue").to_pylist()
+    loads = got.column("loading").to_pylist()
+    for j in range(3):
+        assert abs(lam[j] - evals[j]) <= 1e-3 * evals[j], (j, lam[j], evals[j])
+        cos = abs(float(np.dot(loads[j], evecs[:, j])))
+        assert cos >= 0.999, (j, cos)
+
+    got2 = pca_top_components(
+        ray.data.from_items(rows).repartition(2), n_components=3, iters=60
+    )
+    lam2 = got2.column("eigenvalue").to_pylist()
+    for j in range(3):
+        assert abs(lam2[j] - lam[j]) <= 1e-6 * max(abs(lam[j]), 1.0)
