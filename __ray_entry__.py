@@ -6655,6 +6655,33 @@ def _q_readability(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_mutual_nn_pairs(sf_dir: str):
+    """Reciprocal nearest-neighbor pairs between the even- and odd-id
+    halves of the embedding corpus — the high-precision cross-corpus
+    alignment rule (b is a's NN and a is b's NN). Two IVF-bucketed
+    nn_join passes + one slim id-keyed hash join; vectors shuffle only
+    into cells, never in the reciprocity exchange. Rows-only check;
+    the pytest oracle runs exhaustive mode (n_clusters=1) against a
+    numpy brute-force mutual-NN set."""
+    from pdf_table_extractor_ray.stages.similarity import mutual_nn_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def even(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b.column("vec_id"), pa.scalar(1, pa.int64())), 0)
+        )
+
+    def odd(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b.column("vec_id"), pa.scalar(1, pa.int64())), 1)
+        )
+
+    left = ds.map_batches(even, batch_format="pyarrow", zero_copy_batch=True)
+    right = ds.map_batches(odd, batch_format="pyarrow", zero_copy_batch=True)
+    return mutual_nn_pairs(left, right, n_clusters=16, nprobe=4)
+
+
 def _q_embedding_pca(sf_dir: str):
     """Top-3 principal components of the embedding cloud by
     distributed block power iteration — O(d·k) driver state and
@@ -7940,6 +7967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": _q_doc_length_deciles,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
+        "mutual_nn_pairs": _q_mutual_nn_pairs,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,

@@ -1269,3 +1269,76 @@ def pca_top_components(
             ),
         }
     )
+
+
+def mutual_nn_pairs(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    vec_col: str = "embedding",
+    left_id: str = "vec_id",
+    right_id: str = "vec_id",
+    n_clusters: int = IVF_CLUSTERS,
+    nprobe: int = IVF_NPROBE,
+    seed: int = 13,
+) -> "ray.data.Dataset":
+    """RECIPROCAL nearest-neighbor pairs between two vector corpora —
+    (a, b) where b is a's max-cosine right vector AND a is b's
+    max-cosine left vector. The mutual-NN criterion is the standard
+    high-precision matching rule for cross-corpus alignment
+    (translation-pair mining, exemplar linking, near-duplicate
+    bridging): one-directional NN is noisy exactly where mutuality
+    prunes it.
+
+    Shape: two ``nn_join`` passes (IVF-bucketed, one cell-keyed
+    shuffle each — see nn_join for the recall knobs), then ONE slim
+    hash-shuffle join of the two (id, nn) edge tables keyed on the
+    forward target = backward source, filtered to reciprocity. Only
+    id/score triples move in the final exchange — vectors shuffle only
+    inside the nn_join cells. With ``n_clusters=1`` both passes are
+    exhaustive and the result is the exact mutual-NN set.
+
+    Output: (a_id, b_id, cos_micro) with cos_micro from the forward
+    pass (integer ⌊1e6·cos⌋; the backward score of the same pair is
+    the same true cosine, so one column suffices)."""
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    fwd = nn_join(
+        left, right, vec_col, left_id, right_id,
+        n_clusters=n_clusters, nprobe=nprobe, seed=seed,
+    )
+    bwd = nn_join(
+        right, left, vec_col, right_id, left_id,
+        n_clusters=n_clusters, nprobe=nprobe, seed=seed,
+    )
+
+    def tag_fwd(b: pa.Table) -> pa.Table:
+        # nn_join names its id column after the probing side's id param
+        return pa.table(
+            {
+                "a_id": b.column(left_id),
+                "b_id": b.column("nn_id"),
+                "cos_micro": b.column("cos_micro"),
+            }
+        )
+
+    def tag_bwd(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {"bb_id": b.column(right_id), "back_id": b.column("nn_id")}
+        )
+
+    f = fwd.map_batches(tag_fwd, batch_format="pyarrow")
+    g = bwd.map_batches(tag_bwd, batch_format="pyarrow")
+    joined = hash_shuffle_join(f, g, on="b_id", right_on="bb_id", how="inner")
+
+    def keep_mutual(b: pa.Table) -> pa.Table:
+        m = pc.equal(b.column("back_id"), b.column("a_id"))
+        b = b.filter(m)
+        return pa.table(
+            {
+                "a_id": pc.cast(b.column("a_id"), pa.int64()),
+                "b_id": pc.cast(b.column("b_id"), pa.int64()),
+                "cos_micro": pc.cast(b.column("cos_micro"), pa.int64()),
+            }
+        )
+
+    return joined.map_batches(keep_mutual, batch_format="pyarrow")

@@ -3490,3 +3490,39 @@ def test_pca_power_iteration_matches_eigh(ray_session):
     lam2 = got2.column("eigenvalue").to_pylist()
     for j in range(3):
         assert abs(lam2[j] - lam[j]) <= 1e-6 * max(abs(lam[j]), 1.0)
+
+
+def test_mutual_nn_pairs_exhaustive_parity(ray_session):
+    """mutual_nn_pairs in exhaustive mode (n_clusters=1) vs numpy
+    brute-force reciprocal-NN over two disjoint random sides."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.similarity import mutual_nn_pairs
+
+    rng = np.random.default_rng(19)
+    na, nb, d = 60, 50, 16
+    a = rng.standard_normal((na, d))
+    b = rng.standard_normal((nb, d))
+    # plant two strong mutual pairs
+    b[7] = a[3] * 1.1
+    b[12] = a[40] * 0.9
+    left = ray.data.from_items(
+        [{"vec_id": i, "embedding": a[i].tolist()} for i in range(na)]
+    ).repartition(3)
+    right = ray.data.from_items(
+        [{"vec_id": 1000 + j, "embedding": b[j].tolist()} for j in range(nb)]
+    ).repartition(3)
+
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in mutual_nn_pairs(left, right, n_clusters=1, nprobe=1).take_all()
+    }
+
+    an = a / np.linalg.norm(a, axis=1, keepdims=True)
+    bn = b / np.linalg.norm(b, axis=1, keepdims=True)
+    sims = an @ bn.T
+    fwd = np.argmax(sims, axis=1)
+    bwd = np.argmax(sims, axis=0)
+    want = {(i, 1000 + int(fwd[i])) for i in range(na) if bwd[int(fwd[i])] == i}
+    assert got == want
+    assert (3, 1007) in got and (40, 1012) in got
