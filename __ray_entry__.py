@@ -6655,6 +6655,68 @@ def _q_readability(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_BLOOM_PROBE_KEYS = (1, 7, 1000, 4999, 123456789)
+
+
+def _q_bloom_pruned_lookup(sf_dir: str):
+    """Bloom-index data skipping end-to-end — the POINT-lookup sibling
+    of the zone-map scan: orders re-laid-out as 16 orderkey-sorted
+    parquet files (minted once per sf), a 16 KiB-per-file Bloom index
+    built once over o_orderkey, and a 5-key IN probe that reads ONLY
+    the files whose filter possibly holds a probe key. The result must
+    hash-match the SQL IN filter over the original table (pruning is
+    I/O-only; false negatives impossible), and the query asserts its
+    PruneCertificate actually skipped files — with dense keys split
+    across 16 files, ≤5 owners can match (plus vanishing-probability
+    false positives at m=2^17, k=5)."""
+    import pyarrow.parquet as pq
+
+    from pdf_table_extractor_ray.stages.zonemap import bloom_pruned_read
+
+    shard_dir = os.path.join("/tmp/pdfx_bloomidx", f"{_sf_name(sf_dir)}_orders16")
+    marker = os.path.join(shard_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        ).sort_by("o_orderkey")
+        n = t.num_rows
+        for i in range(16):
+            pq.write_table(
+                t.slice(i * n // 16, (i + 1) * n // 16 - i * n // 16),
+                os.path.join(shard_dir, f"part-{i:02d}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = [
+        os.path.join(shard_dir, p)
+        for p in os.listdir(shard_dir)
+        if p.endswith(".parquet")
+    ]
+
+    ds, cert = bloom_pruned_read(
+        paths,
+        "o_orderkey",
+        list(_BLOOM_PROBE_KEYS),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    if cert.files_read >= cert.files_total:
+        raise AssertionError(f"bloom index failed to prune: {cert}")
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pc.cast(b.column("o_orderkey"), pa.int64()),
+                "o_custkey": pc.cast(b.column("o_custkey"), pa.int64()),
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_mutual_nn_pairs(sf_dir: str):
     """Reciprocal nearest-neighbor pairs between the even- and odd-id
     halves of the embedding corpus — the high-precision cross-corpus
@@ -7968,6 +8030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
         "mutual_nn_pairs": _q_mutual_nn_pairs,
+        "bloom_pruned_lookup": _q_bloom_pruned_lookup,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,
@@ -8478,6 +8541,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words "
             "- 84600 * n_syllables * n_sentences AS BIGINT) AS flesch_num "
             "FROM documents WHERE text IS NOT NULL"
+        ),
+        "bloom_pruned_lookup": (
+            "SELECT o_orderkey, o_custkey, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders WHERE o_orderkey IN (1, 7, 1000, 4999, 123456789)"
         ),
         "doc_length_deciles": (
             "SELECT doc_id, CAST(ntile(10) OVER (ORDER BY n_chars, doc_id) "

@@ -132,3 +132,96 @@ def pruned_read(
         return ds, cert
     ds = ray.data.read_parquet([z["path"] for z in keep], columns=columns, filter=expr)
     return ds, cert
+
+
+def _file_bloom(path: str, column: str, m_bits: int, k: int):
+    """(packed bloom bytes, rows) for one file — ONE slim projected
+    column read (the index build's data cost, paid once per layout)."""
+    from pdf_table_extractor_ray.stages.bloom import bloom_from_values
+
+    t = pq.read_table(path, columns=[column])
+    return bloom_from_values(t.column(column), m_bits, k).tobytes(), t.num_rows
+
+
+def build_bloom_index(
+    paths: List[str],
+    column: str,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+) -> List[dict]:
+    """Per-file Bloom filters over ``column`` — the POINT-membership
+    sibling of the zone map (which skips by range): a probe key can
+    skip every file whose filter definitely lacks it, whatever the
+    layout's sort order. One ``{path, bits, rows}`` row per file;
+    16 KiB per file at the default m — file-count-bounded, never
+    row-count-bounded. Builds are distributed above the same driver
+    cutoff as the zone map."""
+    paths = sorted(paths)
+    if len(paths) <= _DRIVER_FOOTER_CUTOFF:
+        built = [_file_bloom(p, column, m_bits, k) for p in paths]
+    else:
+        def batch_bloom(b: pa.Table) -> pa.Table:
+            ps = b.column("path").to_pylist()
+            out = [_file_bloom(p, column, m_bits, k) for p in ps]
+            return pa.table(
+                {
+                    "path": pa.array(ps, pa.string()),
+                    "bits": pa.array([o[0] for o in out], pa.binary()),
+                    "rows": pa.array([o[1] for o in out], pa.int64()),
+                }
+            )
+
+        got = (
+            ray.data.from_items([{"path": p} for p in paths])
+            .map_batches(batch_bloom, batch_format="pyarrow")
+            .take_all()
+        )
+        by_path = {r["path"]: (r["bits"], r["rows"]) for r in got}
+        built = [by_path[p] for p in paths]
+    return [
+        {"path": p, "bits": bits, "rows": n}
+        for p, (bits, n) in zip(paths, built)
+    ]
+
+
+def bloom_pruned_read(
+    paths: List[str],
+    column: str,
+    probe_values,
+    columns: Optional[List[str]] = None,
+    m_bits: int = 1 << 17,
+    k: int = 5,
+    index: Optional[List[dict]] = None,
+) -> Tuple["ray.data.Dataset", PruneCertificate]:
+    """Point-lookup scan: rows whose ``column`` is in ``probe_values``,
+    reading ONLY the files whose Bloom filter possibly contains at
+    least one probe key (false positives read harmlessly; false
+    negatives are impossible, so pruning never changes semantics — the
+    residual IN filter still applies inside survivors). Pass a
+    prebuilt ``index`` to amortize the build across lookups. Returns
+    (dataset, certificate)."""
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.bloom import bloom_contains
+
+    idx = index if index is not None else build_bloom_index(paths, column, m_bits, k)
+    probe = pa.array(list(probe_values))
+    keep = []
+    for z in idx:
+        bits = np.frombuffer(z["bits"], np.uint8)
+        if bool(bloom_contains(probe, bits, m_bits, k).any()):
+            keep.append(z)
+    cert = PruneCertificate(
+        files_total=len(idx),
+        files_read=len(keep),
+        rows_total=sum(z["rows"] for z in idx),
+        rows_read=sum(z["rows"] for z in keep),
+    )
+    expr = pads.field(column).isin(probe)
+    if not keep:
+        ds = ray.data.read_parquet(
+            [idx[0]["path"]], columns=columns, filter=expr
+        ).limit(0)
+        return ds, cert
+    ds = ray.data.read_parquet([z["path"] for z in keep], columns=columns, filter=expr)
+    return ds, cert

@@ -66,3 +66,39 @@ def test_empty_band_keeps_schema(ray_session, tmp_path):
     assert cert.files_read == 0 and cert.files_skipped == 1
     assert ds.count() == 0
     assert set(ds.schema().names) == {"v", "tag"}
+
+
+def test_bloom_pruned_read_parity_and_prune(ray_session, tmp_path):
+    """Bloom-index point lookup: result parity vs a direct IN filter,
+    real file skipping on a key-split layout, empty-probe path, and
+    index reuse across lookups."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_table_extractor_ray.stages.zonemap import (
+        bloom_pruned_read,
+        build_bloom_index,
+    )
+
+    rng = np.random.default_rng(13)
+    keys = np.arange(4000, dtype=np.int64)
+    vals = rng.integers(0, 1000, size=4000)
+    paths = []
+    for i in range(8):
+        sl = slice(i * 500, (i + 1) * 500)
+        p = str(tmp_path / f"part-{i}.parquet")
+        pq.write_table(pa.table({"k": keys[sl], "v": vals[sl]}), p)
+        paths.append(p)
+
+    idx = build_bloom_index(paths, "k")
+    probe = [3, 777, 3999, 10**9]  # three present (files 0, 1, 7), one absent
+    ds, cert = bloom_pruned_read(paths, "k", probe, index=idx)
+    got = sorted((r["k"], r["v"]) for r in ds.take_all())
+    want = sorted((int(k), int(v)) for k, v in zip(keys, vals) if k in probe)
+    assert got == want
+    assert cert.files_total == 8 and 3 <= cert.files_read < 8
+
+    # all-absent probe: zero files read, empty result, schema intact
+    ds0, cert0 = bloom_pruned_read(paths, "k", [10**9, 10**9 + 1], index=idx)
+    assert cert0.files_read == 0 and ds0.take_all() == []
