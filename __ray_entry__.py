@@ -2329,6 +2329,16 @@ def _q_top_transitions(sf_dir: str):
     return top_transitions(ev, k=10)
 
 
+def _q_top_transitions3(sf_dir: str):
+    """Top event-type TRIGRAMS (3-step sequence mining): same bucket
+    plan as top_transitions with a both-adjacent same-user mask and
+    V³ code packing; ≤ observed-vocab³ rows reduce; partial top-k."""
+    from pdf_table_extractor_ray.stages.sessions import top_transitions3
+
+    ev = _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+    return top_transitions3(ev, k=10)
+
+
 def _q_retention_cohorts(sf_dir: str):
     """Weekly cohort retention: cohort = each user's first active
     week; per (cohort, offset) the count of cohort users active that
@@ -8150,6 +8160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": _q_latest_event_per_user,
         "top_anchor_texts": _q_top_anchor_texts,
         "top_transitions": _q_top_transitions,
+        "top_transitions3": _q_top_transitions3,
         "retention_cohorts": _q_retention_cohorts,
         "docs_with_terms": _q_docs_with_terms,
         "join_overlap_estimate": _q_join_overlap_estimate,
@@ -9549,6 +9560,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM seq WHERE next_type IS NOT NULL "
             "GROUP BY prev_type, next_type "
             "ORDER BY n DESC, prev_type, next_type LIMIT 10"
+        ),
+        "top_transitions3": (
+            "WITH seq AS (SELECT event_type AS t1, "
+            "  lead(event_type) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS t2, "
+            "  lead(event_type, 2) OVER (PARTITION BY user_id "
+            "    ORDER BY ts, event_id) AS t3 "
+            "  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL "
+            "    AND event_type IS NOT NULL) "
+            "SELECT t1, t2, t3, CAST(count(*) AS BIGINT) AS n "
+            "FROM seq WHERE t2 IS NOT NULL AND t3 IS NOT NULL "
+            "GROUP BY t1, t2, t3 ORDER BY n DESC, t1, t2, t3 LIMIT 10"
         ),
         "retention_cohorts": (
             "WITH uw AS (SELECT DISTINCT user_id, "

@@ -650,6 +650,123 @@ def top_transitions(
     )
 
 
+def top_transitions3(
+    events: "ray.data.Dataset",
+    k: int = 10,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    n_buckets: int = 64,
+) -> "ray.data.Dataset":
+    """Top-``k`` event-type TRIGRAMS (contiguous 3-step sequences per
+    user in (ts, order_col) order) — the sequence-mining rung above
+    ``top_transitions``' Markov edges: 3-step paths discriminate flows
+    (view→click→purchase vs view→click→bounce) that edge counts
+    conflate. Output (t1, t2, t3, n) by (n desc, t1, t2, t3).
+
+    Same shape as ``top_transitions``: ONE user-bucket shuffle of the
+    slim projection, per bucket one lexsort + a BOTH-adjacent same-user
+    mask over per-bucket dictionary codes packed ``c1·V² + c2·V + c3``
+    (V = bucket vocab — packing needs V³ < 2⁶³, i.e. V < 2M types, far
+    above any event vocabulary). Counts pre-reduce per bucket; the
+    final groupby-Sum touches ≤ |vocab|³ observed rows; top-k is the
+    partial merge, no global sort."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        u = b.column(user_col)
+        valid = pc.and_(
+            pc.and_(pc.is_valid(u), pc.is_valid(b.column(ts_col))),
+            pc.is_valid(b.column(type_col)),
+        )
+        b = b.filter(valid)
+        uid = b.column(user_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": b.column(user_col),
+                "ts_us": pc.cast(b.column(ts_col), pa.int64()),
+                "oid": pc.cast(b.column(order_col), pa.int64()),
+                "t": pc.cast(b.column(type_col), pa.string()),
+                "bucket": pa.array((uid % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table(
+            {
+                "t1": pa.array([], pa.string()),
+                "t2": pa.array([], pa.string()),
+                "t3": pa.array([], pa.string()),
+                "n_part": pa.array([], pa.int64()),
+            }
+        )
+        if n < 3:
+            return empty
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        oid = g.column("oid").to_numpy(zero_copy_only=False)
+        t = g.column("t")
+        if isinstance(t, pa.ChunkedArray):
+            t = t.combine_chunks()
+        enc = t.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((oid, ts, uid))
+        su, sc = uid[order], codes[order]
+        same12 = su[1:-1] == su[:-2]
+        same23 = su[2:] == su[1:-1]
+        m = same12 & same23
+        if not m.any():
+            return empty
+        V = np.int64(len(enc.dictionary))
+        tri = (sc[:-2][m] * V + sc[1:-1][m]) * V + sc[2:][m]
+        ut, cnt = np.unique(tri, return_counts=True)
+        i1 = pa.array(ut // (V * V), pa.int64())
+        i2 = pa.array((ut // V) % V, pa.int64())
+        i3 = pa.array(ut % V, pa.int64())
+        return pa.table(
+            {
+                "t1": pc.take(enc.dictionary, i1),
+                "t2": pc.take(enc.dictionary, i2),
+                "t3": pc.take(enc.dictionary, i3),
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        events.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby(["t1", "t2", "t3"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t1": b.column("t1"),
+                "t2": b.column("t2"),
+                "t3": b.column("t3"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    counted = agg.map_batches(finish, batch_format="pyarrow")
+    return global_top_k(
+        counted,
+        [
+            ("n", "descending"),
+            ("t1", "ascending"),
+            ("t2", "ascending"),
+            ("t3", "ascending"),
+        ],
+        k,
+    )
+
+
 def grouped_ffill(
     events: "ray.data.Dataset",
     value_col: str,
