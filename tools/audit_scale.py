@@ -66,6 +66,11 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/sketches.py", "to_u"): "kth_smallest_by: one count row per key + ≤ |keys|·nbins histogram rows per pass, bounded key domain",
     ("pdf_table_extractor_ray/pipelines/extract.py", "stats_of"): "per-partition lineage counters",
     ("pdf_table_extractor_ray/pipelines/sinks.py", "__call__"): "workbook partition keys",
+    ("__ray_entry__.py", "_q_revenue_autocorr"): "one row per calendar day, bounded time axis",
+    ("pdf_table_extractor_ray/stages/similarity.py", "sum_partial"): "pca: one row per embedding dimension, bounded by d",
+    ("pdf_table_extractor_ray/stages/similarity.py", "matvec_partial"): "pca: d·k scatter cells per pass, dimension-bounded",
+    ("pdf_table_extractor_ray/stages/zonemap.py", "batch_env"): "one envelope row per parquet file, file-count-bounded",
+    ("pdf_table_extractor_ray/stages/zonemap.py", "batch_bloom"): "one 16 KiB bloom row per parquet file, file-count-bounded",
 }
 
 _MAP_SITE = re.compile(r"(\w+)?\.map\(")
