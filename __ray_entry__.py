@@ -6632,6 +6632,110 @@ def _q_revenue_cusum(sf_dir: str):
     return per_day.repartition(1).map_batches(finish, batch_format="pyarrow")
 
 
+def _q_revenue_segments(sf_dir: str):
+    """Optimal K=4 piecewise-constant segmentation of the daily
+    order-revenue series (exact Bellman DP on SSE cost — the
+    multi-change-point generalization of ``revenue_cusum``; what
+    ruptures' Dynp computes). Segment SSE uses the prefix-sum identity
+    ``Σx² − (Σx)²/len`` so the DP needs only two prefix arrays; the
+    DP itself is O(n²K) vectorized numpy on the BOUNDED day axis in
+    one block (n ≈ 2.4k days — the axis a day-grain series can't
+    exceed), after map-side (day, cents) partials and one groupby(day)
+    Sum. Rows-only check (float SSE); the pytest oracle enumerates all
+    segmentations of a small series. Output: one row per segment —
+    (segment 1-based, start_day_us, end_day_us, n_days, sum_cents)."""
+    from ray.data.aggregate import Sum
+
+    _DAY_US = 86_400_000_000
+    _K = 4
+    ds = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.is_valid(b.column("o_orderdate")), pc.is_valid(b.column("o_totalprice"))
+        )
+        b = b.filter(keep)
+        ts = pc.cast(pc.cast(b.column("o_orderdate"), pa.timestamp("us")), pa.int64())
+        day = (ts.to_numpy(zero_copy_only=False) // _DAY_US) * _DAY_US
+        cents = np.floor(_nn(b.column("o_totalprice")) * 100).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        tot = np.zeros(len(ud), np.int64)
+        np.add.at(tot, inv, cents)
+        return pa.table(
+            {"day_us": pa.array(ud, pa.int64()), "cents": pa.array(tot, pa.int64())}
+        )
+
+    per_day = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("day_us")
+        .aggregate(Sum("cents"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        day = _nn(b.column("day_us")).astype(np.int64)
+        cents = _nn(b.column("sum(cents)")).astype(np.int64)
+        order = np.argsort(day, kind="stable")
+        day, cents = day[order], cents[order]
+        bounds = _dp_segment_bounds(cents.astype(np.float64), _K)
+        seg_rows = []
+        for s, (lo, hi) in enumerate(bounds, 1):  # hi exclusive
+            seg_rows.append(
+                (s, int(day[lo]), int(day[hi - 1]), hi - lo, int(cents[lo:hi].sum()))
+            )
+        return pa.table(
+            {
+                "segment": pa.array([r[0] for r in seg_rows], pa.int64()),
+                "start_day_us": pa.array([r[1] for r in seg_rows], pa.int64()),
+                "end_day_us": pa.array([r[2] for r in seg_rows], pa.int64()),
+                "n_days": pa.array([r[3] for r in seg_rows], pa.int64()),
+                "sum_cents": pa.array([r[4] for r in seg_rows], pa.int64()),
+            }
+        )
+
+    return per_day.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
+def _dp_segment_bounds(x: np.ndarray, k: int):
+    """Exact optimal k-segmentation of a 1-D series under SSE cost
+    (Bellman dynamic program, vectorized over the split axis).
+    Returns k (lo, hi_exclusive) index pairs covering [0, n). Ties
+    break toward the EARLIEST split (np.argmin first-min), making the
+    result deterministic. n×n float matrix — callers guarantee the
+    bounded-axis contract (day/hour grain series)."""
+    n = len(x)
+    k = min(k, n)
+    if n == 0:
+        return []
+    p = np.concatenate([[0.0], np.cumsum(x)])
+    q = np.concatenate([[0.0], np.cumsum(x * x)])
+    i_idx = np.arange(n + 1)
+    # cost[j, i] = SSE of segment x[j:i] (j < i); upper-triangular use only
+    sums = p[None, :] - p[:, None]
+    sqs = q[None, :] - q[:, None]
+    lens = i_idx[None, :] - i_idx[:, None]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cost = np.where(
+            lens > 0,
+            sqs - sums * sums / np.maximum(lens, 1),
+            np.inf,  # empty/backward segments are inadmissible
+        )
+    dp = np.full((k + 1, n + 1), np.inf)
+    arg = np.zeros((k + 1, n + 1), np.int64)
+    dp[0, 0] = 0.0
+    for s in range(1, k + 1):
+        # dp[s, i] = min_j dp[s-1, j] + cost[j, i]
+        cand = dp[s - 1][:, None] + cost  # (n+1, n+1)
+        arg[s] = np.argmin(cand, axis=0)
+        dp[s] = cand[arg[s], i_idx]
+    bounds = []
+    i = n
+    for s in range(k, 0, -1):
+        j = int(arg[s, i])
+        bounds.append((j, i))
+        i = j
+    return bounds[::-1]
+
+
 def _q_readability(sf_dir: str):
     """Per-document Flesch reading-ease signals in EXACT integers: word
     count (non-space runs), sentence count (the ``sentence_stats``
@@ -8039,6 +8143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": _q_doc_length_deciles,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
+        "revenue_segments": _q_revenue_segments,
         "mutual_nn_pairs": _q_mutual_nn_pairs,
         "bloom_pruned_lookup": _q_bloom_pruned_lookup,
         "readability": _q_readability,

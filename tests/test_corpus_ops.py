@@ -3526,3 +3526,72 @@ def test_mutual_nn_pairs_exhaustive_parity(ray_session):
     want = {(i, 1000 + int(fwd[i])) for i in range(na) if bwd[int(fwd[i])] == i}
     assert got == want
     assert (3, 1007) in got and (40, 1012) in got
+
+
+def test_dp_segmentation_exhaustive_parity():
+    """Bellman k-segmentation vs exhaustive enumeration of all split
+    placements on small series (ties -> earliest split)."""
+    import importlib
+    from itertools import combinations
+
+    entry = importlib.import_module("__ray_entry__")
+
+    def brute(x, k):
+        n = len(x)
+        best, best_sse = None, np.inf
+        for splits in combinations(range(1, n), k - 1):
+            cuts = [0, *splits, n]
+            sse = 0.0
+            for lo, hi in zip(cuts, cuts[1:]):
+                seg = x[lo:hi]
+                sse += float(((seg - seg.mean()) ** 2).sum())
+            if sse < best_sse - 1e-9:
+                best_sse, best = sse, list(zip(cuts, cuts[1:]))
+        return best, best_sse
+
+    rng = np.random.default_rng(41)
+    for trial in range(6):
+        n = int(rng.integers(6, 14))
+        k = int(rng.integers(2, min(5, n)))
+        x = np.concatenate(
+            [rng.normal(loc, 0.5, size=rng.integers(2, 5)) for loc in (0, 8, -4)]
+        )[:n]
+        if len(x) < k:
+            continue
+        got = entry._dp_segment_bounds(x, k)
+        want, want_sse = brute(x, k)
+        got_sse = sum(
+            float(((x[lo:hi] - x[lo:hi].mean()) ** 2).sum()) for lo, hi in got
+        )
+        assert abs(got_sse - want_sse) <= 1e-6 * max(want_sse, 1.0), trial
+        # every segment non-empty and covering
+        assert got[0][0] == 0 and got[-1][1] == len(x)
+        assert all(hi > lo for lo, hi in got)
+
+
+def test_revenue_segments_planted_shifts(ray_session):
+    """End-to-end: a series with two planted level shifts recovers the
+    true boundaries as segment starts."""
+    import importlib
+
+    import pyarrow.parquet as pq
+
+    entry = importlib.import_module("__ray_entry__")
+    day_us = 86_400_000_000
+    days = np.arange(40, dtype=np.int64) * day_us
+    level = np.where(np.arange(40) < 15, 100.0, np.where(np.arange(40) < 25, 900.0, 300.0))
+    t = pa.table(
+        {
+            "o_orderdate": pa.array(days, pa.timestamp("us")),
+            "o_totalprice": pa.array(level, pa.float64()),
+        }
+    )
+    d = "/tmp/pdfx_test_seg"
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, f"{d}/orders.parquet")
+    rows = entry._q_revenue_segments(d).take_all()
+    # K=4 splits a 3-level series: the two true shifts must appear
+    starts = {r["start_day_us"] for r in rows}
+    assert 15 * day_us in starts and 25 * day_us in starts
+    assert sum(r["n_days"] for r in rows) == 40
+    assert sum(r["sum_cents"] for r in rows) == int((level * 100).sum())
