@@ -6769,6 +6769,73 @@ def _q_readability(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_compact_small_shards(sf_dir: str):
+    """Small-file compaction end-to-end: documents sprayed into 48 tiny
+    parquet shards (the shape a fine-grained resumable sink leaves
+    behind, minted once per sf), FFD bin-packed to ≈8 input files per
+    output and rewritten one-task-per-bin with no shuffle
+    (stages/compaction.py). The query asserts the certificate is
+    row-preserving (rows == input rows) and actually compacts
+    (files_out < files_in), then emits it plus a content checksum over
+    the COMPACTED layout — the pytest oracle additionally diffs actual
+    row multisets."""
+    import pyarrow.parquet as pq
+
+    from pdf_table_extractor_ray.stages.compaction import compact_shards
+
+    shard_dir = os.path.join("/tmp/pdfx_compact", f"{_sf_name(sf_dir)}_docs48")
+    marker = os.path.join(shard_dir, "_COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(shard_dir, exist_ok=True)
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+        n = t.num_rows
+        for i in range(48):
+            pq.write_table(
+                t.slice(i * n // 48, (i + 1) * n // 48 - i * n // 48),
+                os.path.join(shard_dir, f"wave-{i:03d}.parquet"),
+            )
+        with open(marker, "w") as f:
+            f.write("ok")
+    paths = [
+        os.path.join(shard_dir, p)
+        for p in os.listdir(shard_dir)
+        if p.endswith(".parquet")
+    ]
+    out_dir = os.path.join("/tmp/pdfx_compact", f"{_sf_name(sf_dir)}_docs48_out")
+    target = 8 * max(os.path.getsize(p) for p in paths)
+    cert = compact_shards(paths, out_dir, target_bytes=target)
+    n_rows = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"]).num_rows
+    if cert.rows != n_rows or cert.files_out >= cert.files_in:
+        raise AssertionError(f"compaction violated its contract: {cert}")
+
+    # order-invariant content checksum over the compacted layout: the
+    # rewrite must preserve every (doc_id, n_chars) pair exactly
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.sketches import table_checksum
+
+    def keyed(b: pa.Table) -> pa.Table:
+        s = pc.binary_join_element_wise(
+            pc.cast(b.column("doc_id"), pa.string()),
+            pc.cast(b.column("n_chars"), pa.string()),
+            ":",
+        )
+        return pa.table({"text": s})
+
+    compacted = ray.data.read_parquet(out_dir).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True
+    )
+    check = table_checksum(compacted, "text").take_all()[0]
+    return pa.table(
+        {
+            "files_in": pa.array([cert.files_in], pa.int64()),
+            "files_out": pa.array([cert.files_out], pa.int64()),
+            "rows": pa.array([cert.rows], pa.int64()),
+            "checksum": pa.array([int(check["checksum"])], pa.int64()),
+        }
+    )
+
+
 _BLOOM_PROBE_KEYS = (1, 7, 1000, 4999, 123456789)
 
 
@@ -8146,6 +8213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_segments": _q_revenue_segments,
         "mutual_nn_pairs": _q_mutual_nn_pairs,
         "bloom_pruned_lookup": _q_bloom_pruned_lookup,
+        "compact_small_shards": _q_compact_small_shards,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,

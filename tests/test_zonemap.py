@@ -102,3 +102,47 @@ def test_bloom_pruned_read_parity_and_prune(ray_session, tmp_path):
     # all-absent probe: zero files read, empty result, schema intact
     ds0, cert0 = bloom_pruned_read(paths, "k", [10**9, 10**9 + 1], index=idx)
     assert cert0.files_read == 0 and ds0.take_all() == []
+
+
+def test_compact_shards_row_preserving(ray_session, tmp_path):
+    """Compaction: exact row-multiset parity, deterministic FFD plan,
+    oversize files get their own bin, certificate consistency."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_table_extractor_ray.stages.compaction import (
+        compact_shards,
+        plan_compaction,
+    )
+
+    rng = np.random.default_rng(29)
+    paths = []
+    all_rows = []
+    for i in range(10):
+        n = int(rng.integers(5, 400))  # very uneven file sizes
+        ks = rng.integers(0, 10**6, size=n).astype(np.int64)
+        all_rows += ks.tolist()
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(pa.table({"k": ks}), p)
+        paths.append(p)
+
+    target = 3 * max(os.path.getsize(p) for p in paths)
+    plan = plan_compaction(paths, target)
+    assert plan == plan_compaction(list(reversed(paths)), target)  # deterministic
+    assert sorted(p for b in plan for p in b) == sorted(paths)
+
+    out = str(tmp_path / "out")
+    cert = compact_shards(paths, out, target_bytes=target)
+    assert cert.files_in == 10 and cert.files_out == len(plan) < 10
+    assert cert.rows == len(all_rows)
+    got = []
+    for f in sorted(os.listdir(out)):
+        got += pq.read_table(os.path.join(out, f)).column("k").to_pylist()
+    assert sorted(got) == sorted(all_rows)
+
+    # a file bigger than the target compacts alone
+    big = str(tmp_path / "big.parquet")
+    pq.write_table(pa.table({"k": np.arange(50000, dtype=np.int64)}), big)
+    plan2 = plan_compaction([*paths, big], target_bytes=os.path.getsize(big) // 2)
+    assert [big] in plan2

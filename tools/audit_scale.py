@@ -71,6 +71,8 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/similarity.py", "matvec_partial"): "pca: d·k scatter cells per pass, dimension-bounded",
     ("pdf_table_extractor_ray/stages/zonemap.py", "batch_env"): "one envelope row per parquet file, file-count-bounded",
     ("pdf_table_extractor_ray/stages/zonemap.py", "batch_bloom"): "one 16 KiB bloom row per parquet file, file-count-bounded",
+    ("pdf_table_extractor_ray/stages/compaction.py", "rewrite"): "one counter row per output bin, file-count-bounded",
+    ("__ray_entry__.py", "keyed"): "compact_small_shards: one (n_rows, checksum) row",
 }
 
 _MAP_SITE = re.compile(r"(\w+)?\.map\(")
