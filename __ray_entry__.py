@@ -6769,6 +6769,76 @@ def _q_readability(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_hapax_by_source(sf_dir: str):
+    """Vocabulary richness per source: distinct whitespace-token count
+    and HAPAX LEGOMENA count (tokens occurring exactly once in that
+    source) — the corpus-health signal that separates generative
+    boilerplate (tiny vocab, few hapax) from organic text. Shape: a
+    batch-level (source, token) combiner collapses each block before
+    the ONE (source, token) exchange; the hapax test then pre-reduces
+    per block to ≤ |sources| partial rows before a tiny groupby. The
+    token axis shuffles exactly once; raw text never does."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.lm import _flat_tokens
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column("source")))
+        flat, lens = _flat_tokens(b.column("text"))
+        src = b.column("source")
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        rep = pa.array(np.repeat(np.arange(len(lens), dtype=np.int64), lens))
+        src_rep = src.take(rep)
+        keep = pc.not_equal(flat, "")  # boundary empties from the split
+        t = pa.table({"source": src_rep.filter(keep), "token": flat.filter(keep)})
+        return (
+            pa.TableGroupBy(t, ["source", "token"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["source", "token", "n"])
+        )
+
+    per_tok = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "token"])
+        .aggregate(Sum("n"))
+    )
+
+    def partial2(b: pa.Table) -> pa.Table:
+        n = _nn(b.column("sum(n)")).astype(np.int64)
+        t = pa.table(
+            {
+                "source": b.column("source"),
+                "hapax": pa.array((n == 1).astype(np.int64)),
+                "one": pa.array(np.ones(len(n), np.int64)),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["source"])
+            .aggregate([("hapax", "sum"), ("one", "sum")])
+            .rename_columns(["source", "hapax", "vocab"])
+        )
+
+    agg = (
+        per_tok.map_batches(partial2, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("hapax"), Sum("vocab"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "source": b.column("source"),
+                "hapax": pc.cast(b.column("sum(hapax)"), pa.int64()),
+                "vocab": pc.cast(b.column("sum(vocab)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_compact_small_shards(sf_dir: str):
     """Small-file compaction end-to-end: documents sprayed into 48 tiny
     parquet shards (the shape a fine-grained resumable sink leaves
@@ -8214,6 +8284,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mutual_nn_pairs": _q_mutual_nn_pairs,
         "bloom_pruned_lookup": _q_bloom_pruned_lookup,
         "compact_small_shards": _q_compact_small_shards,
+        "hapax_by_source": _q_hapax_by_source,
         "readability": _q_readability,
         "token_budget_head": _q_token_budget_head,
         "langs_by_source": _q_langs_by_source,
@@ -8725,6 +8796,14 @@ def oracle_sql() -> dict[str, str]:
             "CAST(206835 * n_sentences * n_words - 1015 * n_words * n_words "
             "- 84600 * n_syllables * n_sentences AS BIGINT) AS flesch_num "
             "FROM documents WHERE text IS NOT NULL"
+        ),
+        "hapax_by_source": (
+            "WITH tok AS (SELECT source, "
+            "unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents "
+            "WHERE source IS NOT NULL), "
+            "c AS (SELECT source, t, count(*) AS n FROM tok GROUP BY 1, 2) "
+            "SELECT source, CAST(count(*) FILTER (WHERE n = 1) AS BIGINT) AS hapax, "
+            "CAST(count(*) AS BIGINT) AS vocab FROM c GROUP BY source"
         ),
         "bloom_pruned_lookup": (
             "SELECT o_orderkey, o_custkey, "
