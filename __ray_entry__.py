@@ -8208,6 +8208,53 @@ def _q_sole_late_suppliers(sf_dir: str):
     )
 
 
+def _q_nb_lang_top_tokens(sf_dir: str):
+    """Naive-Bayes TRAINING pass (distributed sufficient statistics):
+    per-language top-10 tokens by (count desc, token asc) out of the
+    (label, token, n) model counts. The token stream reduces inside
+    each batch (np.unique combiner); only per-batch vocabularies
+    shuffle; the per-label top-k is the hot-key-safe grouped partial
+    merge — no global sort (stages/classifier.py:nb_train_counts)."""
+    from pdf_table_extractor_ray.stages.classifier import nb_train_counts
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    counts = nb_train_counts(docs, label_col="lang", text_col="text")
+    return grouped_top_k(
+        counts, "label", [("n", "descending"), ("token", "ascending")], 10
+    )
+
+
+def _q_nb_confusion(sf_dir: str):
+    """Naive-Bayes train-on-all/score-on-all confusion matrix
+    (true_label, pred_label, n): distributed count training, bounded
+    top-V vocab broadcast, map-only argmax scoring with the true label
+    riding the batch (row alignment, no join), final |labels|² groupby.
+    Float log-probs → no SQL oracle; pytest parity vs a local numpy
+    reference (tests/test_classifier_training.py)."""
+    from pdf_table_extractor_ray.stages.classifier import nb_confusion
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return nb_confusion(docs, label_col="lang", text_col="text")
+
+
+def _q_stump_split_nchars(sf_dir: str):
+    """Histogram decision-stump training (the GBDT `hist` inner loop):
+    per source, the n_chars threshold (bin width 64) minimizing exact
+    integer misclassification for predicting lang = 'en'. One
+    (key, bin) histogram shuffle — the raw feature column never moves;
+    the per-key scan touches ≤ occupied-bin rows
+    (stages/trees.py:stump_splits)."""
+    from pdf_table_extractor_ray.stages.trees import stump_splits
+
+    docs = _read(sf_dir, "documents", ["source", "n_chars", "lang"])
+
+    def pos(b: pa.Table):
+        return pc.equal(b.column("lang"), "en")
+
+    return stump_splits(docs, "source", "n_chars", pos, bin_width=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -8454,6 +8501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_records": _q_extract_records,
         "extract_by_strategy": _q_extract_by_strategy,
         "extract_routed": _q_extract_routed,
+        "nb_lang_top_tokens": _q_nb_lang_top_tokens,
+        "nb_confusion": _q_nb_confusion,
+        "stump_split_nchars": _q_stump_split_nchars,
     }
 
 
@@ -10216,7 +10266,40 @@ def oracle_sql() -> dict[str, str]:
             "  FROM scored) "
             "SELECT query_id, rank, vec_id FROM ranked WHERE rank <= 5"
         ),
+        "nb_lang_top_tokens": (
+            "WITH tok AS (SELECT lang AS label, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "  FROM documents WHERE lang IS NOT NULL), "
+            "c AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n "
+            "  FROM tok GROUP BY label, token) "
+            "SELECT label, token, n FROM c "
+            "QUALIFY row_number() OVER (PARTITION BY label "
+            "  ORDER BY n DESC, token) <= 10"
+        ),
+        "stump_split_nchars": (
+            "WITH b AS (SELECT source, CAST(n_chars // 64 AS BIGINT) AS bin, "
+            "  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos "
+            "  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL), "
+            "c AS (SELECT source, bin, CAST(sum(pos) AS BIGINT) AS p, "
+            "  CAST(count(*) - sum(pos) AS BIGINT) AS q FROM b GROUP BY source, bin), "
+            "t AS (SELECT source, CAST(sum(p) AS BIGINT) AS tp, "
+            "  CAST(sum(q) AS BIGINT) AS tq FROM c GROUP BY source), "
+            "cum AS (SELECT source, bin, "
+            "  CAST(sum(p) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS lp, "
+            "  CAST(sum(q) OVER (PARTITION BY source ORDER BY bin) AS BIGINT) AS lq, "
+            "  row_number() OVER (PARTITION BY source ORDER BY bin DESC) AS rn FROM c), "
+            "cand AS (SELECT cum.source, (cum.bin + 1) * 64 AS threshold, "
+            "  cum.lp, cum.lq, t.tp - cum.lp AS rp, t.tq - cum.lq AS rq "
+            "  FROM cum JOIN t USING (source) WHERE cum.rn > 1), "
+            "scored AS (SELECT source, threshold, lp, lq, rp, rq, "
+            "  least(lp, lq) + least(rp, rq) AS err FROM cand) "
+            "SELECT source AS key, CAST(threshold AS BIGINT) AS threshold, "
+            "  lp AS n_left_pos, lq AS n_left_neg, rp AS n_right_pos, "
+            "  rq AS n_right_neg, CAST(err AS BIGINT) AS err "
+            "FROM scored QUALIFY row_number() OVER (PARTITION BY source "
+            "  ORDER BY err, threshold) = 1"
+        ),
         # langid / quality / fingerprints / minhash_pairs / simhash_pairs /
-        # knn_lsh / embedding_dups / extract_* are not SQL-expressible →
-        # rows-only checks by design.
+        # knn_lsh / embedding_dups / nb_confusion / extract_* are not
+        # SQL-expressible → rows-only checks by design.
     }
