@@ -8255,6 +8255,37 @@ def _q_stump_split_nchars(sf_dir: str):
     return stump_splits(docs, "source", "n_chars", pos, bin_width=64)
 
 
+def _q_logreg_en_confusion(sf_dir: str):
+    """Distributed LOGISTIC-REGRESSION training (8 full-batch GD
+    passes over hashed bag-of-words features; model state on the
+    driver, one O(d) partial-gradient row per batch reduced by
+    Dataset.sum — no shuffle) followed by a map-only scoring pass:
+    per-source confusion counters for predicting lang = 'en'.
+    Float gradient sums → no SQL oracle; pytest parity vs a local
+    numpy reference (tests/test_classifier_training.py)."""
+    from pdf_table_extractor_ray.stages.classifier import logreg_confusion_by
+
+    docs = _read(sf_dir, "documents", ["source", "lang", "text"])
+
+    def pos(b: pa.Table):
+        return pc.equal(b.column("lang"), "en")
+
+    return logreg_confusion_by(docs, pos, key_col="source")
+
+
+def _q_nb_cv_accuracy(sf_dir: str):
+    """K-fold cross-validated Naive-Bayes accuracy from ONE training
+    pass: (fold, label, token) counts once, then each held-out model
+    is total − fold counts (the subtraction trick — k models for the
+    price of one aggregation); one scoring pass routes every doc
+    through its own held-out model. Output (fold, n_docs, n_correct),
+    integer-exact (stages/classifier.py:nb_cross_validate)."""
+    from pdf_table_extractor_ray.stages.classifier import nb_cross_validate
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return nb_cross_validate(docs, k_folds=5)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -8504,6 +8535,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_lang_top_tokens": _q_nb_lang_top_tokens,
         "nb_confusion": _q_nb_confusion,
         "stump_split_nchars": _q_stump_split_nchars,
+        "logreg_en_confusion": _q_logreg_en_confusion,
+        "nb_cv_accuracy": _q_nb_cv_accuracy,
     }
 
 

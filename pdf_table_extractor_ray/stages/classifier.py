@@ -524,3 +524,467 @@ def nb_confusion(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+
+
+# ---------------------------------------------------------------------------
+# Distributed LOGISTIC-REGRESSION training (iterative full-batch GD)
+# ---------------------------------------------------------------------------
+
+
+def _hashed_features(
+    batch: pa.Table, text_col: str, n_features: int
+) -> np.ndarray:
+    """(rows × n_features) hashed bag-of-words count matrix — the
+    feature-hashing trick (Weinberger et al. 2009): feature index =
+    FNV-1a-64(token) mod n_features. Fully vectorized: one flatten, one
+    byte-position hash pass, one bincount scatter."""
+    from pdf_table_extractor_ray.stages.lm import _flat_tokens
+    from pdf_table_extractor_ray.stages.sketches import _fnv1a_bytes_array
+
+    n = batch.num_rows
+    flat, lens = _flat_tokens(batch.column(text_col))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_idx = np.repeat(np.arange(n), lens)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    if len(flat) == 0 or not nonempty.any():
+        return np.zeros((n, n_features), np.float64)
+    h = _fnv1a_bytes_array(flat)
+    feat = (h % np.uint64(n_features)).astype(np.int64)
+    m = nonempty
+    X = np.bincount(
+        doc_idx[m] * n_features + feat[m], minlength=n * n_features
+    ).reshape(n, n_features)
+    return X.astype(np.float64)
+
+
+def logreg_train(
+    ds: "ray.data.Dataset",
+    pos_mask_fn,
+    text_col: str = "text",
+    n_features: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+) -> np.ndarray:
+    """Binary logistic regression over hashed bag-of-words features by
+    FULL-BATCH gradient descent — the distributed-training archetype:
+    model state (w ∈ R^{d+1}, d = ``n_features``) lives on the driver,
+    each iteration is ONE streaming map pass producing a per-batch
+    partial gradient row (d+2 float64 cells: Σ X^T(σ(Xw)−y), bias
+    term, and row count for normalization) reduced by ``Dataset.sum``.
+    No shuffle ever; per-pass driver traffic is O(d). Features are
+    L1-normalized per doc (count / doc token count) so the loss is
+    scale-stable across document lengths.
+
+    Returns the trained weight vector (bias last). Deterministic up to
+    float-sum association order across blocks (the gradient is a sum
+    of per-row terms — mathematically order-free)."""
+    import ray  # noqa: F401  (Dataset API only)
+
+    d = n_features
+    w = np.zeros(d + 1, np.float64)
+    feats = ds.materialize()  # consumed iters times; lives in object store
+
+    for _ in range(iters):
+        w_now = w.copy()
+
+        def grad_partial(b: pa.Table) -> pa.Table:
+            X = _hashed_features(b, text_col, d)
+            tot = X.sum(axis=1, keepdims=True)
+            Xn = X / np.maximum(tot, 1.0)
+            y = pos_mask_fn(b)
+            if isinstance(y, pa.ChunkedArray):
+                y = y.combine_chunks()
+            y = y.to_numpy(zero_copy_only=False).astype(np.float64)
+            z = Xn @ w_now[:d] + w_now[d]
+            p = 1.0 / (1.0 + np.exp(-z))
+            r = p - y
+            g = Xn.T @ r
+            cols = {f"g{j}": pa.array([float(g[j])], pa.float64()) for j in range(d)}
+            cols["gb"] = pa.array([float(r.sum())], pa.float64())
+            cols["n"] = pa.array([float(len(r))], pa.float64())
+            return pa.table(cols)
+
+        names = [f"g{j}" for j in range(d)] + ["gb", "n"]
+        sums = feats.map_batches(
+            grad_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).sum(names)
+        n_rows = float(sums["sum(n)"])
+        if n_rows == 0:
+            break
+        g = np.array(
+            [float(sums[f"sum(g{j})"]) for j in range(d)] + [float(sums["sum(gb)"])],
+            np.float64,
+        )
+        w = w - lr * g / n_rows
+    return w
+
+
+def logreg_confusion_by(
+    ds: "ray.data.Dataset",
+    pos_mask_fn,
+    key_col: str = "source",
+    text_col: str = "text",
+    n_features: int = 64,
+    iters: int = 8,
+    lr: float = 0.5,
+) -> "ray.data.Dataset":
+    """Train (``logreg_train``) then one map-only scoring pass emitting
+    the per-``key_col`` confusion counters (key, tp, fp, tn, fn) —
+    integer-exact given the trained weights; the weights ship in the
+    task closure (O(d), no broadcast machinery needed)."""
+    from ray.data.aggregate import Sum
+
+    w = logreg_train(
+        ds, pos_mask_fn, text_col=text_col, n_features=n_features, iters=iters, lr=lr
+    )
+    d = n_features
+
+    def score(b: pa.Table) -> pa.Table:
+        X = _hashed_features(b, text_col, d)
+        tot = X.sum(axis=1, keepdims=True)
+        Xn = X / np.maximum(tot, 1.0)
+        y = pos_mask_fn(b)
+        if isinstance(y, pa.ChunkedArray):
+            y = y.combine_chunks()
+        y = y.to_numpy(zero_copy_only=False).astype(bool)
+        pred = (Xn @ w[:d] + w[d]) > 0.0
+        t = pa.table(
+            {
+                "key": pc.cast(b.column(key_col), pa.string()),
+                "tp": (pred & y).astype(np.int64),
+                "fp": (pred & ~y).astype(np.int64),
+                "tn": (~pred & ~y).astype(np.int64),
+                "fn": (~pred & y).astype(np.int64),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["key"])
+            .aggregate([("tp", "sum"), ("fp", "sum"), ("tn", "sum"), ("fn", "sum")])
+            .rename_columns(["key", "tp", "fp", "tn", "fn"])
+        )
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("tp"), Sum("fp"), Sum("tn"), Sum("fn"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "tp": pc.cast(b.column("sum(tp)"), pa.int64()),
+                "fp": pc.cast(b.column("sum(fp)"), pa.int64()),
+                "tn": pc.cast(b.column("sum(tn)"), pa.int64()),
+                "fn": pc.cast(b.column("sum(fn)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# K-fold Naive-Bayes cross-validation by COUNT SUBTRACTION
+# ---------------------------------------------------------------------------
+
+
+def nb_cross_validate(
+    ds: "ray.data.Dataset",
+    k_folds: int = 5,
+    label_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_cap: int = 65_536,
+) -> "ray.data.Dataset":
+    """K-fold cross-validated NB accuracy from ONE training pass: count
+    sufficient statistics per (fold, label, token) — fold =
+    ``id mod k_folds`` — then the leave-fold-out model for fold f is
+    total − fold-f counts, a pure subtraction on the driver-side
+    (labels × vocab) matrices. One scoring pass routes each doc through
+    its own held-out model (k models ride one ray.put; per batch the
+    fold id selects score columns). Output: (fold, n_docs, n_correct)
+    — integer-exact, k rows.
+
+    The subtraction trick is what makes CV distributed-cheap: k models
+    cost one aggregation, not k training passes. Vocab selection (top-V
+    by TOTAL count) is shared across folds — standard practice and the
+    bound that keeps the broadcast O(k·labels·V)."""
+    import ray
+
+    from pdf_table_extractor_ray.stages.lm import _flat_tokens
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+    from ray.data.aggregate import Sum
+
+    # ---- one pass: (fold, label, token, n) counts
+    def pair_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(label_col)))
+        empty = pa.table(
+            {
+                "fold": pa.array([], pa.int64()),
+                "label": pa.array([], pa.string()),
+                "token": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+            }
+        )
+        if b.num_rows == 0:
+            return empty
+        flat, lens = _flat_tokens(b.column(text_col))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fold = np.repeat(ids % k_folds, lens)
+        lab = pc.cast(b.column(label_col), pa.string())
+        if isinstance(lab, pa.ChunkedArray):
+            lab = lab.combine_chunks()
+        lab_enc = lab.dictionary_encode()
+        lab_codes = np.repeat(
+            lab_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64), lens
+        )
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return empty
+        toks = flat.filter(pa.array(keep))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        tok_enc = toks.dictionary_encode()
+        tok_codes = tok_enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        V = np.int64(len(tok_enc.dictionary))
+        L = np.int64(len(lab_enc.dictionary))
+        packed = (fold[keep] * L + lab_codes[keep]) * V + tok_codes
+        upair, cnt = np.unique(packed, return_counts=True)
+        return pa.table(
+            {
+                "fold": pa.array((upair // (L * V)).astype(np.int64), pa.int64()),
+                "label": pc.take(
+                    lab_enc.dictionary, pa.array((upair // V) % L, pa.int64())
+                ),
+                "token": pc.take(tok_enc.dictionary, pa.array(upair % V, pa.int64())),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    fold_counts = (
+        ds.map_batches(pair_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["fold", "label", "token"])
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "fold": b.column("fold"),
+                    "label": b.column("label"),
+                    "token": b.column("token"),
+                    "n": pc.cast(b.column("sum(n)"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    # ---- per-(fold, label) doc + token totals (one slim aggregate)
+    def stat_partial(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(label_col)))
+        if b.num_rows == 0:
+            return pa.table(
+                {
+                    "fold": pa.array([], pa.int64()),
+                    "label": pa.array([], pa.string()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                }
+            )
+        flat, lens = _flat_tokens(b.column(text_col))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(b.num_rows), lens)
+        ntok = np.bincount(
+            doc_idx, weights=nonempty.astype(np.int64), minlength=b.num_rows
+        ).astype(np.int64)
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        t = pa.table(
+            {
+                "fold": pa.array(ids % k_folds, pa.int64()),
+                "label": pc.cast(b.column(label_col), pa.string()),
+                "n_docs": np.ones(b.num_rows, np.int64),
+                "n_tokens": ntok,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["fold", "label"])
+            .aggregate([("n_docs", "sum"), ("n_tokens", "sum")])
+            .rename_columns(["fold", "label", "n_docs", "n_tokens"])
+        )
+
+    stats_tbl = pa.concat_tables(
+        [
+            b
+            for b in ds.map_batches(
+                stat_partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .groupby(["fold", "label"])
+            .aggregate(Sum("n_docs"), Sum("n_tokens"))
+            .iter_batches(batch_format="pyarrow")
+        ]
+    )  # ≤ k·labels rows
+
+    # ---- shared vocab: top-V tokens by total count
+    tok_totals = (
+        fold_counts.groupby("token").aggregate(Sum("n")).rename_columns(["token", "tn"])
+    )
+    vocab = pa.concat_tables(
+        [
+            b
+            for b in global_top_k(
+                tok_totals, [("tn", "descending"), ("token", "ascending")], vocab_cap
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    ).column("token").combine_chunks()
+    v_size = len(vocab)
+
+    # ---- (k, labels, V) fold count tensor from in-vocab rows (bounded)
+    def in_vocab(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(pc.index_in(b.column("token"), value_set=vocab)))
+
+    rows = pa.concat_tables(
+        [
+            b
+            for b in fold_counts.map_batches(
+                in_vocab, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )
+    labels = sorted(set(stats_tbl.column("label").to_pylist()))
+    lab_arr = pa.array(labels, pa.string())
+    n_labels = len(labels)
+    fi = rows.column("fold").to_numpy(zero_copy_only=False).astype(np.int64)
+    li = (
+        pc.index_in(rows.column("label").combine_chunks(), value_set=lab_arr)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    ti = (
+        pc.index_in(rows.column("token").combine_chunks(), value_set=vocab)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    cn = rows.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+    tensor = np.zeros((k_folds, n_labels, v_size), np.float64)
+    tensor[fi, li, ti] = cn
+    total_mat = tensor.sum(axis=0)  # (labels × V)
+
+    sfi = stats_tbl.column("fold").to_numpy(zero_copy_only=False).astype(np.int64)
+    sli = (
+        pc.index_in(stats_tbl.column("label").combine_chunks(), value_set=lab_arr)
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    sdoc = (
+        pc.cast(stats_tbl.column("sum(n_docs)"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    stok = (
+        pc.cast(stats_tbl.column("sum(n_tokens)"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.float64)
+    )
+    docs_fl = np.zeros((k_folds, n_labels), np.float64)
+    toks_fl = np.zeros((k_folds, n_labels), np.float64)
+    docs_fl[sfi, sli] = sdoc
+    toks_fl[sfi, sli] = stok
+    docs_total = docs_fl.sum(axis=0)
+    toks_total = toks_fl.sum(axis=0)
+
+    # ---- k held-out models by subtraction
+    logps, floors, priors = [], [], []
+    for f in range(k_folds):
+        m = total_mat - tensor[f]
+        nt = toks_total - toks_fl[f]
+        ndc = docs_total - docs_fl[f]
+        denom = (nt + float(v_size)).reshape(-1, 1)
+        logps.append(np.log((m + 1.0) / denom))
+        floors.append(np.log(1.0 / denom.ravel()))
+        tot = ndc.sum()
+        # a label absent from the training remainder gets -inf prior
+        with np.errstate(divide="ignore"):
+            priors.append(np.where(ndc > 0, np.log(ndc / max(tot, 1.0)), -np.inf))
+    model_ref = ray.put(
+        (vocab, np.stack(logps), np.stack(floors), np.stack(priors), labels)
+    )
+
+    def score(b: pa.Table) -> pa.Table:
+        voc, lp, fl, pr, labs = ray.get(model_ref)
+        b = b.filter(pc.is_valid(b.column(label_col)))
+        empty = pa.table(
+            {
+                "fold": pa.array([], pa.int64()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_correct": pa.array([], pa.int64()),
+            }
+        )
+        n = b.num_rows
+        if n == 0:
+            return empty
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        fold = ids % k_folds
+        flat, lens = _flat_tokens(b.column(text_col))
+        doc_idx = np.repeat(np.arange(n), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        idx = pc.index_in(flat, value_set=voc)
+        if isinstance(idx, pa.ChunkedArray):
+            idx = idx.combine_chunks()
+        idx_np = idx.to_numpy(zero_copy_only=False).astype(np.float64)
+        hit = (~np.isnan(idx_np)) & nonempty
+        miss = np.isnan(idx_np) & nonempty
+        scores = pr[fold]  # (n × labels) fold-selected priors
+        scores = scores.copy()
+        if hit.any():
+            packed = doc_idx[hit] * np.int64(len(voc)) + idx_np[hit].astype(np.int64)
+            up, tf = np.unique(packed, return_counts=True)
+            d = (up // len(voc)).astype(np.int64)
+            t = (up % len(voc)).astype(np.int64)
+            fd = fold[d]
+            for j in range(len(labs)):
+                np.add.at(scores[:, j], d, tf.astype(np.float64) * lp[fd, j, t])
+        if miss.any():
+            oov = np.bincount(doc_idx[miss], minlength=n).astype(np.float64)
+            scores += oov.reshape(-1, 1) * fl[fold]
+        best = np.argmax(scores, axis=1)
+        true_lab = pc.cast(b.column(label_col), pa.string())
+        if isinstance(true_lab, pa.ChunkedArray):
+            true_lab = true_lab.combine_chunks()
+        true_li = (
+            pc.index_in(true_lab, value_set=pa.array(labs, pa.string()))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        correct = (best == true_li).astype(np.int64)
+        t2 = pa.table(
+            {
+                "fold": pa.array(fold, pa.int64()),
+                "n_docs": np.ones(n, np.int64),
+                "n_correct": correct,
+            }
+        )
+        return (
+            pa.TableGroupBy(t2, ["fold"])
+            .aggregate([("n_docs", "sum"), ("n_correct", "sum")])
+            .rename_columns(["fold", "n_docs", "n_correct"])
+        )
+
+    agg = (
+        ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("fold")
+        .aggregate(Sum("n_docs"), Sum("n_correct"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fold": b.column("fold"),
+                "n_docs": pc.cast(b.column("sum(n_docs)"), pa.int64()),
+                "n_correct": pc.cast(b.column("sum(n_correct)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

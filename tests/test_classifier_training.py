@@ -208,3 +208,142 @@ def test_stump_split_single_bin_key_absent(ray_session):
     out = stump_splits(ds, "k", "f", lambda b: b.column("y"), bin_width=64).take_all()
     keys = {r["key"] for r in out}
     assert keys == {"multi"}  # solo has one occupied bin → no candidate split
+
+
+def _local_logreg(texts, labels, d=64, iters=8, lr=0.5):
+    """From-scratch reference of logreg_train's math (same hashing,
+    same normalization, same schedule)."""
+    from pdf_table_extractor_ray.stages.sketches import _fnv1a_bytes_array
+    import pyarrow as pa
+
+    n = len(texts)
+    X = np.zeros((n, d), np.float64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        if not toks:
+            continue
+        h = _fnv1a_bytes_array(pa.array(toks, pa.string()))
+        for f in (h % np.uint64(d)).astype(np.int64):
+            X[i, f] += 1.0
+    tot = X.sum(axis=1, keepdims=True)
+    Xn = X / np.maximum(tot, 1.0)
+    y = np.asarray(labels, np.float64)
+    w = np.zeros(d + 1, np.float64)
+    for _ in range(iters):
+        z = Xn @ w[:d] + w[d]
+        p = 1.0 / (1.0 + np.exp(-z))
+        r = p - y
+        g = np.concatenate([Xn.T @ r, [r.sum()]])
+        w = w - lr * g / n
+    return w, Xn
+
+
+def test_logreg_matches_local_reference(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.classifier import (
+        logreg_confusion_by,
+        logreg_train,
+    )
+
+    rng = np.random.default_rng(3)
+    texts, labs, srcs = [], [], []
+    pos_words = "alpha beta gamma delta".split()
+    neg_words = "omega sigma theta kappa".split()
+    for i in range(120):
+        is_pos = i % 2 == 0
+        words = pos_words if is_pos else neg_words
+        texts.append(" ".join(rng.choice(words, size=int(rng.integers(3, 12)))))
+        labs.append(is_pos)
+        srcs.append(f"s{i % 4}")
+    texts.append("")  # empty doc: bias-only prediction
+    labs.append(False)
+    srcs.append("s0")
+    tbl = pa.table(
+        {
+            "source": pa.array(srcs, pa.string()),
+            "y": pa.array(labs),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(6)
+
+    w = logreg_train(ds, lambda b: b.column("y"), text_col="text")
+    w_ref, Xn = _local_logreg(texts, labs)
+    assert np.allclose(w, w_ref, rtol=1e-9, atol=1e-12)
+
+    got = {
+        r["key"]: (r["tp"], r["fp"], r["tn"], r["fn"])
+        for r in logreg_confusion_by(ds, lambda b: b.column("y")).take_all()
+    }
+    pred = (Xn @ w_ref[:64] + w_ref[64]) > 0.0
+    want = {}
+    for s, p, yv in zip(srcs, pred, labs):
+        tp, fp, tn, fn = want.get(s, (0, 0, 0, 0))
+        if p and yv:
+            tp += 1
+        elif p and not yv:
+            fp += 1
+        elif not p and not yv:
+            tn += 1
+        else:
+            fn += 1
+        want[s] = (tp, fp, tn, fn)
+    assert got == want
+    # the planted separation must actually be learned
+    tp = sum(v[0] for v in got.values())
+    tn = sum(v[2] for v in got.values())
+    assert (tp + tn) / (len(texts)) > 0.95
+
+
+def test_nb_cross_validate_matches_local_reference(labeled_corpus):
+    from pdf_table_extractor_ray.stages.classifier import nb_cross_validate
+
+    rows, ds = labeled_corpus
+    K = 4
+    got = {
+        r["fold"]: (r["n_docs"], r["n_correct"])
+        for r in nb_cross_validate(ds, k_folds=K, vocab_cap=1000).take_all()
+    }
+
+    counts, ndocs, ntok = _brute_counts(rows)
+    # per-fold stats
+    fc, fdoc, ftok = {}, {}, {}
+    for i, lang, text in rows:
+        f = i % K
+        fdoc[(f, lang)] = fdoc.get((f, lang), 0) + 1
+        for w in text.split():
+            fc[(f, lang, w)] = fc.get((f, lang, w), 0) + 1
+            ftok[(f, lang)] = ftok.get((f, lang), 0) + 1
+    vocab = sorted({t for (_l, t) in counts})
+    labels = sorted(ndocs)
+    V = len(vocab)
+    vset = set(vocab)
+    want = {f: [0, 0] for f in range(K)}
+    for i, lang, text in rows:
+        f = i % K
+        best_lab, best_s = None, -math.inf
+        for lab in labels:
+            nd = ndocs[lab] - fdoc.get((f, lab), 0)
+            tot = sum(ndocs.values()) - sum(
+                fdoc.get((f, l2), 0) for l2 in labels
+            )
+            if nd > 0:
+                s = math.log(nd / max(tot, 1))
+            else:
+                s = -math.inf
+            denom = (ntok.get(lab, 0) - ftok.get((f, lab), 0)) + V
+            for w in text.split():
+                if w in vset:
+                    c = counts.get((lab, w), 0) - fc.get((f, lab, w), 0)
+                    s += math.log((c + 1) / denom)
+                else:
+                    s += math.log(1 / denom)
+            if s > best_s:
+                best_lab, best_s = lab, s
+        want[f][0] += 1
+        want[f][1] += int(best_lab == lang)
+    assert got == {f: tuple(v) for f, v in want.items()}
+    # a sane corpus should cross-validate well above chance (1/3)
+    acc = sum(v[1] for v in got.values()) / sum(v[0] for v in got.values())
+    assert acc > 0.6
