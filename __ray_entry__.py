@@ -8286,6 +8286,20 @@ def _q_nb_cv_accuracy(sf_dir: str):
     return nb_cross_validate(docs, k_folds=5)
 
 
+def _q_nb_distinctive_tokens(sf_dir: str):
+    """Feature selection over the NB training statistics: per-language
+    top-10 DISTINCTIVE tokens by the integer-exact cross-rate score
+    n_lt·T_other − n_other_t·T_l (positive iff the token is
+    over-represented in the label; equivalent ordering to the rate
+    ratio, zero float ops). One (label, token) training aggregate, one
+    token-keyed hash join for corpus totals — the vocabulary never
+    broadcasts (stages/classifier.py:distinctive_tokens_by_label)."""
+    from pdf_table_extractor_ray.stages.classifier import distinctive_tokens_by_label
+
+    docs = _read(sf_dir, "documents", ["lang", "text"])
+    return distinctive_tokens_by_label(docs, k=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -8537,6 +8551,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stump_split_nchars": _q_stump_split_nchars,
         "logreg_en_confusion": _q_logreg_en_confusion,
         "nb_cv_accuracy": _q_nb_cv_accuracy,
+        "nb_distinctive_tokens": _q_nb_distinctive_tokens,
     }
 
 
@@ -10331,6 +10346,23 @@ def oracle_sql() -> dict[str, str]:
             "  rq AS n_right_neg, CAST(err AS BIGINT) AS err "
             "FROM scored QUALIFY row_number() OVER (PARTITION BY source "
             "  ORDER BY err, threshold) = 1"
+        ),
+        "nb_distinctive_tokens": (
+            "WITH tok AS (SELECT lang AS label, "
+            "  unnest(regexp_extract_all(text, '\\S+')) AS token "
+            "  FROM documents WHERE lang IS NOT NULL), "
+            "c AS (SELECT label, token, CAST(count(*) AS BIGINT) AS n "
+            "  FROM tok GROUP BY label, token), "
+            "tt AS (SELECT token, CAST(sum(n) AS BIGINT) AS nt FROM c GROUP BY token), "
+            "lt AS (SELECT label, CAST(sum(n) AS BIGINT) AS tl FROM c GROUP BY label), "
+            "tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c), "
+            "s AS (SELECT c.label, c.token, c.n, "
+            "  CAST(c.n * (tot.t - lt.tl) - (tt.nt - c.n) * lt.tl AS BIGINT) AS score "
+            "  FROM c JOIN tt USING (token) JOIN lt USING (label) CROSS JOIN tot "
+            "  WHERE c.n >= 2) "
+            "SELECT label, token, n, score FROM s "
+            "QUALIFY row_number() OVER (PARTITION BY label "
+            "  ORDER BY score DESC, token) <= 10"
         ),
         # langid / quality / fingerprints / minhash_pairs / simhash_pairs /
         # knn_lsh / embedding_dups / nb_confusion / extract_* are not

@@ -988,3 +988,98 @@ def nb_cross_validate(
         )
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def distinctive_tokens_by_label(
+    ds: "ray.data.Dataset",
+    k: int = 10,
+    label_col: str = "lang",
+    text_col: str = "text",
+    min_count: int = 2,
+) -> "ray.data.Dataset":
+    """Per-label top-``k`` DISTINCTIVE tokens — the feature-selection
+    report over the NB sufficient statistics: score(label, token) =
+    ``n_lt·T_other − n_other_t·T_l`` (the cross-multiplied comparison
+    of the token's rate inside vs outside the label — positive iff
+    the in-label rate is higher, integer-EXACT so the ranking is
+    SQL-checkable bit-for-bit; equivalent in ordering to the rate
+    ratio, no floats). Ties → token asc. ``min_count`` floors the
+    in-label count (rate comparisons on 1-occurrence tokens are
+    noise — the standard feature-selection support floor).
+
+    Shape: the (label, token, n) training aggregate (one shuffle),
+    one token-keyed groupby for corpus token totals, ONE hash-shuffle
+    join on token to attach them (the vocabulary is never broadcast or
+    driver-materialized), per-label totals broadcast as a handful of
+    scalars in the closure, then the hot-key-safe grouped top-k.
+
+    Contract: score products must fit int64 — per-label token mass ×
+    corpus token mass < 2⁶³, i.e. total corpus tokens < ~3·10⁹ per
+    training shard; above that, route the same pipeline through
+    Python-int (object) partials or 128-bit decimals."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+    from pdf_table_extractor_ray.stages.topk import grouped_top_k
+
+    counts = nb_train_counts(ds, label_col, text_col).materialize()
+
+    # per-token corpus totals (vocab-sized, stays distributed)
+    tok_tot = (
+        counts.groupby("token")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {"token": b.column("token"), "nt": pc.cast(b.column("sum(n)"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+    # per-label totals: bounded by the label domain — ride the closure
+    lab_tot_tbl = pa.concat_tables(
+        [
+            b
+            for b in counts.groupby("label")
+            .aggregate(Sum("n"))
+            .iter_batches(batch_format="pyarrow")
+        ]
+    )
+    lab_names = lab_tot_tbl.column("label").to_pylist()
+    lab_sums = (
+        pc.cast(lab_tot_tbl.column("sum(n)"), pa.int64())
+        .to_numpy(zero_copy_only=False)
+        .astype(np.int64)
+    )
+    T_total = int(lab_sums.sum())
+    lab_arr = pa.array(lab_names, pa.string())
+    lab_T = {l: int(s) for l, s in zip(lab_names, lab_sums)}
+
+    floored = counts.filter(
+        expr=f"n >= {int(min_count)}"
+    )
+    joined = hash_shuffle_join(floored, tok_tot, on="token")
+
+    def score(b: pa.Table) -> pa.Table:
+        li = pc.index_in(b.column("label").combine_chunks(), value_set=lab_arr)
+        Tl = np.array([lab_T[l] for l in lab_names], np.int64)[
+            li.to_numpy(zero_copy_only=False).astype(np.int64)
+        ]
+        n_lt = b.column("n").to_numpy(zero_copy_only=False).astype(np.int64)
+        nt = b.column("nt").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_other = nt - n_lt
+        T_other = np.int64(T_total) - Tl
+        s = n_lt * T_other - n_other * Tl
+        return pa.table(
+            {
+                "label": b.column("label"),
+                "token": b.column("token"),
+                "n": pa.array(n_lt, pa.int64()),
+                "score": pa.array(s, pa.int64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_top_k(
+        scored, "label", [("score", "descending"), ("token", "ascending")], k
+    )

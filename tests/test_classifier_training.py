@@ -347,3 +347,30 @@ def test_nb_cross_validate_matches_local_reference(labeled_corpus):
     # a sane corpus should cross-validate well above chance (1/3)
     acc = sum(v[1] for v in got.values()) / sum(v[0] for v in got.values())
     assert acc > 0.6
+
+
+def test_distinctive_tokens_brute_force(labeled_corpus):
+    from pdf_table_extractor_ray.stages.classifier import distinctive_tokens_by_label
+
+    rows, ds = labeled_corpus
+    got = {}
+    for r in distinctive_tokens_by_label(ds, k=3, min_count=2).take_all():
+        got.setdefault(r["label"], []).append((r["score"], r["token"], r["n"]))
+    for v in got.values():
+        v.sort(key=lambda x: (-x[0], x[1]))
+
+    counts, _nd, ntok = _brute_counts(rows)
+    tok_tot = {}
+    for (l, t), n in counts.items():
+        tok_tot[t] = tok_tot.get(t, 0) + n
+    T = sum(ntok.values())
+    want = {}
+    for (l, t), n in counts.items():
+        if n < 2:
+            continue
+        s = n * (T - ntok[l]) - (tok_tot[t] - n) * ntok[l]
+        want.setdefault(l, []).append((s, t, n))
+    for l in want:
+        want[l].sort(key=lambda x: (-x[0], x[1]))
+        want[l] = want[l][:3]
+    assert got == want
