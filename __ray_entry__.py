@@ -8300,6 +8300,26 @@ def _q_nb_distinctive_tokens(sf_dir: str):
     return distinctive_tokens_by_label(docs, k=10)
 
 
+def _q_unimax_mix_allocation(sf_dir: str):
+    """UniMax training-mix budget allocation (Chung et al. 2023): one
+    map-side token-mass rollup over the bounded source axis, then the
+    driver-side integer-exact waterfill closed form — smallest sources
+    get their full epochs·n cap, the rest split the remainder equally
+    (budget = half the corpus token mass, epoch cap 4). All Python-int
+    arithmetic (stages/mixing.py:unimax_allocation)."""
+    from pdf_table_extractor_ray.stages.mixing import (
+        token_mass_by,
+        unimax_allocation,
+    )
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    masses = pa.concat_tables(
+        [b for b in token_mass_by(docs).iter_batches(batch_format="pyarrow")]
+    )
+    budget = int(pc.sum(masses.column("n")).as_py()) // 2
+    return unimax_allocation(masses, budget=budget, epochs=4)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -8552,6 +8572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "logreg_en_confusion": _q_logreg_en_confusion,
         "nb_cv_accuracy": _q_nb_cv_accuracy,
         "nb_distinctive_tokens": _q_nb_distinctive_tokens,
+        "unimax_mix_allocation": _q_unimax_mix_allocation,
     }
 
 
@@ -10363,6 +10384,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, token, n, score FROM s "
             "QUALIFY row_number() OVER (PARTITION BY label "
             "  ORDER BY score DESC, token) <= 10"
+        ),
+        "unimax_mix_allocation": (
+            "WITH n AS (SELECT source AS key, "
+            "  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS nt "
+            "  FROM documents GROUP BY source), "
+            "tot AS (SELECT CAST(sum(nt) AS BIGINT) AS t FROM n), "
+            "ord AS (SELECT key, nt, 4*nt AS cap, "
+            "  CAST(row_number() OVER (ORDER BY nt, key) AS BIGINT) AS rn, "
+            "  CAST(count(*) OVER () AS BIGINT) AS k FROM n), "
+            "pre AS (SELECT *, CAST(sum(cap) OVER (ORDER BY rn) AS BIGINT) AS pfx "
+            "  FROM ord), "
+            "fit AS (SELECT pre.*, tot.t // 2 AS b, "
+            "  CASE WHEN cap*(k-rn+1) + (pfx-cap) <= tot.t // 2 THEN 1 ELSE 0 END "
+            "  AS fits FROM pre CROSS JOIN tot), "
+            "mm AS (SELECT COALESCE(CAST(max(rn) AS BIGINT), 0) AS m, "
+            "  COALESCE(CAST(max(pfx) AS BIGINT), 0) AS pm FROM fit WHERE fits = 1) "
+            "SELECT key, nt AS n_tokens, "
+            "  CAST(CASE WHEN rn <= mm.m THEN cap "
+            "    ELSE (b - mm.pm) // (k - mm.m) END AS BIGINT) AS alloc_tokens "
+            "FROM fit CROSS JOIN mm"
         ),
         # langid / quality / fingerprints / minhash_pairs / simhash_pairs /
         # knn_lsh / embedding_dups / nb_confusion / extract_* are not

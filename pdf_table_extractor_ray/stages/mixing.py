@@ -1,0 +1,109 @@
+"""Training-mix budget allocation — the UniMax waterfill (Chung et
+al. 2023, "UniMax: Fairer and More Effective Language Sampling for
+Large-Scale Multilingual Pretraining"): given per-source token masses,
+a total token budget, and a per-source epoch cap E, allocate each
+source min(E·nᵢ, fair share), smallest sources first, so no source is
+over-epoched and the leftover budget spreads equally.
+
+Integer-exact closed form (no iteration): sort sources ascending by
+token mass; with capᵢ = E·nᵢ and prefix sums pfx, source i "fits" iff
+capᵢ·(k−i+1) + pfx_{i−1} ≤ B — this test is MONOTONE in i (difference
+(k−i)(cap_{i+1}−capᵢ) ≥ 0), so the fitting set is a prefix: the
+largest fitting index m gets every smaller source its full cap, and
+the k−m others each get ⌊(B − pfx_m)/(k−m)⌋ (the sub-floor remainder
+stays unallocated — deterministic, SQL-checkable bit-for-bit).
+
+Scale shape: ONE map-side token-count partial + one groupby over the
+bounded source axis (the engine's standard bounded-cardinality
+contract — sources are a curated list, not a data-scale axis), then a
+driver-side closed-form waterfill over ≤ |sources| rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def token_mass_by(
+    ds: "ray.data.Dataset", key_col: str = "source", text_col: str = "text"
+) -> "ray.data.Dataset":
+    """(key, n_tokens) whitespace-token mass per key — map-side count
+    reduction (the token stream never shuffles), one slim groupby."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.lm import _flat_tokens
+
+    def partial(b: pa.Table) -> pa.Table:
+        flat, lens = _flat_tokens(b.column(text_col))
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(b.num_rows), lens)
+        ntok = np.bincount(
+            doc_idx, weights=nonempty.astype(np.int64), minlength=b.num_rows
+        ).astype(np.int64)
+        t = pa.table({"key": pc.cast(b.column(key_col), pa.string()), "n": ntok})
+        return (
+            pa.TableGroupBy(t, ["key"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["key", "n"])
+        )
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n"))
+        .map_batches(
+            lambda b: pa.table(
+                {"key": b.column("key"), "n": pc.cast(b.column("sum(n)"), pa.int64())}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def unimax_allocation(
+    masses,
+    budget: int,
+    epochs: int = 4,
+) -> pa.Table:
+    """UniMax waterfill over a bounded (key, n) mass table (a Dataset
+    or a pyarrow Table): returns (key, n_tokens, alloc_tokens) with
+    Σ alloc ≤ budget, allocᵢ ≤ epochs·nᵢ, and every non-capped source
+    receiving the same floor share. All arithmetic in Python ints — no
+    overflow at any corpus size. The mass table is driver-materialized
+    under the bounded source-axis contract (``token_mass_by``)."""
+    if isinstance(masses, pa.Table):
+        rows = masses.to_pylist()
+    else:
+        rows = masses.take_all()  # bounded by the source-axis contract
+    rows.sort(key=lambda r: (int(r["n"]), str(r["key"])))
+    k = len(rows)
+    if k == 0:
+        return pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "n_tokens": pa.array([], pa.int64()),
+                "alloc_tokens": pa.array([], pa.int64()),
+            }
+        )
+    caps = [int(epochs) * int(r["n"]) for r in rows]
+    budget = int(budget)
+    pfx = 0
+    m = 0  # number of fully-capped (fitting) sources
+    pm = 0  # prefix cap mass of the fitting set
+    for i, c in enumerate(caps, start=1):
+        if c * (k - i + 1) + pfx <= budget:
+            m, pm = i, pfx + c
+        pfx += c
+    share = (budget - pm) // (k - m) if m < k else 0
+    alloc = [caps[i] if i < m else share for i in range(k)]
+    return pa.table(
+        {
+            "key": pa.array([str(r["key"]) for r in rows], pa.string()),
+            "n_tokens": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "alloc_tokens": pa.array(alloc, pa.int64()),
+        }
+    )

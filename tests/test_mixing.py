@@ -1,0 +1,114 @@
+"""UniMax training-mix budget allocation (stages/mixing.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _alloc(masses, budget, epochs=4):
+    from pdf_table_extractor_ray.stages.mixing import unimax_allocation
+
+    tbl = pa.table(
+        {
+            "key": pa.array([k for k, _ in masses], pa.string()),
+            "n": pa.array([n for _, n in masses], pa.int64()),
+        }
+    )
+    out = unimax_allocation(tbl, budget=budget, epochs=epochs)
+    return {
+        k: (n, a)
+        for k, n, a in zip(
+            out.column("key").to_pylist(),
+            out.column("n_tokens").to_pylist(),
+            out.column("alloc_tokens").to_pylist(),
+        )
+    }
+
+
+def test_unimax_invariants_and_waterline():
+    masses = [("a", 10), ("b", 100), ("c", 1000), ("d", 10000)]
+    E, B = 4, 5000
+    got = _alloc(masses, B, E)
+    # per-source epoch cap honored; budget never exceeded
+    assert all(a <= E * n for n, a in got.values())
+    assert sum(a for _n, a in got.values()) <= B
+    # small sources fully capped, the rest share the remainder equally
+    assert got["a"] == (10, 40)
+    assert got["b"] == (100, 400)
+    rem = B - 40 - 400
+    assert got["c"][1] == got["d"][1] == rem // 2
+
+
+def test_unimax_all_fit():
+    masses = [("a", 10), ("b", 20)]
+    got = _alloc(masses, budget=1000, epochs=4)
+    assert got == {"a": (10, 40), "b": (20, 80)}
+
+
+def test_unimax_none_fit():
+    masses = [("a", 100), ("b", 100), ("c", 100)]
+    got = _alloc(masses, budget=30, epochs=4)
+    assert all(a == 10 for _n, a in got.values())
+
+
+def test_unimax_empty():
+    from pdf_table_extractor_ray.stages.mixing import unimax_allocation
+
+    out = unimax_allocation(
+        pa.table({"key": pa.array([], pa.string()), "n": pa.array([], pa.int64())}),
+        budget=100,
+    )
+    assert out.num_rows == 0
+
+
+def test_unimax_matches_iterative_reference():
+    """Closed form == the paper's iterative smallest-first waterfill."""
+    rng = np.random.default_rng(5)
+    for trial in range(20):
+        k = int(rng.integers(1, 12))
+        masses = [(f"s{i}", int(rng.integers(1, 1000))) for i in range(k)]
+        E = int(rng.integers(1, 6))
+        total = sum(n for _k2, n in masses)
+        B = int(rng.integers(0, E * total + 10))
+        got = _alloc(masses, B, E)
+
+        ordered = sorted(masses, key=lambda r: (r[1], r[0]))
+        rem, left = B, len(ordered)
+        want = {}
+        # iterative: smallest first; a source takes min(cap, fair share)
+        # and once one source falls below its cap, all later (larger)
+        # ones take the SAME floor share (the waterline)
+        share = None
+        for key, n in ordered:
+            cap = E * n
+            fair = rem // left
+            if share is None and cap * left <= rem:
+                want[key] = cap
+                rem -= cap
+                left -= 1
+            else:
+                if share is None:
+                    share = fair
+                want[key] = share
+        assert got == {k2: (dict(masses)[k2], a) for k2, a in want.items()}, (
+            trial,
+            masses,
+            E,
+            B,
+        )
+
+
+def test_token_mass_by(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.mixing import token_mass_by
+
+    tbl = pa.table(
+        {
+            "source": pa.array(["x", "x", "y", "y"], pa.string()),
+            "text": pa.array(["a b c", "", "one", None], pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(2)
+    got = {r["key"]: r["n"] for r in token_mass_by(ds).take_all()}
+    assert got == {"x": 3, "y": 1}

@@ -37,6 +37,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 TAKE_ALL_ALLOWLIST = {
     ("__ray_entry__.py", "partial_min"): "pruned partial-min scan for query vectors",
     ("__ray_entry__.py", "pick"): "k query vectors, bounded by k",
+    (
+        "pdf_table_extractor_ray/stages/mixing.py",
+        "unimax_allocation",
+    ): "per-source token-mass table, bounded by the curated source axis",
     ("__ray_entry__.py", "_q_embedding_dups"): "planted-pair result, bounded by pair count",
     ("__ray_entry__.py", "_q_trade_volume_pairs"): "25-row nation dim, pulled once to name the bounded pair axis",
     ("__ray_entry__.py", "_q_hybrid_search_rrf"): "two k=50 top-k ranking lists; fusion axis bounded by 2k",
