@@ -8320,6 +8320,26 @@ def _q_unimax_mix_allocation(sf_dir: str):
     return unimax_allocation(masses, budget=budget, epochs=4)
 
 
+def _q_kmeans_pp_clusters(sf_dir: str):
+    """k-means with SCALABLE k-means|| seeding (Bahmani et al. 2012):
+    candidate centers drawn from the FULL corpus over 3
+    sample-by-distance rounds (2 streaming passes each, seeded
+    splitmix64 draws — deterministic and layout-invariant), weighted
+    Lloyd over the bounded candidate set on the driver, then the
+    standard broadcast-centroid assign pass. Replaces the driver-
+    sample seeding whose limit() can miss whole modes at 100 TB
+    (stages/similarity.py:kmeans_parallel_init)."""
+    from pdf_table_extractor_ray.stages.similarity import (
+        kmeans_assign,
+        kmeans_cluster_sizes,
+        kmeans_parallel_init,
+    )
+
+    emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    cents = kmeans_parallel_init(emb, k=8)
+    return kmeans_cluster_sizes(kmeans_assign(emb, centroids=cents))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -8573,6 +8593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_cv_accuracy": _q_nb_cv_accuracy,
         "nb_distinctive_tokens": _q_nb_distinctive_tokens,
         "unimax_mix_allocation": _q_unimax_mix_allocation,
+        "kmeans_pp_clusters": _q_kmeans_pp_clusters,
     }
 
 

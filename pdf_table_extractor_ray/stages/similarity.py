@@ -1342,3 +1342,179 @@ def mutual_nn_pairs(
         )
 
     return joined.map_batches(keep_mutual, batch_format="pyarrow")
+
+
+def kmeans_parallel_init(
+    ds: "ray.data.Dataset",
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rounds: int = 3,
+    oversample: Optional[int] = None,
+    lloyd_iters: int = 10,
+    seed: int = 13,
+) -> np.ndarray:
+    """k-means|| seeding (Bahmani et al. 2012, "Scalable k-means++")
+    — the cluster-initialization path that does NOT depend on a
+    driver-side sample seeing the whole distribution (the weakness of
+    ``train_ivf_centroids``' limit() sample at 100 TB): candidate
+    centers are drawn from the FULL corpus, each round preferring
+    points far from the current candidate set.
+
+    Per round: (a) one streaming pass computes φ = Σ min-dist² to the
+    candidates (candidates broadcast via ray.put, per batch one matmul
+    + rowmin; partials reduced by Dataset.sum), (b) one streaming pass
+    samples each point with prob min(1, l·d²/φ) using a seeded
+    splitmix64 of its id — DETERMINISTIC and layout-invariant, unlike
+    an RNG draw — pulling only the sampled rows (expected l per round,
+    l = ``oversample`` = 2k default) to the driver. After ``rounds``:
+    one pass weights every candidate by its nearest-point count, and a
+    weighted Lloyd refinement over the ≤ 1 + rounds·(sampled) candidate
+    set runs on the driver (bounded, seeded). Output: (k × d) unit-norm
+    centroids for ``kmeans_assign``.
+
+    Total passes: 2·rounds + 2 — each touches only (id, vec)."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.textstats import _splash64
+
+    l = int(oversample) if oversample is not None else 2 * k
+
+    def _vecs_ids(batch: pa.Table):
+        m = _normalize(_matrix(batch.column(vec_col)))
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return m, ids
+
+    # ---- first center: the row with the globally smallest seeded id
+    # hash (one map pass of 1-row partials; deterministic, unbiased)
+    def first_partial(b: pa.Table) -> pa.Table:
+        m, ids = _vecs_ids(b)
+        if len(ids) == 0:
+            return pa.table(
+                {"h": pa.array([], pa.uint64()), "v": pa.array([], pa.list_(pa.float64()))}
+            )
+        h = _splash64(ids.view(np.uint64) ^ np.uint64(seed))
+        i = int(np.argmin(h))
+        return pa.table(
+            {
+                "h": pa.array([int(h[i])], pa.uint64()),
+                "v": pa.array([m[i].tolist()], pa.list_(pa.float64())),
+            }
+        )
+
+    firsts = pa.concat_tables(
+        [
+            b
+            for b in ds.map_batches(
+                first_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow")
+        ]
+    )  # one row per block
+    hvals = firsts.column("h").to_numpy(zero_copy_only=False)
+    cand = np.array(
+        [firsts.column("v").to_pylist()[int(np.argmin(hvals))]], np.float64
+    )
+
+    for r in range(rounds):
+        cref = ray.put(cand)
+
+        def cost_partial(b: pa.Table) -> pa.Table:
+            m, _ids = _vecs_ids(b)
+            if len(m) == 0:
+                return pa.table({"phi": pa.array([0.0], pa.float64())})
+            c = ray.get(cref)
+            d2 = np.maximum(
+                (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :], 0.0
+            ).min(axis=1)
+            return pa.table({"phi": pa.array([float(d2.sum())], pa.float64())})
+
+        phi = float(
+            ds.map_batches(cost_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .sum("phi")
+        )
+        if phi <= 0.0:
+            break  # every point coincides with a candidate
+
+        def sample_partial(b: pa.Table, _r=r, _phi=phi) -> pa.Table:
+            m, ids = _vecs_ids(b)
+            empty = pa.table({"v": pa.array([], pa.list_(pa.float64()))})
+            if len(m) == 0:
+                return empty
+            c = ray.get(cref)
+            d2 = np.maximum(
+                (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :], 0.0
+            ).min(axis=1)
+            h = _splash64(ids.view(np.uint64) ^ np.uint64((seed + 1 + _r) * 0x9E3779B9))
+            u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+            p = np.minimum(1.0, float(l) * d2 / _phi)
+            pick = u <= p
+            if not pick.any():
+                return empty
+            return pa.table({"v": pa.array(m[pick].tolist(), pa.list_(pa.float64()))})
+
+        picked = pa.concat_tables(
+            [
+                b
+                for b in ds.map_batches(
+                    sample_partial, batch_format="pyarrow", zero_copy_batch=True
+                ).iter_batches(batch_format="pyarrow")
+            ]
+        )
+        if picked.num_rows:
+            cand = np.vstack([cand, np.array(picked.column("v").to_pylist(), np.float64)])
+
+    # ---- weight candidates by nearest-point mass (one pass, slim pairs)
+    cref = ray.put(cand)
+
+    def weight_partial(b: pa.Table) -> pa.Table:
+        m, _ids = _vecs_ids(b)
+        if len(m) == 0:
+            return pa.table(
+                {"cand": pa.array([], pa.int64()), "n": pa.array([], pa.int64())}
+            )
+        c = ray.get(cref)
+        d2 = (m * m).sum(1)[:, None] - 2.0 * (m @ c.T) + (c * c).sum(1)[None, :]
+        near = np.argmin(d2, axis=1)
+        u, cnt = np.unique(near, return_counts=True)
+        return pa.table(
+            {
+                "cand": pa.array(u.astype(np.int64), pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    wrows = (
+        ds.map_batches(weight_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cand")
+        .aggregate(Sum("n"))
+        .take_all()
+    )  # bounded by the candidate count (≤ 1 + rounds·E[l])
+    w = np.zeros(len(cand), np.float64)
+    for row in wrows:
+        w[int(row["cand"])] = float(row["sum(n)"])
+
+    # ---- weighted k-means++ seeding + Lloyd over the candidate set
+    rng = np.random.RandomState(seed)
+    kk = min(k, len(cand))
+    centers = [cand[int(np.argmax(w))]]
+    for _ in range(1, kk):
+        d2 = np.min(
+            ((cand[:, None, :] - np.array(centers)[None, :, :]) ** 2).sum(-1), axis=1
+        )
+        probs = w * d2
+        tot = probs.sum()
+        if tot <= 0:
+            break
+        centers.append(cand[int(rng.choice(len(cand), p=probs / tot))])
+    centers = np.array(centers, np.float64)
+    for _ in range(lloyd_iters):
+        d2 = ((cand[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        a = np.argmin(d2, axis=1)
+        for c in range(len(centers)):
+            mask = a == c
+            mass = w[mask].sum()
+            if mass > 0:
+                centers[c] = (cand[mask] * w[mask, None]).sum(0) / mass
+    return _normalize(centers)

@@ -41,6 +41,11 @@ TAKE_ALL_ALLOWLIST = {
         "pdf_table_extractor_ray/stages/mixing.py",
         "unimax_allocation",
     ): "per-source token-mass table, bounded by the curated source axis",
+    (
+        "pdf_table_extractor_ray/stages/similarity.py",
+        "weight_partial",
+    ): "kmeans_parallel_init candidate weights, bounded by the k-means|| "
+    "candidate count (1 + rounds x oversample)",
     ("__ray_entry__.py", "_q_embedding_dups"): "planted-pair result, bounded by pair count",
     ("__ray_entry__.py", "_q_trade_volume_pairs"): "25-row nation dim, pulled once to name the bounded pair axis",
     ("__ray_entry__.py", "_q_hybrid_search_rrf"): "two k=50 top-k ranking lists; fusion axis bounded by 2k",
