@@ -1840,6 +1840,17 @@ def _q_knn_pq(sf_dir: str):
     return knn_pq(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_knn_sq8(sf_dir: str):
+    """Scalar-quantized (SQ8, 8 bits/dim) top-5 with exact re-rank —
+    the memory-8×-cheaper ANN rung between brute force and PQ
+    (rows-only: approximate by construction; recall@5 gated vs brute
+    force in pytest; stages/similarity.py:knn_sq8)."""
+    from pdf_table_extractor_ray.stages.similarity import knn_sq8
+
+    ds, q, qids = _query_vectors(sf_dir)
+    return knn_sq8(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
+
+
 def _q_dup_clusters(sf_dir: str):
     """The distributed connected-components operator under a SQL
     oracle: star edges (min orderkey → each other order) within every
@@ -8594,6 +8605,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_distinctive_tokens": _q_nb_distinctive_tokens,
         "unimax_mix_allocation": _q_unimax_mix_allocation,
         "kmeans_pp_clusters": _q_kmeans_pp_clusters,
+        "knn_sq8": _q_knn_sq8,
     }
 
 

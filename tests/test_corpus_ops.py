@@ -257,7 +257,9 @@ def test_ann_recall_vs_bruteforce(ray_session):
         return by_q
 
     bf = top(knn_bruteforce(ds, q, qids, k=5).take_all())
-    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_pq)):
+    from pdf_table_extractor_ray.stages.similarity import knn_sq8
+
+    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_pq), ("sq8", knn_sq8)):
         approx = top(fn(ds, q, qids, k=5).take_all())
         recall = np.mean(
             [len(bf[qid] & approx.get(qid, set())) / len(bf[qid]) for qid in bf]
@@ -3595,3 +3597,26 @@ def test_revenue_segments_planted_shifts(ray_session):
     assert 15 * day_us in starts and 25 * day_us in starts
     assert sum(r["n_days"] for r in rows) == 40
     assert sum(r["sum_cents"] for r in rows) == int((level * 100).sum())
+
+
+def test_sq8_roundtrip_error_bound():
+    """SQ8 encode→decode error per dim is ≤ span/255/2 + float fuzz."""
+    from pdf_table_extractor_ray.stages.similarity import sq8_decode, sq8_encode
+
+    rng = np.random.RandomState(3)
+    m = rng.standard_normal((200, 16))
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    rec = sq8_decode(sq8_encode(m, lo, hi), lo, hi)
+    bound = (hi - lo) / 255.0 / 2.0 + 1e-12
+    assert (np.abs(rec - m) <= bound[None, :]).all()
+
+
+def test_sq8_degenerate_dim():
+    """A constant dimension must survive encode/decode exactly."""
+    from pdf_table_extractor_ray.stages.similarity import sq8_decode, sq8_encode
+
+    m = np.array([[0.5, 1.0], [0.5, -1.0], [0.5, 0.25]])
+    lo, hi = m.min(axis=0), m.max(axis=0)
+    rec = sq8_decode(sq8_encode(m, lo, hi), lo, hi)
+    assert np.allclose(rec[:, 0], 0.5)
