@@ -1840,6 +1840,21 @@ def _q_knn_pq(sf_dir: str):
     return knn_pq(ds, q, qids, k=5).select_columns(["query_id", "rank", "vec_id"])
 
 
+def _q_corpus_prep_v4(sf_dir: str):
+    """Round-4 composite with a trained-model gate: NB language
+    classifier trained on the corpus's own labels, label-inconsistent
+    docs dropped map-side, then the v3 pipeline (entropy + compression
+    gates → Gopher → decontaminate → chunk-dedup). One summary row
+    (pipelines/corpus_prep.py:prepare_corpus_v4)."""
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_v2_totals,
+        prepare_corpus_v4,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return corpus_v2_totals(prepare_corpus_v4(docs))
+
+
 def _q_knn_sq8(sf_dir: str):
     """Scalar-quantized (SQ8, 8 bits/dim) top-5 with exact re-rank —
     the memory-8×-cheaper ANN rung between brute force and PQ
@@ -8606,6 +8621,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unimax_mix_allocation": _q_unimax_mix_allocation,
         "kmeans_pp_clusters": _q_kmeans_pp_clusters,
         "knn_sq8": _q_knn_sq8,
+        "corpus_prep_v4": _q_corpus_prep_v4,
     }
 
 

@@ -213,3 +213,58 @@ def prepare_corpus_v3(
 
     gated = docs.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
     return prepare_corpus_v2(gated, **v2_kwargs)
+
+
+def prepare_corpus_v4(
+    docs: "ray.data.Dataset",
+    vocab_cap: int = 65_536,
+    **v3_kwargs,
+) -> "ray.data.Dataset":
+    """Round-4 composite with a TRAINED-MODEL gate: the corpus first
+    trains the Naive-Bayes language classifier on its own (lang, text)
+    labels (one distributed count aggregation,
+    stages/classifier.py:nb_train_counts), then drops every document
+    whose predicted language disagrees with its label — the standard
+    "label-consistency" curation step that catches mislabeled or
+    code-switched pages before they pollute per-language training
+    mixes. The survivor stream then runs the v3 pipeline (entropy +
+    compression gates → Gopher → decontaminate → chunk-dedup).
+
+    Training = two aggregations; the gate itself is MAP-ONLY (model
+    broadcast once, argmax per batch), so everything before the
+    chunk-dedup shuffle still streams. Requires ``lang`` + ``doc_id``
+    + ``text`` columns; returns v2's (doc_id, text_dedup, n_kept)."""
+    import pyarrow.compute as pc
+
+    from pdf_table_extractor_ray.stages.classifier import (
+        nb_label_stats,
+        nb_predict,
+        nb_train_counts,
+    )
+
+    counts = nb_train_counts(docs, "lang", "text").materialize()
+    stats = pa.concat_tables(
+        [
+            b
+            for b in nb_label_stats(docs, "lang", "text").iter_batches(
+                batch_format="pyarrow"
+            )
+        ]
+    )
+    pred = nb_predict(
+        docs,
+        counts,
+        stats,
+        vocab_cap=vocab_cap,
+        passthrough_cols=("lang", "text"),
+    )
+
+    def keep_consistent(b: pa.Table) -> pa.Table:
+        ok = pc.equal(b.column("pred_label"), pc.cast(b.column("lang"), pa.string()))
+        kept = b.filter(pc.fill_null(ok, False))
+        return kept.select(["doc_id", "text"])
+
+    gated = pred.map_batches(
+        keep_consistent, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return prepare_corpus_v3(gated, **v3_kwargs)

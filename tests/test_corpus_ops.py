@@ -2643,6 +2643,39 @@ def test_corpus_prep_v3_gates(ray_session):
     assert len(kept & set(range(1, 9))) >= 6  # normal docs survive
 
 
+def test_corpus_prep_v4_label_consistency_gate(ray_session):
+    """v4 composite: a doc whose text is plainly another language's
+    vocabulary gets dropped by the trained-classifier gate; correctly
+    labeled docs survive to the v3 stages."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.corpus_prep import prepare_corpus_v4
+
+    rng = np.random.default_rng(17)
+    vocab = {
+        "aa": ["sun", "moon", "star", "sky", "cloud", "dawn"],
+        "bb": ["fish", "whale", "kelp", "tide", "reef", "brine"],
+    }
+    rows = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": lang,
+                "text": " ".join(rng.choice(vocab[lang], 40)),
+            }
+        )
+    # planted mislabel: bb-vocabulary text labeled aa
+    rows.append(
+        {"doc_id": 99, "lang": "aa", "text": " ".join(rng.choice(vocab["bb"], 40))}
+    )
+    ds = ray.data.from_items(rows).repartition(3)
+    kept = {r["doc_id"] for r in prepare_corpus_v4(ds).take_all()}
+    assert 99 not in kept
+    assert len(kept & set(range(40))) >= 30
+
+
 def test_containment_pairs_superset(ray_session):
     """Containment: a short doc fully embedded in a long one scores
     1.0 where Jaccard stays near |A|/|B|."""
