@@ -1855,6 +1855,60 @@ def _q_corpus_prep_v4(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v4(docs))
 
 
+def _q_daily_revenue_interp(sf_dir: str):
+    """Calendar resampling with LINEAR interpolation: every day from
+    the first to the last populated day, missing days filled by
+    integer linear interpolation between their populated neighbors
+    (c0 + trunc((c1−c0)·j / g) — truncating division both sides, so
+    the fill is bit-exact vs the SQL oracle's ffill/bfill window
+    construction). The series axis is the bounded daily rollup; the
+    fill runs single-block under the same bounded-cardinality
+    contract as the other daily series queries."""
+    from ray.data.aggregate import Sum
+
+    _DAY = 86_400_000_000
+    daily = _daily_order_cents(sf_dir)
+
+    def finish(b: pa.Table) -> pa.Table:
+        day = _nn(b.column("day_us")).astype(np.int64)
+        cents = _nn(b.column("cents")).astype(np.int64)
+        order = np.argsort(day, kind="stable")
+        day, cents = day[order], cents[order]
+        if len(day) == 0:
+            return pa.table(
+                {
+                    "day_us": pa.array([], pa.int64()),
+                    "cents": pa.array([], pa.int64()),
+                    "interpolated": pa.array([], pa.int64()),
+                }
+            )
+        di = (day - day[0]) // _DAY
+        n_grid = int(di[-1]) + 1
+        grid = np.arange(n_grid, dtype=np.int64)
+        # prev / next populated index per grid day
+        p = np.searchsorted(di, grid, side="right") - 1
+        nx = np.searchsorted(di, grid, side="left")
+        populated = np.zeros(n_grid, bool)
+        populated[di] = True
+        c0, c1 = cents[p], cents[np.minimum(nx, len(di) - 1)]
+        d0, d1 = di[p], di[np.minimum(nx, len(di) - 1)]
+        g = np.maximum(d1 - d0, 1)
+        delta = (c1 - c0) * (grid - d0)
+        q = np.sign(delta) * (np.abs(delta) // g)  # trunc toward zero
+        filled = c0 + q
+        out = np.where(populated, 0, filled)
+        out[di] = cents
+        return pa.table(
+            {
+                "day_us": pa.array(day[0] + grid * _DAY, pa.int64()),
+                "cents": pa.array(out.astype(np.int64), pa.int64()),
+                "interpolated": pa.array((~populated).astype(np.int64), pa.int64()),
+            }
+        )
+
+    return daily.repartition(1).map_batches(finish, batch_format="pyarrow")
+
+
 def _q_knn_sq8(sf_dir: str):
     """Scalar-quantized (SQ8, 8 bits/dim) top-5 with exact re-rank —
     the memory-8×-cheaper ANN rung between brute force and PQ
@@ -8622,6 +8676,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_pp_clusters": _q_kmeans_pp_clusters,
         "knn_sq8": _q_knn_sq8,
         "corpus_prep_v4": _q_corpus_prep_v4,
+        "daily_revenue_interp": _q_daily_revenue_interp,
     }
 
 
@@ -10433,6 +10488,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, token, n, score FROM s "
             "QUALIFY row_number() OVER (PARTITION BY label "
             "  ORDER BY score DESC, token) <= 10"
+        ),
+        "daily_revenue_interp": (
+            "WITH daily AS (SELECT (epoch_us(o_orderdate) // 86400000000) AS di, "
+            "  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "  FROM orders WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL "
+            "  GROUP BY 1), "
+            "bounds AS (SELECT min(di) AS lo, max(di) AS hi FROM daily), "
+            "grid AS (SELECT unnest(generate_series(lo, hi)) AS di FROM bounds), "
+            "j AS (SELECT g.di AS di, d.cents FROM grid g LEFT JOIN daily d USING (di)), "
+            "f AS (SELECT di, cents, "
+            "  max(CASE WHEN cents IS NOT NULL THEN di END) OVER "
+            "    (ORDER BY di ROWS UNBOUNDED PRECEDING) AS d0, "
+            "  min(CASE WHEN cents IS NOT NULL THEN di END) OVER "
+            "    (ORDER BY di ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS d1 "
+            "  FROM j) "
+            "SELECT f.di * 86400000000 AS day_us, "
+            "  CAST(CASE WHEN f.cents IS NOT NULL THEN f.cents "
+            "    ELSE p.cents + ((n.cents - p.cents) * (f.di - f.d0)) // (f.d1 - f.d0) "
+            "    END AS BIGINT) AS cents, "
+            "  CAST(CASE WHEN f.cents IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+            "    AS interpolated "
+            "FROM f LEFT JOIN daily p ON p.di = f.d0 LEFT JOIN daily n ON n.di = f.d1"
         ),
         "unimax_mix_allocation": (
             "WITH n AS (SELECT source AS key, "

@@ -3653,3 +3653,50 @@ def test_sq8_degenerate_dim():
     lo, hi = m.min(axis=0), m.max(axis=0)
     rec = sq8_decode(sq8_encode(m, lo, hi), lo, hi)
     assert np.allclose(rec[:, 0], 0.5)
+
+
+def test_daily_revenue_interp_trunc_semantics(ray_session, tmp_path):
+    """Linear gap fill: handmade sparse series with a NEGATIVE slope
+    gap — fills must use truncating division (DuckDB // semantics)."""
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+    import ray.data  # noqa: F401
+
+    import __ray_entry__ as entrymod
+
+    base = dt.datetime(1995, 1, 1)
+    rows = {
+        0: 1000,  # day 0
+        3: 250,   # gap days 1, 2 (slope -750/3 = -250)
+        4: 999,   # no gap
+        7: 1006,  # gap days 5, 6 (slope +7/3 -> trunc 2.33 -> 2)
+    }
+    days, prices = [], []
+    for d, cents in rows.items():
+        days.append(base + dt.timedelta(days=d))
+        prices.append(cents / 100.0)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderdate": pa.array(days, pa.timestamp("us")),
+                "o_totalprice": pa.array(prices, pa.float64()),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    out = entrymod._q_daily_revenue_interp(str(tmp_path))
+    got = {
+        (r["day_us"] // 86_400_000_000): (r["cents"], r["interpolated"])
+        for r in [dict(x) for x in out.take_all()]
+    }
+    d0 = next(iter(got))  # smallest day index present
+    rel = {k - min(got): v for k, v in got.items()}
+    assert rel[0] == (1000, 0)
+    assert rel[1] == (750, 1)   # 1000 + trunc(-750*1/3) = 1000 - 250
+    assert rel[2] == (500, 1)
+    assert rel[3] == (250, 0)
+    assert rel[4] == (999, 0)
+    assert rel[5] == (1001, 1)  # 999 + trunc(7*1/3) = 999 + 2
+    assert rel[6] == (1003, 1)  # 999 + trunc(7*2/3) = 999 + 4
+    assert rel[7] == (1006, 0)
