@@ -693,6 +693,48 @@ def _q_date_roundtrip(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_html_table_roundtrip(sf_dir: str):
+    """S3/P8/P10 recast for HTML markup (stages/html_tables.py): part
+    rows → quirky ``<table>`` pages (tag-case, attribute noise, inline
+    markup, entities, ``<br>``) → grid reconstruct + header promotion
+    → records, byte-identical round-trip with a SQL oracle."""
+    from pdf_table_extractor_ray.stages.html_tables import (
+        records_from_html_tables,
+        render_pages_from_batch,
+    )
+
+    headers = ["partkey", "name", "brand", "type", "size", "note"]
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_type", "p_size"])
+
+    def render(b: pa.Table) -> pa.Table:
+        pk = b.column("p_partkey")
+        note = pa.array([f"a&b<{k}>" for k in pk.to_pylist()], pa.string())
+        recs = pa.Table.from_arrays(
+            [pk, b.column("p_name"), b.column("p_brand"), b.column("p_type"),
+             b.column("p_size"), note],
+            names=headers,
+        )
+        return render_pages_from_batch(recs, headers, key_col="partkey")
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    recs = records_from_html_tables(pages, headers)
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("partkey"), pa.int64()),
+                b.column("name"),
+                b.column("brand"),
+                b.column("type"),
+                pc.cast(b.column("size"), pa.int64()),
+                b.column("note"),
+            ],
+            names=headers,
+        )
+
+    return recs.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_union_sources(sf_dir: str):
     from ray.data.aggregate import Count
 
@@ -5465,6 +5507,94 @@ def _q_promo_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_bracket_revenue(sf_dir: str):
+    """TPC-H Q19 flavor: revenue from three OR'd (brand, size,
+    quantity) brackets.
+
+    The bracket predicate splits across the join: the part side is
+    pre-filtered + tagged with its bracket id in one vectorized pass
+    (brands are disjoint across brackets, so the tag is unique), the
+    lineitem side is pruned at the READ with a pushed-down
+    ``l_quantity <= 30`` row-group filter, and the residual per-row
+    quantity bracket check runs on the join output. part is fact-sized
+    at web scale, so this is an honest hash-shuffle join (same
+    contract as promo_revenue), with exact int64-cents pre-reduction
+    to ≤3 rows per batch before the final groupby."""
+    from ray.data.aggregate import Sum
+
+    import pyarrow.dataset as pads
+
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    # (bracket, brand, max_size, qty_lo, qty_hi); sizes all start at 1
+    brackets = (
+        (1, "Brand#12", 5, 1, 11),
+        (2, "Brand#23", 10, 10, 20),
+        (3, "Brand#34", 15, 20, 30),
+    )
+
+    li = _read(
+        sf_dir,
+        "lineitem",
+        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_quantity") <= 30.0,
+    )
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        brand = b.column("p_brand")
+        size = b.column("p_size")
+        bracket = pa.nulls(b.num_rows, pa.int64())
+        for bk, br, mx, _, _ in brackets:
+            hit = pc.and_(
+                pc.equal(brand, br),
+                pc.and_(pc.greater_equal(size, 1), pc.less_equal(size, mx)),
+            )
+            bracket = pc.if_else(hit, pa.scalar(bk, pa.int64()), bracket)
+        t = pa.Table.from_arrays(
+            [b.column("p_partkey"), bracket], names=["p_partkey", "bracket"]
+        )
+        return t.filter(pc.is_valid(t.column("bracket")))
+
+    tagged = part.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_shuffle_join(li, tagged, on="l_partkey", right_on="p_partkey")
+
+    def partial(b: pa.Table) -> pa.Table:
+        qty = _nn(b.column("l_quantity"))
+        bk = _nn(b.column("bracket"))
+        keep = np.zeros(len(qty), dtype=bool)
+        for bki, _, _, lo, hi in brackets:
+            keep |= (bk == bki) & (qty >= lo) & (qty <= hi)
+        price = _nn(b.column("l_extendedprice"))[keep]
+        disc = _nn(b.column("l_discount"))[keep]
+        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
+        t = pa.table({"bracket": bk[keep], "cents": cents, "n_items": np.ones(len(cents), np.int64)})
+        return (
+            pa.TableGroupBy(t, ["bracket"])
+            .aggregate([("cents", "sum"), ("n_items", "sum")])
+            .rename_columns(["bracket", "cents", "n_items"])
+        )
+
+    agg = (
+        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bracket")
+        .aggregate(Sum("cents"), Sum("n_items"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        cents = pc.cast(b.column("sum(cents)"), pa.int64())
+        return pa.Table.from_arrays(
+            [
+                b.column("bracket"),
+                pc.cast(b.column("sum(n_items)"), pa.int64()),
+                pc.divide(pc.cast(cents, pa.float64()), pa.scalar(100.0)),
+            ],
+            names=["bracket", "n_items", "revenue"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_dormant_rich_customers(sf_dir: str):
     """TPC-H Q22 flavor: customers whose balance exceeds the average
     POSITIVE balance but who placed NO order since 2000-01-01, counted
@@ -8451,6 +8581,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_type": _q_events_by_type,
         "money_roundtrip": _q_money_roundtrip,
         "date_roundtrip": _q_date_roundtrip,
+        "html_table_roundtrip": _q_html_table_roundtrip,
         "union_sources": _q_union_sources,
         "distinct_users": _q_distinct_users,
         "langid": _q_langid,
@@ -8478,6 +8609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_customers": _q_returned_item_customers,
         "big_volume_orders": _q_big_volume_orders,
         "promo_revenue": _q_promo_revenue,
+        "bracket_revenue": _q_bracket_revenue,
         "discount_band_revenue": _q_discount_band_revenue,
         "mmr_diverse_docs": _q_mmr_diverse_docs,
         "daily_activity_outer": _q_daily_activity_outer,
@@ -8805,6 +8937,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
             "FROM lineitem"
         ),
+        "html_table_roundtrip": (
+            "SELECT p_partkey AS partkey, p_name AS name, p_brand AS brand, "
+            "p_type AS type, CAST(p_size AS BIGINT) AS size, "
+            "'a&b<' || CAST(p_partkey AS VARCHAR) || '>' AS note FROM part"
+        ),
         "union_sources": (
             "SELECT lang, count(*) AS n_docs FROM ("
             "SELECT * FROM documents WHERE source = 'src1' "
@@ -8928,6 +9065,21 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY 1, 2, 3, 4, 5 "
             "HAVING sum(CAST(floor(l_quantity*100) AS BIGINT)) > 25000"
+        ),
+        "bracket_revenue": (
+            "WITH tagged AS (SELECT p_partkey, CASE "
+            "WHEN p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 THEN 1 "
+            "WHEN p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 THEN 2 "
+            "WHEN p_brand='Brand#34' AND p_size BETWEEN 1 AND 15 THEN 3 END AS bracket "
+            "FROM part) "
+            "SELECT bracket, count(*) AS n_items, "
+            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)"
+            "/100.0 AS revenue "
+            "FROM lineitem JOIN tagged ON l_partkey = p_partkey "
+            "WHERE (bracket=1 AND l_quantity BETWEEN 1 AND 11) "
+            "OR (bracket=2 AND l_quantity BETWEEN 10 AND 20) "
+            "OR (bracket=3 AND l_quantity BETWEEN 20 AND 30) "
+            "GROUP BY bracket"
         ),
         "promo_revenue": (
             "SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us, "
