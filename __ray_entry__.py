@@ -5507,94 +5507,6 @@ def _q_promo_revenue(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def _q_bracket_revenue(sf_dir: str):
-    """TPC-H Q19 flavor: revenue from three OR'd (brand, size,
-    quantity) brackets.
-
-    The bracket predicate splits across the join: the part side is
-    pre-filtered + tagged with its bracket id in one vectorized pass
-    (brands are disjoint across brackets, so the tag is unique), the
-    lineitem side is pruned at the READ with a pushed-down
-    ``l_quantity <= 30`` row-group filter, and the residual per-row
-    quantity bracket check runs on the join output. part is fact-sized
-    at web scale, so this is an honest hash-shuffle join (same
-    contract as promo_revenue), with exact int64-cents pre-reduction
-    to ≤3 rows per batch before the final groupby."""
-    from ray.data.aggregate import Sum
-
-    import pyarrow.dataset as pads
-
-    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
-
-    # (bracket, brand, max_size, qty_lo, qty_hi); sizes all start at 1
-    brackets = (
-        (1, "Brand#12", 5, 1, 11),
-        (2, "Brand#23", 10, 10, 20),
-        (3, "Brand#34", 15, 20, 30),
-    )
-
-    li = _read(
-        sf_dir,
-        "lineitem",
-        ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
-        filter=pads.field("l_quantity") <= 30.0,
-    )
-    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
-
-    def tag(b: pa.Table) -> pa.Table:
-        brand = b.column("p_brand")
-        size = b.column("p_size")
-        bracket = pa.nulls(b.num_rows, pa.int64())
-        for bk, br, mx, _, _ in brackets:
-            hit = pc.and_(
-                pc.equal(brand, br),
-                pc.and_(pc.greater_equal(size, 1), pc.less_equal(size, mx)),
-            )
-            bracket = pc.if_else(hit, pa.scalar(bk, pa.int64()), bracket)
-        t = pa.Table.from_arrays(
-            [b.column("p_partkey"), bracket], names=["p_partkey", "bracket"]
-        )
-        return t.filter(pc.is_valid(t.column("bracket")))
-
-    tagged = part.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
-    joined = hash_shuffle_join(li, tagged, on="l_partkey", right_on="p_partkey")
-
-    def partial(b: pa.Table) -> pa.Table:
-        qty = _nn(b.column("l_quantity"))
-        bk = _nn(b.column("bracket"))
-        keep = np.zeros(len(qty), dtype=bool)
-        for bki, _, _, lo, hi in brackets:
-            keep |= (bk == bki) & (qty >= lo) & (qty <= hi)
-        price = _nn(b.column("l_extendedprice"))[keep]
-        disc = _nn(b.column("l_discount"))[keep]
-        cents = np.floor(price * (1 - disc) * 100).astype(np.int64)
-        t = pa.table({"bracket": bk[keep], "cents": cents, "n_items": np.ones(len(cents), np.int64)})
-        return (
-            pa.TableGroupBy(t, ["bracket"])
-            .aggregate([("cents", "sum"), ("n_items", "sum")])
-            .rename_columns(["bracket", "cents", "n_items"])
-        )
-
-    agg = (
-        joined.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("bracket")
-        .aggregate(Sum("cents"), Sum("n_items"))
-    )
-
-    def finish(b: pa.Table) -> pa.Table:
-        cents = pc.cast(b.column("sum(cents)"), pa.int64())
-        return pa.Table.from_arrays(
-            [
-                b.column("bracket"),
-                pc.cast(b.column("sum(n_items)"), pa.int64()),
-                pc.divide(pc.cast(cents, pa.float64()), pa.scalar(100.0)),
-            ],
-            names=["bracket", "n_items", "revenue"],
-        )
-
-    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def _q_dormant_rich_customers(sf_dir: str):
     """TPC-H Q22 flavor: customers whose balance exceeds the average
     POSITIVE balance but who placed NO order since 2000-01-01, counted
@@ -8609,7 +8521,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "returned_item_customers": _q_returned_item_customers,
         "big_volume_orders": _q_big_volume_orders,
         "promo_revenue": _q_promo_revenue,
-        "bracket_revenue": _q_bracket_revenue,
         "discount_band_revenue": _q_discount_band_revenue,
         "mmr_diverse_docs": _q_mmr_diverse_docs,
         "daily_activity_outer": _q_daily_activity_outer,
@@ -9065,21 +8976,6 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "GROUP BY 1, 2, 3, 4, 5 "
             "HAVING sum(CAST(floor(l_quantity*100) AS BIGINT)) > 25000"
-        ),
-        "bracket_revenue": (
-            "WITH tagged AS (SELECT p_partkey, CASE "
-            "WHEN p_brand='Brand#12' AND p_size BETWEEN 1 AND 5 THEN 1 "
-            "WHEN p_brand='Brand#23' AND p_size BETWEEN 1 AND 10 THEN 2 "
-            "WHEN p_brand='Brand#34' AND p_size BETWEEN 1 AND 15 THEN 3 END AS bracket "
-            "FROM part) "
-            "SELECT bracket, count(*) AS n_items, "
-            "CAST(sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)"
-            "/100.0 AS revenue "
-            "FROM lineitem JOIN tagged ON l_partkey = p_partkey "
-            "WHERE (bracket=1 AND l_quantity BETWEEN 1 AND 11) "
-            "OR (bracket=2 AND l_quantity BETWEEN 10 AND 20) "
-            "OR (bracket=3 AND l_quantity BETWEEN 20 AND 30) "
-            "GROUP BY bracket"
         ),
         "promo_revenue": (
             "SELECT epoch_us(date_trunc('month', l_shipdate)) AS month_us, "
