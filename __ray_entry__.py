@@ -3322,6 +3322,34 @@ def _q_extract_outlinks(sf_dir: str):
     return extract_outlinks(read_pages(pages, columns=("url", "html")))
 
 
+def _q_host_pagerank(sf_dir: str):
+    """Host-graph centrality end-to-end — the canonical Common-Crawl
+    computation: crawl pages → outlink extraction (compiled-regex map)
+    → weighted host-edge reduction (one slim string groupby-Sum) →
+    DIRECTED weighted PageRank with dangling-mass redistribution
+    (graph.pagerank_directed: groupby-only iteration, integer
+    micro-ranks bit-identical across layouts, one driver scalar per
+    round). Corpus: the deterministic multi-host synthetic crawl
+    (links.synth_link_corpus — the fixture corpus is single-host by
+    design); at production scale the pages arrive as parquet shards
+    and everything from extract_outlinks on is unchanged. Rows-only:
+    iterative centrality has no SQL analog; float-reference parity
+    and dangling/weighted semantics are pinned in test_graph."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import pagerank_directed
+    from pdf_table_extractor_ray.stages.links import (
+        extract_outlinks,
+        host_edges,
+        synth_link_corpus,
+    )
+
+    n_pages = 4 * _FIXTURE_N.get(_sf_name(sf_dir), 240)
+    pages = ray.data.from_arrow(synth_link_corpus(n_pages=n_pages, n_hosts=32))
+    edges = host_edges(extract_outlinks(pages.repartition(16)))
+    return pagerank_directed(edges, "src", "dst", "w", iters=8)
+
+
 def _q_top_link_targets(sf_dir: str):
     """Most-linked (target_host, href) pairs across the crawl: link
     explode → slim pre-counted groupby-Sum → partial top-k merge."""
@@ -8703,6 +8731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_screen_bloom": _q_contamination_screen_bloom,
         "cdc_dup_stats": _q_cdc_dup_stats,
         "extract_outlinks": _q_extract_outlinks,
+        "host_pagerank": _q_host_pagerank,
         "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,

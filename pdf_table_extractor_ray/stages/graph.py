@@ -676,3 +676,228 @@ def k_core(
         )
 
     return out.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# directed weighted PageRank over a host link graph
+
+
+def pagerank_directed(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = None,
+    iters: int = 10,
+    damping_pct: int = 85,
+) -> "ray.data.Dataset":
+    """Directed, WEIGHTED PageRank with dangling-mass redistribution —
+    the host-graph variant (the canonical Common-Crawl computation:
+    Page et al. 1999 §2.1, link weights = inter-host link counts).
+
+    Differences from the undirected ``pagerank`` above, which it
+    otherwise follows (groupby-only iteration, integer micro-ranks,
+    block-count bounding — see that docstring for the rationale):
+
+    - **Directed**: mass flows src→dst only; a node's fan-out is its
+      OUT-edge list, weighted ``rank·d·w // (100·W_out)`` per edge.
+    - **String nodes**: hosts groupby natively as Arrow strings; the
+      bucket key is vectorized FNV-1a-64 (``sketches.py``), and
+      within-bucket runs sort the string array directly — no global
+      string→int id assignment pass, no hash-collision risk.
+    - **Dangling nodes** (no out-links — link sinks are common in real
+      crawls): their damped mass redistributes uniformly,
+      ``share = d·D_t // (100·N)``. ``D_t`` (the dangling rank sum) is
+      ONE driver scalar per round over the already-materialized rank
+      table (same budget the undirected loop's convergence probe
+      spends); every node's zero-contribution row keeps in-link-free
+      nodes alive through the sum.
+
+    Integer overflow bound (documented contract): per-edge math is
+    ``(rank·d//100)·w``, so ``max_rank · max_edge_weight`` must fit
+    int64 — at 10^9 nodes (rank mass ≤ ~10^18 micro-units only if one
+    node absorbed the whole graph; realistic top ranks are ≤10^6·UNIT)
+    and per-edge weights ≤ 10^3 the product stays ≤ ~10^18.
+
+    Returns (node: string, rank_micro: int64); the total mass is
+    ≈ N·10^9 minus bounded one-sided floor-division leakage, and the
+    result is bit-identical across block layouts and cluster sizes.
+    """
+    from pdf_table_extractor_ray.stages.sketches import _fnv1a_bytes_array
+
+    _NB = 64
+
+    def _bucket(col: pa.Array) -> pa.Array:
+        return pa.array(
+            (_fnv1a_bytes_array(pc.cast(col, pa.string()).combine_chunks()
+                                if isinstance(col, pa.ChunkedArray) else pc.cast(col, pa.string()))
+             % np.uint64(_NB)).astype(np.int64)
+        )
+
+    def to_adj(b: pa.Table) -> pa.Table:
+        src = pc.cast(b.column(src_col), pa.string())
+        dst = pc.cast(b.column(dst_col), pa.string())
+        if weight_col is not None:
+            w = pc.cast(b.column(weight_col), pa.int64())
+        else:
+            w = pa.array(np.ones(b.num_rows, np.int64))
+        return pa.Table.from_arrays(
+            [src, dst, w,
+             pa.array(np.ones(b.num_rows, np.int8)),
+             _bucket(src)],
+            names=["node", "nb", "w", "kind", "bucket"],
+        )
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bounded(ds_in):
+        m = ds_in.materialize()
+        if m.num_blocks() > P:
+            m = m.repartition(P).materialize()
+        return m
+
+    adj = bounded(edges.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True))
+
+    # node set + dangling flag (no out-edges), one groupby
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [pc.cast(b.column(src_col), pa.string()).combine_chunks(),
+                 pc.cast(b.column(dst_col), pa.string()).combine_chunks()]
+            ),
+            "is_src": pa.array(np.concatenate(
+                [np.ones(b.num_rows, np.int8), np.zeros(b.num_rows, np.int8)]
+            )),
+        })
+
+    def init_rank(b: pa.Table) -> pa.Table:
+        dang = pc.cast(
+            pc.subtract(pa.scalar(1, pa.int8()), pc.cast(b.column("max(is_src)"), pa.int8())),
+            pa.int8(),
+        )
+        return pa.Table.from_arrays(
+            [b.column("node"),
+             pa.array(np.full(b.num_rows, RANK_UNIT, np.int64)),
+             dang],
+            names=["node", "rank", "dang"],
+        )
+
+    ranks = bounded(
+        edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Max("is_src"))
+        .map_batches(init_rank, batch_format="pyarrow")
+    )
+    n_nodes = ranks.count()
+    if n_nodes == 0:
+        return ranks.map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("node"), b.column("rank")], names=["node", "rank_micro"]
+            ),
+            batch_format="pyarrow",
+        )
+
+    base = ((100 - damping_pct) * RANK_UNIT) // 100
+
+    def as_rank_rows(b: pa.Table) -> pa.Table:
+        node = b.column("node")
+        return pa.Table.from_arrays(
+            [pc.cast(node, pa.string()),
+             pa.nulls(b.num_rows, pa.string()),
+             pc.cast(b.column("rank"), pa.int64()),
+             pa.array(np.zeros(b.num_rows, np.int8)),
+             _bucket(node)],
+            names=["node", "nb", "w", "kind", "bucket"],
+        )
+
+    def zero_rows(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"),
+             pa.array(np.zeros(b.num_rows, np.int64)),
+             b.column("dang")],
+            names=["node", "contrib", "dang"],
+        )
+
+    def spread(group: pa.Table) -> pa.Table:
+        """One bucket of source nodes per call: sort the mixed
+        adjacency+rank rows by node string, two ``reduceat``s give
+        each run its rank and total out-weight, one gather fans the
+        weighted integer contribution to the run's out-neighbors."""
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int8())],
+            names=["node", "contrib", "dang"],
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nb = group.column("nb").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        sn, snb, sw, sk = node[order], nb[order], w[order], kind[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        is_edge = sk == 1
+        wout = np.add.reduceat(np.where(is_edge, sw, 0), starts)
+        own = np.maximum.reduceat(np.where(sk == 0, sw, -1), starts)
+        q = np.where(own >= 0, (np.maximum(own, 0) * damping_pct) // 100, 0)
+        fan = is_edge & (q[run_id] > 0) & (wout[run_id] > 0)
+        if not fan.any():
+            return empty
+        contrib = (q[run_id[fan]] * sw[fan]) // wout[run_id[fan]]
+        return pa.Table.from_arrays(
+            [pa.array(snb[fan], pa.string()), pa.array(contrib),
+             pa.array(np.zeros(int(fan.sum()), np.int8))],
+            names=["node", "contrib", "dang"],
+        )
+
+    ranks_out = ranks
+    for _ in range(iters):
+        # one driver scalar per round: the dangling rank mass
+        dang_mass = ranks_out.map_batches(
+            lambda b: pa.table({
+                "dm": pa.array([int(
+                    np.where(
+                        b.column("dang").to_numpy(zero_copy_only=False) == 1,
+                        b.column("rank").to_numpy(zero_copy_only=False),
+                        0,
+                    ).sum()
+                )], pa.int64())
+            }),
+            batch_format="pyarrow",
+        ).sum("dm")
+        share = (int(dang_mass or 0) * damping_pct) // (100 * n_nodes)
+
+        rank_rows = ranks_out.map_batches(as_rank_rows, batch_format="pyarrow")
+        contribs = (
+            adj.union(rank_rows)
+            .groupby("bucket")
+            .map_groups(spread, batch_format="pyarrow")
+        )
+        zeros = ranks_out.map_batches(zero_rows, batch_format="pyarrow")
+
+        def finish(b: pa.Table, _share=share) -> pa.Table:
+            got = pc.cast(b.column("sum(contrib)"), pa.int64())
+            rank = pc.add(got, pa.scalar(base + _share, pa.int64()))
+            return pa.Table.from_arrays(
+                [b.column("node"), rank, pc.cast(b.column("max(dang)"), pa.int8())],
+                names=["node", "rank", "dang"],
+            )
+
+        ranks_out = bounded(
+            contribs.union(zeros)
+            .groupby("node")
+            .aggregate(Sum("contrib"), Max("dang"))
+            .map_batches(finish, batch_format="pyarrow")
+        )
+
+    return ranks_out.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("node"), b.column("rank")], names=["node", "rank_micro"]
+        ),
+        batch_format="pyarrow",
+    )

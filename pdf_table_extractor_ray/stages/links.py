@@ -372,3 +372,80 @@ def extract_page_metadata(
         )
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# deterministic synthetic crawl with cross-host links (for the host
+# link-graph family — the fixture corpus is single-host by design, so
+# host-level centrality needs its own corpus, same pattern as
+# multimodal.synth_media_corpus)
+
+
+def synth_link_corpus(
+    n_pages: int = 400, n_hosts: int = 24, seed: int = 101
+) -> pa.Table:
+    """(url, html) crawl pages across ``n_hosts`` hosts. Page ``j``
+    lives on host ``j % n_hosts`` and links out with a quadratic skew
+    toward low host ids (the web's preferential-attachment shape);
+    every page of the LAST host has no out-links, making that host a
+    dangling node that is still linked to. Deterministic per page id."""
+    import random
+
+    urls, payloads = [], []
+    for j in range(n_pages):
+        h = j % n_hosts
+        url = f"https://site{h}.test/p{j}"
+        rng = random.Random(seed * 1_000_003 + j)
+        links = []
+        if h != n_hosts - 1:
+            for _ in range(3 + rng.randrange(8)):
+                t = int(n_hosts * rng.random() ** 2)
+                if rng.random() < 0.2:
+                    links.append(f'<a href="/local{rng.randrange(50)}">me</a>')
+                else:
+                    links.append(
+                        f'<a href="https://site{t}.test/p{rng.randrange(n_pages)}">x</a>'
+                    )
+        body = f"<html><body><h1>page {j}</h1><p>content</p>{''.join(links)}</body></html>"
+        urls.append(url)
+        payloads.append(body.encode())
+    return pa.table(
+        {"url": pa.array(urls, pa.string()), "html": pa.array(payloads, pa.binary())}
+    )
+
+
+def host_edges(links: "ray.data.Dataset") -> "ray.data.Dataset":
+    """Outlink rows → weighted host-graph edges (src, dst, w): source
+    host from the page url, per-batch Arrow pre-count combiner, one
+    slim (src, dst)-string groupby-Sum — the standard edge-weight
+    reduction before ``graph.pagerank_directed``."""
+    from ray.data.aggregate import Sum
+
+    def precount(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        src = pa.array([urlsplit(u).netloc for u in urls], pa.string())
+        t = (
+            pa.Table.from_arrays([src, b.column("target_host")], names=["src", "dst"])
+            .group_by(["src", "dst"])
+            .aggregate([("dst", "count")])
+        )
+        return pa.table(
+            {
+                "src": t.column("src"),
+                "dst": t.column("dst"),
+                "n_part": pc.cast(t.column("dst_count"), pa.int64()),
+            }
+        )
+
+    agg = (
+        links.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["src", "dst"])
+        .aggregate(Sum("n_part"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("src"), b.column("dst"), pc.cast(b.column("sum(n_part)"), pa.int64())],
+            names=["src", "dst", "w"],
+        ),
+        batch_format="pyarrow",
+    )

@@ -243,3 +243,123 @@ def test_kcore_matches_sequential_and_layout(ray_session):
             assert got == want, (k, parts)
     # the 5-clique is exactly the 4-core
     assert set(_seq_kcore(edges, 4)) == {0, 1, 2, 3, 4}
+
+
+# ---------------------------------------------------------------------------
+# directed weighted PageRank (host graph)
+
+
+def _float_pagerank_directed(edges, iters=10, d=0.85):
+    """Dense float reference: directed, weighted, dangling mass
+    redistributed uniformly. edges = [(src, dst, w)]."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    wout = np.zeros(n)
+    for s, _, w in edges:
+        wout[idx[s]] += w
+    r = np.ones(n)
+    for _ in range(iters):
+        dangling = sum(r[i] for i in range(n) if wout[i] == 0)
+        nr = np.full(n, (1 - d) + d * dangling / n)
+        for s, t, w in edges:
+            nr[idx[t]] += d * r[idx[s]] * w / wout[idx[s]]
+        r = nr
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def test_pagerank_directed_weighted_dangling(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import pagerank_directed
+
+    # c is a dangling sink everyone points at (heaviest in-mass);
+    # weights skew a→b over a→d; e links only into the core
+    edges = [
+        ("a", "b", 5),
+        ("a", "d", 1),
+        ("b", "c", 3),
+        ("d", "c", 2),
+        ("e", "a", 1),
+        ("e", "c", 1),
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+            "w": pa.array([e[2] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_directed(ds, "src", "dst", "w", iters=10).take_all()
+    }
+    want = _float_pagerank_directed(edges, iters=10)
+    assert set(got) == set(want)
+    for n in want:
+        assert abs(got[n] / RANK_UNIT - want[n]) < 5e-3, (n, got[n], want[n])
+    # the dangling sink c absorbs the most mass
+    assert got["c"] == max(got.values())
+    # weighted fan-out: b (weight 5 from a) outranks d (weight 1)
+    assert got["b"] > got["d"]
+
+    # bit-identical across layouts
+    got2 = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_directed(
+            ray.data.from_arrow(tbl).repartition(1), "src", "dst", "w", iters=10
+        ).take_all()
+    }
+    assert got == got2
+
+    # mass conserved up to one-sided floor leakage
+    total = sum(got.values())
+    assert total <= len(want) * RANK_UNIT
+    assert len(want) * RANK_UNIT - total < len(want) * RANK_UNIT * 0.01
+
+
+def test_pagerank_directed_unweighted_default(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import pagerank_directed
+
+    edges = [("x", "y", 1), ("y", "x", 1)]
+    tbl = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    got = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_directed(ray.data.from_arrow(tbl), "src", "dst", iters=8).take_all()
+    }
+    want = _float_pagerank_directed(edges, iters=8)
+    for n in want:
+        assert abs(got[n] / RANK_UNIT - want[n]) < 5e-3
+    # symmetric 2-cycle: equal ranks
+    assert got["x"] == got["y"]
+
+
+def test_host_edges_and_synth_corpus(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.links import (
+        extract_outlinks,
+        host_edges,
+        synth_link_corpus,
+    )
+
+    pages = synth_link_corpus(n_pages=60, n_hosts=6, seed=7)
+    ds = ray.data.from_arrow(pages).repartition(4)
+    edges = host_edges(extract_outlinks(ds)).take_all()
+    assert edges, "corpus must produce host edges"
+    srcs = {e["src"] for e in edges}
+    dsts = {e["dst"] for e in edges}
+    # the last host never links out but is linked to (dangling)
+    assert "site5.test" not in srcs and "site5.test" in dsts
+    # weights aggregate: at least one multi-link edge
+    assert max(e["w"] for e in edges) > 1
+    # self-edges exist (relative links resolve to the page's own host)
+    assert any(e["src"] == e["dst"] for e in edges)
