@@ -3350,6 +3350,28 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank_directed(edges, "src", "dst", "w", iters=8)
 
 
+def _q_host_hits(sf_dir: str):
+    """Hubs & authorities (Kleinberg HITS) over the same host link
+    graph as host_pagerank — the complementary web centrality (link
+    DIRECTORIES score as hubs, link TARGETS as authorities; PageRank
+    conflates the two). graph.hits: integer sums, one driver scalar
+    per half-round, hub/auth as separate slim tables merged once at
+    the end. Rows-only; float-reference parity in test_graph."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import hits
+    from pdf_table_extractor_ray.stages.links import (
+        extract_outlinks,
+        host_edges,
+        synth_link_corpus,
+    )
+
+    n_pages = 4 * _FIXTURE_N.get(_sf_name(sf_dir), 240)
+    pages = ray.data.from_arrow(synth_link_corpus(n_pages=n_pages, n_hosts=32))
+    edges = host_edges(extract_outlinks(pages.repartition(16)))
+    return hits(edges, "src", "dst", "w", iters=6)
+
+
 def _q_top_link_targets(sf_dir: str):
     """Most-linked (target_host, href) pairs across the crawl: link
     explode → slim pre-counted groupby-Sum → partial top-k merge."""
@@ -8732,6 +8754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_stats": _q_cdc_dup_stats,
         "extract_outlinks": _q_extract_outlinks,
         "host_pagerank": _q_host_pagerank,
+        "host_hits": _q_host_hits,
         "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,

@@ -901,3 +901,254 @@ def pagerank_directed(
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (Kleinberg 1998) over the directed host graph
+
+
+HITS_UNIT = 1_000_000  # normalized score scale (max score per round = UNIT)
+
+
+
+
+def hits(
+    edges: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = None,
+    iters: int = 8,
+) -> "ray.data.Dataset":
+    """Hubs & authorities (Kleinberg 1998, the HITS fixpoint) over a
+    directed weighted edge list → (node, hub_micro, auth_micro), both
+    L∞-normalized to ``HITS_UNIT`` per half-round.
+
+    The other classic web centrality next to ``pagerank_directed``
+    (authorities ≠ high-PageRank: a page every hub lists is an
+    authority even with little random-walk mass). Same distributed
+    discipline: adjacency materialized once per direction, each
+    half-round is ONE ``groupby(bucket)`` spread + ONE ``groupby(node)``
+    integer Sum; hub and auth live as separate slim (node, val) tables
+    so a half-round touches exactly one of them (no per-round
+    hub/auth zip — they are merged once, at the end). The driver sees
+    one scalar per half-round (the normalization max).
+
+    Determinism contract: all accumulation is exact int64 (layout- and
+    cluster-size-invariant); normalization is a pure per-element
+    float64 rescale of those exact sums (``floor(raw·UNIT/max)``) — no
+    float is ever accumulated, so results are bit-identical across
+    block layouts.
+    """
+    from pdf_table_extractor_ray.stages.sketches import _fnv1a_bytes_array
+
+    _NB = 64
+
+    def _bucket(col) -> pa.Array:
+        col = pc.cast(col, pa.string())
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        return pa.array((_fnv1a_bytes_array(col) % np.uint64(_NB)).astype(np.int64))
+
+    def adj_batch(b: pa.Table, key_col: str, other_col: str) -> pa.Table:
+        key = pc.cast(b.column(key_col), pa.string())
+        other = pc.cast(b.column(other_col), pa.string())
+        if weight_col is not None:
+            w = pc.cast(b.column(weight_col), pa.int64())
+        else:
+            w = pa.array(np.ones(b.num_rows, np.int64))
+        return pa.Table.from_arrays(
+            [key, other, w, pa.array(np.ones(b.num_rows, np.int8)), _bucket(key)],
+            names=["node", "nb", "w", "kind", "bucket"],
+        )
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bounded(ds_in):
+        m = ds_in.materialize()
+        if m.num_blocks() > P:
+            m = m.repartition(P).materialize()
+        return m
+
+    # adjacency keyed by src (auth pass: fan hub(src)→dst) and by dst
+    # (hub pass: fan auth(dst)→src); both materialized once
+    adj_s = bounded(
+        edges.map_batches(
+            lambda b: adj_batch(b, src_col, dst_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+    adj_d = bounded(
+        edges.map_batches(
+            lambda b: adj_batch(b, dst_col, src_col),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+    )
+
+    def node_rows(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "node": pa.concat_arrays(
+                [pc.cast(b.column(src_col), pa.string()).combine_chunks(),
+                 pc.cast(b.column(dst_col), pa.string()).combine_chunks()]
+            ),
+        })
+
+    nodes = bounded(
+        edges.map_batches(node_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Count())
+        .drop_columns(["count()"])
+    )
+
+    def init_scores(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"), pa.array(np.full(b.num_rows, HITS_UNIT, np.int64))],
+            names=["node", "val"],
+        )
+
+    hubs = bounded(nodes.map_batches(init_scores, batch_format="pyarrow"))
+    auths = hubs  # same initial table; immutable datasets, safe to share
+
+    def zeros(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("node"), pa.array(np.zeros(b.num_rows, np.int64))],
+            names=["node", "contrib"],
+        )
+
+    zero_rows = bounded(nodes.map_batches(zeros, batch_format="pyarrow"))
+
+    def score_rows(b: pa.Table) -> pa.Table:
+        node = b.column("node")
+        return pa.Table.from_arrays(
+            [pc.cast(node, pa.string()),
+             pa.nulls(b.num_rows, pa.string()),
+             pc.cast(b.column("val"), pa.int64()),
+             pa.array(np.zeros(b.num_rows, np.int8)),
+             _bucket(node)],
+            names=["node", "nb", "w", "kind", "bucket"],
+        )
+
+    def spread(group: pa.Table) -> pa.Table:
+        """One bucket per call: each run's score (kind=0 row) fans
+        ``score·w`` to the run's neighbors — the HITS sum has no
+        degree division, so the fan is a single gather."""
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64())],
+            names=["node", "contrib"],
+        )
+        n = group.num_rows
+        if n == 0:
+            return empty
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        nb = group.column("nb").to_numpy(zero_copy_only=False)
+        w = group.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        kind = group.column("kind").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        sn, snb, sw, sk = node[order], nb[order], w[order], kind[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        starts = np.flatnonzero(first)
+        run_id = np.cumsum(first) - 1
+        own = np.maximum.reduceat(np.where(sk == 0, sw, -1), starts)
+        fan = (sk == 1) & (own[run_id] > 0)
+        if not fan.any():
+            return empty
+        contrib = own[run_id[fan]] * sw[fan]
+        return pa.Table.from_arrays(
+            [pa.array(snb[fan], pa.string()), pa.array(contrib)],
+            names=["node", "contrib"],
+        )
+
+    def half_round(adj, scores):
+        raw = bounded(
+            adj.union(scores.map_batches(score_rows, batch_format="pyarrow"))
+            .union(zero_rows.map_batches(
+                lambda b: pa.Table.from_arrays(
+                    [b.column("node"), pa.nulls(b.num_rows, pa.string()),
+                     b.column("contrib"),
+                     pa.array(np.full(b.num_rows, 2, np.int8)),
+                     _bucket(b.column("node"))],
+                    names=["node", "nb", "w", "kind", "bucket"],
+                ),
+                batch_format="pyarrow",
+            ))
+            .groupby("bucket")
+            .map_groups(spread_with_zero, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("contrib"))
+        )
+        m = int(raw.max("sum(contrib)") or 0)  # ONE driver scalar
+
+        def rescale(b: pa.Table, _m=m) -> pa.Table:
+            v = pc.cast(b.column("sum(contrib)"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+            if _m > 0:
+                out = np.floor(v.astype(np.float64) * HITS_UNIT / _m).astype(np.int64)
+            else:
+                out = np.zeros(len(v), np.int64)
+            return pa.Table.from_arrays(
+                [b.column("node"), pa.array(out)], names=["node", "val"]
+            )
+
+        return raw.map_batches(rescale, batch_format="pyarrow")
+
+    def spread_with_zero(group: pa.Table) -> pa.Table:
+        """spread() + pass-through of kind=2 zero rows (keeps every
+        node alive through the contribution Sum without a third
+        union at the outer level)."""
+        out = spread(group.filter(pc.not_equal(group.column("kind"), pa.scalar(2, pa.int8()))))
+        z = group.filter(pc.equal(group.column("kind"), pa.scalar(2, pa.int8())))
+        if z.num_rows == 0:
+            return out
+        zt = pa.Table.from_arrays(
+            [z.column("node"), z.column("w")], names=["node", "contrib"]
+        )
+        return pa.concat_tables([out, zt]) if out.num_rows else zt
+
+    for _ in range(iters):
+        auths = half_round(adj_s, hubs)    # auth ← Σ_in hub·w
+        hubs = half_round(adj_d, auths)    # hub ← Σ_out auth·w
+
+    # single final merge: tag and combine per bucket
+    def tag(which):
+        def f(b: pa.Table) -> pa.Table:
+            return pa.Table.from_arrays(
+                [b.column("node"), pc.cast(b.column("val"), pa.int64()),
+                 pa.array(np.full(b.num_rows, 1 if which == "hub" else 0, np.int8)),
+                 _bucket(b.column("node"))],
+                names=["node", "v", "is_hub", "bucket"],
+            )
+        return f
+
+    def combine(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.Table.from_arrays(
+            [pa.array([], pa.string()), pa.array([], pa.int64()),
+             pa.array([], pa.int64())],
+            names=["node", "hub_micro", "auth_micro"],
+        )
+        if n == 0:
+            return empty
+        node = group.column("node").to_numpy(zero_copy_only=False)
+        v = group.column("v").to_numpy(zero_copy_only=False).astype(np.int64)
+        is_hub = group.column("is_hub").to_numpy(zero_copy_only=False)
+        order = np.argsort(node, kind="stable")
+        sn, sv, si = node[order], v[order], is_hub[order]
+        first = np.empty(n, bool)
+        first[0] = True
+        first[1:] = sn[1:] != sn[:-1]
+        starts = np.flatnonzero(first)
+        hub = np.maximum(np.maximum.reduceat(np.where(si == 1, sv, -1), starts), 0)
+        auth = np.maximum(np.maximum.reduceat(np.where(si == 0, sv, -1), starts), 0)
+        return pa.Table.from_arrays(
+            [pa.array(sn[starts], pa.string()), pa.array(hub), pa.array(auth)],
+            names=["node", "hub_micro", "auth_micro"],
+        )
+
+    return (
+        hubs.map_batches(tag("hub"), batch_format="pyarrow")
+        .union(auths.map_batches(tag("auth"), batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(combine, batch_format="pyarrow")
+    )

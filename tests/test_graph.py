@@ -363,3 +363,95 @@ def test_host_edges_and_synth_corpus(ray_session):
     assert max(e["w"] for e in edges) > 1
     # self-edges exist (relative links resolve to the page's own host)
     assert any(e["src"] == e["dst"] for e in edges)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities
+
+
+def _float_hits(edges, iters=8):
+    """Dense float reference, L∞ normalization (max → 1)."""
+    nodes = sorted({e[0] for e in edges} | {e[1] for e in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    hub = np.ones(n)
+    auth = np.ones(n)
+    for _ in range(iters):
+        na = np.zeros(n)
+        for s, t, w in edges:
+            na[idx[t]] += hub[idx[s]] * w
+        auth = na / na.max() if na.max() > 0 else na
+        nh = np.zeros(n)
+        for s, t, w in edges:
+            nh[idx[s]] += auth[idx[t]] * w
+        hub = nh / nh.max() if nh.max() > 0 else nh
+    return (
+        {nodes[i]: hub[i] for i in range(n)},
+        {nodes[i]: auth[i] for i in range(n)},
+    )
+
+
+def test_hits_matches_float_reference(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import HITS_UNIT, hits
+
+    # h1/h2 are hubs listing authorities a1/a2/a3; a1 is listed by
+    # both (top authority); h1 lists more (top hub); x→h1 only
+    edges = [
+        ("h1", "a1", 2),
+        ("h1", "a2", 1),
+        ("h1", "a3", 1),
+        ("h2", "a1", 1),
+        ("h2", "a2", 1),
+        ("x", "h1", 1),
+    ]
+    tbl = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+            "w": pa.array([e[2] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    rows = hits(ds, "src", "dst", "w", iters=8).take_all()
+    got_hub = {r["node"]: r["hub_micro"] for r in rows}
+    got_auth = {r["node"]: r["auth_micro"] for r in rows}
+    want_hub, want_auth = _float_hits(edges, iters=8)
+    assert set(got_hub) == set(want_hub)
+    for n in want_hub:
+        assert abs(got_hub[n] / HITS_UNIT - want_hub[n]) < 1e-3, ("hub", n)
+        assert abs(got_auth[n] / HITS_UNIT - want_auth[n]) < 1e-3, ("auth", n)
+    # structure: h1 is the top hub, a1 the top authority
+    assert got_hub["h1"] == max(got_hub.values())
+    assert got_auth["a1"] == max(got_auth.values())
+    # x points at a hub, not an authority: near-zero hub score relative
+    # to h1 (a hub's value comes from pointing at AUTHORITIES)
+    assert got_hub["x"] < got_hub["h2"]
+
+    # bit-identical across layouts
+    rows2 = hits(ray.data.from_arrow(tbl).repartition(1), "src", "dst", "w", iters=8).take_all()
+    assert {r["node"]: (r["hub_micro"], r["auth_micro"]) for r in rows2} == {
+        r["node"]: (r["hub_micro"], r["auth_micro"]) for r in rows
+    }
+
+
+def test_hits_unweighted_default(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import HITS_UNIT, hits
+
+    edges = [("u", "v", 1), ("w", "v", 1)]
+    tbl = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+        }
+    )
+    rows = hits(ray.data.from_arrow(tbl), "src", "dst", iters=4).take_all()
+    got_auth = {r["node"]: r["auth_micro"] for r in rows}
+    got_hub = {r["node"]: r["hub_micro"] for r in rows}
+    # v is the only authority; u and w are symmetric hubs at max
+    assert got_auth["v"] == HITS_UNIT
+    assert got_hub["u"] == got_hub["w"] == HITS_UNIT
+    assert got_auth["u"] == got_auth["w"] == 0
