@@ -3322,6 +3322,55 @@ def _q_extract_outlinks(sf_dir: str):
     return extract_outlinks(read_pages(pages, columns=("url", "html")))
 
 
+def _q_warc_roundtrip(sf_dir: str):
+    """WARC source end-to-end with a SQL oracle: documents → WARC/1.0
+    shards (128 docs each, warcinfo header + HTTP 200 response
+    records, sources/warc.py writer) → Content-Length-framed parse
+    back to page rows → (doc_id, warc_ts_us, text), byte-identical.
+    Shard grouping happens within each batch, so output is invariant
+    to batching; WARC-Date is second-precision, and doc_id-derived
+    timestamps are whole seconds, so the ts round-trips exactly."""
+    from pdf_table_extractor_ray.sources.warc import (
+        _EPOCH_US,
+        parse_warc_batches,
+        write_warc_bytes,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_warc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        blobs = []
+        for start in range(0, len(ids), 128):
+            recs = [
+                (
+                    f"https://docs.test/{i}",
+                    _EPOCH_US + i * 1_000_000,
+                    ("" if t is None else t).encode("utf-8"),
+                )
+                for i, t in zip(ids[start : start + 128], texts[start : start + 128])
+            ]
+            blobs.append(write_warc_bytes(recs, shard_id=int(ids[start])))
+        return pa.table({"warc": pa.array(blobs, pa.binary())})
+
+    shards = ds.map_batches(to_warc, batch_format="pyarrow", zero_copy_batch=True)
+    pages = parse_warc_batches(shards)
+
+    def finish(b: pa.Table) -> pa.Table:
+        urls = b.column("url").to_pylist()
+        doc_id = pa.array([int(u.rsplit("/", 1)[1]) for u in urls], pa.int64())
+        text = pa.array(
+            [p.decode("utf-8") for p in b.column("html").to_pylist()], pa.string()
+        )
+        return pa.Table.from_arrays(
+            [doc_id, pc.cast(b.column("warc_ts"), pa.int64()), text],
+            names=["doc_id", "warc_ts_us", "text"],
+        )
+
+    return pages.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Host-graph centrality end-to-end — the canonical Common-Crawl
     computation: crawl pages → outlink extraction (compiled-regex map)
@@ -8544,6 +8593,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "money_roundtrip": _q_money_roundtrip,
         "date_roundtrip": _q_date_roundtrip,
         "html_table_roundtrip": _q_html_table_roundtrip,
+        "warc_roundtrip": _q_warc_roundtrip,
         "union_sources": _q_union_sources,
         "distinct_users": _q_distinct_users,
         "langid": _q_langid,
@@ -8899,6 +8949,10 @@ def oracle_sql() -> dict[str, str]:
         "date_roundtrip": (
             "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
             "FROM lineitem"
+        ),
+        "warc_roundtrip": (
+            "SELECT doc_id, 1735689600000000 + doc_id*1000000 AS warc_ts_us, "
+            "text FROM documents"
         ),
         "html_table_roundtrip": (
             "SELECT p_partkey AS partkey, p_name AS name, p_brand AS brand, "

@@ -1,0 +1,187 @@
+"""WARC (ISO 28500) source — the container Common Crawl actually
+ships. The engine's canonical input is the parquet page table
+(``input_hint``), but a crawl-side deployment starts from WARC shards;
+this module turns WARC bytes into those page rows so everything
+downstream (extraction, links, dedup) is unchanged.
+
+Framing, not regex: WARC records are length-prefixed
+(``Content-Length`` counts the payload bytes), so the parser walks
+record headers and SEEKS over payloads — a page whose body happens to
+contain ``WARC/1.0`` can never tear a record. Response records carry
+an HTTP message; the HTTP header block is split off at its first blank
+line. Non-response records (warcinfo, request, metadata) are skipped.
+
+Scale shape: one WARC shard = one blob = one parse call inside
+``map_batches`` (shards are the parallelism unit, exactly like the
+parquet fragments in ``pipelines/extract.py``); parsing is a linear
+scan with zero shuffle. Malformed shards degrade in-band: a torn
+record ends that shard's parse at the last good boundary rather than
+failing the task.
+
+The writer exists for round-trip verification and test fixtures
+(deterministic output — byte-identical for identical input), mirroring
+``stages/html_tables.render_html_table_page``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import pyarrow as pa
+
+import ray.data
+
+_CRLF = b"\r\n"
+_EPOCH_US = 1_735_689_600_000_000  # 2025-01-01T00:00:00Z (fixtures.EPOCH_US)
+
+
+def _ts_to_warc_date(ts_us: int) -> bytes:
+    """Microseconds-since-epoch → WARC-Date (ISO 8601, second
+    precision, Z suffix) without consulting the wall clock."""
+    import datetime as _dt
+
+    d = _dt.datetime(2025, 1, 1, tzinfo=_dt.timezone.utc) + _dt.timedelta(
+        microseconds=ts_us - _EPOCH_US
+    )
+    return d.strftime("%Y-%m-%dT%H:%M:%SZ").encode()
+
+
+def _warc_date_to_ts(raw: bytes) -> Optional[int]:
+    import datetime as _dt
+
+    try:
+        d = _dt.datetime.strptime(raw.decode("ascii"), "%Y-%m-%dT%H:%M:%SZ")
+    except (ValueError, UnicodeDecodeError):
+        return None
+    return int(
+        (d.replace(tzinfo=_dt.timezone.utc) - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc))
+        / _dt.timedelta(microseconds=1)
+    )
+
+
+def write_warc_bytes(
+    records: Sequence[Tuple[str, int, bytes]],
+    shard_id: int = 0,
+) -> bytes:
+    """(url, ts_us, payload) rows → one WARC/1.0 shard: a warcinfo
+    header record followed by one response record per row, each with
+    an HTTP/1.1 200 message. Deterministic (record ids derive from the
+    shard id + position, never a clock or UUID)."""
+    out: List[bytes] = []
+
+    def record(wtype: bytes, headers: List[Tuple[bytes, bytes]], body: bytes) -> None:
+        head = [b"WARC/1.0"]
+        head.append(b"WARC-Type: " + wtype)
+        for k, v in headers:
+            head.append(k + b": " + v)
+        head.append(b"Content-Length: " + str(len(body)).encode())
+        out.append(_CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF)
+
+    record(
+        b"warcinfo",
+        [(b"WARC-Record-ID", b"<urn:shard:%d:info>" % shard_id),
+         (b"Content-Type", b"application/warc-fields")],
+        b"software: pdf-table-extractor-ray\r\n",
+    )
+    for i, (url, ts_us, payload) in enumerate(records):
+        http = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
+        ) + payload
+        record(
+            b"response",
+            [
+                (b"WARC-Record-ID", b"<urn:shard:%d:%d>" % (shard_id, i)),
+                (b"WARC-Target-URI", url.encode()),
+                (b"WARC-Date", _ts_to_warc_date(int(ts_us))),
+                (b"Content-Type", b"application/http; msgtype=response"),
+            ],
+            http,
+        )
+    return b"".join(out)
+
+
+def iter_warc_records(data: bytes) -> Iterator[Tuple[str, Optional[int], bytes]]:
+    """Walk one WARC shard by Content-Length framing, yielding
+    (url, ts_us, html_payload) for each response record. Torn or
+    malformed trailing bytes end the scan at the last good boundary."""
+    pos = 0
+    n = len(data)
+    while pos < n:
+        head_end = data.find(_CRLF + _CRLF, pos)
+        if head_end < 0:
+            return
+        head = data[pos:head_end]
+        if not head.startswith(b"WARC/"):
+            return
+        wtype = b""
+        url = b""
+        ts: Optional[int] = None
+        length = -1
+        for line in head.split(_CRLF)[1:]:
+            k, _, v = line.partition(b":")
+            k = k.strip().lower()
+            v = v.strip()
+            if k == b"warc-type":
+                wtype = v
+            elif k == b"warc-target-uri":
+                url = v
+            elif k == b"warc-date":
+                ts = _warc_date_to_ts(v)
+            elif k == b"content-length":
+                try:
+                    length = int(v)
+                except ValueError:
+                    return
+        body_start = head_end + 4
+        if length < 0 or body_start + length > n:
+            return  # torn record
+        body = data[body_start : body_start + length]
+        pos = body_start + length
+        # consume the record separator (two CRLFs), tolerantly
+        while data[pos : pos + 2] == _CRLF:
+            pos += 2
+        if wtype == b"response" and url:
+            http_split = body.find(_CRLF + _CRLF)
+            payload = body[http_split + 4 :] if http_split >= 0 else body
+            yield url.decode("utf-8", "replace"), ts, payload
+
+
+def parse_warc_batches(ds: "ray.data.Dataset", blob_col: str = "warc") -> "ray.data.Dataset":
+    """Dataset of WARC shard blobs → page rows
+    (url, warc_ts: timestamp[us], html: binary)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        urls: List[str] = []
+        tss: List[Optional[int]] = []
+        payloads: List[bytes] = []
+        for blob in b.column(blob_col).to_pylist():
+            if blob is None:
+                continue
+            for url, ts, payload in iter_warc_records(blob):
+                urls.append(url)
+                tss.append(ts)
+                payloads.append(payload)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_warc(paths) -> "ray.data.Dataset":
+    """WARC files on disk → page rows; one file = one parallelism
+    unit (``read_binary_files`` gives one row per shard)."""
+    files = ray.data.read_binary_files(paths)
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["warc"])
+
+    return parse_warc_batches(
+        files.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+    )

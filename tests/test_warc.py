@@ -1,0 +1,77 @@
+"""WARC source (sources/warc.py): Content-Length framing, record-type
+filtering, torn-record degradation, file reading, roundtrips."""
+
+import pyarrow as pa
+
+from pdf_table_extractor_ray.sources.warc import (
+    _EPOCH_US,
+    iter_warc_records,
+    parse_warc_batches,
+    read_warc,
+    write_warc_bytes,
+)
+
+
+def _mk(records, shard_id=0):
+    return write_warc_bytes(records, shard_id=shard_id)
+
+
+def test_roundtrip_and_warcinfo_skipped():
+    recs = [
+        ("https://a.test/1", _EPOCH_US, b"<html>one</html>"),
+        ("https://a.test/2", _EPOCH_US + 5_000_000, b"two \xc3\xa9"),
+    ]
+    got = list(iter_warc_records(_mk(recs)))
+    assert [(u, t, p) for u, t, p in got] == [
+        ("https://a.test/1", _EPOCH_US, b"<html>one</html>"),
+        ("https://a.test/2", _EPOCH_US + 5_000_000, b"two \xc3\xa9"),
+    ]
+
+
+def test_payload_containing_warc_magic_does_not_tear():
+    evil = b"body with\r\n\r\nWARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
+    recs = [("https://a.test/x", _EPOCH_US, evil), ("https://a.test/y", _EPOCH_US, b"ok")]
+    got = list(iter_warc_records(_mk(recs)))
+    assert len(got) == 2
+    assert got[0][2] == evil and got[1][2] == b"ok"
+
+
+def test_torn_record_stops_at_last_good_boundary():
+    data = _mk([("https://a.test/1", _EPOCH_US, b"good")])
+    torn = data + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 999\r\n\r\nshort"
+    got = list(iter_warc_records(torn))
+    assert len(got) == 1 and got[0][2] == b"good"
+
+
+def test_non_warc_prefix_yields_nothing():
+    assert list(iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\nnope")) == []
+
+
+def test_deterministic_writer():
+    recs = [("https://a.test/1", _EPOCH_US, b"p")]
+    assert _mk(recs, shard_id=3) == _mk(recs, shard_id=3)
+    assert _mk(recs, shard_id=3) != _mk(recs, shard_id=4)
+
+
+def test_parse_warc_batches(ray_session):
+    import ray.data
+
+    blobs = [
+        _mk([("https://a.test/1", _EPOCH_US, b"one")], 0),
+        _mk([("https://a.test/2", _EPOCH_US + 1_000_000, b"two")], 1),
+        None,
+    ]
+    ds = ray.data.from_arrow(pa.table({"warc": pa.array(blobs, pa.binary())}))
+    rows = sorted(parse_warc_batches(ds).take_all(), key=lambda r: r["url"])
+    assert [r["url"] for r in rows] == ["https://a.test/1", "https://a.test/2"]
+    assert [bytes(r["html"]) for r in rows] == [b"one", b"two"]
+    assert rows[0]["warc_ts"] is not None
+
+
+def test_read_warc_files(tmp_path, ray_session):
+    p = tmp_path / "shard0.warc"
+    p.write_bytes(_mk([("https://f.test/9", _EPOCH_US, b"from file")], 9))
+    rows = read_warc(str(p)).take_all()
+    assert len(rows) == 1
+    assert rows[0]["url"] == "https://f.test/9"
+    assert bytes(rows[0]["html"]) == b"from file"
