@@ -3351,7 +3351,14 @@ def _q_warc_roundtrip(sf_dir: str):
                 )
                 for i, t in zip(ids[start : start + 128], texts[start : start + 128])
             ]
-            blobs.append(write_warc_bytes(recs, shard_id=int(ids[start])))
+            # every other shard member-gzipped — the .warc.gz layout
+            blobs.append(
+                write_warc_bytes(
+                    recs,
+                    shard_id=int(ids[start]),
+                    gzip_members=(start // 128) % 2 == 1,
+                )
+            )
         return pa.table({"warc": pa.array(blobs, pa.binary())})
 
     shards = ds.map_batches(to_warc, batch_format="pyarrow", zero_copy_batch=True)

@@ -59,14 +59,27 @@ def _warc_date_to_ts(raw: bytes) -> Optional[int]:
     )
 
 
+def _gzip_member(raw: bytes) -> bytes:
+    """One deterministic gzip member (no mtime/filename — byte-stable
+    output), the per-record compression Common Crawl uses so a reader
+    can seek to any record boundary."""
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 16 + zlib.MAX_WBITS)
+    return co.compress(raw) + co.flush()
+
+
 def write_warc_bytes(
     records: Sequence[Tuple[str, int, bytes]],
     shard_id: int = 0,
+    gzip_members: bool = False,
 ) -> bytes:
     """(url, ts_us, payload) rows → one WARC/1.0 shard: a warcinfo
     header record followed by one response record per row, each with
     an HTTP/1.1 200 message. Deterministic (record ids derive from the
-    shard id + position, never a clock or UUID)."""
+    shard id + position, never a clock or UUID). With
+    ``gzip_members=True`` each record is its own gzip member — the
+    actual ``.warc.gz`` layout Common Crawl distributes."""
     out: List[bytes] = []
 
     def record(wtype: bytes, headers: List[Tuple[bytes, bytes]], body: bytes) -> None:
@@ -75,7 +88,8 @@ def write_warc_bytes(
         for k, v in headers:
             head.append(k + b": " + v)
         head.append(b"Content-Length: " + str(len(body)).encode())
-        out.append(_CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF)
+        raw = _CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF
+        out.append(_gzip_member(raw) if gzip_members else raw)
 
     record(
         b"warcinfo",
@@ -106,6 +120,26 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[str, Optional[int], bytes]]
     """Walk one WARC shard by Content-Length framing, yielding
     (url, ts_us, html_payload) for each response record. Torn or
     malformed trailing bytes end the scan at the last good boundary."""
+    if data[:2] == b"\x1f\x8b":
+        # member-gzipped shard (.warc.gz): inflate members sequentially
+        # — decompressobj stops at each member boundary and hands back
+        # the rest via unused_data, so a corrupt member ends the scan
+        # in-band exactly like a torn plain record
+        import zlib
+
+        chunks: List[bytes] = []
+        rest = bytes(data)
+        while rest[:2] == b"\x1f\x8b":
+            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+            try:
+                chunks.append(d.decompress(rest))
+                chunks.append(d.flush())
+            except zlib.error:
+                break
+            if not d.eof:
+                break  # truncated final member
+            rest = d.unused_data
+        data = b"".join(chunks)
     pos = 0
     n = len(data)
     while pos < n:

@@ -75,3 +75,33 @@ def test_read_warc_files(tmp_path, ray_session):
     assert len(rows) == 1
     assert rows[0]["url"] == "https://f.test/9"
     assert bytes(rows[0]["html"]) == b"from file"
+
+
+def test_gzip_member_roundtrip():
+    recs = [
+        ("https://g.test/1", _EPOCH_US, b"alpha"),
+        ("https://g.test/2", _EPOCH_US + 1_000_000, b"beta"),
+    ]
+    gz = write_warc_bytes(recs, shard_id=1, gzip_members=True)
+    assert gz[:2] == b"\x1f\x8b"
+    got = list(iter_warc_records(gz))
+    assert [(u, p) for u, _, p in got] == [
+        ("https://g.test/1", b"alpha"),
+        ("https://g.test/2", b"beta"),
+    ]
+    # plain and gzipped shards parse identically
+    assert got == list(iter_warc_records(write_warc_bytes(recs, shard_id=1)))
+
+
+def test_gzip_truncated_member_degrades_in_band():
+    recs = [("https://g.test/1", _EPOCH_US, b"alpha"), ("https://g.test/2", _EPOCH_US, b"beta")]
+    gz = write_warc_bytes(recs, shard_id=1, gzip_members=True)
+    got_full = list(iter_warc_records(gz))
+    assert len(got_full) == 2
+    # chop the last gzip member in half: the earlier records still
+    # parse, the truncated one is dropped in-band
+    last_member = gz.rfind(b"\x1f\x8b\x08")
+    assert last_member > 0
+    torn = gz[: last_member + (len(gz) - last_member) // 2]
+    got = list(iter_warc_records(torn))
+    assert [u for u, _, _ in got] == ["https://g.test/1"]
