@@ -3406,6 +3406,61 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank_directed(edges, "src", "dst", "w", iters=8)
 
 
+def _q_robots_frontier(sf_dir: str):
+    """Crawl-frontier admission end-to-end: pages → outlinks →
+    candidate URLs → robots.txt gate (stages/robots.py: RFC 9309
+    longest-match with wildcards/anchors/agent groups; the host→rules
+    table is a bounded broadcast — one row per HOST — compiled once
+    per actor in ``__init__``) → per-host allowed/blocked counts.
+    Rows-only; rule semantics pinned by RFC-shape unit tests."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.links import extract_outlinks, synth_link_corpus
+    from pdf_table_extractor_ray.stages.robots import filter_by_robots, synth_robots_corpus
+
+    n_pages = 4 * _FIXTURE_N.get(_sf_name(sf_dir), 240)
+    pages = ray.data.from_arrow(synth_link_corpus(n_pages=n_pages, n_hosts=32))
+    links = extract_outlinks(pages.repartition(16))
+
+    def to_frontier(b: pa.Table) -> pa.Table:
+        hrefs = b.column("href").to_pylist()
+        thosts = b.column("target_host").to_pylist()
+        urls = [
+            h if "://" in h else f"https://{t}{h if h.startswith('/') else '/' + h}"
+            for h, t in zip(hrefs, thosts)
+        ]
+        return pa.table({"url": pa.array(urls, pa.string()),
+                         "host": pa.array(thosts, pa.string())})
+
+    frontier = links.map_batches(to_frontier, batch_format="pyarrow", zero_copy_batch=True)
+    gated = filter_by_robots(frontier, synth_robots_corpus(32))
+
+    def partial(b: pa.Table) -> pa.Table:
+        allowed = pc.cast(b.column("allowed"), pa.int64())
+        blocked = pc.subtract(pa.scalar(1, pa.int64()), allowed)
+        t = pa.Table.from_arrays(
+            [b.column("host"), allowed, blocked], names=["host", "a", "d"]
+        )
+        g = pa.TableGroupBy(t, ["host"]).aggregate([("a", "sum"), ("d", "sum")])
+        return g.rename_columns(["host", "a", "d"])
+
+    agg = (
+        gated.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("host")
+        .aggregate(Sum("a"), Sum("d"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("host"),
+             pc.cast(b.column("sum(a)"), pa.int64()),
+             pc.cast(b.column("sum(d)"), pa.int64())],
+            names=["host", "n_allowed", "n_blocked"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_host_hits(sf_dir: str):
     """Hubs & authorities (Kleinberg HITS) over the same host link
     graph as host_pagerank — the complementary web centrality (link
@@ -8812,6 +8867,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "extract_outlinks": _q_extract_outlinks,
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
+        "robots_frontier": _q_robots_frontier,
         "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,
