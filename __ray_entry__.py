@@ -3378,6 +3378,62 @@ def _q_warc_roundtrip(sf_dir: str):
     return pages.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_sitemap_roundtrip(sf_dir: str):
+    """Sitemap source end-to-end with a SQL oracle: orders → urlset
+    shards of 200 entries (locs carry ``?q=a&b`` to exercise XML
+    entity escaping; even keys get a changefreq, odd keys omit it —
+    optional-field nulls round-trip) plus one sitemapindex blob per
+    batch (parsed, then filtered out by kind) → regex parse →
+    (o_orderkey, lastmod, changefreq), bit-identical."""
+    from pdf_table_extractor_ray.sources.sitemap import (
+        parse_sitemap_batches,
+        write_sitemap_index,
+        write_sitemap_xml,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    def to_sitemaps(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_pylist()
+        ts = pc.cast(b.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        days = (
+            ts.astype("datetime64[us]").astype("datetime64[D]").astype(str)
+        )
+        blobs = []
+        shard_locs = []
+        for start in range(0, len(keys), 200):
+            entries = [
+                (
+                    f"https://shop.test/order/{k}?q=a&b",
+                    str(d),
+                    "daily" if k % 2 == 0 else None,
+                    None,
+                )
+                for k, d in zip(keys[start : start + 200], days[start : start + 200])
+            ]
+            shard_locs.append((f"https://shop.test/sitemap{keys[start]}.xml", None))
+            blobs.append(write_sitemap_xml(entries))
+        if shard_locs:
+            blobs.append(write_sitemap_index(shard_locs))
+        return pa.table({"sitemap": pa.array(blobs, pa.binary())})
+
+    shards = ds.map_batches(to_sitemaps, batch_format="pyarrow", zero_copy_batch=True)
+    entries = parse_sitemap_batches(shards)
+
+    def finish(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.equal(b.column("kind"), "url"))
+        locs = t.column("loc").to_pylist()
+        keys = pa.array(
+            [int(u.rsplit("/order/", 1)[1].split("?")[0]) for u in locs], pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [keys, t.column("lastmod"), t.column("changefreq")],
+            names=["o_orderkey", "lastmod", "changefreq"],
+        )
+
+    return entries.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_host_pagerank(sf_dir: str):
     """Host-graph centrality end-to-end — the canonical Common-Crawl
     computation: crawl pages → outlink extraction (compiled-regex map)
@@ -8656,6 +8712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_roundtrip": _q_date_roundtrip,
         "html_table_roundtrip": _q_html_table_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "sitemap_roundtrip": _q_sitemap_roundtrip,
         "union_sources": _q_union_sources,
         "distinct_users": _q_distinct_users,
         "langid": _q_langid,
@@ -9012,6 +9069,10 @@ def oracle_sql() -> dict[str, str]:
         "date_roundtrip": (
             "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
             "FROM lineitem"
+        ),
+        "sitemap_roundtrip": (
+            "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS lastmod, "
+            "CASE WHEN o_orderkey % 2 = 0 THEN 'daily' END AS changefreq FROM orders"
         ),
         "warc_roundtrip": (
             "SELECT doc_id, 1735689600000000 + doc_id*1000000 AS warc_ts_us, "
