@@ -116,10 +116,16 @@ def write_warc_bytes(
     return b"".join(out)
 
 
-def iter_warc_records(data: bytes) -> Iterator[Tuple[str, Optional[int], bytes]]:
+def iter_warc_records(
+    data: bytes,
+) -> Iterator[Tuple[str, Optional[int], bytes, int, str]]:
     """Walk one WARC shard by Content-Length framing, yielding
-    (url, ts_us, html_payload) for each response record. Torn or
-    malformed trailing bytes end the scan at the last good boundary."""
+    (url, ts_us, html_payload, http_status, content_type) for each
+    response record — status/content-type come from the embedded HTTP
+    message (0/"" when absent) so downstream can apply the standard
+    Common-Crawl admission filter (status 200, text/html) without
+    re-parsing. Torn or malformed trailing bytes end the scan at the
+    last good boundary."""
     if data[:2] == b"\x1f\x8b":
         # member-gzipped shard (.warc.gz): inflate members sequentially
         # — decompressobj stops at each member boundary and hands back
@@ -179,29 +185,52 @@ def iter_warc_records(data: bytes) -> Iterator[Tuple[str, Optional[int], bytes]]
         if wtype == b"response" and url:
             http_split = body.find(_CRLF + _CRLF)
             payload = body[http_split + 4 :] if http_split >= 0 else body
-            yield url.decode("utf-8", "replace"), ts, payload
+            status = 0
+            ctype = ""
+            if http_split >= 0:
+                http_head = body[:http_split].split(_CRLF)
+                first = http_head[0].split(b" ")
+                if len(first) >= 2 and first[0].startswith(b"HTTP/"):
+                    try:
+                        status = int(first[1])
+                    except ValueError:
+                        status = 0
+                for hline in http_head[1:]:
+                    hk, _, hv = hline.partition(b":")
+                    if hk.strip().lower() == b"content-type":
+                        ctype = hv.strip().decode("utf-8", "replace")
+                        break
+            yield url.decode("utf-8", "replace"), ts, payload, status, ctype
 
 
 def parse_warc_batches(ds: "ray.data.Dataset", blob_col: str = "warc") -> "ray.data.Dataset":
-    """Dataset of WARC shard blobs → page rows
-    (url, warc_ts: timestamp[us], html: binary)."""
+    """Dataset of WARC shard blobs → page rows (url, warc_ts:
+    timestamp[us], html: binary, http_status: int32, content_type:
+    string) — ready for the standard admission filter
+    (``http_status == 200 and content_type starts with text/html``)."""
 
     def per_batch(b: pa.Table) -> pa.Table:
         urls: List[str] = []
         tss: List[Optional[int]] = []
         payloads: List[bytes] = []
+        statuses: List[int] = []
+        ctypes: List[str] = []
         for blob in b.column(blob_col).to_pylist():
             if blob is None:
                 continue
-            for url, ts, payload in iter_warc_records(blob):
+            for url, ts, payload, status, ctype in iter_warc_records(blob):
                 urls.append(url)
                 tss.append(ts)
                 payloads.append(payload)
+                statuses.append(status)
+                ctypes.append(ctype)
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "warc_ts": pa.array(tss, pa.timestamp("us")),
                 "html": pa.array(payloads, pa.binary()),
+                "http_status": pa.array(statuses, pa.int32()),
+                "content_type": pa.array(ctypes, pa.string()),
             }
         )
 

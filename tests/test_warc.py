@@ -22,7 +22,7 @@ def test_roundtrip_and_warcinfo_skipped():
         ("https://a.test/2", _EPOCH_US + 5_000_000, b"two \xc3\xa9"),
     ]
     got = list(iter_warc_records(_mk(recs)))
-    assert [(u, t, p) for u, t, p in got] == [
+    assert [(u, t, p) for u, t, p, _, _ in got] == [
         ("https://a.test/1", _EPOCH_US, b"<html>one</html>"),
         ("https://a.test/2", _EPOCH_US + 5_000_000, b"two \xc3\xa9"),
     ]
@@ -85,7 +85,7 @@ def test_gzip_member_roundtrip():
     gz = write_warc_bytes(recs, shard_id=1, gzip_members=True)
     assert gz[:2] == b"\x1f\x8b"
     got = list(iter_warc_records(gz))
-    assert [(u, p) for u, _, p in got] == [
+    assert [(u, p) for u, _, p, _, _ in got] == [
         ("https://g.test/1", b"alpha"),
         ("https://g.test/2", b"beta"),
     ]
@@ -104,4 +104,10 @@ def test_gzip_truncated_member_degrades_in_band():
     assert last_member > 0
     torn = gz[: last_member + (len(gz) - last_member) // 2]
     got = list(iter_warc_records(torn))
-    assert [u for u, _, _ in got] == ["https://g.test/1"]
+    assert [u for u, *_ in got] == ["https://g.test/1"]
+
+
+def test_http_status_and_content_type_surface():
+    got = list(iter_warc_records(_mk([("https://a.test/1", _EPOCH_US, b"x")])))
+    assert got[0][3] == 200
+    assert got[0][4].startswith("text/html")
