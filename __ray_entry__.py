@@ -3462,6 +3462,53 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank_directed(edges, "src", "dst", "w", iters=8)
 
 
+def _q_extract_span_eval(sf_dir: str):
+    """Extraction-quality evaluation at corpus scale (CleanEval-style
+    char-span P/R/F1, stages/span_eval.py): the flagship extractor's
+    spans scored against themselves in two modes — ``full`` (the
+    self-check: micro F1 must be exactly 1.0 per strategy) and
+    ``desc_only`` (a degraded extractor keeping only description
+    spans: precision stays 1.0, recall drops to the per-strategy
+    description share — the number a candidate boilerplate change
+    would move). One extraction pass; the slim (url, strategy, spans)
+    projection is materialized once and feeds both modes (at
+    production scale you evaluate a SAMPLE — the harness itself only
+    ever shuffles slim span rows, one url-bucket exchange per mode).
+    Rows-only; the sweep is pinned against a brute-force reference in
+    test_span_eval."""
+    from pdf_table_extractor_ray.pipelines.extract import (
+        build_extracted_dataset,
+        read_pages,
+    )
+    from pdf_table_extractor_ray.stages.span_eval import (
+        explode_spans,
+        prf_rollup,
+        span_overlap_by_url,
+    )
+
+    pages = _fixture_pages(sf_dir)
+    ext = (
+        build_extracted_dataset(read_pages(pages, include_paths=True))
+        .select_columns(["url", "strategy", "spans"])
+        .materialize()
+    )
+
+    gold = explode_spans(ext, 1, carry_col="strategy")
+
+    def one_mode(mode: str, kind_filter):
+        pred = explode_spans(ext, 0, carry_col="strategy", kind_filter=kind_filter)
+        per_url = span_overlap_by_url(pred, gold, carry_col="strategy")
+        roll = prf_rollup(per_url, key_col="strategy")
+        return roll.map_batches(
+            lambda b, _m=mode: b.append_column(
+                "mode", pa.array([_m] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+
+    return one_mode("full", None).union(one_mode("desc_only", "description"))
+
+
 def _q_robots_frontier(sf_dir: str):
     """Crawl-frontier admission end-to-end: pages → outlinks →
     candidate URLs → robots.txt gate (stages/robots.py: RFC 9309
@@ -8925,6 +8972,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_pagerank": _q_host_pagerank,
         "host_hits": _q_host_hits,
         "robots_frontier": _q_robots_frontier,
+        "extract_span_eval": _q_extract_span_eval,
         "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,
