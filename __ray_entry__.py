@@ -3462,6 +3462,65 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank_directed(edges, "src", "dst", "w", iters=8)
 
 
+def _q_jsonld_roundtrip(sf_dir: str):
+    """JSON-LD structured-data extraction with a SQL oracle: part →
+    product pages embedding a schema.org Product block (name/brand/
+    sku/size/desc — desc carries quotes + backslashes to exercise
+    JSON string escaping), an Organization block, and a non-JSON-LD
+    noise script → compiled-regex block scan + JSON parse →
+    @type=Product projection, bit-identical (stages/jsonld.py)."""
+    from pdf_table_extractor_ray.stages.jsonld import (
+        extract_jsonld,
+        project_jsonld_fields,
+        render_jsonld_page,
+    )
+
+    ds = _read(sf_dir, "part", ["p_partkey", "p_name", "p_brand", "p_size"])
+
+    def render(b: pa.Table) -> pa.Table:
+        keys = b.column("p_partkey").to_pylist()
+        names = b.column("p_name").to_pylist()
+        brands = b.column("p_brand").to_pylist()
+        sizes = b.column("p_size").to_pylist()
+        urls, payloads = [], []
+        for k, n, br, sz in zip(keys, names, brands, sizes):
+            ents = [
+                {
+                    "@type": "Product",
+                    "sku": str(k),
+                    "name": n,
+                    "brand": br,
+                    "size": str(sz),
+                    "desc": f'q"{k}\\',
+                },
+                {"@type": "Organization", "name": "shop"},
+            ]
+            urls.append(f"https://shop.test/p/{k}")
+            payloads.append(render_jsonld_page(ents, noise_script="var x=1;"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(payloads, pa.binary())}
+        )
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    prods = project_jsonld_fields(
+        extract_jsonld(pages), ["sku", "name", "brand", "size", "desc"], jtype="Product"
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("sku"), pa.int64()),
+                b.column("name"),
+                b.column("brand"),
+                pc.cast(b.column("size"), pa.int64()),
+                b.column("desc"),
+            ],
+            names=["sku", "name", "brand", "size", "desc"],
+        )
+
+    return prods.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_extract_span_eval(sf_dir: str):
     """Extraction-quality evaluation at corpus scale (CleanEval-style
     char-span P/R/F1, stages/span_eval.py): the flagship extractor's
@@ -8973,6 +9032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "host_hits": _q_host_hits,
         "robots_frontier": _q_robots_frontier,
         "extract_span_eval": _q_extract_span_eval,
+        "jsonld_roundtrip": _q_jsonld_roundtrip,
         "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,
@@ -9117,6 +9177,11 @@ def oracle_sql() -> dict[str, str]:
         "date_roundtrip": (
             "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
             "FROM lineitem"
+        ),
+        "jsonld_roundtrip": (
+            "SELECT p_partkey AS sku, p_name AS name, p_brand AS brand, "
+            "CAST(p_size AS BIGINT) AS size, "
+            "'q\"' || CAST(p_partkey AS VARCHAR) || '\\' AS desc FROM part"
         ),
         "sitemap_roundtrip": (
             "SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS lastmod, "
