@@ -3462,6 +3462,40 @@ def _q_host_pagerank(sf_dir: str):
     return pagerank_directed(edges, "src", "dst", "w", iters=8)
 
 
+def _q_redirect_resolution(sf_dir: str):
+    """Redirect-chain resolution with a SQL oracle: a deterministic
+    redirect graph over orders (u<k> → u<k-1> unless k ≡ 0 mod 8 —
+    sparse keys make chain lengths data-dependent) resolved to each
+    source's final URL + exact hop count by POINTER DOUBLING
+    (stages/redirects.py: log₂-rounds bucket shuffles, list-ranking
+    distance accumulation). The oracle is DuckDB's recursive CTE
+    walking the same edges one hop at a time — two entirely different
+    algorithms, same table."""
+    from pdf_table_extractor_ray.stages.redirects import resolve_chains
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        k = k[k % 8 != 0]
+        return pa.table(
+            {
+                "src": pa.array([f"u{v}" for v in k], pa.string()),
+                "dst": pa.array([f"u{v - 1}" for v in k], pa.string()),
+            }
+        )
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    resolved = resolve_chains(edges, max_rounds=8)
+    return resolved.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("src"), b.column("final"), b.column("hops")],
+            names=["src", "final", "hops"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def _q_jsonld_roundtrip(sf_dir: str):
     """JSON-LD structured-data extraction with a SQL oracle: part →
     product pages embedding a schema.org Product block (name/brand/
@@ -9033,6 +9067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_frontier": _q_robots_frontier,
         "extract_span_eval": _q_extract_span_eval,
         "jsonld_roundtrip": _q_jsonld_roundtrip,
+        "redirect_resolution": _q_redirect_resolution,
         "page_metadata": _q_page_metadata,
         "top_link_targets": _q_top_link_targets,
         "extract_flagship": _q_extract_flagship,
@@ -9177,6 +9212,18 @@ def oracle_sql() -> dict[str, str]:
         "date_roundtrip": (
             "SELECT l_orderkey, l_linenumber, strftime(l_shipdate, '%Y-%m-%d') AS ship_day "
             "FROM lineitem"
+        ),
+        "redirect_resolution": (
+            "WITH RECURSIVE e AS ("
+            "SELECT 'u' || CAST(o_orderkey AS VARCHAR) AS src, "
+            "'u' || CAST(o_orderkey - 1 AS VARCHAR) AS dst "
+            "FROM orders WHERE o_orderkey % 8 <> 0), "
+            "walk(src, cur, hops) AS ("
+            "SELECT src, dst, CAST(1 AS BIGINT) FROM e "
+            "UNION ALL SELECT w.src, e2.dst, w.hops + 1 "
+            "FROM walk w JOIN e e2 ON w.cur = e2.src) "
+            "SELECT src, cur AS final, hops FROM walk w "
+            "WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.cur)"
         ),
         "jsonld_roundtrip": (
             "SELECT p_partkey AS sku, p_name AS name, p_brand AS brand, "
