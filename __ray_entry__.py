@@ -3434,6 +3434,119 @@ def _q_sitemap_roundtrip(sf_dir: str):
     return entries.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_dom_select_cards(sf_dir: str):
+    """DOM-tree CSS-selector extraction with a SQL oracle: customers →
+    synthetic HTML card pages (40 cards each, plus decoy subtrees the
+    descendant combinator must prune — a ``div.other span.name`` block
+    and a loose ``span.name``) → actor-pool ``DomSelect`` (selector
+    compiled once per actor, stages/dom.py) pulling
+    ``div.cust span.name`` text + its ``data-k`` attribute →
+    (c_custkey, c_name), byte-identical to a plain projection. The
+    page build happens within each batch, so output is invariant to
+    batching; parse + select are per-document compute inside
+    ``map_batches`` — zero shuffle."""
+    from pdf_table_extractor_ray.stages.dom import select_text
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        names = b.column("c_name").to_pylist()
+        urls, payloads = [], []
+        for start in range(0, len(keys), 40):
+            cards = "".join(
+                f'<div class="cust big"><span class="name" data-k="{k}">{n}</span>'
+                f'<span class="bal">ignored</span></div>'
+                for k, n in zip(keys[start : start + 40], names[start : start + 40])
+            )
+            html = (
+                '<html><body><div class="other"><span class="name">DECOY</span></div>'
+                + cards
+                + '<span class="name">loose</span></body></html>'
+            )
+            urls.append(f"https://cards.test/{keys[start]}")
+            payloads.append(html.encode("utf-8"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(payloads, pa.binary())}
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    hits = select_text(pages, "div.cust span.name", attr="data-k")
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = pa.array([int(k) for k in b.column("data-k").to_pylist()], pa.int64())
+        return pa.Table.from_arrays([keys, b.column("text")], names=["c_custkey", "c_name"])
+
+    return hits.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# template-sentinel markers: the guillemets cannot collide with the
+# ASCII testdata corpus, so mined-template membership is provably the
+# injected nav/footer pair (measured max natural per-source line share
+# at sf0.1 is 0.004 — far under min_share)
+def _template_pages(sf_dir: str):
+    """documents → per-source pages with an injected nav/footer pair."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        texts = b.column("text").to_pylist()
+        aug = [
+            f"«nav {s}»\n{t or ''}\n«footer {s}»" for s, t in zip(srcs, texts)
+        ]
+        return b.drop_columns(["text"]).append_column("text", pa.array(aug, pa.string()))
+
+    return ds.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_template_lines_by_source(sf_dir: str):
+    """Corpus-level template mining with a SQL oracle
+    (stages/templates.py): per-source pages carrying an injected
+    nav/footer sentinel pair → distinct-line document-frequency
+    explode (slim (key, line) partial counts, ONE groupby-Sum) →
+    share threshold → exactly the two injected lines per source, with
+    n_docs = n_docs_key = the source's page count. Natural corpus
+    lines stay far under min_share (measured ≤0.004) — the mined set
+    is provably the sentinels."""
+    from pdf_table_extractor_ray.stages.templates import mine_template_lines
+
+    mined = mine_template_lines(
+        _template_pages(sf_dir), "source", min_share=0.5, min_count=3
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["source", "line", "n_docs", "n_docs_key"])
+
+    return mined.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_template_strip_roundtrip(sf_dir: str):
+    """Mine-then-strip end-to-end with a SQL oracle: the injected
+    nav/footer template lines are mined (bounded (source, line) set —
+    2 rows per source by construction), broadcast once via
+    ``ray.put``, and removed per page by an actor-pool hash-set stage
+    (stages/templates.py:TemplateStripper) — recovering each
+    document's original text byte-identically with exactly 2 template
+    lines removed."""
+    import pyarrow as pa_mod
+
+    from pdf_table_extractor_ray.stages.templates import (
+        mine_template_lines,
+        strip_template_lines,
+    )
+
+    pages = _template_pages(sf_dir)
+    mined = mine_template_lines(pages, "source", min_share=0.5, min_count=3)
+    # template set is ≤ 2 rows per source by the sentinel construction —
+    # bounded driver materialization (the broadcast-build contract)
+    template = pa_mod.Table.from_pylist(
+        mined.take_all(), schema=pa.schema([("key", pa.string()), ("line", pa.string()),
+                                            ("n_docs", pa.int64()), ("n_docs_key", pa.int64())])
+    ).select(["key", "line"])
+    stripped = strip_template_lines(pages, template, "source")
+    return stripped.select_columns(["doc_id", "text", "n_template_lines"])
+
+
 def _q_host_pagerank(sf_dir: str):
     """Host-graph centrality end-to-end — the canonical Common-Crawl
     computation: crawl pages → outlink extraction (compiled-regex map)
@@ -8853,6 +8966,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "html_table_roundtrip": _q_html_table_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
+        "dom_select_cards": _q_dom_select_cards,
+        "template_lines_by_source": _q_template_lines_by_source,
+        "template_strip_roundtrip": _q_template_strip_roundtrip,
         "union_sources": _q_union_sources,
         "distinct_users": _q_distinct_users,
         "langid": _q_langid,
@@ -9237,6 +9353,17 @@ def oracle_sql() -> dict[str, str]:
         "warc_roundtrip": (
             "SELECT doc_id, 1735689600000000 + doc_id*1000000 AS warc_ts_us, "
             "text FROM documents"
+        ),
+        "dom_select_cards": "SELECT c_custkey, c_name FROM customer",
+        "template_lines_by_source": (
+            "SELECT source, '«nav ' || source || '»' AS line, "
+            "count(*) AS n_docs, count(*) AS n_docs_key FROM documents GROUP BY source "
+            "UNION ALL SELECT source, '«footer ' || source || '»' AS line, "
+            "count(*) AS n_docs, count(*) AS n_docs_key FROM documents GROUP BY source"
+        ),
+        "template_strip_roundtrip": (
+            "SELECT doc_id, COALESCE(text, '') AS text, "
+            "CAST(2 AS BIGINT) AS n_template_lines FROM documents"
         ),
         "html_table_roundtrip": (
             "SELECT p_partkey AS partkey, p_name AS name, p_brand AS brand, "
