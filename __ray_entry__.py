@@ -3480,6 +3480,56 @@ def _q_dom_select_cards(sf_dir: str):
     return hits.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_dom_main_content(sf_dir: str):
+    """DOM-density main-content extraction with a SQL oracle — the
+    north-star Boilerpipe/Readability shape over a real parsed tree
+    (stages/dom.py:extract_main_content): documents render into noisy
+    pages (link-bearing nav + footer boilerplate, script noise, the
+    body HTML-escaped inside a content div) and the squared
+    link-density subtree score must pull the body back BYTE-IDENTICAL
+    (raw_text preserves whitespace; convert_charrefs undoes the
+    escaping). Zero shuffle; per-document compute in an actor pool."""
+    import html as html_mod
+
+    from pdf_table_extractor_ray.stages.dom import extract_dom_content
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        urls, payloads = [], []
+        for i, t in zip(ids, texts):
+            page = (
+                "<html><head><title>doc</title>"
+                "<script>var nav_tracking_payload_noise;</script></head>"
+                '<body><nav><a href="/">Home</a><a href="/about">About</a>'
+                '<a href="/contact">Contact</a></nav>'
+                f'<div class="content">{html_mod.escape(t or "")}</div>'
+                '<footer><a href="/legal">Legal notice</a>'
+                '<a href="/privacy">Privacy policy</a></footer></body></html>'
+            )
+            urls.append(f"https://docs.test/{i}")
+            payloads.append(page.encode("utf-8"))
+        return pa.table(
+            {"url": pa.array(urls, pa.string()), "html": pa.array(payloads, pa.binary())}
+        )
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    out = extract_dom_content(pages)
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = pa.array(
+            [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()], pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [ids, b.column("text"), b.column("n_chars")],
+            names=["doc_id", "text", "n_chars"],
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # template-sentinel markers: the guillemets cannot collide with the
 # ASCII testdata corpus, so mined-template membership is provably the
 # injected nav/footer pair (measured max natural per-source line share
@@ -8967,6 +9017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "dom_select_cards": _q_dom_select_cards,
+        "dom_main_content": _q_dom_main_content,
         "template_lines_by_source": _q_template_lines_by_source,
         "template_strip_roundtrip": _q_template_strip_roundtrip,
         "union_sources": _q_union_sources,
@@ -9355,6 +9406,10 @@ def oracle_sql() -> dict[str, str]:
             "text FROM documents"
         ),
         "dom_select_cards": "SELECT c_custkey, c_name FROM customer",
+        "dom_main_content": (
+            "SELECT doc_id, COALESCE(text, '') AS text, "
+            "length(COALESCE(text, '')) AS n_chars FROM documents"
+        ),
         "template_lines_by_source": (
             "SELECT source, '«nav ' || source || '»' AS line, "
             "count(*) AS n_docs, count(*) AS n_docs_key FROM documents GROUP BY source "

@@ -210,6 +210,145 @@ class DomSelect:
         return pa.table(cols)
 
 
+def _density(node: DomNode, in_link: bool, acc: Dict[int, Tuple[int, int]]) -> Tuple[int, int]:
+    """Post-order (text_len, link_text_len) per element subtree.
+
+    script/style text is invisible and never counts; text anywhere
+    under an ``<a>`` counts toward link_text_len (the Readability /
+    Boilerpipe link-density signal).
+    """
+    text_len = 0
+    link_len = 0
+    is_link = in_link or node.tag == "a"
+    for c in node.children:
+        if isinstance(c, str):
+            text_len += len(c)
+            if is_link:
+                link_len += len(c)
+        elif c.tag not in ("script", "style"):
+            t, l = _density(c, is_link, acc)
+            text_len += t
+            link_len += l
+    acc[id(node)] = (text_len, link_len)
+    return text_len, link_len
+
+
+def raw_text(node: DomNode) -> str:
+    """Subtree text with NO whitespace collapsing — the byte-exact
+    concatenation of visible text nodes (script/style excluded).
+    ``convert_charrefs`` already unescaped entities at parse time, so
+    an escaped render round-trips byte-identically."""
+    parts: List[str] = []
+
+    def walk(n: DomNode) -> None:
+        for c in n.children:
+            if isinstance(c, str):
+                parts.append(c)
+            elif c.tag not in ("script", "style"):
+                walk(c)
+
+    walk(node)
+    return "".join(parts)
+
+
+# block-level candidates for main-content selection — inline nodes and
+# boilerplate containers (<a>, <nav>…) may win on raw length but are
+# never the article body
+_CONTENT_TAGS = frozenset(
+    "article main section div td body blockquote pre p".split()
+)
+
+
+def extract_main_content(root: DomNode) -> str:
+    """Arc90/Boilerpipe-style densest-subtree pick: score every
+    block-level node by ``text_len · (1 − link_density)²`` and return
+    the best subtree's raw text.
+
+    The SQUARED link-density penalty makes the tight content node beat
+    every ancestor that also holds link-bearing boilerplate: for
+    content C chars and sibling link text L, the ancestor scores
+    C²/(C+L) < C while the content node scores C. Ties (an ancestor
+    adding zero extra text) resolve to the LATER pre-order node — the
+    tightest match. Pages with no positive-scoring block (all text in
+    links, or empty) yield ''.
+    """
+    acc: Dict[int, Tuple[int, int]] = {}
+    _density(root, False, acc)
+    best: Optional[DomNode] = None
+    best_score = 0.0
+    for n in root.iter_nodes():
+        if n.tag not in _CONTENT_TAGS:
+            continue
+        text_len, link_len = acc[id(n)]
+        if text_len == 0:
+            continue
+        keep = 1.0 - link_len / text_len
+        score = text_len * keep * keep
+        if score > 0.0 and score >= best_score:
+            best, best_score = n, score
+    return raw_text(best) if best is not None else ""
+
+
+def extract_dom_density(html: str) -> "ExtractResult":
+    """Registry strategy: DOM-density main-content extraction as an
+    ``ExtractResult`` (one whole-content span), the tree-based
+    alternative to the line-density ``boilerplate_strip`` strategy.
+    Routed explicitly (``use_strategy_column`` / ``register_strategy``)
+    rather than by ``detect_format`` so existing golden routing is
+    unchanged."""
+    from pdf_table_extractor_ray.stages.result import ExtractResult
+
+    text = extract_main_content(parse_dom(html.encode("utf-8", "replace")))
+    if not text:
+        return ExtractResult(status="empty", error="no content subtree")
+    return ExtractResult(extracted_text=text, spans=[(0, len(text), "content")])
+
+
+class DomMainContent:
+    """Actor-pool stage: (url, html) → (url, text, n_chars) via the
+    DOM density pick. Parse + score are per-document compute inside
+    ``map_batches`` — zero shuffle; non-HTML payloads yield zero rows
+    in-band."""
+
+    def __init__(self, html_col: str = "html", url_col: str = "url"):
+        self._html_col = html_col
+        self._url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column(self._url_col).to_pylist()
+        payloads = batch.column(self._html_col).to_pylist()
+        o_url, o_text = [], []
+        for url, payload in zip(urls, payloads):
+            if payload is None or url is None:
+                continue
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8", "replace")
+            if not _looks_like_html(payload):
+                continue
+            o_url.append(url)
+            o_text.append(extract_main_content(parse_dom(payload)))
+        return pa.table({
+            "url": pa.array(o_url, pa.string()),
+            "text": pa.array(o_text, pa.string()),
+            "n_chars": pa.array([len(t) for t in o_text], pa.int64()),
+        })
+
+
+def extract_dom_content(
+    ds: "ray.data.Dataset",
+    html_col: str = "html",
+    url_col: str = "url",
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    return ds.map_batches(
+        DomMainContent,
+        fn_constructor_kwargs={"html_col": html_col, "url_col": url_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+    )
+
+
 def select_text(
     ds: "ray.data.Dataset",
     selector: str,

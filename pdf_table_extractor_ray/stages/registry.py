@@ -22,6 +22,7 @@ from pdf_table_extractor_ray.stages.layout import (
 )
 from pdf_table_extractor_ray.functions.charset import decode_html
 from pdf_table_extractor_ray.stages.boilerplate import extract_boilerplate
+from pdf_table_extractor_ray.stages.dom import extract_dom_density
 from pdf_table_extractor_ray.stages.ofx import extract_ofx
 from pdf_table_extractor_ray.stages.result import ExtractResult
 
@@ -96,6 +97,7 @@ def make_strategies(
         "pdf_native": pdf_with_config,
         "lattice_table": _html_strategy(extract_lattice_table),
         "boilerplate_strip": _html_strategy(extract_boilerplate),
+        "dom_density": _html_strategy(extract_dom_density),
         "ofx": _text_strategy(extract_ofx),
     }
 

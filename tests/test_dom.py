@@ -76,3 +76,90 @@ def test_select_text_stage_with_attr(ray_session):
         ("u1", 0, "one", "/l1"),
         ("u1", 1, "two", "/l2"),
     ]
+
+
+# ---------------------------------------------------------------------------
+# main-content extraction (density pick)
+
+from pdf_table_extractor_ray.stages.dom import (  # noqa: E402
+    extract_dom_content,
+    extract_main_content,
+    raw_text,
+)
+import html as _html  # noqa: E402
+
+
+def _main(html_bytes):
+    return extract_main_content(parse_dom(html_bytes))
+
+
+def test_density_pick_beats_link_boilerplate():
+    body = "Article text long enough to dominate.\nSecond line."
+    page = (
+        '<html><body><nav><a href="/a">Home</a><a href="/b">About</a></nav>'
+        f'<div class="c">{_html.escape(body)}</div>'
+        '<footer><a href="/l">Legal</a><a href="/p">Privacy</a></footer>'
+        "</body></html>"
+    ).encode()
+    assert _main(page) == body
+
+
+def test_density_entities_and_whitespace_byte_exact():
+    body = "a & b < c\n  indented\ttabbed  \ntrailing "
+    page = (
+        '<body><nav><a>x</a><a>y</a></nav>'
+        f"<div>{_html.escape(body)}</div></body>"
+    ).encode()
+    assert _main(page) == body
+
+
+def test_density_inline_markup_text_counts():
+    page = b"<body><nav><a>n1</a><a>n2</a></nav><div>pre <b>bold</b> post</div></body>"
+    assert _main(page) == "pre bold post"
+
+
+def test_density_all_links_or_empty_yields_empty():
+    assert _main(b"<body><nav><a>one</a><a>two</a></nav></body>") == ""
+    assert _main(b"<body><div></div></body>") == ""
+
+
+def test_density_script_style_invisible():
+    page = (
+        b"<body><nav><a>n</a><a>m</a></nav>"
+        b"<div>keep<script>var very_long_script_payload;</script></div></body>"
+    )
+    assert _main(page) == "keep"
+
+
+def test_extract_dom_content_stage(ray_session):
+    import ray
+
+    body = "Main body content for the stage test."
+    page = (
+        '<body><nav><a>h</a><a>a</a></nav>'
+        f"<div>{_html.escape(body)}</div></body>"
+    ).encode()
+    pages = pa.table(
+        {
+            "url": pa.array(["u1", "u2"], pa.string()),
+            "html": pa.array([page, b"%PDF-1.4 binary"], pa.binary()),
+        }
+    )
+    rows = extract_dom_content(ray.data.from_arrow(pages), concurrency=1).take_all()
+    assert [(r["url"], r["text"], r["n_chars"]) for r in rows] == [("u1", body, len(body))]
+
+
+def test_dom_density_registry_strategy():
+    from pdf_table_extractor_ray.stages.registry import make_strategies
+
+    body = "Registry strategy content body."
+    page = (
+        '<body><nav><a>h</a><a>a</a></nav>'
+        f"<div>{_html.escape(body)}</div></body>"
+    ).encode()
+    res = make_strategies()["dom_density"]({"url": "u", "html": page, "text": None})
+    assert res.status == "ok"
+    assert res.extracted_text == body
+    assert res.spans == [(0, len(body), "content")]
+    empty = make_strategies()["dom_density"]({"url": "u", "html": b"<body><a>x</a><a>y</a></body>", "text": None})
+    assert empty.status == "empty"
