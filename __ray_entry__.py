@@ -3378,6 +3378,91 @@ def _q_warc_roundtrip(sf_dir: str):
     return pages.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_cdx_fetch_roundtrip(sf_dir: str):
+    """CDX index + point fetch end-to-end with a SQL oracle
+    (sources/cdx.py): documents → WARC shards (every other shard
+    member-gzipped, exercising both offset layouts) → per-shard CDX
+    rows (surt_key, offset, length) → every record re-read by ONE
+    ranged slice ``blob[offset : offset+length]`` — never a rescan —
+    and parsed alone, returning (doc_id, surt_key, text)
+    byte-identical. Index + fetch happen within the holding batch
+    (zero shuffle); at archive scale the index is written sorted by
+    surt_key and the fetch is a ranged GET against the shard."""
+    from pdf_table_extractor_ray.sources.cdx import fetch_warc_record, iter_warc_index, surt
+    from pdf_table_extractor_ray.sources.warc import _EPOCH_US, write_warc_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def roundtrip(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        o_id, o_key, o_text = [], [], []
+        for start in range(0, len(ids), 128):
+            recs = [
+                (f"https://docs.test/{i}", _EPOCH_US + i * 1_000_000,
+                 ("" if t is None else t).encode("utf-8"))
+                for i, t in zip(ids[start : start + 128], texts[start : start + 128])
+            ]
+            blob = write_warc_bytes(
+                recs, shard_id=int(ids[start]), gzip_members=(start // 128) % 2 == 1
+            )
+            for url, _ts, off, ln, _dig in iter_warc_index(blob):
+                got = fetch_warc_record(blob, off, ln)
+                assert got is not None and got[0] == url
+                o_id.append(int(url.rsplit("/", 1)[1]))
+                o_key.append(surt(url))
+                o_text.append(got[2].decode("utf-8"))
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, pa.int64()),
+                "surt_key": pa.array(o_key, pa.string()),
+                "text": pa.array(o_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(roundtrip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_wet_roundtrip(sf_dir: str):
+    """WET export end-to-end with a SQL oracle — the WARC *conversion*
+    format Common Crawl ships extracted text in (sources/warc.py):
+    documents → extracted-text page rows → WET shards (128
+    conversion records each, ``wet_from_pages``; shard grouping within
+    each batch so output is layout-deterministic) → framed parse back
+    → (doc_id, warc_ts_us, text), byte-identical. This is the
+    engine's extraction EXPORT path: pages in via WARC, text out via
+    WET."""
+    from pdf_table_extractor_ray.sources.warc import _EPOCH_US, parse_wet_batches, wet_from_pages
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_pages(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([f"https://docs.test/{i}" for i in ids], pa.string()),
+                "warc_ts": pa.array(
+                    [_EPOCH_US + i * 1_000_000 for i in ids], pa.timestamp("us")
+                ),
+                "text": b.column("text"),
+            }
+        )
+
+    pages = ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)
+    back = parse_wet_batches(wet_from_pages(pages))
+
+    def finish(b: pa.Table) -> pa.Table:
+        ids = pa.array(
+            [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()], pa.int64()
+        )
+        return pa.Table.from_arrays(
+            [ids, pc.cast(b.column("warc_ts"), pa.int64()), b.column("text")],
+            names=["doc_id", "warc_ts_us", "text"],
+        )
+
+    return back.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_sitemap_roundtrip(sf_dir: str):
     """Sitemap source end-to-end with a SQL oracle: orders → urlset
     shards of 200 entries (locs carry ``?q=a&b`` to exercise XML
@@ -9015,6 +9100,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "date_roundtrip": _q_date_roundtrip,
         "html_table_roundtrip": _q_html_table_roundtrip,
         "warc_roundtrip": _q_warc_roundtrip,
+        "wet_roundtrip": _q_wet_roundtrip,
+        "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "dom_select_cards": _q_dom_select_cards,
         "dom_main_content": _q_dom_main_content,
@@ -9403,6 +9490,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "warc_roundtrip": (
             "SELECT doc_id, 1735689600000000 + doc_id*1000000 AS warc_ts_us, "
+            "text FROM documents"
+        ),
+        "wet_roundtrip": (
+            "SELECT doc_id, 1735689600000000 + doc_id*1000000 AS warc_ts_us, "
+            "text FROM documents"
+        ),
+        "cdx_fetch_roundtrip": (
+            "SELECT doc_id, 'test,docs)/' || CAST(doc_id AS VARCHAR) AS surt_key, "
             "text FROM documents"
         ),
         "dom_select_cards": "SELECT c_custkey, c_name FROM customer",

@@ -116,36 +116,36 @@ def write_warc_bytes(
     return b"".join(out)
 
 
-def iter_warc_records(
-    data: bytes,
-) -> Iterator[Tuple[str, Optional[int], bytes, int, str]]:
-    """Walk one WARC shard by Content-Length framing, yielding
-    (url, ts_us, html_payload, http_status, content_type) for each
-    response record — status/content-type come from the embedded HTTP
-    message (0/"" when absent) so downstream can apply the standard
-    Common-Crawl admission filter (status 200, text/html) without
-    re-parsing. Torn or malformed trailing bytes end the scan at the
-    last good boundary."""
-    if data[:2] == b"\x1f\x8b":
-        # member-gzipped shard (.warc.gz): inflate members sequentially
-        # — decompressobj stops at each member boundary and hands back
-        # the rest via unused_data, so a corrupt member ends the scan
-        # in-band exactly like a torn plain record
-        import zlib
+def _inflate_members(data: bytes) -> bytes:
+    """Member-gzipped shard (.warc.gz): inflate members sequentially —
+    decompressobj stops at each member boundary and hands back the rest
+    via unused_data, so a corrupt member ends the scan in-band exactly
+    like a torn plain record."""
+    import zlib
 
-        chunks: List[bytes] = []
-        rest = bytes(data)
-        while rest[:2] == b"\x1f\x8b":
-            d = zlib.decompressobj(16 + zlib.MAX_WBITS)
-            try:
-                chunks.append(d.decompress(rest))
-                chunks.append(d.flush())
-            except zlib.error:
-                break
-            if not d.eof:
-                break  # truncated final member
-            rest = d.unused_data
-        data = b"".join(chunks)
+    chunks: List[bytes] = []
+    rest = bytes(data)
+    while rest[:2] == b"\x1f\x8b":
+        d = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            chunks.append(d.decompress(rest))
+            chunks.append(d.flush())
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member
+        rest = d.unused_data
+    return b"".join(chunks)
+
+
+def _iter_raw_records(
+    data: bytes,
+) -> Iterator[Tuple[bytes, bytes, Optional[int], bytes]]:
+    """Content-Length-framed walk over one WARC-family shard, yielding
+    (warc_type, target_uri, ts_us, body) per record. Torn or malformed
+    trailing bytes end the scan at the last good boundary."""
+    if data[:2] == b"\x1f\x8b":
+        data = _inflate_members(data)
     pos = 0
     n = len(data)
     while pos < n:
@@ -182,6 +182,20 @@ def iter_warc_records(
         # consume the record separator (two CRLFs), tolerantly
         while data[pos : pos + 2] == _CRLF:
             pos += 2
+        yield wtype, url, ts, body
+
+
+def iter_warc_records(
+    data: bytes,
+) -> Iterator[Tuple[str, Optional[int], bytes, int, str]]:
+    """Walk one WARC shard by Content-Length framing, yielding
+    (url, ts_us, html_payload, http_status, content_type) for each
+    response record — status/content-type come from the embedded HTTP
+    message (0/"" when absent) so downstream can apply the standard
+    Common-Crawl admission filter (status 200, text/html) without
+    re-parsing. Torn or malformed trailing bytes end the scan at the
+    last good boundary."""
+    for wtype, url, ts, body in _iter_raw_records(data):
         if wtype == b"response" and url:
             http_split = body.find(_CRLF + _CRLF)
             payload = body[http_split + 4 :] if http_split >= 0 else body
@@ -233,6 +247,125 @@ def parse_warc_batches(ds: "ray.data.Dataset", blob_col: str = "warc") -> "ray.d
                 "content_type": pa.array(ctypes, pa.string()),
             }
         )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_wet_bytes(
+    records: Sequence[Tuple[str, int, str]],
+    shard_id: int = 0,
+    gzip_members: bool = False,
+) -> bytes:
+    """(url, ts_us, text) rows → one WET shard — the WARC *conversion*
+    sibling Common Crawl ships extracted text in: a warcinfo record
+    (``conformsTo`` the WET profile) followed by one
+    ``WARC-Type: conversion`` record per row with a ``text/plain``
+    UTF-8 payload and a ``WARC-Refers-To`` id pointing at the source
+    response record position. Deterministic like ``write_warc_bytes``;
+    this is the engine's extraction EXPORT format (pages in → WARC,
+    extracted text out → WET)."""
+    out: List[bytes] = []
+
+    def record(wtype: bytes, headers: List[Tuple[bytes, bytes]], body: bytes) -> None:
+        head = [b"WARC/1.0", b"WARC-Type: " + wtype]
+        for k, v in headers:
+            head.append(k + b": " + v)
+        head.append(b"Content-Length: " + str(len(body)).encode())
+        raw = _CRLF.join(head) + _CRLF + _CRLF + body + _CRLF + _CRLF
+        out.append(_gzip_member(raw) if gzip_members else raw)
+
+    record(
+        b"warcinfo",
+        [(b"WARC-Record-ID", b"<urn:wet:%d:info>" % shard_id),
+         (b"Content-Type", b"application/warc-fields")],
+        b"software: pdf-table-extractor-ray\r\n"
+        b"conformsTo: WET extracted-text profile\r\n",
+    )
+    for i, (url, ts_us, text) in enumerate(records):
+        record(
+            b"conversion",
+            [
+                (b"WARC-Record-ID", b"<urn:wet:%d:%d>" % (shard_id, i)),
+                (b"WARC-Refers-To", b"<urn:shard:%d:%d>" % (shard_id, i)),
+                (b"WARC-Target-URI", url.encode()),
+                (b"WARC-Date", _ts_to_warc_date(int(ts_us))),
+                (b"Content-Type", b"text/plain"),
+            ],
+            text.encode("utf-8"),
+        )
+    return b"".join(out)
+
+
+def iter_wet_records(data: bytes) -> Iterator[Tuple[str, Optional[int], str]]:
+    """Walk one WET shard, yielding (url, ts_us, text) per conversion
+    record — same Content-Length framing and in-band torn-shard
+    semantics as ``iter_warc_records``."""
+    for wtype, url, ts, body in _iter_raw_records(data):
+        if wtype == b"conversion" and url:
+            yield url.decode("utf-8", "replace"), ts, body.decode("utf-8", "replace")
+
+
+def parse_wet_batches(ds: "ray.data.Dataset", blob_col: str = "wet") -> "ray.data.Dataset":
+    """Dataset of WET shard blobs → extracted-text rows
+    (url, warc_ts: timestamp[us], text: string)."""
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        urls: List[str] = []
+        tss: List[Optional[int]] = []
+        texts: List[str] = []
+        for blob in b.column(blob_col).to_pylist():
+            if blob is None:
+                continue
+            for url, ts, text in iter_wet_records(blob):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(text)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.timestamp("us")),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def wet_from_pages(
+    ds: "ray.data.Dataset",
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    text_col: str = "text",
+    records_per_shard: int = 128,
+    gzip_members: bool = False,
+) -> "ray.data.Dataset":
+    """Extracted-text rows → WET shard blobs (one blob per
+    ``records_per_shard`` rows WITHIN each batch — blobs never span
+    batches, so output is shard-parallel and deterministic given the
+    input layout). Shard ids derive from the first row's url hash so
+    re-runs of the same layout write identical bytes."""
+    import zlib as _zlib
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        urls = b.column(url_col).to_pylist()
+        tss = pa.compute.cast(b.column(ts_col), pa.int64()).to_pylist()
+        texts = b.column(text_col).to_pylist()
+        blobs: List[bytes] = []
+        for start in range(0, len(urls), records_per_shard):
+            chunk = [
+                (u, int(t), x or "")
+                for u, t, x in zip(
+                    urls[start : start + records_per_shard],
+                    tss[start : start + records_per_shard],
+                    texts[start : start + records_per_shard],
+                )
+                if u is not None and t is not None
+            ]
+            if not chunk:
+                continue
+            shard_id = _zlib.crc32(chunk[0][0].encode()) & 0x7FFFFFFF
+            blobs.append(write_wet_bytes(chunk, shard_id=shard_id, gzip_members=gzip_members))
+        return pa.table({"wet": pa.array(blobs, pa.binary())})
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
 

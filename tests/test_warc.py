@@ -111,3 +111,57 @@ def test_http_status_and_content_type_surface():
     got = list(iter_warc_records(_mk([("https://a.test/1", _EPOCH_US, b"x")])))
     assert got[0][3] == 200
     assert got[0][4].startswith("text/html")
+
+
+# ---------------------------------------------------------------------------
+# WET (conversion records)
+
+from pdf_table_extractor_ray.sources.warc import (  # noqa: E402
+    iter_wet_records,
+    parse_wet_batches,
+    wet_from_pages,
+    write_wet_bytes,
+)
+
+
+def test_wet_roundtrip_plain_and_gzip():
+    rows = [
+        ("https://a.test/1", _EPOCH_US + 1_000_000, "first text\nsecond line"),
+        ("https://a.test/2", _EPOCH_US + 2_000_000, ""),
+        ("https://a.test/3", _EPOCH_US + 3_000_000, "unicode: café €"),
+    ]
+    for gz in (False, True):
+        blob = write_wet_bytes(rows, shard_id=7, gzip_members=gz)
+        got = list(iter_wet_records(blob))
+        assert got == rows
+
+
+def test_wet_ignores_response_records_and_vice_versa():
+    wet = write_wet_bytes([("u", _EPOCH_US, "t")], shard_id=1)
+    warc = write_warc_bytes([("u", _EPOCH_US, b"<html>x</html>")], shard_id=1)
+    # a WARC shard has no conversion records; a WET shard no responses
+    assert list(iter_wet_records(warc)) == []
+    assert list(iter_warc_records(wet)) == []
+
+
+def test_wet_torn_shard_stops_at_last_boundary():
+    rows = [("u1", _EPOCH_US, "aaaa"), ("u2", _EPOCH_US, "bbbb")]
+    blob = write_wet_bytes(rows, shard_id=0)
+    assert [u for u, _, _ in iter_wet_records(blob[:-20])] == ["u1"]
+
+
+def test_wet_from_pages_stage_roundtrip(ray_session):
+    import ray
+
+    pages = pa.table(
+        {
+            "url": pa.array([f"https://s.test/{i}" for i in range(300)], pa.string()),
+            "warc_ts": pa.array([_EPOCH_US + i for i in range(300)], pa.timestamp("us")),
+            "text": pa.array([f"doc {i}" for i in range(300)], pa.string()),
+        }
+    )
+    shards = wet_from_pages(ray.data.from_arrow(pages), records_per_shard=128)
+    back = parse_wet_batches(shards).take_all()
+    assert sorted((r["url"], r["text"]) for r in back) == sorted(
+        (f"https://s.test/{i}", f"doc {i}") for i in range(300)
+    )
