@@ -3378,6 +3378,97 @@ def _q_warc_roundtrip(sf_dir: str):
     return pages.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_polite_fetch_schedule(sf_dir: str):
+    """Crawl-frontier politeness scheduling with a SQL oracle: every
+    URL of a host gets a fetch SLOT — rank in (priority, key) order ×
+    the host's crawl delay — so no host is hit faster than its delay
+    whatever the cluster parallelism. One host-BUCKET shuffle (16
+    groups whatever the host count); inside a bucket one lexsort +
+    first-occurrence boundary scan ranks every host at once — the
+    sessionize/rolling kernel family, no per-host Python."""
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+    delay_us = 2_000_000
+    epoch = 1_735_689_600_000_000
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        h = b.column("o_custkey").to_numpy(zero_copy_only=False) % 50
+        return b.append_column("h", pa.array(h.astype(np.int64))).append_column(
+            "bucket", pa.array((h % 16).astype(np.int64))
+        )
+
+    def rank(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        key = g.column("o_orderkey").to_numpy(zero_copy_only=False)
+        date = pc.cast(g.column("o_orderdate"), pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((key, date, h))
+        sh, sk = h[order], key[order]
+        n = len(sh)
+        idx = np.arange(n, dtype=np.int64)
+        first = np.empty(n, bool)
+        if n:
+            first[0] = True
+            first[1:] = sh[1:] != sh[:-1]
+        start = np.maximum.accumulate(np.where(first, idx, 0))
+        r = idx - start
+        return pa.table(
+            {
+                "o_orderkey": pa.array(sk),
+                "host": pa.array([f"h{int(x)}" for x in sh], pa.string()),
+                "fetch_rank": pa.array(r),
+                "scheduled_ts_us": pa.array(epoch + r * delay_us),
+            }
+        )
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(rank, batch_format="pyarrow")
+    )
+
+
+def _q_docs_per_registrable_domain(sf_dir: str):
+    """Registrable-domain (eTLD+1) rollup with a SQL oracle
+    (functions/urls.py): hosts synthesized from customer across five
+    suffix families — incl. the multi-label ``co.uk``/``com.br`` and
+    private-registry ``github.io`` shapes where bare-host or
+    last-two-labels grouping is wrong — mapped through the PSL
+    longest-match kernel (unique-host memo per batch), pre-aggregated
+    map-side to (domain, n) partials, ONE slim groupby-Sum. The
+    per-domain cap/politeness key every crawl pipeline shuffles on."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.functions.urls import registrable_domains
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+    suffixes = ["com", "co.uk", "com.br", "github.io", "org"]
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        hosts = [
+            f"www.sub{ki % 7}.owner{ki % 13}.{suffixes[ki % 5]}" for ki in k
+        ]
+        doms = registrable_domains(hosts)
+        t = pa.table({"domain": pa.array(doms, pa.string())})
+        return (
+            t.group_by(["domain"]).aggregate([("domain", "count")])
+            .rename_columns(["domain", "n"])
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("domain")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("domain"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["domain", "n_hosts"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_cdx_fetch_roundtrip(sf_dir: str):
     """CDX index + point fetch end-to-end with a SQL oracle
     (sources/cdx.py): documents → WARC shards (every other shard
@@ -9102,6 +9193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": _q_warc_roundtrip,
         "wet_roundtrip": _q_wet_roundtrip,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
+        "docs_per_registrable_domain": _q_docs_per_registrable_domain,
+        "polite_fetch_schedule": _q_polite_fetch_schedule,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "dom_select_cards": _q_dom_select_cards,
         "dom_main_content": _q_dom_main_content,
@@ -9499,6 +9592,19 @@ def oracle_sql() -> dict[str, str]:
         "cdx_fetch_roundtrip": (
             "SELECT doc_id, 'test,docs)/' || CAST(doc_id AS VARCHAR) AS surt_key, "
             "text FROM documents"
+        ),
+        "polite_fetch_schedule": (
+            "SELECT o_orderkey, 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host, "
+            "CAST(row_number() OVER w - 1 AS BIGINT) AS fetch_rank, "
+            "1735689600000000 + (row_number() OVER w - 1) * 2000000 AS scheduled_ts_us "
+            "FROM orders WINDOW w AS "
+            "(PARTITION BY o_custkey % 50 ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "docs_per_registrable_domain": (
+            "SELECT 'owner' || CAST(c_custkey % 13 AS VARCHAR) || '.' || "
+            "CASE c_custkey % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'co.uk' "
+            "WHEN 2 THEN 'com.br' WHEN 3 THEN 'github.io' ELSE 'org' END AS domain, "
+            "count(*) AS n_hosts FROM customer GROUP BY domain"
         ),
         "dom_select_cards": "SELECT c_custkey, c_name FROM customer",
         "dom_main_content": (
