@@ -3378,6 +3378,96 @@ def _q_warc_roundtrip(sf_dir: str):
     return pages.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_crawl_extract_wet(sf_dir: str):
+    """The archive-to-archive composite (pipelines/crawl.py): fixture
+    corpus → WARC shards (consumed-field payloads, faithful media
+    types, every shard member-gzipped) → parse → media-type demux →
+    warm-actor extraction → WET export → parsed extracted-text rows
+    (url, n_chars). Entirely shuffle-free. Rows-only (the fixture
+    corpus isn't a SQL view); byte-parity of the crawled path vs
+    direct extraction AND of the WET payloads vs extracted_text is
+    pinned in tests/test_crawl_pipeline.py."""
+    from pdf_table_extractor_ray.pipelines.crawl import crawl_extract_wet, pages_to_warc
+    from pdf_table_extractor_ray.pipelines.extract import read_pages
+    from pdf_table_extractor_ray.sources.warc import parse_wet_batches
+
+    pages = read_pages(_fixture_pages(sf_dir))
+    wet = crawl_extract_wet(pages_to_warc(pages, gzip_members=True))
+
+    def finish(b: pa.Table) -> pa.Table:
+        n = pa.array([len(t or "") for t in b.column("text").to_pylist()], pa.int64())
+        return pa.table({"url": b.column("url"), "n_chars": n})
+
+    return parse_wet_batches(wet).map_batches(
+        finish, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _q_latest_ok_fetch(sf_dir: str):
+    """Re-crawl version selection with a SQL oracle — the archive
+    dedup every multi-snapshot crawl needs: three fetch versions per
+    URL land in WARC shards (day-apart timestamps; versions 1 and 2
+    fail with 5xx/4xx on deterministic id classes), the standard
+    admission filter keeps status-200 records, and ARGMAX-per-URL
+    (stages/topk.py:keep_max_per_key — one fixed-bucket shuffle, one
+    lexsort/run-boundary scan per bucket, no per-key Python) picks
+    each document's newest good fetch, payload and all."""
+    from pdf_table_extractor_ray.sources.warc import _EPOCH_US, parse_warc_batches, write_warc_bytes
+    from pdf_table_extractor_ray.stages.topk import keep_max_per_key
+
+    day_us = 86_400_000_000
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def to_warc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        recs = []
+        for i, t in zip(ids, texts):
+            base = _EPOCH_US + i * 1_000_000
+            body = "" if t is None else t
+            recs.append((f"https://docs.test/{i}", base, f"v0:{body}".encode(), 200))
+            recs.append(
+                (f"https://docs.test/{i}", base + day_us, f"v1:{body}".encode(),
+                 500 if i % 3 == 0 else 200)
+            )
+            recs.append(
+                (f"https://docs.test/{i}", base + 2 * day_us, f"v2:{body}".encode(),
+                 404 if i % 2 == 0 else 200)
+            )
+        blobs = [
+            write_warc_bytes(recs[s : s + 128], shard_id=s)
+            for s in range(0, len(recs), 128)
+        ]
+        return pa.table({"warc": pa.array(blobs, pa.binary())})
+
+    pages = parse_warc_batches(
+        ds.map_batches(to_warc, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def admit(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b.column("http_status"), pa.scalar(200, pa.int32())))
+        ids = pa.array(
+            [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()], pa.int64()
+        )
+        text = pa.array(
+            [p.decode("utf-8") for p in b.column("html").to_pylist()], pa.string()
+        )
+        return pa.table(
+            {"doc_id": ids, "ts_us": pc.cast(b.column("warc_ts"), pa.int64()), "text": text}
+        )
+
+    best = keep_max_per_key(
+        pages.map_batches(admit, batch_format="pyarrow", zero_copy_batch=True),
+        ["doc_id"],
+        "ts_us",
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["doc_id", "best_ts_us", "text"])
+
+    return best.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_polite_fetch_schedule(sf_dir: str):
     """Crawl-frontier politeness scheduling with a SQL oracle: every
     URL of a host gets a fetch SLOT — rank in (priority, key) order ×
@@ -9195,6 +9285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
         "docs_per_registrable_domain": _q_docs_per_registrable_domain,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
+        "latest_ok_fetch": _q_latest_ok_fetch,
+        "crawl_extract_wet": _q_crawl_extract_wet,
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "dom_select_cards": _q_dom_select_cards,
         "dom_main_content": _q_dom_main_content,
@@ -9592,6 +9684,13 @@ def oracle_sql() -> dict[str, str]:
         "cdx_fetch_roundtrip": (
             "SELECT doc_id, 'test,docs)/' || CAST(doc_id AS VARCHAR) AS surt_key, "
             "text FROM documents"
+        ),
+        "latest_ok_fetch": (
+            "SELECT doc_id, 1735689600000000 + doc_id*1000000 + "
+            "(CASE WHEN doc_id % 2 <> 0 THEN 2 WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) "
+            "* 86400000000 AS best_ts_us, "
+            "'v' || CAST(CASE WHEN doc_id % 2 <> 0 THEN 2 WHEN doc_id % 3 <> 0 THEN 1 "
+            "ELSE 0 END AS VARCHAR) || ':' || text AS text FROM documents"
         ),
         "polite_fetch_schedule": (
             "SELECT o_orderkey, 'h' || CAST(o_custkey % 50 AS VARCHAR) AS host, "

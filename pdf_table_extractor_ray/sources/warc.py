@@ -74,10 +74,13 @@ def write_warc_bytes(
     shard_id: int = 0,
     gzip_members: bool = False,
 ) -> bytes:
-    """(url, ts_us, payload) rows → one WARC/1.0 shard: a warcinfo
-    header record followed by one response record per row, each with
-    an HTTP/1.1 200 message. Deterministic (record ids derive from the
-    shard id + position, never a clock or UUID). With
+    """(url, ts_us, payload[, http_status[, content_type]]) rows → one
+    WARC/1.0 shard: a warcinfo header record followed by one response
+    record per row, each with an HTTP/1.1 message (status defaults to
+    200 — re-crawl fixtures carry 4xx/5xx versions; content type
+    defaults to text/html — mixed-media crawls carry
+    text/plain/application/pdf). Deterministic (record ids derive from
+    the shard id + position, never a clock or UUID). With
     ``gzip_members=True`` each record is its own gzip member — the
     actual ``.warc.gz`` layout Common Crawl distributes."""
     out: List[bytes] = []
@@ -97,10 +100,13 @@ def write_warc_bytes(
          (b"Content-Type", b"application/warc-fields")],
         b"software: pdf-table-extractor-ray\r\n",
     )
-    for i, (url, ts_us, payload) in enumerate(records):
+    for i, rec in enumerate(records):
+        url, ts_us, payload = rec[0], rec[1], rec[2]
+        status = int(rec[3]) if len(rec) > 3 else 200
+        ctype = rec[4] if len(rec) > 4 else "text/html; charset=utf-8"
         http = (
-            b"HTTP/1.1 200 OK\r\n"
-            b"Content-Type: text/html; charset=utf-8\r\n"
+            b"HTTP/1.1 " + str(status).encode() + b" OK\r\n"
+            b"Content-Type: " + ctype.encode() + b"\r\n"
             b"Content-Length: " + str(len(payload)).encode() + b"\r\n\r\n"
         ) + payload
         record(
