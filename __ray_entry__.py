@@ -1897,6 +1897,32 @@ def _q_corpus_prep_v4(sf_dir: str):
     return corpus_v2_totals(prepare_corpus_v4(docs))
 
 
+def _q_corpus_prep_v5(sf_dir: str):
+    """Round-4 composite with the corpus-level TEMPLATE-STRIP front
+    stage: per-source nav/footer sentinels are injected into every
+    page (standing in for the boilerplate a real site stamps), v5
+    mines + strips them, then runs the full v4 pipeline. One summary
+    row (pipelines/corpus_prep.py:prepare_corpus_v5). Rows-only;
+    equivalence v5(injected) == v4(clean) is pinned in pytest
+    (test_corpus_ops) — the strip must restore the clean corpus
+    byte-exactly before the downstream gates."""
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_v2_totals,
+        prepare_corpus_v5,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def inject(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        texts = b.column("text").to_pylist()
+        aug = [f"«nav {s}»\n{t or ''}\n«footer {s}»" for s, t in zip(srcs, texts)]
+        return b.drop_columns(["text"]).append_column("text", pa.array(aug, pa.string()))
+
+    injected = docs.map_batches(inject, batch_format="pyarrow", zero_copy_batch=True)
+    return corpus_v2_totals(prepare_corpus_v5(injected))
+
+
 def _q_daily_revenue_interp(sf_dir: str):
     """Calendar resampling with LINEAR interpolation: every day from
     the first to the last populated day, missing days filled by
@@ -9228,6 +9254,25 @@ def _q_unimax_mix_allocation(sf_dir: str):
     return unimax_allocation(masses, budget=budget, epochs=4)
 
 
+def _q_temperature_mix_allocation(sf_dir: str):
+    """Temperature-sampled (α=0.5) training-mix allocation — the
+    multilingual upsampling rule (mT5/XLM-R style): weights
+    w_i = isqrt(n_i) over the same map-side token-mass rollup, then
+    integer-exact LARGEST-REMAINDER apportionment of a budget of half
+    the corpus mass (stages/mixing.py:temperature_allocation). Σ alloc
+    == budget exactly; bit-checkable in SQL because isqrt ==
+    floor(sqrt) for every n < 2^52 and the apportionment is pure
+    integer division + a remainder rank."""
+    from pdf_table_extractor_ray.stages.mixing import temperature_allocation, token_mass_by
+
+    docs = _read(sf_dir, "documents", ["source", "text"])
+    masses = pa.concat_tables(
+        [b for b in token_mass_by(docs).iter_batches(batch_format="pyarrow")]
+    )
+    budget = int(pc.sum(masses.column("n")).as_py()) // 2
+    return temperature_allocation(masses, budget=budget)
+
+
 def _q_kmeans_pp_clusters(sf_dir: str):
     """k-means with SCALABLE k-means|| seeding (Bahmani et al. 2012):
     candidate centers drawn from the FULL corpus over 3
@@ -9520,9 +9565,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nb_cv_accuracy": _q_nb_cv_accuracy,
         "nb_distinctive_tokens": _q_nb_distinctive_tokens,
         "unimax_mix_allocation": _q_unimax_mix_allocation,
+        "temperature_mix_allocation": _q_temperature_mix_allocation,
         "kmeans_pp_clusters": _q_kmeans_pp_clusters,
         "knn_sq8": _q_knn_sq8,
         "corpus_prep_v4": _q_corpus_prep_v4,
+        "corpus_prep_v5": _q_corpus_prep_v5,
         "daily_revenue_interp": _q_daily_revenue_interp,
     }
 
@@ -11430,6 +11477,20 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN f.cents IS NULL THEN 1 ELSE 0 END AS BIGINT) "
             "    AS interpolated "
             "FROM f LEFT JOIN daily p ON p.di = f.d0 LEFT JOIN daily n ON n.di = f.d1"
+        ),
+        "temperature_mix_allocation": (
+            "WITH n AS (SELECT source AS key, "
+            "  CAST(sum(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS nt "
+            "  FROM documents GROUP BY source), "
+            "tot AS (SELECT CAST(sum(nt) AS BIGINT) // 2 AS b FROM n), "
+            "w AS (SELECT key, nt, CAST(FLOOR(SQRT(nt)) AS BIGINT) AS wt FROM n), "
+            "s AS (SELECT *, CAST(sum(wt) OVER () AS BIGINT) AS tw FROM w), "
+            "c AS (SELECT s.key, s.nt, (tot.b * s.wt) // s.tw AS base, "
+            "  (tot.b * s.wt) % s.tw AS rem, tot.b AS b FROM s CROSS JOIN tot), "
+            "l AS (SELECT *, b - CAST(sum(base) OVER () AS BIGINT) AS leftover, "
+            "  CAST(row_number() OVER (ORDER BY rem DESC, key) AS BIGINT) AS rk FROM c) "
+            "SELECT key, nt AS n_tokens, CAST(base + CASE WHEN rk <= leftover "
+            "THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens FROM l"
         ),
         "unimax_mix_allocation": (
             "WITH n AS (SELECT source AS key, "

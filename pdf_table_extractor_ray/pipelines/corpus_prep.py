@@ -268,3 +268,47 @@ def prepare_corpus_v4(
         keep_consistent, batch_format="pyarrow", zero_copy_batch=True
     )
     return prepare_corpus_v3(gated, **v3_kwargs)
+
+
+def prepare_corpus_v5(
+    docs: "ray.data.Dataset",
+    key_col: str = "source",
+    min_share: float = 0.5,
+    min_count: int = 3,
+    **v4_kwargs,
+) -> "ray.data.Dataset":
+    """Round-4 composite with a corpus-level TEMPLATE-STRIP front
+    stage: cross-page frequent lines per key (nav/footer/legal blocks
+    a site stamps on every page — the signal per-page heuristics
+    cannot see, stages/templates.py) are mined with one slim
+    (key, line) groupby-Sum and stripped by a broadcast hash-set actor
+    stage, THEN the v4 pipeline runs (NB label-consistency gate →
+    entropy + compression gates → Gopher → decontaminate →
+    chunk-dedup). Stripping first matters: template lines otherwise
+    depress per-doc entropy/quality scores and create spurious
+    cross-doc duplicate chunks.
+
+    Requires ``doc_id`` + ``lang`` + ``text`` + the key column;
+    returns v2's (doc_id, text_dedup, n_kept) summary stream."""
+    from pdf_table_extractor_ray.stages.templates import (
+        mine_template_lines,
+        strip_template_lines,
+    )
+
+    pages = docs.materialize()  # mined twice (mine + strip) — one scan each
+    mined = mine_template_lines(
+        pages, key_col, text_col="text", min_share=min_share, min_count=min_count
+    )
+    # template set is bounded by construction (a line must recur on
+    # ≥ min_share of a key's pages) — driver-materialized broadcast
+    template = pa.Table.from_pylist(
+        mined.take_all(),
+        schema=pa.schema(
+            [("key", pa.string()), ("line", pa.string()),
+             ("n_docs", pa.int64()), ("n_docs_key", pa.int64())]
+        ),
+    ).select(["key", "line"])
+    stripped = strip_template_lines(pages, template, key_col, text_col="text")
+    return prepare_corpus_v4(
+        stripped.drop_columns(["n_template_lines"]), **v4_kwargs
+    )

@@ -107,3 +107,51 @@ def unimax_allocation(
             "alloc_tokens": pa.array(alloc, pa.int64()),
         }
     )
+
+
+def temperature_allocation(
+    masses,
+    budget: int,
+) -> pa.Table:
+    """Temperature-sampled training-mix allocation — the multilingual
+    α-sampling rule (p_i ∝ n_i^α, α=0.5 here): low-resource sources are
+    upsampled relative to proportional mixing, high-resource ones
+    downsampled. Deterministic INTEGER variant so the result is
+    bit-exact and SQL-checkable: weights w_i = isqrt(n_i) (== the
+    correctly-rounded floor(sqrt) for every n < 2^52), apportioned by
+    the LARGEST-REMAINDER (Hamilton) method — base_i = B·w_i // W, then
+    +1 to the ``B − Σbase`` largest remainders (key ascending on ties).
+    Σ alloc == budget exactly. All Python-int arithmetic; the mass
+    table is driver-materialized under the bounded source-axis
+    contract (``token_mass_by``)."""
+    import math
+
+    if isinstance(masses, pa.Table):
+        rows = masses.to_pylist()
+    else:
+        rows = masses.take_all()  # bounded by the source-axis contract
+    budget = int(budget)
+    rows.sort(key=lambda r: str(r["key"]))
+    w = [math.isqrt(int(r["n"])) for r in rows]
+    W = sum(w)
+    if W == 0 or not rows:
+        return pa.table(
+            {
+                "key": pa.array([str(r["key"]) for r in rows], pa.string()),
+                "n_tokens": pa.array([int(r["n"]) for r in rows], pa.int64()),
+                "alloc_tokens": pa.array([0] * len(rows), pa.int64()),
+            }
+        )
+    base = [budget * wi // W for wi in w]
+    rem = [budget * wi % W for wi in w]
+    leftover = budget - sum(base)
+    order = sorted(range(len(rows)), key=lambda i: (-rem[i], str(rows[i]["key"])))
+    for i in order[:leftover]:
+        base[i] += 1
+    return pa.table(
+        {
+            "key": pa.array([str(r["key"]) for r in rows], pa.string()),
+            "n_tokens": pa.array([int(r["n"]) for r in rows], pa.int64()),
+            "alloc_tokens": pa.array(base, pa.int64()),
+        }
+    )

@@ -3700,3 +3700,48 @@ def test_daily_revenue_interp_trunc_semantics(ray_session, tmp_path):
     assert rel[5] == (1001, 1)  # 999 + trunc(7*1/3) = 999 + 2
     assert rel[6] == (1003, 1)  # 999 + trunc(7*2/3) = 999 + 4
     assert rel[7] == (1006, 0)
+
+
+def test_corpus_prep_v5_template_strip_equivalence(ray_session):
+    """v5 composite: per-source template sentinels injected into every
+    page are mined + stripped, so v5(injected) must equal v4(clean) —
+    the strip restores the clean corpus byte-exactly before the gates."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        prepare_corpus_v4,
+        prepare_corpus_v5,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = {
+        "aa": ["sun", "moon", "star", "sky", "cloud", "dawn"],
+        "bb": ["fish", "whale", "kelp", "tide", "reef", "brine"],
+    }
+    clean = []
+    for i in range(40):
+        lang = "aa" if i % 2 == 0 else "bb"
+        clean.append(
+            {
+                "doc_id": i,
+                "source": f"site{i % 4}",
+                "lang": lang,
+                "text": " ".join(rng.choice(vocab[lang], 40)),
+            }
+        )
+    injected = [
+        {**r, "text": f"NAV {r['source']} MENU\n{r['text']}\nCOPYRIGHT {r['source']}"}
+        for r in clean
+    ]
+    v4 = {
+        r["doc_id"]: r["text_dedup"]
+        for r in prepare_corpus_v4(ray.data.from_items(clean).repartition(3)).take_all()
+    }
+    v5 = {
+        r["doc_id"]: r["text_dedup"]
+        for r in prepare_corpus_v5(
+            ray.data.from_items(injected).repartition(3), min_count=2
+        ).take_all()
+    }
+    assert v4 == v5
+    assert len(v4) >= 30

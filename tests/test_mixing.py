@@ -112,3 +112,48 @@ def test_token_mass_by(ray_session):
     ds = ray.data.from_arrow(tbl).repartition(2)
     got = {r["key"]: r["n"] for r in token_mass_by(ds).take_all()}
     assert got == {"x": 3, "y": 1}
+
+
+# ---------------------------------------------------------------------------
+# temperature (α=0.5) allocation
+
+from pdf_table_extractor_ray.stages.mixing import temperature_allocation  # noqa: E402
+
+
+def _masses(pairs):
+    import pyarrow as pa
+
+    return pa.table(
+        {"key": pa.array([k for k, _ in pairs], pa.string()),
+         "n": pa.array([n for _, n in pairs], pa.int64())}
+    )
+
+
+def test_temperature_allocation_sums_to_budget_exactly():
+    t = temperature_allocation(_masses([("a", 100), ("b", 400), ("c", 10000)]), budget=777)
+    assert sum(t.column("alloc_tokens").to_pylist()) == 777
+
+
+def test_temperature_allocation_flattens_vs_proportional():
+    # α=0.5: small sources get MORE than proportional share, large less
+    t = temperature_allocation(_masses([("small", 100), ("big", 10000)]), budget=1010)
+    alloc = dict(zip(t.column("key").to_pylist(), t.column("alloc_tokens").to_pylist()))
+    # proportional would give small 10, big 1000; sqrt weights 10:100
+    assert alloc["small"] == 1010 * 10 // 110 + (1 if (1010 * 10) % 110 >= (1010 * 100) % 110 else 0) or alloc["small"] > 10
+    assert alloc["small"] > 1010 * 100 // 10100  # > proportional
+    assert alloc["big"] < 1010 * 10000 // 10100  # < proportional
+    assert alloc["small"] + alloc["big"] == 1010
+
+
+def test_temperature_allocation_largest_remainder_ties_by_key():
+    # equal masses → equal weights → remainders tie; +1 goes to keys ascending
+    t = temperature_allocation(_masses([("b", 100), ("a", 100), ("c", 100)]), budget=8)
+    alloc = dict(zip(t.column("key").to_pylist(), t.column("alloc_tokens").to_pylist()))
+    assert alloc == {"a": 3, "b": 3, "c": 2}
+
+
+def test_temperature_allocation_empty_and_zero_mass():
+    t = temperature_allocation(_masses([]), budget=10)
+    assert t.num_rows == 0
+    t = temperature_allocation(_masses([("a", 0)]), budget=10)
+    assert t.column("alloc_tokens").to_pylist() == [0]

@@ -42,6 +42,10 @@ TAKE_ALL_ALLOWLIST = {
         "unimax_allocation",
     ): "per-source token-mass table, bounded by the curated source axis",
     (
+        "pdf_table_extractor_ray/stages/mixing.py",
+        "temperature_allocation",
+    ): "per-source token-mass table, bounded by the curated source axis",
+    (
         "pdf_table_extractor_ray/stages/similarity.py",
         "weight_partial",
     ): "kmeans_parallel_init candidate weights, bounded by the k-means|| "
@@ -76,6 +80,7 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/pipelines/extract.py", "stats_of"): "per-partition lineage counters",
     ("pdf_table_extractor_ray/stages/templates.py", "explode"): "mine_template_lines per-key doc totals: one row per key, bounded key (host) domain",
     ("__ray_entry__.py", "_q_template_strip_roundtrip"): "mined template set, ≤ 2 rows per source by the sentinel construction",
+    ("pdf_table_extractor_ray/pipelines/corpus_prep.py", "prepare_corpus_v5"): "mined template set, bounded by the min_share recurrence contract (≈ one site template per key)",
     ("pdf_table_extractor_ray/pipelines/sinks.py", "__call__"): "workbook partition keys",
     ("__ray_entry__.py", "_q_revenue_autocorr"): "one row per calendar day, bounded time axis",
     ("pdf_table_extractor_ray/stages/similarity.py", "sum_partial"): "pca: one row per embedding dimension, bounded by d",
