@@ -3822,6 +3822,66 @@ def _q_dom_main_content(sf_dir: str):
     return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_dom_shape_clusters(sf_dir: str):
+    """Structural template clustering with a SQL oracle
+    (stages/dom.py:shape_fingerprint): customers render through THREE
+    page templates (div/p card, table row, article header — chosen by
+    custkey mod 3) with per-customer content; the tag-path fingerprint
+    must collapse each template's pages into one cluster regardless of
+    content, so (min custkey, count) per fingerprint equals the same
+    rollup per mod class. Fingerprints are per-document map work; the
+    rollup is one slim int64 groupby."""
+    from ray.data.aggregate import Count, Min
+
+    from pdf_table_extractor_ray.stages.dom import DomShape
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    templates = [
+        '<html><body><div class="card"><p>{n}</p></div></body></html>',
+        "<html><body><table><tr><td>{n}</td></tr></table></body></html>",
+        "<html><body><article><h1>{n}</h1><span>{n}</span></article></body></html>",
+    ]
+
+    def render(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        names = b.column("c_name").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([str(k) for k in keys], pa.string()),
+                "html": pa.array(
+                    [templates[k % 3].format(n=n).encode() for k, n in zip(keys, names)],
+                    pa.binary(),
+                ),
+            }
+        )
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    fps = pages.map_batches(
+        DomShape, batch_format="pyarrow", zero_copy_batch=True, concurrency=4
+    )
+
+    def rekey(b: pa.Table) -> pa.Table:
+        keys = pa.array([int(u) for u in b.column("url").to_pylist()], pa.int64())
+        return pa.table({"c_custkey": keys, "shape_fp": b.column("shape_fp")})
+
+    agg = (
+        fps.map_batches(rekey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shape_fp")
+        .aggregate(Min("c_custkey"), Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("min(c_custkey)"), pa.int64()),
+                pc.cast(b.column("count()"), pa.int64()),
+            ],
+            names=["shape_rep", "n_pages"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # template-sentinel markers: the guillemets cannot collide with the
 # ASCII testdata corpus, so mined-template membership is provably the
 # injected nav/footer pair (measured max natural per-source line share
@@ -9335,6 +9395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "dom_select_cards": _q_dom_select_cards,
         "dom_main_content": _q_dom_main_content,
+        "dom_shape_clusters": _q_dom_shape_clusters,
         "template_lines_by_source": _q_template_lines_by_source,
         "template_strip_roundtrip": _q_template_strip_roundtrip,
         "union_sources": _q_union_sources,
@@ -9756,6 +9817,10 @@ def oracle_sql() -> dict[str, str]:
         "dom_main_content": (
             "SELECT doc_id, COALESCE(text, '') AS text, "
             "length(COALESCE(text, '')) AS n_chars FROM documents"
+        ),
+        "dom_shape_clusters": (
+            "SELECT min(c_custkey) AS shape_rep, count(*) AS n_pages "
+            "FROM customer GROUP BY c_custkey % 3"
         ),
         "template_lines_by_source": (
             "SELECT source, '«nav ' || source || '»' AS line, "

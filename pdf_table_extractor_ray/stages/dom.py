@@ -349,6 +349,53 @@ def extract_dom_content(
     )
 
 
+def shape_fingerprint(root: DomNode) -> int:
+    """Structural fingerprint of a page: crc32 over the sorted DISTINCT
+    root-to-node TAG paths (attributes and text excluded) — two pages
+    rendered from the same template collide regardless of content,
+    the cheap exact form of template clustering (the MinHash treatment
+    applies when templates drift)."""
+    import zlib
+
+    paths = set()
+
+    def walk(n: DomNode, prefix: str) -> None:
+        for c in n.children:
+            if isinstance(c, DomNode):
+                p = prefix + "/" + c.tag
+                paths.add(p)
+                walk(c, p)
+
+    walk(root, "")
+    return zlib.crc32("\n".join(sorted(paths)).encode()) & 0x7FFFFFFF
+
+
+class DomShape:
+    """Actor-pool stage: (url, html) → (url, shape_fp) structural
+    fingerprints; non-HTML payloads yield zero rows in-band."""
+
+    def __init__(self, html_col: str = "html", url_col: str = "url"):
+        self._html_col = html_col
+        self._url_col = url_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column(self._url_col).to_pylist()
+        payloads = batch.column(self._html_col).to_pylist()
+        o_url, o_fp = [], []
+        for url, payload in zip(urls, payloads):
+            if payload is None or url is None:
+                continue
+            if isinstance(payload, str):
+                payload = payload.encode("utf-8", "replace")
+            if not _looks_like_html(payload):
+                continue
+            o_url.append(url)
+            o_fp.append(shape_fingerprint(parse_dom(payload)))
+        return pa.table(
+            {"url": pa.array(o_url, pa.string()), "shape_fp": pa.array(o_fp, pa.int64())}
+        )
+
+
 def select_text(
     ds: "ray.data.Dataset",
     selector: str,

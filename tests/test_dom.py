@@ -163,3 +163,13 @@ def test_dom_density_registry_strategy():
     assert res.spans == [(0, len(body), "content")]
     empty = make_strategies()["dom_density"]({"url": "u", "html": b"<body><a>x</a><a>y</a></body>", "text": None})
     assert empty.status == "empty"
+
+
+def test_shape_fingerprint_content_invariant_template_sensitive():
+    from pdf_table_extractor_ray.stages.dom import shape_fingerprint
+
+    a1 = parse_dom(b'<html><body><div class="x"><p>alpha</p></div></body></html>')
+    a2 = parse_dom(b'<html><body><div class="y" id="z"><p>totally other</p></div></body></html>')
+    b1 = parse_dom(b"<html><body><table><tr><td>alpha</td></tr></table></body></html>")
+    assert shape_fingerprint(a1) == shape_fingerprint(a2)  # attrs/text ignored
+    assert shape_fingerprint(a1) != shape_fingerprint(b1)
