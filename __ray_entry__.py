@@ -3542,6 +3542,51 @@ def _q_polite_fetch_schedule(sf_dir: str):
     )
 
 
+def _q_url_pattern_counts(sf_dir: str):
+    """URL pattern mining with a SQL oracle — the crawl-trap /
+    pagination detector: digit runs in each URL collapse to ``#``
+    (one RE2 ``replace_substring_regex`` kernel per batch — the same
+    regex engine DuckDB's oracle runs), per-batch pre-aggregation to
+    (pattern, n) partials, ONE slim groupby-Sum. Patterns owning
+    thousands of URLs are calendars/session-id traps; real content
+    spreads thin."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prep(b: pa.Table) -> pa.Table:
+        k = b.column("o_orderkey").to_pylist()
+        c = b.column("o_custkey").to_pylist()
+        segs = ["order", "item", "archive", "tag"]
+        urls = pa.array(
+            [
+                f"https://shop.test/u{ci}/{segs[ki % 4]}/{ki}?page={ki % 7}"
+                for ki, ci in zip(k, c)
+            ],
+            pa.string(),
+        )
+        pat = pc.replace_substring_regex(urls, r"[0-9]+", "#")
+        t = pa.table({"pattern": pat})
+        return (
+            t.group_by(["pattern"]).aggregate([("pattern", "count")])
+            .rename_columns(["pattern", "n"])
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pattern")
+        .aggregate(Sum("n"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("pattern"), pc.cast(b.column("sum(n)"), pa.int64())],
+            names=["pattern", "n_urls"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_docs_per_registrable_domain(sf_dir: str):
     """Registrable-domain (eTLD+1) rollup with a SQL oracle
     (functions/urls.py): hosts synthesized from customer across five
@@ -9389,6 +9434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wet_roundtrip": _q_wet_roundtrip,
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
         "docs_per_registrable_domain": _q_docs_per_registrable_domain,
+        "url_pattern_counts": _q_url_pattern_counts,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
         "latest_ok_fetch": _q_latest_ok_fetch,
         "crawl_extract_wet": _q_crawl_extract_wet,
@@ -9806,6 +9852,14 @@ def oracle_sql() -> dict[str, str]:
             "1735689600000000 + (row_number() OVER w - 1) * 2000000 AS scheduled_ts_us "
             "FROM orders WINDOW w AS "
             "(PARTITION BY o_custkey % 50 ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "url_pattern_counts": (
+            "SELECT regexp_replace('https://shop.test/u' || CAST(o_custkey AS VARCHAR) "
+            "|| '/' || (CASE o_orderkey % 4 WHEN 0 THEN 'order' WHEN 1 THEN 'item' "
+            "WHEN 2 THEN 'archive' ELSE 'tag' END) || '/' || "
+            "CAST(o_orderkey AS VARCHAR) || '?page=' || "
+            "CAST(o_orderkey % 7 AS VARCHAR), '[0-9]+', '#', 'g') AS pattern, "
+            "count(*) AS n_urls FROM orders GROUP BY pattern"
         ),
         "docs_per_registrable_domain": (
             "SELECT 'owner' || CAST(c_custkey % 13 AS VARCHAR) || '.' || "
