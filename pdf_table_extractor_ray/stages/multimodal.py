@@ -9,7 +9,9 @@ Two decode modes:
 - ``mode="real"``: actual decoders for the formats this environment
   can handle WITHOUT external libraries — binary PPM (P6) and
   uncompressed 24-bit BMP images via numpy, PCM WAV audio via the
-  stdlib ``wave`` module, and (round 4) **PNG**: stdlib ``zlib``
+  stdlib ``wave`` module, (round 4) **GIF**: a full stdlib LZW codec
+  (dictionary growth, 12-bit cap + CLEAR reset, KwKwK case, interlace,
+  local/global color tables), and (round 4) **PNG**: stdlib ``zlib``
   inflate + the shared PNG row-predictor kernel from
   ``pdf_native._apply_png_predictor`` (PDF 1.5 xref streams use the
   identical filters), covering 8-bit gray/RGB/palette/alpha,
@@ -207,6 +209,205 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
     )
 
 
+GIF_SIGS = (b"GIF87a", b"GIF89a")
+
+
+def _lzw_decode(data: bytes, min_code_size: int) -> np.ndarray:
+    """GIF-variant LZW: LSB-first bit packing, CLEAR/END codes,
+    code width grows to 12 bits. Returns palette indices (uint8)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    table: list = [bytes([i]) for i in range(clear)] + [b"", b""]
+    code_size = min_code_size + 1
+    acc = 0
+    nbits = 0
+    prev = -1
+    for byte in data:
+        acc |= byte << nbits
+        nbits += 8
+        while nbits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            nbits -= code_size
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                code_size = min_code_size + 1
+                prev = -1
+                continue
+            if code == end:
+                return np.frombuffer(bytes(out), np.uint8)
+            if prev < 0:
+                out += table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                else:  # the KwKwK case
+                    entry = table[prev] + table[prev][:1]
+                out += entry
+                table.append(table[prev] + entry[:1])
+            prev = code
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return np.frombuffer(bytes(out), np.uint8)
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """True GIF LZW compression (dictionary growth, 12-bit cap with
+    CLEAR reset) — the decoder's inverse, LSB-first packing."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear)
+    w: tuple = ()
+    for k in map(int, indices):
+        wk = w + (k,)
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        elif next_code > 4095:
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            code_size = min_code_size + 1
+        w = (k,)
+    if w:
+        emit(table[w])
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a → (h, w, 3) uint8 RGB of the FIRST image frame,
+    composited onto the background-color canvas when the frame covers
+    a sub-rectangle. Stdlib-only LZW (dictionary growth, 12-bit cap,
+    KwKwK case), local-over-global color table, interlace
+    (four-pass row order) supported. Animation frames beyond the
+    first, disposal methods and transparency are out of scope —
+    documented, like the other stdlib decoders."""
+    if payload[:6] not in GIF_SIGS:
+        raise ValueError("not a GIF")
+    sw = int.from_bytes(payload[6:8], "little")
+    sh = int.from_bytes(payload[8:10], "little")
+    flags = payload[10]
+    bg = payload[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            left = int.from_bytes(payload[pos + 1 : pos + 3], "little")
+            top = int.from_bytes(payload[pos + 3 : pos + 5], "little")
+            fw = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            fh = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(payload[pos : pos + 3 * n], np.uint8).reshape(n, 3)
+                pos += 3 * n
+            if pal is None:
+                raise ValueError("GIF frame without a color table")
+            mcs = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1 : pos + 1 + ln])
+                pos += 1 + ln
+            idx = _lzw_decode(b"".join(chunks), mcs)[: fw * fh]
+            if idx.size < fw * fh:
+                raise ValueError("truncated GIF image data")
+            rows = idx.reshape(fh, fw)
+            if iflags & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(start, fh, step) for start, step in _GIF_INTERLACE_PASSES]
+                )
+                deinter = np.empty_like(rows)
+                deinter[order] = rows
+                rows = deinter
+            frame = pal[np.minimum(rows, len(pal) - 1)]
+            if (left, top, fw, fh) == (0, 0, sw, sh):
+                return frame
+            canvas = np.broadcast_to(
+                (gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)),
+                (sh, sw, 3),
+            ).copy()
+            canvas[top : top + fh, left : left + fw] = frame
+            return canvas
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Deterministic GIF89a encoder (true LZW) for round-trips and
+    fixtures; the image must use ≤256 distinct colors (exact-palette
+    quantization is the caller's business)."""
+    h, w = img.shape[:2]
+    flat = img.reshape(-1, 3)
+    pal, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(pal) > 256:
+        raise ValueError(f"encode_gif needs ≤256 distinct colors, got {len(pal)}")
+    depth = max(1, int(len(pal) - 1).bit_length())
+    n = 1 << depth
+    table = np.zeros((n, 3), np.uint8)
+    table[: len(pal)] = pal
+    mcs = max(2, depth)
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0x80 | (depth - 1))  # GCT present, 2^depth entries
+    out += b"\x00\x00"  # background 0, no aspect
+    out += table.tobytes()
+    out += b"\x2c" + b"\x00" * 4 + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out.append(0)  # no LCT, not interlaced
+    out.append(mcs)
+    data = _lzw_encode(idx.astype(np.int64), mcs)
+    for s in range(0, len(data), 255):
+        chunk = data[s : s + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def decode_wav(payload: bytes) -> np.ndarray:
     """PCM WAV → mono float32 samples in [-1, 1] (stdlib ``wave``)."""
     import wave
@@ -257,6 +458,8 @@ def _sniff(payload: bytes) -> str:
         return "bmp"
     if payload.startswith(PNG_SIG):
         return "png"
+    if payload[:6] in GIF_SIGS:
+        return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     if payload.startswith(RVID_SIG):
@@ -287,6 +490,8 @@ class DecodeFeaturize:
             img = decode_bmp(payload)
         elif kind == "png":
             img = decode_png(payload)
+        elif kind == "gif":
+            img = decode_gif(payload)
         elif kind == "wav":
             x = decode_wav(payload)
             # 32-bin mean-|amplitude| envelope as the audio feature
@@ -324,7 +529,7 @@ class DecodeFeaturize:
             return np.mean(feats, axis=0).astype(np.float32), mid_thumb
         else:
             raise NotImplementedError(
-                f"real decode supports PPM/BMP/PNG/WAV/RVID (stdlib-only "
+                f"real decode supports PPM/BMP/PNG/GIF/WAV/RVID (stdlib-only "
                 f"environment); got {payload[:4]!r} — plug PIL/torchvision/"
                 f"ffmpeg in here for entropy-coded formats (JPEG/MP3/H.264)"
             )
@@ -416,7 +621,9 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
             img = np.repeat(img, h, axis=0)
             if i % 4 == 0:
                 payloads.append(encode_ppm(img))
-            else:  # every other image ships compressed (PNG, filters 0-4)
+            elif i % 8 == 6:  # some ship LZW-compressed (GIF palette path)
+                payloads.append(encode_gif(img))
+            else:  # the rest ship deflate-compressed (PNG, filters 0-4)
                 payloads.append(encode_png(img, filters=[0, 1, 2, 3, 4]))
             kinds.append("image")
         else:
@@ -438,7 +645,7 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
 class ResizeImages:
     """Actor-pool stage: image rows → fixed-size resized images
     (the standard normalize-before-training step). Decodes whatever
-    `_sniff` recognizes as an image (PPM/BMP/PNG), area-resamples to
+    `_sniff` recognizes as an image (PPM/BMP/PNG/GIF), area-resamples to
     (out_h, out_w), re-encodes in the requested codec (``"ppm"`` raw
     or ``"png"`` compressed). Non-image / undecodable rows pass
     through with ``resized=null`` and an in-band ``resize_error`` —
@@ -469,6 +676,8 @@ class ResizeImages:
                     img = decode_bmp(p)
                 elif kind == "png":
                     img = decode_png(p)
+                elif kind == "gif":
+                    img = decode_gif(p)
                 else:
                     raise ValueError(f"not a decodable image (kind={kind})")
             except Exception as e:  # in-band, never fatal
