@@ -3542,6 +3542,41 @@ def _q_polite_fetch_schedule(sf_dir: str):
     )
 
 
+def _q_robots_sitemap_discovery(sf_dir: str):
+    """Frontier seeding from robots.txt with a SQL oracle
+    (stages/robots.py:parse_robots_sitemaps): one robots.txt per
+    customer host carrying rule noise plus ``Sitemap:`` directives
+    (two for even keys, one for odd — sitemaps.org group-independent
+    placement, one deliberately inside an agent group), exploded to
+    (host, sitemap_url) rows. Map-only, zero shuffle — the discovery
+    half that feeds the sitemap source."""
+    from pdf_table_extractor_ray.stages.robots import parse_robots_sitemaps
+
+    ds = _read(sf_dir, "customer", ["c_custkey"])
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        keys = b.column("c_custkey").to_pylist()
+        hosts, urls = [], []
+        for k in keys:
+            host = f"h{k}.test"
+            txt = (
+                f"# crawl policy for {host}\n"
+                f"Sitemap: https://{host}/sitemap-pages.xml\n"
+                "User-agent: *\nDisallow: /private/\n"
+            )
+            if k % 2 == 0:
+                # group-independent: valid even inside an agent group
+                txt += f"Sitemap: https://{host}/sitemap-news.xml\n"
+            for u in parse_robots_sitemaps(txt.encode()):
+                hosts.append(host)
+                urls.append(u)
+        return pa.table(
+            {"host": pa.array(hosts, pa.string()), "sitemap_url": pa.array(urls, pa.string())}
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_url_pattern_counts(sf_dir: str):
     """URL pattern mining with a SQL oracle — the crawl-trap /
     pagination detector: digit runs in each URL collapse to ``#``
@@ -9435,6 +9470,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdx_fetch_roundtrip": _q_cdx_fetch_roundtrip,
         "docs_per_registrable_domain": _q_docs_per_registrable_domain,
         "url_pattern_counts": _q_url_pattern_counts,
+        "robots_sitemap_discovery": _q_robots_sitemap_discovery,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
         "latest_ok_fetch": _q_latest_ok_fetch,
         "crawl_extract_wet": _q_crawl_extract_wet,
@@ -9852,6 +9888,14 @@ def oracle_sql() -> dict[str, str]:
             "1735689600000000 + (row_number() OVER w - 1) * 2000000 AS scheduled_ts_us "
             "FROM orders WINDOW w AS "
             "(PARTITION BY o_custkey % 50 ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "robots_sitemap_discovery": (
+            "SELECT 'h' || CAST(c_custkey AS VARCHAR) || '.test' AS host, "
+            "'https://h' || CAST(c_custkey AS VARCHAR) || '.test/sitemap-pages.xml' "
+            "AS sitemap_url FROM customer "
+            "UNION ALL SELECT 'h' || CAST(c_custkey AS VARCHAR) || '.test', "
+            "'https://h' || CAST(c_custkey AS VARCHAR) || '.test/sitemap-news.xml' "
+            "FROM customer WHERE c_custkey % 2 = 0"
         ),
         "url_pattern_counts": (
             "SELECT regexp_replace('https://shop.test/u' || CAST(o_custkey AS VARCHAR) "

@@ -69,6 +69,21 @@ def parse_robots(content: bytes, agent: str = "*") -> Rules:
     return groups.get("*", [])
 
 
+def parse_robots_sitemaps(content: bytes) -> List[str]:
+    """``Sitemap:`` directive URLs in file order — per sitemaps.org
+    these are GROUP-INDEPENDENT (valid anywhere in the file, any
+    agent), which is why they don't ride the Rules extraction. The
+    frontier-seeding half of robots.txt: discovery feeds the sitemap
+    source (sources/sitemap.py)."""
+    out: List[str] = []
+    for raw in content.decode("utf-8", "replace").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        key, _, val = line.partition(":")
+        if key.strip().lower() == "sitemap" and val.strip():
+            out.append(val.strip())
+    return out
+
+
 def _pattern_to_regex(pattern: str) -> "re.Pattern":
     out = []
     i = 0

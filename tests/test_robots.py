@@ -89,3 +89,39 @@ def test_synth_robots_corpus_shapes():
     hosts = tbl.column("host").to_pylist()
     assert "site3.test" not in hosts and "site8.test" not in hosts  # mode 3: absent
     assert "site0.test" in hosts and "site1.test" in hosts
+
+
+def test_parse_robots_sitemaps_group_independent():
+    from pdf_table_extractor_ray.stages.robots import parse_robots_sitemaps
+
+    txt = (
+        b"Sitemap: https://a.test/s1.xml\n"
+        b"User-agent: bot\nDisallow: /x\n"
+        b"sitemap: https://a.test/s2.xml  # inside a group, still valid\n"
+        b"User-agent: *\nAllow: /\n"
+        b"SITEMAP:https://a.test/s3.xml\n"
+        b"Sitemap:\n"  # empty value: ignored
+    )
+    assert parse_robots_sitemaps(txt) == [
+        "https://a.test/s1.xml",
+        "https://a.test/s2.xml",
+        "https://a.test/s3.xml",
+    ]
+
+
+def test_sitemap_discovery_feeds_sitemap_source():
+    """Composition: robots discovery names the sitemap, the sitemap
+    source parses its content."""
+    from pdf_table_extractor_ray.sources.sitemap import (
+        parse_sitemap,
+        write_sitemap_xml,
+    )
+    from pdf_table_extractor_ray.stages.robots import parse_robots_sitemaps
+
+    blob = write_sitemap_xml([("https://a.test/p1", "2025-01-01", None, None)])
+    robots = b"User-agent: *\nDisallow:\nSitemap: https://a.test/s.xml\n"
+    catalog = {"https://a.test/s.xml": blob}
+    found = parse_robots_sitemaps(robots)
+    assert found == ["https://a.test/s.xml"]
+    entries = list(parse_sitemap(catalog[found[0]]))
+    assert entries[0][1] == "https://a.test/p1"
