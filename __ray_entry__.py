@@ -4091,6 +4091,38 @@ def _q_redirect_resolution(sf_dir: str):
     )
 
 
+def _q_crawl_depth_bfs(sf_dir: str):
+    """Bounded-depth BFS crawl-depth assignment with a SQL oracle
+    (stages/graph.py:bfs_depths): a deterministic two-edge-type DAG
+    over orders (k → k−1 always; k → k−8 when k ≡ 0 mod 4 — sparse
+    keys make reach data-dependent), seeds at k ≡ 0 mod 64, min-hop
+    depth within 8 rounds. Frontier expansion is one bucket shuffle +
+    one keyed Min groupby per round with a scalar drain probe; the
+    oracle walks the same edges with a recursive CTE — two different
+    algorithms, same table."""
+    from pdf_table_extractor_ray.stages.graph import bfs_depths
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        k4 = k[k % 4 == 0]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([k, k4])),
+                "dst": pa.array(np.concatenate([k - 1, k4 - 8])),
+            }
+        )
+
+    def to_seeds(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        return pa.table({"node": pa.array(k[k % 64 == 0])})
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    seeds = ds.map_batches(to_seeds, batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_depths(edges, seeds, max_depth=8)
+
+
 def _q_jsonld_roundtrip(sf_dir: str):
     """JSON-LD structured-data extraction with a SQL oracle: part →
     product pages embedding a schema.org Product block (name/brand/
@@ -9471,6 +9503,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_registrable_domain": _q_docs_per_registrable_domain,
         "url_pattern_counts": _q_url_pattern_counts,
         "robots_sitemap_discovery": _q_robots_sitemap_discovery,
+        "crawl_depth_bfs": _q_crawl_depth_bfs,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
         "latest_ok_fetch": _q_latest_ok_fetch,
         "crawl_extract_wet": _q_crawl_extract_wet,
@@ -9888,6 +9921,17 @@ def oracle_sql() -> dict[str, str]:
             "1735689600000000 + (row_number() OVER w - 1) * 2000000 AS scheduled_ts_us "
             "FROM orders WINDOW w AS "
             "(PARTITION BY o_custkey % 50 ORDER BY o_orderdate, o_orderkey)"
+        ),
+        "crawl_depth_bfs": (
+            "WITH RECURSIVE e AS ("
+            "SELECT o_orderkey AS src, o_orderkey - 1 AS dst FROM orders "
+            "UNION ALL SELECT o_orderkey, o_orderkey - 8 FROM orders "
+            "WHERE o_orderkey % 4 = 0), "
+            "s AS (SELECT o_orderkey AS node FROM orders WHERE o_orderkey % 64 = 0), "
+            "walk(node, d) AS (SELECT node, CAST(0 AS BIGINT) FROM s "
+            "UNION ALL SELECT e.dst, w.d + 1 FROM walk w "
+            "JOIN e ON e.src = w.node WHERE w.d < 8) "
+            "SELECT node, min(d) AS depth FROM walk GROUP BY node"
         ),
         "robots_sitemap_discovery": (
             "SELECT 'h' || CAST(c_custkey AS VARCHAR) || '.test' AS host, "

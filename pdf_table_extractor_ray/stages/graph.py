@@ -42,7 +42,7 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Sum
+from ray.data.aggregate import Count, Max, Min, Sum
 
 RANK_UNIT = 1_000_000_000  # initial micro-rank per node
 
@@ -1152,3 +1152,151 @@ def hits(
         .groupby("bucket")
         .map_groups(combine, batch_format="pyarrow")
     )
+
+
+def bfs_depths(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 8,
+) -> "ray.data.Dataset":
+    """Bounded-depth BFS — min-hop distance from a seed SET over a
+    directed edge list (the crawl-depth assignment every frontier
+    scheduler needs: depth-0 seeds, depth-k pages discovered k hops
+    out, halt at the crawl's depth budget).
+
+    Same distribution discipline as :func:`pagerank` /
+    :func:`label_propagation`: the static adjacency is bucketed and
+    materialized ONCE; each round unions it with the current frontier
+    inside ONE ``groupby(src % 64)`` bucket shuffle (per-bucket
+    frontier membership via one sorted ``searchsorted`` probe — no
+    per-node Python), then one keyed ``Min`` groupby folds newly
+    reached nodes into the distance table. One scalar count probe per
+    round early-stops a drained frontier; ≤ ``max_depth`` rounds
+    whatever the graph.
+
+    Returns (node, depth) for every node within ``max_depth`` hops of
+    a seed (seeds at depth 0). Nodes only ever named as edge sources
+    but never reached stay absent — unreachable is out-of-band by
+    omission, like the redirect resolver's cycle flag.
+    """
+    _NB = 64
+
+    def to_adj(b: pa.Table) -> pa.Table:
+        s = pc.cast(b.column(src_col), pa.int64()).to_numpy(zero_copy_only=False)
+        d = pc.cast(b.column(dst_col), pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [
+                pa.array(s),
+                pa.array(d),
+                pa.array(np.ones(len(s), dtype=np.int8)),
+                pa.array(s % _NB),
+            ],
+            names=["node", "val", "kind", "bucket"],
+        )
+
+    P = max(8, int(ray.cluster_resources().get("CPU", 8)))
+
+    def bounded(ds_in):
+        m = ds_in.materialize()
+        if m.num_blocks() > P:
+            m = m.repartition(P).materialize()
+        return m
+
+    adj = bounded(edges.map_batches(to_adj, batch_format="pyarrow", zero_copy_batch=True))
+
+    def init_seed(b: pa.Table) -> pa.Table:
+        n = pc.cast(b.column(node_col), pa.int64())
+        return pa.Table.from_arrays(
+            [n, pa.array(np.zeros(len(n), dtype=np.int64))], names=["node", "depth"]
+        )
+
+    dists = bounded(
+        seeds.map_batches(init_seed, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("node")
+        .aggregate(Min("depth"))
+        .map_batches(
+            lambda b: b.rename_columns(["node", "depth"]), batch_format="pyarrow"
+        )
+    )
+
+    for r in range(1, max_depth + 1):
+        want = r - 1
+
+        def as_frontier(b: pa.Table, want=want) -> pa.Table:
+            b = b.filter(pc.equal(b.column("depth"), pa.scalar(want, pa.int64())))
+            n = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.Table.from_arrays(
+                [
+                    pa.array(n),
+                    pa.array(np.zeros(len(n), dtype=np.int64)),
+                    pa.array(np.zeros(len(n), dtype=np.int8)),
+                    pa.array(n % _NB),
+                ],
+                names=["node", "val", "kind", "bucket"],
+            )
+
+        frontier = dists.map_batches(
+            as_frontier, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+        def expand(g: pa.Table, depth=r) -> pa.Table:
+            kind = g.column("kind").to_numpy(zero_copy_only=False)
+            node = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+            val = g.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+            fr = np.unique(node[kind == 0])
+            if fr.size == 0:
+                return pa.table(
+                    {"node": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())}
+                )
+            am = kind == 1
+            an, av = node[am], val[am]
+            pos = np.searchsorted(fr, an)
+            pos[pos >= fr.size] = 0
+            hit = fr[pos] == an
+            reached = np.unique(av[hit])
+            return pa.table(
+                {
+                    "node": pa.array(reached),
+                    "depth": pa.array(np.full(reached.size, depth, dtype=np.int64)),
+                }
+            )
+
+        new = (
+            adj.union(frontier)
+            .groupby("bucket")
+            .map_groups(expand, batch_format="pyarrow")
+        )
+        dists = bounded(
+            dists.union(new)
+            .groupby("node")
+            .aggregate(Min("depth"))
+            .map_batches(
+                lambda b: b.rename_columns(["node", "depth"]), batch_format="pyarrow"
+            )
+        )
+        # one scalar per round: a drained frontier ends the walk early
+        reached_now = dists.map_batches(
+            lambda b, rr=r: pa.table(
+                {
+                    "n": pa.array(
+                        [
+                            pc.sum(
+                                pc.cast(
+                                    pc.equal(b.column("depth"), pa.scalar(rr, pa.int64())),
+                                    pa.int64(),
+                                )
+                            ).as_py()
+                            or 0
+                        ],
+                        pa.int64(),
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+        ).sum("n")
+        if not reached_now:
+            break
+    return dists

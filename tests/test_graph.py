@@ -455,3 +455,63 @@ def test_hits_unweighted_default(ray_session):
     assert got_auth["v"] == HITS_UNIT
     assert got_hub["u"] == got_hub["w"] == HITS_UNIT
     assert got_auth["u"] == got_auth["w"] == 0
+
+
+# ---------------------------------------------------------------------------
+# bounded-depth BFS
+
+def _bfs_reference(edges, seeds, max_depth):
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    dist = {s: 0 for s in seeds}
+    q = deque(seeds)
+    while q:
+        u = q.popleft()
+        if dist[u] >= max_depth:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                q.append(v)
+    return dist
+
+
+def test_bfs_depths_matches_sequential(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import bfs_depths
+
+    rng = np.random.default_rng(11)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 120, (400, 2))]
+    seeds = [0, 7, 63]
+    ref = _bfs_reference(edges, seeds, max_depth=5)
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(
+            ray.data.from_items([{"src": s, "dst": d} for s, d in edges]).repartition(4),
+            ray.data.from_items([{"node": s} for s in seeds]),
+            max_depth=5,
+        ).take_all()
+    }
+    assert got == ref
+
+
+def test_bfs_depths_early_stop_and_min_hop(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import bfs_depths
+
+    # diamond: 1→2→4 and 1→3→4 plus the shortcut 1→4: depth(4) == 1
+    edges = [(1, 2), (1, 3), (2, 4), (3, 4), (1, 4), (4, 5)]
+    got = {
+        r["node"]: r["depth"]
+        for r in bfs_depths(
+            ray.data.from_items([{"src": s, "dst": d} for s, d in edges]),
+            ray.data.from_items([{"node": 1}]),
+            max_depth=8,  # graph drains after 2 rounds — early stop path
+        ).take_all()
+    }
+    assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
