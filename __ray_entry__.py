@@ -3622,6 +3622,36 @@ def _q_url_pattern_counts(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_cdx_sorted_parts(sf_dir: str):
+    """Sorted-index layout for the CDX archive: balanced RANGE
+    partitioning by SURT key (sources/cdx.py:
+    cdx_partition_certificate) — boundaries are exact order statistics
+    of the packed 8-byte key prefix via the shared radix-bisection
+    selector, so a reader binary-searches part manifests then ONE
+    part. Hosts here span 97 registrable owners so the key space is
+    real. Rows-only (the certificate's boundaries are order
+    statistics, not SQL-friendly); non-overlap/balance/packing
+    contracts pinned in test_cdx."""
+    from pdf_table_extractor_ray.sources.cdx import build_cdx, cdx_partition_certificate
+    from pdf_table_extractor_ray.sources.warc import _EPOCH_US, write_warc_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_warc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        blobs = []
+        for start in range(0, len(ids), 128):
+            recs = [
+                (f"https://d{i % 97}.test/{i}", _EPOCH_US + i * 1_000_000, b"x")
+                for i in ids[start : start + 128]
+            ]
+            blobs.append(write_warc_bytes(recs, shard_id=int(ids[start])))
+        return pa.table({"warc": pa.array(blobs, pa.binary())})
+
+    shards = ds.map_batches(to_warc, batch_format="pyarrow", zero_copy_batch=True)
+    return cdx_partition_certificate(build_cdx(shards), n_parts=8)
+
+
 def _q_docs_per_registrable_domain(sf_dir: str):
     """Registrable-domain (eTLD+1) rollup with a SQL oracle
     (functions/urls.py): hosts synthesized from customer across five
@@ -9504,6 +9534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_pattern_counts": _q_url_pattern_counts,
         "robots_sitemap_discovery": _q_robots_sitemap_discovery,
         "crawl_depth_bfs": _q_crawl_depth_bfs,
+        "cdx_sorted_parts": _q_cdx_sorted_parts,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
         "latest_ok_fetch": _q_latest_ok_fetch,
         "crawl_extract_wet": _q_crawl_extract_wet,

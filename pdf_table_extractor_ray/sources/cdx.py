@@ -172,3 +172,90 @@ def build_cdx(ds: "ray.data.Dataset", blob_col: str = "warc") -> "ray.data.Datas
         return pa.table(cols)
 
     return ds.map_batches(per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pack_key_prefix(keys) -> "np.ndarray":
+    """First 8 bytes of each key packed big-endian into int64 —
+    integer order == lexicographic byte order for the prefix. Contract:
+    7-bit ASCII keys (SURT keys are lowercase ASCII by construction),
+    so the top bit is always clear and the packed value is
+    non-negative."""
+    import numpy as np
+
+    out = np.zeros(len(keys), np.int64)
+    for i, k in enumerate(keys):
+        b = k.encode("ascii", "replace")[:8]
+        out[i] = int.from_bytes(b + b"\x00" * (8 - len(b)), "big")
+    return out
+
+
+def cdx_partition_certificate(
+    index: "ray.data.Dataset",
+    n_parts: int = 8,
+    key_col: str = "surt_key",
+) -> "ray.data.Dataset":
+    """Balanced RANGE partitioning of a CDX index by its SURT key —
+    the sorted layout archive indexes ship in (a reader binary-searches
+    part manifests, then one part). Boundaries are EXACT order
+    statistics of the packed 8-byte key prefix (the shared
+    radix-bisection selector — ≤4096 driver rows per pass); partition
+    = searchsorted(boundaries, packed, right), so a part holds a
+    contiguous key range and parts differ only by duplicate-prefix
+    mass at the boundaries. Returns the certificate
+    (part, n_keys, min_packed, max_packed): non-overlap is
+    max_packed[i] ≤ min_packed[i+1] by construction, asserted in
+    tests."""
+    import numpy as np
+    from ray.data.aggregate import Max, Min, Sum
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_u64
+
+    def add_packed(b: pa.Table) -> pa.Table:
+        keys = b.column(key_col).to_pylist()
+        p = pack_key_prefix(keys)
+        return pa.table(
+            {
+                "packed": pa.array(p),
+                # the selector's raw-uint64 face: packed is non-negative
+                # (7-bit ASCII contract) so the reinterpret is order-true
+                "u": pa.array(p.astype(np.uint64), pa.uint64()),
+            }
+        )
+
+    packed = index.map_batches(add_packed, batch_format="pyarrow", zero_copy_batch=True)
+    packed = packed.materialize()  # selector runs ≤6 passes over it
+    n = packed.count()
+    if n == 0:
+        return ray.data.from_items([])
+    ranks = [max(1, (i * n) // n_parts) for i in range(1, n_parts)]
+    us = packed.select_columns(["u"])
+    # integer-exact boundaries: packed prefixes exceed float64's 2^53
+    # exact range, so the float face of the selector would collapse
+    # nearby keys onto one boundary
+    bounds = np.array([kth_smallest_u64(us, k) for k in ranks], np.uint64).astype(np.int64)
+
+    def certify(b: pa.Table) -> pa.Table:
+        x = b.column("packed").to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, x, side="right").astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        sp, sx = part[order], x[order]
+        cut = np.flatnonzero(np.r_[True, sp[1:] != sp[:-1]])
+        ends = np.r_[cut[1:], len(sp)]
+        return pa.table(
+            {
+                "part": pa.array(sp[cut]),
+                "n_keys": pa.array((ends - cut).astype(np.int64)),
+                "min_packed": pa.array(np.minimum.reduceat(sx, cut)),
+                "max_packed": pa.array(np.maximum.reduceat(sx, cut)),
+            }
+        )
+
+    return (
+        packed.map_batches(certify, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("part")
+        .aggregate(Sum("n_keys"), Min("min_packed"), Max("max_packed"))
+        .map_batches(
+            lambda b: b.rename_columns(["part", "n_keys", "min_packed", "max_packed"]),
+            batch_format="pyarrow",
+        )
+    )

@@ -813,7 +813,7 @@ def _u64_column(ds: "ray.data.Dataset", col: str) -> "ray.data.Dataset":
     return ds.map_batches(to_u, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
 
-def _select_kth_u(us: "ray.data.Dataset", k: int, nbins: int = 4096) -> float:
+def _select_kth_u_raw(us: "ray.data.Dataset", k: int, nbins: int = 4096) -> int:
     from ray.data.aggregate import Sum
 
     lo, hi = 0, (1 << 64) - 1
@@ -858,7 +858,20 @@ def _select_kth_u(us: "ray.data.Dataset", k: int, nbins: int = 4096) -> float:
             rank -= int(cum[sel - 1])
         lo = lo + sel * binw
         hi = min(hi, lo + binw - 1)
-    return _ordered_u64_to_float64(lo)
+    return lo
+
+
+def _select_kth_u(us: "ray.data.Dataset", k: int, nbins: int = 4096) -> float:
+    return _ordered_u64_to_float64(_select_kth_u_raw(us, k, nbins))
+
+
+def kth_smallest_u64(us: "ray.data.Dataset", k: int, nbins: int = 4096) -> int:
+    """Exact k-th smallest of a RAW uint64 column dataset (``u``) —
+    the integer-domain face of the radix-bisection selector for
+    callers whose keys exceed float64's 2^53 exact range (packed
+    string prefixes, 64-bit hashes). No float total-order map on
+    either side."""
+    return _select_kth_u_raw(us, k, nbins)
 
 
 def range_partition_counts(

@@ -67,3 +67,42 @@ def test_build_cdx_stage(ray_session):
     assert rows[0]["surt_key"] == "test,a)/0"
     got = fetch_warc_record(blob, rows[2]["offset"], rows[2]["length"])
     assert got == recs[2][:2] + (recs[2][2],)
+
+
+def test_pack_key_prefix_orders_lexicographically():
+    import numpy as np
+
+    from pdf_table_extractor_ray.sources.cdx import pack_key_prefix
+
+    keys = ["test,a)/", "test,a)/x", "test,b)/", "org,z)/", "a", ""]
+    packed = pack_key_prefix(keys)
+    # packed order must agree with byte order on the 8-byte prefix
+    bytes8 = [k.encode()[:8] for k in keys]
+    assert list(np.argsort(packed, kind="stable")) == sorted(
+        range(len(keys)), key=lambda i: bytes8[i]
+    )
+    assert (packed >= 0).all()
+
+
+def test_cdx_partition_certificate_nonoverlap_and_balance(ray_session):
+    import numpy as np
+    import ray
+
+    from pdf_table_extractor_ray.sources.cdx import cdx_partition_certificate
+
+    rng = np.random.default_rng(3)
+    hosts = [f"d{int(x)}.test" for x in rng.integers(0, 97, 4000)]
+    keys = [f"test,{h.split('.')[0]})/p{i}" for i, h in enumerate(hosts)]
+    ds = ray.data.from_arrow(
+        pa.table({"surt_key": pa.array(keys, pa.string())})
+    ).repartition(6)
+    cert = sorted(
+        cdx_partition_certificate(ds, n_parts=8).take_all(), key=lambda r: r["part"]
+    )
+    assert sum(r["n_keys"] for r in cert) == 4000
+    # contiguous non-overlapping key ranges across parts
+    for a, b in zip(cert, cert[1:]):
+        assert a["max_packed"] <= b["min_packed"]
+    # balance: no part more than ~3x the ideal share (duplicate-prefix
+    # mass at boundaries is the only allowed imbalance)
+    assert max(r["n_keys"] for r in cert) <= 3 * (4000 // len(cert))
