@@ -6038,18 +6038,26 @@ def _q_trade_volume_pairs(sf_dir: str):
     (supplier nation → customer nation) pairs, by ship year — the
     directed trade-volume matrix.
 
-    Same fact ⋈ fact plan as local_supplier_revenue; the pre-reduce
-    groups each batch down to ≤ |nations|² × |years| rows before the
-    final shuffle, so the wide exchange moves tiny partials. Nation
-    names attach AFTER aggregation on the bounded pair axis (25-row
-    dim pulled once to the driver — registered bounded contract)."""
+    Same fact ⋈ fact plan as local_supplier_revenue for the
+    lineitem ⋈ orders exchange; the orders ⋈ customer attach runs the
+    ADAPTIVE count-then-choose join — customer scales with SF (mid
+    table, neither plan safe to hardcode), so one distributed count
+    picks broadcast below the threshold and hash-shuffle above it
+    (measured r4: the hardcoded second hash-shuffle here paid a whole
+    aggregator-pool startup — ~14 s vs ~8 s for the one-exchange Q9 —
+    for a build side that fits in a worker heap at bench scale). The
+    pre-reduce groups each batch down to ≤ |nations|² × |years| rows
+    before the final shuffle, so the wide exchange moves tiny
+    partials. Nation names attach AFTER aggregation on the bounded
+    pair axis (25-row dim pulled once — registered bounded
+    contract)."""
     from ray.data.aggregate import Sum
 
-    from pdf_table_extractor_ray.stages.joins import broadcast_join, hash_shuffle_join
+    from pdf_table_extractor_ray.stages.joins import adaptive_join, broadcast_join, hash_shuffle_join
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-    orders_nk = hash_shuffle_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    orders_nk = adaptive_join(orders, cust, on="o_custkey", right_on="c_custkey")
 
     li = _read(
         sf_dir,
