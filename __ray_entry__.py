@@ -3542,6 +3542,41 @@ def _q_polite_fetch_schedule(sf_dir: str):
     )
 
 
+def _q_doc_sentences(sf_dir: str):
+    """Sentence EXPLODE with a SQL oracle — the segmentation step that
+    turns documents into training records: one RE2
+    ``split_pattern_regex`` kernel per batch (DuckDB's
+    regexp_split_to_array is the same RE2 with identical edge
+    semantics — verified: trailing terminators yield a final empty
+    segment, null text yields no rows), then a fully vectorized
+    flatten: doc ids repeat by list length, 1-based sentence ordinals
+    from one arange minus repeated offsets. Zero shuffle; no Python
+    loop."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern_regex(b.column("text"), pattern=r"[.!?\n]+\s*")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        flat = pc.list_flatten(parts)  # null lists contribute nothing
+        lens = pc.fill_null(pc.list_value_length(parts), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = np.repeat(_nn(b.column("doc_id")), lens)
+        total = int(lens.sum())
+        starts = np.repeat(np.cumsum(lens) - lens, lens)
+        sidx = np.arange(total, dtype=np.int64) - starts + 1
+        return pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "sent_idx": pa.array(sidx),
+                "sentence": flat,
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_robots_sitemap_discovery(sf_dir: str):
     """Frontier seeding from robots.txt with a SQL oracle
     (stages/robots.py:parse_robots_sitemaps): one robots.txt per
@@ -9541,6 +9576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_per_registrable_domain": _q_docs_per_registrable_domain,
         "url_pattern_counts": _q_url_pattern_counts,
         "robots_sitemap_discovery": _q_robots_sitemap_discovery,
+        "doc_sentences": _q_doc_sentences,
         "crawl_depth_bfs": _q_crawl_depth_bfs,
         "cdx_sorted_parts": _q_cdx_sorted_parts,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
@@ -9971,6 +10007,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT e.dst, w.d + 1 FROM walk w "
             "JOIN e ON e.src = w.node WHERE w.d < 8) "
             "SELECT node, min(d) AS depth FROM walk GROUP BY node"
+        ),
+        "doc_sentences": (
+            "WITH a AS (SELECT doc_id, "
+            "regexp_split_to_array(text, '[.!?\\n]+\\s*') AS arr FROM documents), "
+            "p AS (SELECT doc_id, unnest(list_transform(arr, "
+            "(x, i) -> struct_pack(i := i, x := x))) AS s FROM a) "
+            "SELECT doc_id, CAST(s.i AS BIGINT) AS sent_idx, s.x AS sentence FROM p"
         ),
         "robots_sitemap_discovery": (
             "SELECT 'h' || CAST(c_custkey AS VARCHAR) || '.test' AS host, "
