@@ -3542,6 +3542,66 @@ def _q_polite_fetch_schedule(sf_dir: str):
     )
 
 
+def _q_mirror_url_groups(sf_dir: str):
+    """Mirror detection over the archive index with a SQL oracle: the
+    same payload served from different URLs/hosts is found WITHOUT
+    touching payloads twice — group the CDX rows by content digest
+    (sources/cdx.py carries the crc32 payload digest exactly so dedup
+    can run on index rows alone; record length is NOT part of the key
+    — it counts headers, so it differs between mirrors whose URLs
+    differ in width). Fixture: every 3 consecutive doc ids
+    share a payload across distinct hosts → (rep_doc_id = min id,
+    n_urls) per mirror group, one slim groupby. Digest grouping is
+    deterministic for the fixed corpus (crc32 collisions would show as
+    a stable hash mismatch — none at any sf)."""
+    from ray.data.aggregate import Count, Min
+
+    from pdf_table_extractor_ray.sources.cdx import build_cdx
+    from pdf_table_extractor_ray.sources.warc import _EPOCH_US, write_warc_bytes
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def to_warc(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        blobs = []
+        for start in range(0, len(ids), 128):
+            recs = [
+                (
+                    f"https://m{i % 7}.test/{i}",
+                    _EPOCH_US + i * 1_000_000,
+                    f"shared payload of group {i // 3}".encode(),
+                )
+                for i in ids[start : start + 128]
+            ]
+            blobs.append(write_warc_bytes(recs, shard_id=int(ids[start])))
+        return pa.table({"warc": pa.array(blobs, pa.binary())})
+
+    idx = build_cdx(ds.map_batches(to_warc, batch_format="pyarrow", zero_copy_batch=True))
+
+    def slim(b: pa.Table) -> pa.Table:
+        ids = pa.array(
+            [int(u.rsplit("/", 1)[1]) for u in b.column("url").to_pylist()], pa.int64()
+        )
+        return pa.table({"digest": b.column("digest"), "doc_id": ids})
+
+    agg = (
+        idx.map_batches(slim, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("digest")
+        .aggregate(Min("doc_id"), Count())
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [
+                pc.cast(b.column("min(doc_id)"), pa.int64()),
+                pc.cast(b.column("count()"), pa.int64()),
+            ],
+            names=["rep_doc_id", "n_urls"],
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_doc_sentences(sf_dir: str):
     """Sentence EXPLODE with a SQL oracle — the segmentation step that
     turns documents into training records: one RE2
@@ -9577,6 +9637,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_pattern_counts": _q_url_pattern_counts,
         "robots_sitemap_discovery": _q_robots_sitemap_discovery,
         "doc_sentences": _q_doc_sentences,
+        "mirror_url_groups": _q_mirror_url_groups,
         "crawl_depth_bfs": _q_crawl_depth_bfs,
         "cdx_sorted_parts": _q_cdx_sorted_parts,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
@@ -10007,6 +10068,10 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT e.dst, w.d + 1 FROM walk w "
             "JOIN e ON e.src = w.node WHERE w.d < 8) "
             "SELECT node, min(d) AS depth FROM walk GROUP BY node"
+        ),
+        "mirror_url_groups": (
+            "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_urls "
+            "FROM documents GROUP BY doc_id // 3"
         ),
         "doc_sentences": (
             "WITH a AS (SELECT doc_id, "
