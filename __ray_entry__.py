@@ -3542,6 +3542,59 @@ def _q_polite_fetch_schedule(sf_dir: str):
     )
 
 
+def _q_doc_token_windows(sf_dir: str):
+    """Sliding context-window explode with a SQL oracle — the
+    overlap-stride chunking (W=32 tokens, stride 16) LLM training prep
+    applies to long documents: per batch one whitespace split kernel
+    (single-space semantics identical to DuckDB string_split,
+    empties preserved), then a FULLY vectorized overlap gather —
+    window count 1 + max(0, ⌈(len−W)/S⌉) per doc, global token
+    indices from two arange-minus-repeat passes, one ``take``, one
+    ListArray + binary_join. Overlapping windows cannot share one
+    Arrow offsets buffer (offsets are contiguous by construction), so
+    the gather duplicates ≤ W/S× token bytes — the same blow-up the
+    written training set carries by design. Zero shuffle."""
+    W, S = 32, 16
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(b.column("text"), pattern=" ")
+        if isinstance(parts, pa.ChunkedArray):
+            parts = parts.combine_chunks()
+        lens = pc.fill_null(pc.list_value_length(parts), 0).to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        ids = _nn(b.column("doc_id"))
+        nwin = np.where(lens > 0, 1 + np.maximum(0, (lens - W + S - 1) // S), 0)
+        doc_rep = np.repeat(ids, nwin)
+        total_w = int(nwin.sum())
+        wstart_of_doc = np.cumsum(nwin) - nwin
+        k = np.arange(total_w, dtype=np.int64) - np.repeat(wstart_of_doc, nwin)
+        tok_base = np.repeat(np.cumsum(lens) - lens, nwin)  # flat offset of doc
+        starts = k * S
+        ends = np.minimum(starts + W, np.repeat(lens, nwin))
+        sizes = ends - starts
+        total_t = int(sizes.sum())
+        flat_idx = (
+            np.arange(total_t, dtype=np.int64)
+            - np.repeat(np.cumsum(sizes) - sizes, sizes)
+            + np.repeat(tok_base + starts, sizes)
+        )
+        flat = pc.list_flatten(parts)
+        gathered = flat.take(pa.array(flat_idx))
+        offsets = pa.array(np.r_[0, np.cumsum(sizes)].astype(np.int32))
+        windows = pa.ListArray.from_arrays(offsets, gathered)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_rep),
+                "win_idx": pa.array(k),
+                "window_text": pc.binary_join(windows, " "),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_mirror_url_groups(sf_dir: str):
     """Mirror detection over the archive index with a SQL oracle: the
     same payload served from different URLs/hosts is found WITHOUT
@@ -9638,6 +9691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "robots_sitemap_discovery": _q_robots_sitemap_discovery,
         "doc_sentences": _q_doc_sentences,
         "mirror_url_groups": _q_mirror_url_groups,
+        "doc_token_windows": _q_doc_token_windows,
         "crawl_depth_bfs": _q_crawl_depth_bfs,
         "cdx_sorted_parts": _q_cdx_sorted_parts,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
@@ -10068,6 +10122,16 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT e.dst, w.d + 1 FROM walk w "
             "JOIN e ON e.src = w.node WHERE w.d < 8) "
             "SELECT node, min(d) AS depth FROM walk GROUP BY node"
+        ),
+        "doc_token_windows": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w "
+            "FROM documents WHERE text IS NOT NULL), "
+            "n AS (SELECT doc_id, w, len(w) AS l, "
+            "1 + greatest(0, (len(w) - 32 + 15) // 16) AS nw FROM t), "
+            "e AS (SELECT doc_id, w, l, unnest(generate_series(1, nw)) AS k FROM n) "
+            "SELECT doc_id, CAST(k - 1 AS BIGINT) AS win_idx, "
+            "array_to_string(list_slice(w, (k-1)*16 + 1, "
+            "least((k-1)*16 + 32, l)), ' ') AS window_text FROM e"
         ),
         "mirror_url_groups": (
             "SELECT min(doc_id) AS rep_doc_id, count(*) AS n_urls "
