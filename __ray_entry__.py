@@ -4301,6 +4301,46 @@ def _q_crawl_depth_bfs(sf_dir: str):
     return bfs_depths(edges, seeds, max_depth=8)
 
 
+def _q_crawl_depth_bfs_resumable(sf_dir: str):
+    """The CHECKPOINTED face of crawl_depth_bfs — identical rounds,
+    identical result (same SQL oracle), but the carried (node, depth)
+    state commits to parquet after every round via
+    ``state.checkpoint.run_checkpointed`` (atomic per-round markers;
+    torn rounds ignored; convergence recorded) so a 40-round graph
+    job killed at round 37 resumes at 37 instead of starting over.
+    Fresh checkpoint dir per invocation; kill/resume equivalence is
+    pinned in test_graph."""
+    import shutil
+    import tempfile
+
+    from pdf_table_extractor_ray.stages.graph import bfs_depths_checkpointed
+
+    ds = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def to_edges(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        k4 = k[k % 4 == 0]
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([k, k4])),
+                "dst": pa.array(np.concatenate([k - 1, k4 - 8])),
+            }
+        )
+
+    def to_seeds(b: pa.Table) -> pa.Table:
+        k = _nn(b.column("o_orderkey"))
+        return pa.table({"node": pa.array(k[k % 64 == 0])})
+
+    edges = ds.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    seeds = ds.map_batches(to_seeds, batch_format="pyarrow", zero_copy_batch=True)
+    ck = tempfile.mkdtemp(prefix="pdfx_bfs_ck_")
+    try:
+        out = bfs_depths_checkpointed(edges, seeds, ck, max_depth=8)
+        return out.materialize()
+    finally:
+        shutil.rmtree(ck, ignore_errors=True)
+
+
 def _q_jsonld_roundtrip(sf_dir: str):
     """JSON-LD structured-data extraction with a SQL oracle: part →
     product pages embedding a schema.org Product block (name/brand/
@@ -9693,6 +9733,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mirror_url_groups": _q_mirror_url_groups,
         "doc_token_windows": _q_doc_token_windows,
         "crawl_depth_bfs": _q_crawl_depth_bfs,
+        "crawl_depth_bfs_resumable": _q_crawl_depth_bfs_resumable,
         "cdx_sorted_parts": _q_cdx_sorted_parts,
         "polite_fetch_schedule": _q_polite_fetch_schedule,
         "latest_ok_fetch": _q_latest_ok_fetch,
@@ -10113,6 +10154,17 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY o_custkey % 50 ORDER BY o_orderdate, o_orderkey)"
         ),
         "crawl_depth_bfs": (
+            "WITH RECURSIVE e AS ("
+            "SELECT o_orderkey AS src, o_orderkey - 1 AS dst FROM orders "
+            "UNION ALL SELECT o_orderkey, o_orderkey - 8 FROM orders "
+            "WHERE o_orderkey % 4 = 0), "
+            "s AS (SELECT o_orderkey AS node FROM orders WHERE o_orderkey % 64 = 0), "
+            "walk(node, d) AS (SELECT node, CAST(0 AS BIGINT) FROM s "
+            "UNION ALL SELECT e.dst, w.d + 1 FROM walk w "
+            "JOIN e ON e.src = w.node WHERE w.d < 8) "
+            "SELECT node, min(d) AS depth FROM walk GROUP BY node"
+        ),
+        "crawl_depth_bfs_resumable": (
             "WITH RECURSIVE e AS ("
             "SELECT o_orderkey AS src, o_orderkey - 1 AS dst FROM orders "
             "UNION ALL SELECT o_orderkey, o_orderkey - 8 FROM orders "

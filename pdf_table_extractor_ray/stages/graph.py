@@ -1154,14 +1154,13 @@ def hits(
     )
 
 
-def bfs_depths(
+def _bfs_setup(
     edges: "ray.data.Dataset",
     seeds: "ray.data.Dataset",
     src_col: str = "src",
     dst_col: str = "dst",
     node_col: str = "node",
-    max_depth: int = 8,
-) -> "ray.data.Dataset":
+):
     """Bounded-depth BFS — min-hop distance from a seed SET over a
     directed edge list (the crawl-depth assignment every frontier
     scheduler needs: depth-0 seeds, depth-k pages discovered k hops
@@ -1222,81 +1221,129 @@ def bfs_depths(
         )
     )
 
+    return adj, dists, bounded
+
+
+def bfs_depths(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 8,
+) -> "ray.data.Dataset":
+    adj, dists, bounded = _bfs_setup(edges, seeds, src_col, dst_col, node_col)
     for r in range(1, max_depth + 1):
-        want = r - 1
-
-        def as_frontier(b: pa.Table, want=want) -> pa.Table:
-            b = b.filter(pc.equal(b.column("depth"), pa.scalar(want, pa.int64())))
-            n = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            return pa.Table.from_arrays(
-                [
-                    pa.array(n),
-                    pa.array(np.zeros(len(n), dtype=np.int64)),
-                    pa.array(np.zeros(len(n), dtype=np.int8)),
-                    pa.array(n % _NB),
-                ],
-                names=["node", "val", "kind", "bucket"],
-            )
-
-        frontier = dists.map_batches(
-            as_frontier, batch_format="pyarrow", zero_copy_batch=True
-        )
-
-        def expand(g: pa.Table, depth=r) -> pa.Table:
-            kind = g.column("kind").to_numpy(zero_copy_only=False)
-            node = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
-            val = g.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
-            fr = np.unique(node[kind == 0])
-            if fr.size == 0:
-                return pa.table(
-                    {"node": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())}
-                )
-            am = kind == 1
-            an, av = node[am], val[am]
-            pos = np.searchsorted(fr, an)
-            pos[pos >= fr.size] = 0
-            hit = fr[pos] == an
-            reached = np.unique(av[hit])
-            return pa.table(
-                {
-                    "node": pa.array(reached),
-                    "depth": pa.array(np.full(reached.size, depth, dtype=np.int64)),
-                }
-            )
-
-        new = (
-            adj.union(frontier)
-            .groupby("bucket")
-            .map_groups(expand, batch_format="pyarrow")
-        )
-        dists = bounded(
-            dists.union(new)
-            .groupby("node")
-            .aggregate(Min("depth"))
-            .map_batches(
-                lambda b: b.rename_columns(["node", "depth"]), batch_format="pyarrow"
-            )
-        )
-        # one scalar per round: a drained frontier ends the walk early
-        reached_now = dists.map_batches(
-            lambda b, rr=r: pa.table(
-                {
-                    "n": pa.array(
-                        [
-                            pc.sum(
-                                pc.cast(
-                                    pc.equal(b.column("depth"), pa.scalar(rr, pa.int64())),
-                                    pa.int64(),
-                                )
-                            ).as_py()
-                            or 0
-                        ],
-                        pa.int64(),
-                    )
-                }
-            ),
-            batch_format="pyarrow",
-        ).sum("n")
+        dists, reached_now = _bfs_round(adj, dists, r, bounded)
         if not reached_now:
             break
     return dists
+
+
+def bfs_depths_checkpointed(
+    edges: "ray.data.Dataset",
+    seeds: "ray.data.Dataset",
+    ckpt_dir: str,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    max_depth: int = 8,
+) -> "ray.data.Dataset":
+    """Resumable :func:`bfs_depths`: the carried (node, depth) state
+    checkpoints to parquet after every round through
+    ``state.checkpoint.run_checkpointed`` (atomic per-round markers),
+    so a job killed at round k resumes at round k — the adjacency
+    rebuilds from the immutable input, never from the checkpoint.
+    Result-identical to the straight run (integer state, layout-
+    invariant rounds; pinned in test_graph)."""
+    from pdf_table_extractor_ray.state.checkpoint import run_checkpointed
+
+    adj, dists, bounded = _bfs_setup(edges, seeds, src_col, dst_col, node_col)
+
+    def step(state, r):
+        new, reached = _bfs_round(adj, state, r, bounded)
+        return new, not reached
+
+    return run_checkpointed(dists, step, rounds=max_depth, ckpt_dir=ckpt_dir)
+
+
+def _bfs_round(adj, dists, r, bounded):
+    """One BFS frontier expansion: (new dists, any-node-reached flag).
+    Exposed so the checkpointed variant replays the identical round."""
+    _NB = 64
+    want = r - 1
+
+
+    def as_frontier(b: pa.Table, want=want) -> pa.Table:
+        b = b.filter(pc.equal(b.column("depth"), pa.scalar(want, pa.int64())))
+        n = b.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.Table.from_arrays(
+            [
+                pa.array(n),
+                pa.array(np.zeros(len(n), dtype=np.int64)),
+                pa.array(np.zeros(len(n), dtype=np.int8)),
+                pa.array(n % _NB),
+            ],
+            names=["node", "val", "kind", "bucket"],
+        )
+
+    frontier = dists.map_batches(
+        as_frontier, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def expand(g: pa.Table, depth=r) -> pa.Table:
+        kind = g.column("kind").to_numpy(zero_copy_only=False)
+        node = g.column("node").to_numpy(zero_copy_only=False).astype(np.int64)
+        val = g.column("val").to_numpy(zero_copy_only=False).astype(np.int64)
+        fr = np.unique(node[kind == 0])
+        if fr.size == 0:
+            return pa.table(
+                {"node": pa.array([], pa.int64()), "depth": pa.array([], pa.int64())}
+            )
+        am = kind == 1
+        an, av = node[am], val[am]
+        pos = np.searchsorted(fr, an)
+        pos[pos >= fr.size] = 0
+        hit = fr[pos] == an
+        reached = np.unique(av[hit])
+        return pa.table(
+            {
+                "node": pa.array(reached),
+                "depth": pa.array(np.full(reached.size, depth, dtype=np.int64)),
+            }
+        )
+
+    new = (
+        adj.union(frontier)
+        .groupby("bucket")
+        .map_groups(expand, batch_format="pyarrow")
+    )
+    dists = bounded(
+        dists.union(new)
+        .groupby("node")
+        .aggregate(Min("depth"))
+        .map_batches(
+            lambda b: b.rename_columns(["node", "depth"]), batch_format="pyarrow"
+        )
+    )
+    # one scalar per round: a drained frontier ends the walk early
+    reached_now = dists.map_batches(
+        lambda b, rr=r: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        pc.sum(
+                            pc.cast(
+                                pc.equal(b.column("depth"), pa.scalar(rr, pa.int64())),
+                                pa.int64(),
+                            )
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    return dists, bool(reached_now)

@@ -515,3 +515,68 @@ def test_bfs_depths_early_stop_and_min_hop(ray_session):
         ).take_all()
     }
     assert got == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+
+
+def test_bfs_checkpointed_matches_straight_and_resumes(ray_session, tmp_path):
+    import json
+    import os
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.graph import bfs_depths, bfs_depths_checkpointed
+    from pdf_table_extractor_ray.state.checkpoint import latest_checkpoint
+
+    rng = np.random.default_rng(7)
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 80, (250, 2))]
+    seeds = [0, 5]
+    e = lambda: ray.data.from_items([{"src": s, "dst": d} for s, d in edges])
+    s = lambda: ray.data.from_items([{"node": n} for n in seeds])
+    straight = {r["node"]: r["depth"] for r in bfs_depths(e(), s(), max_depth=5).take_all()}
+
+    ck = str(tmp_path / "bfs_ck")
+    got = {r["node"]: r["depth"] for r in bfs_depths_checkpointed(e(), s(), ck, max_depth=5).take_all()}
+    assert got == straight
+    last = latest_checkpoint(ck)
+    assert last is not None and last[1] is True
+
+    # resume: truncate to round 2 by deleting later markers, then rerun
+    for name in os.listdir(ck):
+        r = int(name.split("=")[1])
+        if r > 2:
+            os.remove(os.path.join(ck, name, "_COMPLETE"))
+        else:
+            # ensure kept markers say not-done so the loop continues
+            with open(os.path.join(ck, name, "_COMPLETE"), "w") as f:
+                json.dump({"round": r, "done": False}, f)
+    resumed = {r["node"]: r["depth"] for r in bfs_depths_checkpointed(e(), s(), ck, max_depth=5).take_all()}
+    assert resumed == straight
+
+
+def test_checkpoint_ignores_uncommitted_round(ray_session, tmp_path):
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from pdf_table_extractor_ray.state.checkpoint import latest_checkpoint, run_checkpointed
+
+    ck = str(tmp_path / "ck")
+    # torn round: directory with data but NO marker must be ignored
+    os.makedirs(os.path.join(ck, "round=3"))
+    pq.write_table(pa.table({"node": [99], "depth": [9]}), os.path.join(ck, "round=3", "x.parquet"))
+    assert latest_checkpoint(ck) is None
+
+    calls = []
+
+    def step(state, r):
+        calls.append(r)
+        return state, False
+
+    init = ray.data.from_items([{"node": 1, "depth": 0}])
+    out = run_checkpointed(init, step, rounds=3, ckpt_dir=ck).take_all()
+    assert calls == [1, 2, 3]
+    assert out == [{"node": 1, "depth": 0}]
+    # converged marker: a rerun does nothing
+    calls.clear()
+    run_checkpointed(init, step, rounds=3, ckpt_dir=ck)
+    assert calls == []
