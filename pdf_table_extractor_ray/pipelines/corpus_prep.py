@@ -295,7 +295,12 @@ def prepare_corpus_v5(
         strip_template_lines,
     )
 
-    pages = docs.materialize()  # mined twice (mine + strip) — one scan each
+    # the corpus is consumed TWICE (mine, then strip) — by re-executing
+    # the upstream plan, NOT by materializing: pinning the whole corpus
+    # in the object store to save one re-scan is exactly the
+    # O(corpus)-resident anti-pattern this repo avoids (inputs are
+    # parquet scans; re-reading is cheaper than spilling 100 TB)
+    pages = docs
     mined = mine_template_lines(
         pages, key_col, text_col="text", min_share=min_share, min_count=min_count
     )

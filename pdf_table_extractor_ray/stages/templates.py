@@ -179,4 +179,8 @@ def strip_template_lines(
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
+        # fractional CPUs: a pool of n×1.0 on an n-CPU cluster starves
+        # the task stages fused around it and deadlocks the stream
+        # (the extract pipeline's documented contract)
+        num_cpus=0.7,
     )
