@@ -9691,6 +9691,20 @@ def _q_kmeans_pp_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(emb, centroids=cents))
 
 
+def _q_shuffled_doc_order(sf_dir: str):
+    """Deterministic seeded global shuffle: every doc's position in a
+    reproducible, layout-invariant permutation (key = splitmix64(id ^
+    seed), a bijection — collision-free, no tiebreak). Balanced range
+    partitioning falls out of the key's top bits (avalanche uniformity
+    — NO boundary-sampling pass), positions from counting-sort offsets;
+    the payload crosses ONE bucket exchange. SQL-verified bit-exactly
+    via the HUGEINT splitmix64 emulation (shuffle.splitmix64_sql)."""
+    from pdf_table_extractor_ray.stages.shuffle import deterministic_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id"])
+    return deterministic_shuffle(docs, id_col="doc_id", seed=42, n_buckets=64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "doc_stats_by_source": _q_doc_stats_by_source,
@@ -9783,6 +9797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doclen_mwu": _q_doclen_mwu,
         "revenue_cusum": _q_revenue_cusum,
         "doc_length_deciles": _q_doc_length_deciles,
+        "shuffled_doc_order": _q_shuffled_doc_order,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
         "revenue_segments": _q_revenue_segments,
@@ -9979,6 +9994,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_v5": _q_corpus_prep_v5,
         "daily_revenue_interp": _q_daily_revenue_interp,
     }
+
+
+def _shuffled_doc_order_sql() -> str:
+    """Oracle for the deterministic shuffle: rank by the SAME
+    splitmix64 key, emulated bit-exactly in HUGEINT (the key is a
+    bijection of doc_id, so the ORDER BY is a total order with no
+    tiebreak needed)."""
+    from pdf_table_extractor_ray.stages.shuffle import splitmix64_sql
+
+    key = splitmix64_sql("doc_id", seed=42)
+    return (
+        f"WITH k AS (SELECT doc_id, {key} AS h FROM documents) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS pos "
+        "FROM k"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -10475,6 +10505,7 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS decile FROM documents "
             "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
         ),
+        "shuffled_doc_order": _shuffled_doc_order_sql(),
         "daily_revenue_gini": (
             "WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
             "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "

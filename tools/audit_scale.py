@@ -78,6 +78,10 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/sketches.py", "sorted_value_counts"): "distinct values of a bounded-cardinality column",
     ("pdf_table_extractor_ray/stages/sketches.py", "to_u"): "kth_smallest_by: one count row per key + ≤ |keys|·nbins histogram rows per pass, bounded key domain",
     ("pdf_table_extractor_ray/pipelines/extract.py", "stats_of"): "per-partition lineage counters",
+    (
+        "pdf_table_extractor_ray/stages/shuffle.py",
+        "hist",
+    ): "deterministic_shuffle bucket histogram, exactly n_buckets rows by construction",
     ("pdf_table_extractor_ray/stages/templates.py", "explode"): "mine_template_lines per-key doc totals: one row per key, bounded key (host) domain",
     ("__ray_entry__.py", "_q_template_strip_roundtrip"): "mined template set, ≤ 2 rows per source by the sentinel construction",
     ("pdf_table_extractor_ray/pipelines/corpus_prep.py", "prepare_corpus_v5"): "mined template set, bounded by the min_share recurrence contract (≈ one site template per key)",
