@@ -9691,6 +9691,29 @@ def _q_kmeans_pp_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(emb, centroids=cents))
 
 
+def _q_dsir_sample(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): select
+    100 docs that look most like the English target set, by hashed
+    unigram+bigram importance weights (target vs pool bag-of-words,
+    add-1 smoothed) and a deterministic Gumbel top-k draw ∝ exp(logw).
+    Models bounded by n_buckets (2^14 here), raw text never shuffles,
+    selection is the partial-top-k merge. Rows-only (hashed features +
+    Gumbel draw aren't SQL); numpy brute parity + planted-style-shift
+    recovery in tests/test_dsir.py."""
+    import pyarrow.compute as _pc
+
+    from pdf_table_extractor_ray.stages.dsir import dsir_select
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return dsir_select(
+        docs,
+        target_filter=lambda b: _pc.equal(b.column("lang"), "en"),
+        k=100,
+        n_buckets=1 << 14,
+        seed=42,
+    )
+
+
 def _q_shuffled_doc_order(sf_dir: str):
     """Deterministic seeded global shuffle: every doc's position in a
     reproducible, layout-invariant permutation (key = splitmix64(id ^
@@ -9798,6 +9821,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_cusum": _q_revenue_cusum,
         "doc_length_deciles": _q_doc_length_deciles,
         "shuffled_doc_order": _q_shuffled_doc_order,
+        "dsir_sample": _q_dsir_sample,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
         "revenue_segments": _q_revenue_segments,
