@@ -9691,6 +9691,20 @@ def _q_kmeans_pp_clusters(sf_dir: str):
     return kmeans_cluster_sizes(kmeans_assign(emb, centroids=cents))
 
 
+def _q_ccnet_ppl_buckets(sf_dir: str):
+    """CCNet head/middle/tail split (Wenzek et al. 2020): per language,
+    exact perplexity terciles over the corpus's own unigram LM, then a
+    map-only tag pass; output (lang, bucket, n_docs) over the bounded
+    lang × 3 axis. Slim (ppl, lang) columns materialize once; raw text
+    never shuffles. Rows-only (ln is SQL-divergent at the ulp —
+    measured); numpy brute parity + tercile-balance tests in
+    tests/test_corpus_ops.py."""
+    from pdf_table_extractor_ray.stages.lm import ccnet_ppl_buckets
+
+    docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+    return ccnet_ppl_buckets(docs)
+
+
 def _q_dsir_sample(sf_dir: str):
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): select
     100 docs that look most like the English target set, by hashed
@@ -9822,6 +9836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_deciles": _q_doc_length_deciles,
         "shuffled_doc_order": _q_shuffled_doc_order,
         "dsir_sample": _q_dsir_sample,
+        "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
         "revenue_segments": _q_revenue_segments,

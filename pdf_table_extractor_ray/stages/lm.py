@@ -171,12 +171,14 @@ def perplexity_scores(
     vocab: pa.Table,
     total: int,
     text_col: str = "text",
+    keep_cols: tuple = (),
 ) -> "ray.data.Dataset":
     """(doc_id, n_tokens, nats, ppl): add-one-smoothed unigram
     cross-entropy per document — ``p(t) = (c_t + 1) / (total + V + 1)``
     for in-vocab tokens, ``1 / (total + V + 1)`` for OOV. Floats —
     verified against a straight-line unit oracle, not SQL (ln differs
-    in the last ulp across engines)."""
+    in the last ulp across engines). ``keep_cols`` pass through
+    unchanged (e.g. ``("lang",)`` for per-language bucketing)."""
     v = vocab.num_rows
     denom = float(total + v + 1)
     logp = np.log((vocab.column("n").to_numpy().astype(np.float64) + 1.0) / denom)
@@ -198,15 +200,18 @@ def perplexity_scores(
         keep = n_tok > 0
         with np.errstate(divide="ignore", invalid="ignore"):
             ppl = np.exp(nats[keep] / n_tok[keep])
-        return pa.Table.from_arrays(
-            [
-                batch.column("doc_id").filter(pa.array(keep)),
-                pa.array(n_tok[keep]),
-                pa.array(nats[keep]),
-                pa.array(ppl),
-            ],
-            names=["doc_id", "n_tokens", "nats", "ppl"],
-        )
+        keep_mask = pa.array(keep)
+        cols = [
+            batch.column("doc_id").filter(keep_mask),
+            pa.array(n_tok[keep]),
+            pa.array(nats[keep]),
+            pa.array(ppl),
+        ]
+        names = ["doc_id", "n_tokens", "nats", "ppl"]
+        for c in keep_cols:
+            cols.append(batch.column(c).filter(keep_mask))
+            names.append(c)
+        return pa.Table.from_arrays(cols, names=names)
 
     return ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -439,3 +444,98 @@ def pmi_collocations(
         [("pmi_micro", "descending"), ("w1", "ascending"), ("w2", "ascending")],
         k,
     )
+
+
+def ccnet_ppl_buckets(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    vocab_size: int = VOCAB_SIZE,
+) -> "ray.data.Dataset":
+    """CCNet-style head/middle/tail corpus split (Wenzek et al. 2020,
+    "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    Data"): per language, rank documents by LM perplexity and cut at
+    the terciles — 'head' (lowest third, most fluent), 'middle',
+    'tail'. CCNet uses a 5-gram Kneser-Ney LM; this engine's rung is
+    the add-one unigram LM (``perplexity_scores``) — the *bucketing*
+    machinery is the operator here, the LM is swappable.
+
+    Shape: train the LM (one (token, n) groupby bounded by vocab), ONE
+    scoring pass, then the scored table — slim (doc_id, ppl, lang)
+    columns ONLY — is materialized once and consumed twice: the exact
+    per-language tercile boundaries come from the shared radix
+    bisection (``kth_smallest_by_multi``: ≤6 passes for ALL (lang, q)
+    states, no per-lang sort), and one map-only tag pass with the
+    bounded boundary table in its closure. Raw text crosses no
+    exchange. Output: (lang, bucket, n_docs) over the bounded
+    lang × {head, middle, tail} axis.
+
+    Boundary semantics: bucket = head iff ppl <= t1, middle iff
+    ppl <= t2 (t_q = exact discrete quantile at rank ceil(q*n_lang),
+    DuckDB quantile_disc parity) — ties land in the lower bucket, so
+    bucket sizes are equal up to tie mass, exactly like CCNet's cut.
+    Floats stop at the comparison: counts are exact integers. Rows
+    with no tokens carry no perplexity and are excluded (CCNet drops
+    empty pages upstream too)."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.sketches import kth_smallest_by_multi
+
+    counts = train_token_counts(ds, text_col)
+    vocab = top_vocab(counts, vocab_size)
+    total = total_tokens(counts)
+    scored = perplexity_scores(ds, vocab, total, text_col, keep_cols=(lang_col,))
+
+    def slim(b: pa.Table) -> pa.Table:
+        return b.select(["ppl", lang_col])
+
+    # materialize ONCE: slim float+lang columns only (never the text)
+    scored_slim = scored.map_batches(slim, batch_format="pyarrow").materialize()
+    bounds = kth_smallest_by_multi(scored_slim, lang_col, "ppl", [(1, 3), (2, 3)])
+    t1: dict = {}
+    t2: dict = {}
+    for r in bounds.to_pylist():
+        (t1 if r["q_num"] == 1 else t2)[r["key"]] = float(r["kth"])
+    langs = sorted(t1)
+    lang_arr = pa.array(langs, pa.string())
+    t1_np = np.array([t1[g] for g in langs])
+    t2_np = np.array([t2[g] for g in langs])
+
+    def tag(b: pa.Table) -> pa.Table:
+        idx = pc.index_in(b.column(lang_col), value_set=lang_arr)
+        valid = pc.is_valid(idx)
+        b = b.filter(valid)
+        idx_np = idx.filter(valid).to_numpy(zero_copy_only=False).astype(np.int64)
+        ppl = b.column("ppl").to_numpy(zero_copy_only=False)
+        bucket = np.where(
+            ppl <= t1_np[idx_np], 0, np.where(ppl <= t2_np[idx_np], 1, 2)
+        ).astype(np.int64)
+        pair = idx_np * 3 + bucket
+        up, cnt = np.unique(pair, return_counts=True)
+        return pa.table(
+            {
+                lang_col: pc.take(lang_arr, pa.array(up // 3, pa.int64())),
+                "bucket_id": pa.array(up % 3, pa.int64()),
+                "n_part": pa.array(cnt.astype(np.int64)),
+            }
+        )
+
+    agg = (
+        scored_slim.map_batches(tag, batch_format="pyarrow")
+        .groupby([lang_col, "bucket_id"])
+        .aggregate(Sum("n_part"))
+    )
+    names = pa.array(["head", "middle", "tail"], pa.string())
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                lang_col: b.column(lang_col),
+                "bucket": pc.take(
+                    names, pc.cast(b.column("bucket_id"), pa.int64())
+                ),
+                "n_docs": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")

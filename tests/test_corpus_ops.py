@@ -3745,3 +3745,59 @@ def test_corpus_prep_v5_template_strip_equivalence(ray_session):
     }
     assert v4 == v5
     assert len(v4) >= 30
+
+
+def test_ccnet_ppl_buckets_brute_parity(ray_session):
+    """head/middle/tail counts match a straight-line numpy reference
+    (same LM, same quantile_disc tercile semantics)."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.lm import (
+        ccnet_ppl_buckets,
+        perplexity_scores,
+        top_vocab,
+        total_tokens,
+        train_token_counts,
+    )
+
+    rng = np.random.default_rng(11)
+    words = [f"w{i}" for i in range(30)]
+    texts, langs = [], []
+    for i in range(90):
+        k = int(rng.integers(3, 12))
+        texts.append(" ".join(rng.choice(words, size=k)))
+        langs.append("en" if i % 3 else "pt")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+
+    got = {
+        (r["lang"], r["bucket"]): r["n_docs"]
+        for r in ccnet_ppl_buckets(ds).take_all()
+    }
+
+    counts = train_token_counts(ds)
+    vocab = top_vocab(counts)
+    total = total_tokens(counts)
+    rows = perplexity_scores(ds, vocab, total, keep_cols=("lang",)).take_all()
+    ref = {}
+    for lang in ("en", "pt"):
+        ppl = np.sort([r["ppl"] for r in rows if r["lang"] == lang])
+        n = len(ppl)
+        t1 = ppl[int(np.ceil(n / 3)) - 1]  # quantile_disc rank ceil(q*n)
+        t2 = ppl[int(np.ceil(2 * n / 3)) - 1]
+        vals = np.array([r["ppl"] for r in rows if r["lang"] == lang])
+        ref[(lang, "head")] = int((vals <= t1).sum())
+        ref[(lang, "middle")] = int(((vals > t1) & (vals <= t2)).sum())
+        ref[(lang, "tail")] = int((vals > t2).sum())
+    ref = {k: v for k, v in ref.items() if v > 0}
+    assert got == ref
+    # terciles: buckets within one tie of n/3 on this tie-free corpus
+    for lang, n_lang in (("en", 60), ("pt", 30)):
+        for b in ("head", "middle", "tail"):
+            assert abs(got[(lang, b)] - n_lang / 3) <= 1
