@@ -133,6 +133,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "dup_span_stats",  # ExactSubstr-style duplicated-span marking
         "trade_volume_pairs",  # r4: 4-table multi-fact join wave (2 shuffles)
         "session_conversion",  # r4: sessionize + within-session funnel
+        "dsir_sample",  # r4: DSIR hashed-ngram models + Gumbel top-k select
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

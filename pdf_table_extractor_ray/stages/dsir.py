@@ -103,6 +103,72 @@ def hashed_bucket_counts(
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def hashed_bucket_counts_paired(
+    ds: "ray.data.Dataset",
+    target_filter,
+    text_col: str = "text",
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> "ray.data.Dataset":
+    """(bucket, n_target, n_pool) in ONE tokenize+hash pass when the
+    target set is a row predicate over the pool itself (the common
+    DSIR call shape) — halves the feature-counting work vs two
+    independent ``hashed_bucket_counts`` passes. ``target_filter`` is
+    a batch -> boolean-mask function. Bounded by ``n_buckets``."""
+    from ray.data.aggregate import Sum
+
+    def partial(b: pa.Table) -> pa.Table:
+        feats, docs, _ = _batch_feature_hashes(b, text_col)
+        bucket = (feats % np.uint64(n_buckets)).astype(np.int64)
+        mask = target_filter(b)
+        if isinstance(mask, (pa.Array, pa.ChunkedArray)):
+            mask = pc.fill_null(mask, False).to_numpy(zero_copy_only=False)
+        mask = np.asarray(mask, bool)
+        pool_n = np.bincount(bucket, minlength=n_buckets)
+        tgt_n = np.bincount(bucket[mask[docs]], minlength=n_buckets)
+        nz = np.nonzero(pool_n)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int64)),
+                "n_target": pa.array(tgt_n[nz].astype(np.int64)),
+                "n_pool": pa.array(pool_n[nz].astype(np.int64)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .aggregate(Sum("n_target"), Sum("n_pool"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": pc.cast(b.column("bucket"), pa.int64()),
+                "n_target": pc.cast(b.column("sum(n_target)"), pa.int64()),
+                "n_pool": pc.cast(b.column("sum(n_pool)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def dsir_log_ratios_paired(
+    paired_counts: "ray.data.Dataset",
+    n_buckets: int = DEFAULT_BUCKETS,
+    alpha: float = 1.0,
+) -> np.ndarray:
+    """λ from one ``hashed_bucket_counts_paired`` table."""
+    t = np.zeros(n_buckets, np.float64)
+    r = np.zeros(n_buckets, np.float64)
+    # bounded: ≤ n_buckets rows by construction
+    for row in paired_counts.take_all():
+        t[int(row["bucket"])] = float(row["n_target"])
+        r[int(row["bucket"])] = float(row["n_pool"])
+    lt = np.log(t + alpha) - np.log(t.sum() + alpha * n_buckets)
+    lr = np.log(r + alpha) - np.log(r.sum() + alpha * n_buckets)
+    return lt - lr
+
+
 def dsir_log_ratios(
     target_counts: "ray.data.Dataset",
     raw_counts: "ray.data.Dataset",
@@ -196,17 +262,32 @@ def dsir_select(
     score the pool, Gumbel-top-k resample ``k`` docs. ``target_filter``
     is a row-level Arrow predicate function (batch -> boolean mask)
     defining the target set; the pool defaults to ``ds`` itself.
-    Returns (id_col, logw, n_feats, gumbel_key) for the selected k."""
-    pool = raw_ds if raw_ds is not None else ds
+    Returns (id_col, logw, n_feats, gumbel_key) for the selected k.
 
-    def keep_target(b: pa.Table) -> pa.Table:
-        return b.filter(target_filter(b))
+    When the pool IS ``ds`` (the default), target and pool counts come
+    from ONE fused tokenize+hash pass (``hashed_bucket_counts_paired``)
+    — the whole selection is then 2 executions over the corpus: the
+    paired count pass and the fused score→resample pass."""
+    if raw_ds is None:
+        lam = dsir_log_ratios_paired(
+            hashed_bucket_counts_paired(ds, target_filter, text_col, n_buckets),
+            n_buckets,
+            alpha,
+        )
+        pool = ds
+    else:
 
-    target = ds.map_batches(keep_target, batch_format="pyarrow", zero_copy_batch=True)
-    lam = dsir_log_ratios(
-        hashed_bucket_counts(target, text_col, n_buckets),
-        hashed_bucket_counts(pool, text_col, n_buckets),
-        n_buckets,
-        alpha,
-    )
+        def keep_target(b: pa.Table) -> pa.Table:
+            return b.filter(target_filter(b))
+
+        target = ds.map_batches(
+            keep_target, batch_format="pyarrow", zero_copy_batch=True
+        )
+        lam = dsir_log_ratios(
+            hashed_bucket_counts(target, text_col, n_buckets),
+            hashed_bucket_counts(raw_ds, text_col, n_buckets),
+            n_buckets,
+            alpha,
+        )
+        pool = raw_ds
     return dsir_resample(dsir_weights(pool, lam, id_col, text_col), k, seed, id_col)

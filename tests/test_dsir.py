@@ -167,3 +167,30 @@ def test_empty_and_null_texts(ray_session):
     lam = np.zeros(64)
     rows = dsir_weights(ds, lam).take_all()
     assert {r["doc_id"]: r["n_feats"] for r in rows} == {0: 0, 1: 0}
+
+
+def test_paired_counts_match_separate_passes(corpus):
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.dsir import (
+        dsir_log_ratios_paired,
+        hashed_bucket_counts_paired,
+    )
+
+    nb = 256
+    paired = hashed_bucket_counts_paired(
+        corpus, lambda b: pc.equal(b.column("lang"), "en"), n_buckets=nb
+    )
+    lam_paired = dsir_log_ratios_paired(paired, n_buckets=nb)
+
+    target = ray.data.from_arrow(
+        pa.table({"doc_id": np.arange(len(TARGET)), "text": pa.array(TARGET)})
+    )
+    lam_sep = dsir_log_ratios(
+        hashed_bucket_counts(target, n_buckets=nb),
+        hashed_bucket_counts(corpus, n_buckets=nb),
+        n_buckets=nb,
+    )
+    assert np.array_equal(lam_paired, lam_sep)
