@@ -5188,6 +5188,20 @@ def _q_pack_sequences(sf_dir: str):
     return pack_sequences(ds, capacity=256, n_shards=16)
 
 
+def _q_epoch_pack(sf_dir: str):
+    """Epoch-ordered sequence packing: the deterministic seeded
+    shuffle's permutation drives the packing order, so consecutive
+    training sequences hold unrelated docs and a new seed re-packs a
+    fresh epoch statelessly. Shards = the shuffle key's top bits —
+    contiguous epoch-position ranges, balanced by avalanche. Rows-only
+    (ordered stateful assignment); determinism/conservation/order
+    parity in tests/test_packing.py."""
+    from pdf_table_extractor_ray.stages.packing import epoch_pack
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return epoch_pack(ds, capacity=256, seed=1, n_shards=16)
+
+
 def _q_prefix_except(sf_dir: str):
     """Set EXCEPT as a distributed anti join: distinct 64-char-prefix
     hashes appearing in source src0 but in NO other source (src0's
@@ -9950,6 +9964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_supplier_window": _q_top_supplier_window,
         "small_qty_part_revenue": _q_small_qty_part_revenue,
         "pack_sequences": _q_pack_sequences,
+        "epoch_pack": _q_epoch_pack,
         "user_value_timeweighted": _q_user_value_timeweighted,
         "bigticket_customer_orders": _q_bigticket_customer_orders,
         "orders_quality_audit": _q_orders_quality_audit,

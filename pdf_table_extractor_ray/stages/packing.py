@@ -118,3 +118,94 @@ def pack_sequences(
 
     slim = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return slim.groupby("shard").map_groups(pack_shard, batch_format="pyarrow")
+
+
+def epoch_pack(
+    ds: "ray.data.Dataset",
+    capacity: int,
+    seed: int = 0,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Epoch-ordered sequence packing: the training-batch assembly
+    done in the DETERMINISTIC SHUFFLE's order instead of id order —
+    consecutive training sequences then hold unrelated documents (the
+    property epoch shuffling exists for), and a new ``seed`` re-packs
+    a fresh epoch with zero carried state.
+
+    Composition: ``deterministic_shuffle`` (the permutation key's top
+    bits are the shard — balanced by avalanche, each shard a
+    CONTIGUOUS range of epoch positions, so concatenating shards 0..S
+    in order replays the exact epoch stream) + per-shard greedy
+    ``pack_counts`` in position order. Only slim (id, n_tokens) pairs
+    cross the single bucket exchange; text never moves.
+
+    Per output row: one packed bin — (shard, bin_id, n_items,
+    n_tokens, first_pos) with ``first_pos`` the epoch position of the
+    bin's first chunk (bins are emitted in epoch order within a
+    shard: bin_id ascends with position). Reproducible across reruns,
+    layouts and cluster sizes for a given (capacity, seed, n_shards).
+    """
+    from pdf_table_extractor_ray.stages.shuffle import deterministic_shuffle
+
+    if capacity <= 0:
+        raise ValueError(f"epoch_pack: capacity must be > 0, got {capacity}")
+
+    def project(b: pa.Table) -> pa.Table:
+        t = token_count_batch(b, text_col=text_col)
+        return pa.table(
+            {
+                "id": pc.cast(t.column("doc_id"), pa.int64()),
+                "n_tokens": t.column("n_tokens"),
+            }
+        )
+
+    slim = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    shuffled = deterministic_shuffle(
+        slim, id_col="id", seed=seed, n_buckets=n_shards, bucket_col="shard"
+    )
+
+    def pack_shard(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g.column("pos"))
+        ids = g.column("id").take(order).to_numpy(zero_copy_only=False)
+        toks = g.column("n_tokens").take(order).to_numpy(zero_copy_only=False)
+        pos = g.column("pos").take(order).to_numpy(zero_copy_only=False)
+        bins, ctoks, _cids = pack_counts(ids, toks, capacity)
+        shard = int(g.column("shard")[0].as_py())
+        empty = pa.table(
+            {
+                "shard": pa.array([], pa.int64()),
+                "bin_id": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64()),
+                "n_tokens": pa.array([], pa.int64()),
+                "first_pos": pa.array([], pa.int64()),
+            }
+        )
+        if not len(bins):
+            return empty
+        # chunk i came from the doc at sorted index: map via repeat of
+        # per-doc chunk counts — pack_counts emits chunks in input
+        # (epoch) order, so the bin's first chunk is its first row
+        n_items = np.bincount(bins).astype(np.int64)
+        fill = np.bincount(bins, weights=ctoks).astype(np.int64)
+        first_chunk = np.concatenate([[0], np.cumsum(n_items)[:-1]])
+        # epoch position per chunk: positions of the packed docs,
+        # repeated per chunk of that doc (pack_counts emits chunks in
+        # input order, so this aligns 1:1 with its output)
+        kept = toks > 0
+        chunks_per_doc = np.ceil(toks[kept] / capacity).astype(np.int64)
+        chunk_pos = np.repeat(pos[kept], chunks_per_doc)
+        first_pos = chunk_pos[first_chunk]
+        bin_ids = np.arange(len(n_items), dtype=np.int64)
+        return pa.table(
+            {
+                "shard": pa.array(np.full(len(bin_ids), shard, np.int64)),
+                "bin_id": pa.array(bin_ids),
+                "n_items": pa.array(n_items),
+                "n_tokens": pa.array(fill),
+                "first_pos": pa.array(first_pos),
+            }
+        )
+
+    return shuffled.groupby("shard").map_groups(pack_shard, batch_format="pyarrow")

@@ -83,6 +83,7 @@ def deterministic_shuffle(
     seed: int = 0,
     n_buckets: int = 64,
     pos_col: str = "pos",
+    bucket_col: str | None = None,
 ) -> "ray.data.Dataset":
     """Assign every row its global position in the seeded permutation.
 
@@ -93,7 +94,10 @@ def deterministic_shuffle(
     then ONE bucket exchange of the payload with a vectorized
     within-bucket argsort. Output block order is unspecified;
     ``pos_col`` IS the order (sort-free consumers range-read by it
-    because buckets are contiguous pos ranges).
+    because buckets are contiguous pos ranges). With ``bucket_col``
+    set, the bucket id is kept in the output — each bucket is a
+    contiguous pos range, so it doubles as a balanced ordered shard
+    key (``epoch_pack`` packs per bucket in pos order).
     """
     if n_buckets < 2 or (n_buckets & (n_buckets - 1)) != 0:
         raise ValueError(
@@ -137,15 +141,23 @@ def deterministic_shuffle(
 
     def rank(g: pa.Table) -> pa.Table:
         if g.num_rows == 0:
-            return g.drop_columns(["_sk", "_sb"]).append_column(
+            out = g.drop_columns(["_sk", "_sb"]).append_column(
                 pos_col, pa.array([], pa.int64())
             )
+            if bucket_col:
+                out = out.append_column(bucket_col, pa.array([], pa.int64()))
+            return out
         bucket = int(g.column("_sb")[0].as_py())
         key = g.column("_sk").to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(key, kind="stable")  # keys unique (bijection)
         pos = np.empty(len(key), np.int64)
         pos[order] = offsets[bucket] + np.arange(len(key), dtype=np.int64)
-        return g.drop_columns(["_sk", "_sb"]).append_column(pos_col, pa.array(pos))
+        out = g.drop_columns(["_sk", "_sb"]).append_column(pos_col, pa.array(pos))
+        if bucket_col:
+            out = out.append_column(
+                bucket_col, pa.array(np.full(len(key), bucket, np.int64))
+            )
+        return out
 
     return (
         ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
