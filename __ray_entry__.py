@@ -9719,6 +9719,24 @@ def _q_ccnet_ppl_buckets(sf_dir: str):
     return ccnet_ppl_buckets(docs)
 
 
+def _q_curriculum_doc_order(sf_dir: str):
+    """Curriculum ordering (Bengio et al. 2009): position = (stratum
+    asc, seeded permutation within the stratum) — here stratum = lang.
+    Same two-pass counting-sort shape as the deterministic shuffle
+    with |strata|×bucket offsets; every stratum is a contiguous pos
+    range. SQL-verified bit-exactly (ROW_NUMBER over (lang, splitmix64
+    key))."""
+    from pdf_table_extractor_ray.stages.shuffle import curriculum_shuffle
+
+    docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+    out = curriculum_shuffle(docs, "lang", id_col="doc_id", seed=42, n_buckets=32)
+
+    def slim(b: pa.Table) -> pa.Table:
+        return b.select(["doc_id", "pos"])
+
+    return out.map_batches(slim, batch_format="pyarrow")
+
+
 def _q_dsir_sample(sf_dir: str):
     """DSIR data selection (Xie et al. 2023, arXiv:2302.03169): select
     100 docs that look most like the English target set, by hashed
@@ -9851,6 +9869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shuffled_doc_order": _q_shuffled_doc_order,
         "dsir_sample": _q_dsir_sample,
         "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
+        "curriculum_doc_order": _q_curriculum_doc_order,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
         "revenue_segments": _q_revenue_segments,
@@ -10062,6 +10081,22 @@ def _shuffled_doc_order_sql() -> str:
         f"WITH k AS (SELECT doc_id, {key} AS h FROM documents) "
         "SELECT doc_id, CAST(row_number() OVER (ORDER BY h) - 1 AS BIGINT) AS pos "
         "FROM k"
+    )
+
+
+def _curriculum_doc_order_sql() -> str:
+    """Oracle for the curriculum shuffle: rank by (stratum, the SAME
+    bit-exact splitmix64 key); DuckDB's default binary varchar
+    collation matches Python's codepoint sort for the ASCII lang
+    strata."""
+    from pdf_table_extractor_ray.stages.shuffle import splitmix64_sql
+
+    key = splitmix64_sql("doc_id", seed=42)
+    return (
+        f"WITH k AS (SELECT doc_id, lang, {key} AS h FROM documents "
+        "WHERE lang IS NOT NULL) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY lang, h) - 1 AS BIGINT) "
+        "AS pos FROM k"
     )
 
 
@@ -10560,6 +10595,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL"
         ),
         "shuffled_doc_order": _shuffled_doc_order_sql(),
+        "curriculum_doc_order": _curriculum_doc_order_sql(),
         "daily_revenue_gini": (
             "WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
             "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "

@@ -164,3 +164,107 @@ def deterministic_shuffle(
         .groupby("_sb")
         .map_groups(rank, batch_format="pyarrow")
     )
+
+
+def curriculum_shuffle(
+    ds: "ray.data.Dataset",
+    strata_col: str,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_buckets: int = 64,
+    pos_col: str = "pos",
+) -> "ray.data.Dataset":
+    """Curriculum ordering: global position = (stratum ascending, then
+    the seeded permutation within the stratum) — the easy→hard
+    curriculum-learning order (Bengio et al. 2009) with reproducible
+    within-level shuffling. A new ``seed`` reshuffles every level
+    without touching the level order.
+
+    Same two-pass shape as ``deterministic_shuffle``; the histogram and
+    offsets are per (stratum, key-bucket), so the driver state is
+    |strata| × n_buckets rows — ``strata_col`` must be a BOUNDED domain
+    (a curriculum level/decile/language, not an id; that bound is the
+    operator's contract). One payload exchange, grouped by the packed
+    (stratum, bucket) key; within a group one argsort of the bijective
+    key. Output: input columns + ``pos_col`` (a permutation of 0..n-1;
+    every stratum occupies a contiguous pos range).
+
+    Null strata are EXCLUDED (SQL aggregate semantics — a row without
+    a curriculum level has no place in the order).
+    """
+    if n_buckets < 2 or (n_buckets & (n_buckets - 1)) != 0:
+        raise ValueError(
+            "curriculum_shuffle: n_buckets must be a power of two >= 2"
+        )
+    shift = np.uint64(64 - (int(n_buckets).bit_length() - 1))
+
+    from ray.data.aggregate import Sum
+
+    def hist(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(strata_col)))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        bucket = (shuffle_key(ids, seed) >> shift).astype(np.int64)
+        t = pa.table(
+            {
+                "stratum": b.column(strata_col),
+                "bucket": pa.array(bucket),
+                "n": pa.array(np.ones(len(bucket), np.int64)),
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["stratum", "bucket"])
+            .aggregate([("n", "sum")])
+            .rename_columns(["stratum", "bucket", "n"])
+        )
+
+    # bounded: ≤ |strata| x n_buckets rows by the strata-domain contract
+    hist_rows = (
+        ds.select_columns([id_col, strata_col])
+        .map_batches(hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["stratum", "bucket"])
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    cells = sorted((r["stratum"], int(r["bucket"])) for r in hist_rows)
+    counts = {(r["stratum"], int(r["bucket"])): int(r["sum(n)"]) for r in hist_rows}
+    offsets = {}
+    acc = 0
+    for cell in cells:
+        offsets[cell] = acc
+        acc += counts[cell]
+    strata = sorted({s for s, _ in cells})
+    strata_arr = pa.array(strata)
+
+    def bucketize(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.is_valid(b.column(strata_col)))
+        ids = b.column(id_col).to_numpy(zero_copy_only=False)
+        key = shuffle_key(ids, seed)
+        bucket = (key >> shift).astype(np.int64)
+        sidx = (
+            pc.cast(pc.index_in(b.column(strata_col), value_set=strata_arr), pa.int64())
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        b = b.append_column("_sk", pa.array(key.view(np.int64), pa.int64()))
+        return b.append_column(
+            "_sg", pa.array(sidx * n_buckets + bucket, pa.int64())
+        )
+
+    def rank(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return g.drop_columns(["_sk", "_sg"]).append_column(
+                pos_col, pa.array([], pa.int64())
+            )
+        packed = int(g.column("_sg")[0].as_py())
+        cell = (strata[packed // n_buckets], packed % n_buckets)
+        key = g.column("_sk").to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(key, kind="stable")  # keys unique (bijection)
+        pos = np.empty(len(key), np.int64)
+        pos[order] = offsets[cell] + np.arange(len(key), dtype=np.int64)
+        return g.drop_columns(["_sk", "_sg"]).append_column(pos_col, pa.array(pos))
+
+    return (
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_sg")
+        .map_groups(rank, batch_format="pyarrow")
+    )

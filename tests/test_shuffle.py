@@ -98,3 +98,40 @@ def test_bad_bucket_count_raises(ray_session):
         deterministic_shuffle(ds, "doc_id", n_buckets=3)
     with pytest.raises(ValueError):
         deterministic_shuffle(ds, "doc_id", n_buckets=1)
+
+
+def test_curriculum_shuffle_order_and_invariance(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.shuffle import curriculum_shuffle
+
+    n = 3000
+    ids = np.arange(n, dtype=np.int64)
+    strata = np.array(["b", "a", "c"])[ids % 3]
+    strata = strata.astype(object)
+    strata[5] = None  # null stratum: excluded
+    tbl = pa.table(
+        {"doc_id": pa.array(ids), "lvl": pa.array(strata, pa.string())}
+    )
+
+    def run(parts):
+        ds = ray.data.from_arrow(tbl).repartition(parts)
+        out = curriculum_shuffle(ds, "lvl", id_col="doc_id", seed=9, n_buckets=8)
+        d = out.to_pandas().sort_values("pos")
+        return d
+
+    d = run(4)
+    assert len(d) == n - 1  # null stratum dropped
+    assert (np.sort(d["pos"].to_numpy()) == np.arange(n - 1)).all()
+    # strata occupy contiguous pos ranges in sorted stratum order
+    lv = d["lvl"].to_numpy()
+    changes = (lv[1:] != lv[:-1]).sum()
+    assert changes == 2 and list(dict.fromkeys(lv)) == ["a", "b", "c"]
+    # within a stratum, order == ascending shuffle key
+    for s in ("a", "b", "c"):
+        sub = d[d["lvl"] == s]["doc_id"].to_numpy()
+        keys = shuffle_key(sub, 9)
+        assert (np.diff(keys.astype(np.uint64)) > 0).all()
+    # layout invariance
+    d2 = run(9)
+    assert (d2["doc_id"].to_numpy() == d["doc_id"].to_numpy()).all()
