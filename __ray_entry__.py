@@ -9719,6 +9719,36 @@ def _q_ccnet_ppl_buckets(sf_dir: str):
     return ccnet_ppl_buckets(docs)
 
 
+def _q_quality_borda(sf_dir: str):
+    """Multi-signal quality fusion by Borda rank aggregation: score =
+    Σ RANK() over each of (n_chars, ws-token count, sentence count) —
+    the scale-free blend of incomparable quality signals. No window
+    sort: one bounded (signal, value) groupby + broadcast rank
+    lookups. SQL-verified bit-exactly (integer ranks; same RE2
+    kernels both sides)."""
+    from pdf_table_extractor_ray.stages.stats import borda_rank_fusion
+    from pdf_table_extractor_ray.stages.textstats import token_count_batch
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+    def signals(b: pa.Table) -> pa.Table:
+        toks = token_count_batch(b, text_col="text")
+        sents = pc.cast(
+            pc.count_substring_regex(b.column("text"), r"[.!?]+(\s|$)"), pa.int64()
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_chars": pc.cast(b.column("n_chars"), pa.int64()),
+                "n_tokens": toks.column("n_tokens"),
+                "n_sentences": sents,
+            }
+        )
+
+    sig = ds.map_batches(signals, batch_format="pyarrow", zero_copy_batch=True)
+    return borda_rank_fusion(sig, ["n_chars", "n_tokens", "n_sentences"])
+
+
 def _q_curriculum_doc_order(sf_dir: str):
     """Curriculum ordering (Bengio et al. 2009): position = (stratum
     asc, seeded permutation within the stratum) — here stratum = lang.
@@ -9870,6 +9900,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_sample": _q_dsir_sample,
         "ccnet_ppl_buckets": _q_ccnet_ppl_buckets,
         "curriculum_doc_order": _q_curriculum_doc_order,
+        "quality_borda": _q_quality_borda,
         "daily_revenue_gini": _q_daily_revenue_gini,
         "embedding_pca": _q_embedding_pca,
         "revenue_segments": _q_revenue_segments,
@@ -10596,6 +10627,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shuffled_doc_order": _shuffled_doc_order_sql(),
         "curriculum_doc_order": _curriculum_doc_order_sql(),
+        "quality_borda": (
+            "WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc, "
+            "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt, "
+            "CAST(len(regexp_extract_all(text, '[.!?]+(\\s|$)')) AS BIGINT) AS ns "
+            "FROM documents) "
+            "SELECT doc_id, CAST(RANK() OVER (ORDER BY nc) "
+            "+ RANK() OVER (ORDER BY nt) "
+            "+ RANK() OVER (ORDER BY ns) AS BIGINT) AS borda FROM s"
+        ),
         "daily_revenue_gini": (
             "WITH d AS (SELECT epoch_us(date_trunc('day', o_orderdate)) AS day_us, "
             "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "

@@ -319,3 +319,81 @@ def key_skew_stats(
             }
         ]
     )
+
+
+def borda_rank_fusion(
+    ds: "ray.data.Dataset",
+    signal_cols,
+    id_col: str = "doc_id",
+    out: str = "borda",
+) -> "ray.data.Dataset":
+    """Multi-signal rank fusion (Borda count): every row's score is
+    the SUM over signals of its SQL ``RANK() OVER (ORDER BY signal)``
+    — the standard scale-free way to blend incomparable quality
+    signals (length, fluency, repetitiveness, ...) into one ordering
+    without normalizing any of them. Integer-exact, so bit-identical
+    to the SQL window plan.
+
+    Shape (no global sort, no window shuffle): ONE pass emits
+    (signal, value, n) partials via per-batch np.unique, one slim
+    groupby-Sum bounded by Σ per-signal distinct cardinalities (the
+    ``sorted_value_counts`` bounded-domain contract, per signal), the
+    driver builds each signal's below-count cumsum (rank = below + 1),
+    and ONE map-only pass sums searchsorted rank lookups. Rows with a
+    null in ANY signal are excluded (the SQL twin filters them too —
+    DuckDB would otherwise sort nulls last, a semantics nobody wants
+    in a quality score)."""
+    from ray.data.aggregate import Sum
+
+    signal_cols = list(signal_cols)
+
+    def valid_mask(b: pa.Table):
+        m = pc.is_valid(b.column(signal_cols[0]))
+        for c in signal_cols[1:]:
+            m = pc.and_(m, pc.is_valid(b.column(c)))
+        return m
+
+    def partial(b: pa.Table) -> pa.Table:
+        b = b.filter(valid_mask(b))
+        sigs, vals, cnts = [], [], []
+        for si, c in enumerate(signal_cols):
+            v = b.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            uv, cnt = np.unique(v, return_counts=True)
+            sigs.append(np.full(len(uv), si, np.int64))
+            vals.append(uv)
+            cnts.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "sig": pa.array(np.concatenate(sigs) if sigs else []),
+                "value": pa.array(np.concatenate(vals) if vals else []),
+                "n": pa.array(np.concatenate(cnts) if cnts else []),
+            }
+        )
+
+    # bounded: Σ per-signal distinct cardinalities by contract
+    rows = (
+        ds.select_columns(signal_cols)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["sig", "value"])
+        .aggregate(Sum("n"))
+        .take_all()
+    )
+    per_sig_vals, per_sig_below = [], []
+    for si in range(len(signal_cols)):
+        vc = sorted((int(r["value"]), int(r["sum(n)"])) for r in rows if r["sig"] == si)
+        vals = np.array([v for v, _ in vc], np.int64)
+        cnts = np.array([c for _, c in vc], np.int64)
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]]).astype(np.int64)
+        per_sig_vals.append(vals)
+        per_sig_below.append(below)
+
+    def fuse(b: pa.Table) -> pa.Table:
+        b = b.filter(valid_mask(b))
+        total = np.zeros(b.num_rows, np.int64)
+        for si, c in enumerate(signal_cols):
+            x = b.column(c).to_numpy(zero_copy_only=False).astype(np.int64)
+            idx = np.searchsorted(per_sig_vals[si], x, "left")
+            total += per_sig_below[si][idx] + 1  # SQL RANK(): below + 1
+        return pa.table({id_col: b.column(id_col), out: pa.array(total)})
+
+    return ds.map_batches(fuse, batch_format="pyarrow", zero_copy_batch=True)

@@ -192,3 +192,44 @@ def test_parse_page_ranges():
     assert parse_page_ranges("1,2,4-6") == ["1", "2", "4", "5", "6"]
     assert parse_page_ranges("3") == ["3"]
     assert parse_page_ranges(" 1 , 7-8 ") == ["1", "7", "8"]
+
+
+def test_borda_rank_fusion_brute_parity(ray_session):
+    """Borda = Σ SQL RANK() per signal, ties share first-peer rank;
+    null-signal rows excluded."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.stats import borda_rank_fusion
+
+    rng = np.random.default_rng(3)
+    n = 500
+    a = rng.integers(0, 20, n)  # heavy ties
+    b = rng.integers(0, 1000, n)
+    ids = np.arange(n, dtype=np.int64)
+    a_obj = a.astype(object)
+    a_obj[7] = None  # excluded row
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids),
+            "s1": pa.array(a_obj, pa.int64()),
+            "s2": pa.array(b),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    got = {
+        r["doc_id"]: r["borda"]
+        for r in borda_rank_fusion(ds, ["s1", "s2"]).take_all()
+    }
+
+    keep = np.ones(n, bool)
+    keep[7] = False
+    av, bv, iv = a[keep], b[keep], ids[keep]
+
+    def sql_rank(x):
+        order = np.sort(x)
+        return np.searchsorted(order, x, "left") + 1
+
+    ref = sql_rank(av) + sql_rank(bv)
+    assert got == {int(i): int(r) for i, r in zip(iv, ref)}

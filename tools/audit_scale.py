@@ -90,6 +90,10 @@ TAKE_ALL_ALLOWLIST = {
         "pdf_table_extractor_ray/stages/dsir.py",
         "dsir_log_ratios_paired",
     ): "DSIR paired hashed-feature model, ≤ n_buckets rows by construction",
+    (
+        "pdf_table_extractor_ray/stages/stats.py",
+        "partial",
+    ): "borda fusion rank table, Σ per-signal distinct cardinalities (bounded-domain contract)",
     ("pdf_table_extractor_ray/stages/templates.py", "explode"): "mine_template_lines per-key doc totals: one row per key, bounded key (host) domain",
     ("__ray_entry__.py", "_q_template_strip_roundtrip"): "mined template set, ≤ 2 rows per source by the sentinel construction",
     ("pdf_table_extractor_ray/pipelines/corpus_prep.py", "prepare_corpus_v5"): "mined template set, bounded by the min_share recurrence contract (≈ one site template per key)",
