@@ -4140,6 +4140,56 @@ def _q_dom_shape_clusters(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_html_markdown_roundtrip(sf_dir: str):
+    """HTML → Markdown conversion with a SQL oracle
+    (stages/markdown.py): orders render into noisy structured pages —
+    heading with interior whitespace, strong/em with padded edges, a
+    list, a blockquote, a link whose label carries a double space, an
+    hr, a fenced pre block, plus script noise — and the converter must
+    emit the exact CommonMark string the oracle concatenates with
+    chr(10)s (whitespace collapse, inline markup, block separation all
+    byte-exact). Per-document actor-pool compute; zero shuffle."""
+    from pdf_table_extractor_ray.stages.markdown import html_to_markdown
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def render(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_pylist()
+        stats = b.column("o_orderstatus").to_pylist()
+        prios = b.column("o_orderpriority").to_pylist()
+        payloads = [
+            (
+                "<html><head><script>var nav_noise;</script></head><body>\n"
+                f"  <h1>\n    Order {k}\n  </h1>\n"
+                f"  <p>Status: <strong> {s} </strong>.</p>\n"
+                f"  <ul><li>priority <em>{p}</em></li><li>id {k}</li></ul>\n"
+                "  <blockquote><p>verified</p></blockquote>\n"
+                f'  <p><a href="https://orders.test/{k}">details  page</a></p>\n'
+                "  <hr>\n"
+                f"  <pre>raw {k}</pre>\n"
+                "</body></html>"
+            ).encode("utf-8")
+            for k, s, p in zip(keys, stats, prios)
+        ]
+        return pa.table(
+            {
+                "url": pa.array([str(k) for k in keys], pa.string()),
+                "html": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    out = html_to_markdown(pages)
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = pa.array([int(u) for u in b.column("url").to_pylist()], pa.int64())
+        return pa.Table.from_arrays(
+            [keys, b.column("markdown")], names=["o_orderkey", "markdown"]
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # template-sentinel markers: the guillemets cannot collide with the
 # ASCII testdata corpus, so mined-template membership is provably the
 # injected nav/footer pair (measured max natural per-source line share
@@ -9854,6 +9904,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sitemap_roundtrip": _q_sitemap_roundtrip,
         "dom_select_cards": _q_dom_select_cards,
         "dom_main_content": _q_dom_main_content,
+        "html_markdown_roundtrip": _q_html_markdown_roundtrip,
         "dom_shape_clusters": _q_dom_shape_clusters,
         "template_lines_by_source": _q_template_lines_by_source,
         "template_strip_roundtrip": _q_template_strip_roundtrip,
@@ -10376,6 +10427,18 @@ def oracle_sql() -> dict[str, str]:
         "dom_shape_clusters": (
             "SELECT min(c_custkey) AS shape_rep, count(*) AS n_pages "
             "FROM customer GROUP BY c_custkey % 3"
+        ),
+        "html_markdown_roundtrip": (
+            "SELECT o_orderkey, "
+            "'# Order ' || o_orderkey || chr(10) || chr(10) || "
+            "'Status: **' || o_orderstatus || '**.' || chr(10) || chr(10) || "
+            "'- priority *' || o_orderpriority || '*' || chr(10) || "
+            "'- id ' || o_orderkey || chr(10) || chr(10) || "
+            "'> verified' || chr(10) || chr(10) || "
+            "'[details page](https://orders.test/' || o_orderkey || ')' "
+            "|| chr(10) || chr(10) || '---' || chr(10) || chr(10) || "
+            "'```' || chr(10) || 'raw ' || o_orderkey || chr(10) || '```' "
+            "AS markdown FROM orders"
         ),
         "template_lines_by_source": (
             "SELECT source, '«nav ' || source || '»' AS line, "
