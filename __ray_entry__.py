@@ -404,6 +404,69 @@ def _q_image_thumbnails(sf_dir: str):
     ).sort("media_id")
 
 
+def _q_blocklist_admission(sf_dir: str):
+    """Blocklist admission gate (stages/blocklists.py — the UT1-style
+    word-list filter of CCNet/RefinedWeb/FineWeb) with a SQL oracle:
+    two categories over the documents corpus ("latency" carries a
+    multi-word phrase to prove phrase matching; "vendor" a single
+    term), non-overlapping case-folded whole-word counts, admitted ⇔
+    every category ≤ 3 hits. Map-only — one utf8_lower + one RE2
+    count kernel per category per batch; DuckDB's regexp_extract_all
+    runs the IDENTICAL RE2 pattern string."""
+    from pdf_table_extractor_ray.stages.blocklists import blocklist_hits
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return blocklist_hits(
+        ds,
+        {"latency": ["slow", "fast scan"], "vendor": ["spark"]},
+        max_hits=3,
+    )
+
+
+def _q_image_dhash_dups(sf_dir: str):
+    """Perceptual image near-dup with a SQL oracle
+    (multimodal.dhash64 + dedup.hash64_hamming_pairs): every vec_id
+    renders a seeded-random 18×16 image (pixels < 240, alternating
+    PPM/PNG codecs); ids divisible by 5 also plant a brightness-shifted
+    copy (+5 every channel, id + 10⁷). dHash is provably invariant to
+    the uniform shift (constant offsets cancel in every adjacent-cell
+    compare), so each planted copy pairs with its base at hamming 0 —
+    and the oracle is exactly the planted mapping. Random unrelated
+    bases sit near hamming ~32; the banded join never surfaces them
+    (verified empirically at both sf scales with these fixed seeds).
+    Payloads never shuffle — only (id, hash) rows enter the banding."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_dhash_pairs,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids_out, payloads = [], []
+        for vid in b.column("vec_id").to_pylist():
+            rng = np.random.default_rng(9000 + int(vid))
+            base = rng.integers(0, 240, (18, 16, 3)).astype(np.uint8)
+            enc = encode_ppm if vid % 2 == 0 else encode_png
+            ids_out.append(int(vid))
+            payloads.append(enc(base))
+            if vid % 5 == 0:
+                ids_out.append(int(vid) + 10_000_000)
+                payloads.append(enc(base + 5))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    images = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    return image_dhash_pairs(images, max_hamming=4, concurrency=(1, 4))
+
+
 def _q_late_events(sf_dir: str):
     """Watermark/late-data tagging (streaming semantics over the batch
     replay): per user, arrival order = event_id; an event is late when
@@ -9874,6 +9937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": _q_media_features,
         "video_frame_features": _q_video_frame_features,
         "image_thumbnails": _q_image_thumbnails,
+        "image_dhash_dups": _q_image_dhash_dups,
+        "blocklist_admission": _q_blocklist_admission,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10427,6 +10492,22 @@ def oracle_sql() -> dict[str, str]:
         "dom_shape_clusters": (
             "SELECT min(c_custkey) AS shape_rep, count(*) AS n_pages "
             "FROM customer GROUP BY c_custkey % 3"
+        ),
+        "image_dhash_dups": (
+            "SELECT vec_id AS doc_a, vec_id + 10000000 AS doc_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 5 = 0"
+        ),
+        "blocklist_admission": (
+            "SELECT doc_id, "
+            "len(regexp_extract_all(lower(COALESCE(text, '')), "
+            "'\\b(?:fast scan|slow)\\b')) AS latency_hits, "
+            "len(regexp_extract_all(lower(COALESCE(text, '')), "
+            "'\\b(?:spark)\\b')) AS vendor_hits, "
+            "CASE WHEN len(regexp_extract_all(lower(COALESCE(text, '')), "
+            "'\\b(?:fast scan|slow)\\b')) <= 3 AND "
+            "len(regexp_extract_all(lower(COALESCE(text, '')), "
+            "'\\b(?:spark)\\b')) <= 3 THEN 1 ELSE 0 END AS admitted "
+            "FROM documents"
         ),
         "html_markdown_roundtrip": (
             "SELECT o_orderkey, "

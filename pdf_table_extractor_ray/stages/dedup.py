@@ -675,25 +675,59 @@ def simhash_pairs(
     max_hamming: int = 3,
     emit: str = "pairs",
 ) -> "ray.data.Dataset":
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4×16-bit
-    chunks (any pair within hamming ≤3 must agree on ≥1 chunk — the
-    pigeonhole banding of Manku et al. 2007), bucket-groupby, verify
-    hamming inside buckets.
+    """Near-dup pairs by SimHash: hash per batch, then the generic
+    64-bit Hamming banding of ``hash64_hamming_pairs`` (4×16-bit chunks
+    at the default ``max_hamming=3`` — the pigeonhole banding of Manku
+    et al. 2007). See ``hash64_hamming_pairs`` for the bucket shape and
+    hot-bucket mitigations."""
+
+    def to_hash(batch: pa.Table) -> pa.Table:
+        return simhash_batch(batch, text_col)
+
+    hashed = ds.map_batches(to_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return hash64_hamming_pairs(
+        hashed, id_col="doc_id", hash_col="simhash64", max_hamming=max_hamming, emit=emit
+    )
+
+
+def hash64_hamming_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str = "doc_id",
+    hash_col: str = "hash64",
+    max_hamming: int = 3,
+    emit: str = "pairs",
+) -> "ray.data.Dataset":
+    """Generic near-dup pairs over a precomputed 64-bit hash column
+    (SimHash, image dHash, audio fingerprint — any Hamming-space
+    sketch): split the hash into ``max_hamming + 1`` bands (pigeonhole:
+    a pair within the threshold must agree exactly on ≥ 1 band),
+    bucket-groupby on (band, chunk), verify true Hamming distance
+    inside buckets. Output (doc_a, doc_b, hamming) with doc_a < doc_b,
+    one row per pair (min distance across bands).
 
     Hot-bucket mitigation: identical hashes collapse via ``np.unique``
     before the pairwise verify, so a degenerate bucket (millions of
-    near-identical or empty texts) costs O(u² + output) instead of
-    O(bucket²). ``emit="star"`` additionally caps the *output* at a
+    near-identical items) costs O(u² + output) instead of O(bucket²).
+    ``emit="star"`` additionally caps the *output* at a
     connectivity-equivalent spanning set (for dedup/CC consumers);
-    the default ``"pairs"`` keeps the full pair contract."""
+    the default ``"pairs"`` keeps the full pair contract.
+
+    Scale shape: only (id, hash, band key) int64 rows shuffle — never
+    payloads; the (band, chunk) buckets fold into 64 fixed super-bucket
+    groups so the Python-call count stays constant whatever the corpus
+    size."""
+    from ray.data.aggregate import Min
+
+    n_bands = min(max(int(max_hamming) + 1, 2), 16)
+    bit_bounds = [(b * 64) // n_bands for b in range(n_bands + 1)]
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        t = simhash_batch(batch, text_col)
-        h = t.column("simhash64").to_numpy(zero_copy_only=False)
-        doc = t.column("doc_id").to_numpy(zero_copy_only=False)
+        h = batch.column(hash_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = batch.column(id_col).to_numpy(zero_copy_only=False)
         band_id, band_key, doc_out, h_out = [], [], [], []
-        for b in range(4):
-            chunk = (h >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+        for b in range(n_bands):
+            lo, width = bit_bounds[b], bit_bounds[b + 1] - bit_bounds[b]
+            chunk = (h >> np.uint64(lo)) & np.uint64((1 << width) - 1)
             band_id.extend([b] * len(h))
             band_key.extend(chunk.tolist())
             doc_out.extend(doc.tolist())
@@ -705,21 +739,18 @@ def simhash_pairs(
                 pa.array(doc_out, pa.int64()),
                 pa.array(h_out, pa.uint64()),
             ],
-            names=["band_id", "band_key", "doc_id", "simhash64"],
+            names=["band_id", "band_key", "doc_id", "hash64"],
         )
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    # super-bucket shuffle: 64 fixed groups (band_id ⊕ band_key mix);
-    # each (band, chunk) bucket is a run inside the task — per-bucket
-    # logic unchanged, Python-call count fixed instead of one per
-    # bucket (up to 4·2^16 groups otherwise)
+    # super-bucket shuffle: 64 fixed groups; each (band, chunk) bucket
+    # is a run inside the task — per-bucket logic unchanged, Python-call
+    # count fixed instead of one per distinct chunk value
     def add_sb(b: pa.Table) -> pa.Table:
         bid = b.column("band_id").to_numpy(zero_copy_only=False).astype(np.int64)
         bkey = b.column("band_key").to_numpy(zero_copy_only=False).astype(np.int64)
-        return b.append_column(
-            "sb", pa.array((bid * 65536 + bkey) % 64, pa.int64())
-        )
+        return b.append_column("sb", pa.array((bid * 65536 + bkey) % 64, pa.int64()))
 
     def _emit_bucket(doc, h, add) -> None:
         order = np.argsort(doc, kind="stable")
@@ -762,7 +793,7 @@ def simhash_pairs(
         )
         g = group.take(idx)
         doc_all = g.column("doc_id").to_numpy(zero_copy_only=False)
-        h_all = g.column("simhash64").to_numpy(zero_copy_only=False)
+        h_all = g.column("hash64").to_numpy(zero_copy_only=False)
         bid = g.column("band_id").to_numpy(zero_copy_only=False)
         bkey = g.column("band_key").to_numpy(zero_copy_only=False)
         first = np.ones(n, bool)

@@ -991,3 +991,111 @@ def audio_spectral_features(
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptual image hashing (dHash) + Hamming near-dup
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Sniff-and-decode an image payload through the stdlib codecs
+    above (PPM/BMP/PNG/GIF). Raises ValueError on non-image payloads
+    so callers surface errors in-band like DecodeFeaturize does."""
+    kind = _sniff(payload)
+    if kind == "ppm":
+        return decode_ppm(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "gif":
+        return decode_gif(payload)
+    raise ValueError(f"not a decodable image format: {kind}")
+
+
+def dhash64(img: np.ndarray) -> int:
+    """64-bit difference hash (dHash): integer-luma grayscale →
+    area-mean 8×9 grid → bit (r·8+c) = grid[r,c] > grid[r,c+1].
+
+    The perceptual-dedup workhorse: invariant to uniform brightness
+    shifts (a constant offset cancels in every adjacent-cell compare,
+    equalities included), to re-encoding across lossless codecs, and
+    to exact block upscaling (area means are preserved); sensitive to
+    actual content changes. Pure float64 mean/compare ops in a fixed
+    order — bit-deterministic across runs and layouts."""
+    gray = img.astype(np.float64) @ np.array([299.0, 587.0, 114.0]) / 1000.0
+    ys = _axis_bins(gray.shape[0], 8)
+    xs = _axis_bins(gray.shape[1], 9)
+    grid = np.empty((8, 9), np.float64)
+    for i, yy in enumerate(ys):
+        band = gray[yy]
+        for j, xx in enumerate(xs):
+            grid[i, j] = band[:, xx].mean()
+    bits = (grid[:, :-1] > grid[:, 1:]).ravel()
+    powers = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    return int((bits.astype(np.uint64) * powers).sum(dtype=np.uint64))
+
+
+class ImageDHash:
+    """Actor-pool stage: (id, payload:binary) → (id, dhash64:uint64,
+    error). Decode failures surface in-band (hash null + error string)
+    rather than killing the task — per-document fault isolation, same
+    contract as the extraction stages."""
+
+    def __init__(self, media_col: str = "payload", id_col: str = "media_id"):
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        hashes, errs = [], []
+        for p in payloads:
+            try:
+                hashes.append(dhash64(decode_image(p or b"")))
+                errs.append(None)
+            except Exception as ex:  # noqa: BLE001 — in-band fault channel
+                hashes.append(None)
+                errs.append(f"{type(ex).__name__}: {ex}")
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "dhash64": pa.array(hashes, pa.uint64()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def image_dhash_pairs(
+    ds,
+    media_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 4,
+    emit: str = "pairs",
+    batch_size: int = 32,
+    concurrency=(1, 8),
+):
+    """Near-duplicate image pairs: dHash every decodable payload in an
+    actor pool, then the generic banded Hamming join
+    (``dedup.hash64_hamming_pairs`` — ``max_hamming + 1`` pigeonhole
+    bands, hot-bucket unique-collapse). Only (id, hash) int64 rows
+    shuffle; the binary payloads never leave the hash stage. Output
+    (doc_a, doc_b, hamming), doc_a < doc_b."""
+    from pdf_table_extractor_ray.stages.dedup import hash64_hamming_pairs
+
+    import pyarrow.compute as pc
+
+    def drop_failed(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("dhash64"))).select([id_col, "dhash64"])
+
+    hashed = ds.map_batches(
+        ImageDHash,
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).map_batches(drop_failed, batch_format="pyarrow", zero_copy_batch=True)
+    return hash64_hamming_pairs(
+        hashed, id_col=id_col, hash_col="dhash64", max_hamming=max_hamming, emit=emit
+    )
