@@ -404,6 +404,85 @@ def _q_image_thumbnails(sf_dir: str):
     ).sort("media_id")
 
 
+def _q_audio_dup_pairs(sf_dir: str):
+    """Perceptual audio near-dup with a SQL oracle
+    (multimodal.audio_fingerprint64 + dedup.hash64_hamming_pairs —
+    the Haitsma-Kalker energy-trajectory sketch): every vec_id
+    renders a seeded gaussian-noise WAV clip (int16, clipped at
+    ±15000 — noise rather than sines: smooth periodic envelopes give
+    CORRELATED up/down frame patterns that collide in Hamming space,
+    measured 62 false pairs at this corpus size); ids
+    divisible by 4 also plant a 2× louder copy (id + 10⁷; ×2 of
+    int16 ≤ 30000 never clips and /32768 is exact, so energies scale
+    by exactly 4 and every frame compare survives) — each copy pairs
+    with its base at hamming 0, and the oracle is exactly the planted
+    mapping (no false positives at these fixed seeds, verified at
+    both sf scales). Clips never shuffle — only (id, hash) rows."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        audio_fingerprint_dups,
+        encode_wav,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids_out, payloads = [], []
+        for vid in b.column("vec_id").to_pylist():
+            rng = np.random.default_rng(7000 + int(vid))
+            x = rng.normal(0.0, 3000.0, 2048)
+            base = np.clip(x, -15000, 15000).astype(np.int16)
+            ids_out.append(int(vid))
+            payloads.append(encode_wav(base))
+            if vid % 4 == 0:
+                ids_out.append(int(vid) + 10_000_000)
+                payloads.append(encode_wav((base.astype(np.int32) * 2).astype(np.int16)))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    clips = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
+
+
+def _q_mojibake_repair(sf_dir: str):
+    """Mojibake repair (functions/charset.py:repair_mojibake — the
+    ftfy-style latin-1/utf-8 double-decode undo every crawled corpus
+    needs) with a byte-exact SQL oracle: every document gains an
+    accented suffix; every third document is then BROKEN by the
+    classic mis-decode (utf-8 bytes read as latin-1 — 'café' →
+    'cafÃ©'); the repair must return the clean text for ALL rows and
+    flag exactly the broken third. Map-only: one RE2 scan per batch,
+    Python only on flagged rows."""
+    from pdf_table_extractor_ray.functions.charset import repair_mojibake
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    suffix = " café naïve — ação"
+
+    def plant(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            clean = (t or "") + suffix
+            out.append(
+                clean.encode("utf-8").decode("latin-1") if i % 3 == 0 else clean
+            )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "text": pa.array(out, pa.string()),
+            }
+        )
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    return repair_mojibake(planted)
+
+
 def _q_blocklist_admission(sf_dir: str):
     """Blocklist admission gate (stages/blocklists.py — the UT1-style
     word-list filter of CCNet/RefinedWeb/FineWeb) with a SQL oracle:
@@ -9939,6 +10018,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_thumbnails": _q_image_thumbnails,
         "image_dhash_dups": _q_image_dhash_dups,
         "blocklist_admission": _q_blocklist_admission,
+        "mojibake_repair": _q_mojibake_repair,
+        "audio_dup_pairs": _q_audio_dup_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10496,6 +10577,15 @@ def oracle_sql() -> dict[str, str]:
         "image_dhash_dups": (
             "SELECT vec_id AS doc_a, vec_id + 10000000 AS doc_b, "
             "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 5 = 0"
+        ),
+        "audio_dup_pairs": (
+            "SELECT vec_id AS doc_a, vec_id + 10000000 AS doc_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 4 = 0"
+        ),
+        "mojibake_repair": (
+            "SELECT doc_id, COALESCE(text, '') || ' café naïve — ação' AS text, "
+            "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS was_broken "
+            "FROM documents"
         ),
         "blocklist_admission": (
             "SELECT doc_id, "

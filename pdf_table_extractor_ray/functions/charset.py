@@ -75,3 +75,79 @@ def decode_html(payload) -> str:
         return payload
     raw = bytes(payload)
     return raw.decode(sniff_charset(raw), errors="replace")
+
+
+# ---------------------------------------------------------------------------
+# mojibake repair (ftfy-style, the latin-1/utf-8 double-decode case)
+
+# a latin-1-decoded UTF-8 sequence: 2-byte lead U+00C2-U+00DF or
+# 3-byte lead U+00E0-U+00EF followed by continuation chars U+0080-
+# U+00BF (e.g. "Ã©" for é, "â" for ').
+# Natural Latin-script text never places C1 controls (U+0080-U+009F)
+# after an accented letter, and the strict round-trip below rejects
+# the rare U+00A0-U+00BF false positives.
+_MOJIBAKE_RE_STR = (
+    "[\u00c2-\u00df][\u0080-\u00bf]"
+    "|[\u00e0-\u00ef][\u0080-\u00bf]{2}"
+)
+_MOJIBAKE_RE = re.compile(_MOJIBAKE_RE_STR)
+
+
+def fix_mojibake_str(s: str, max_passes: int = 3) -> str:
+    """Undo latin-1-as-utf-8 double decoding: while the string carries
+    a mojibake signature AND survives a STRICT latin-1 encode →
+    strict utf-8 decode round trip, apply it (multiply-encoded text
+    unwinds one layer per pass). Any failure leaves the input
+    untouched — the repair can never corrupt clean text that merely
+    contains an accented character."""
+    for _ in range(max_passes):
+        if not _MOJIBAKE_RE.search(s):
+            return s
+        try:
+            fixed = s.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
+        s = fixed
+    return s
+
+
+def repair_mojibake(
+    ds,
+    text_col: str = "text",
+    flag_col: str = "was_broken",
+):
+    """Map-only corpus repair: ONE vectorized RE2 scan flags candidate
+    rows (clean corpora: ~0 rows), Python repairs only the flagged
+    ones with a per-batch memo over unique strings. Output replaces
+    ``text_col`` and appends ``flag_col`` (1 = repair applied)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def fix(batch: pa.Table) -> pa.Table:
+        col = batch.column(text_col)
+        mask = pc.fill_null(
+            pc.match_substring_regex(col, _MOJIBAKE_RE_STR), False
+        ).to_numpy(zero_copy_only=False)
+        texts = col.to_pylist()
+        changed = np.zeros(len(texts), dtype=bool)
+        memo = {}
+        for i in np.flatnonzero(mask):
+            t = texts[i]
+            f = memo.get(t)
+            if f is None:
+                f = fix_mojibake_str(t)
+                memo[t] = f
+            if f != t:
+                texts[i] = f
+                changed[i] = True
+        out = batch.set_column(
+            batch.schema.get_field_index(text_col),
+            text_col,
+            pa.array(texts, pa.string()),
+        )
+        return out.append_column(
+            flag_col, pa.array(changed.astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(fix, batch_format="pyarrow", zero_copy_batch=True)

@@ -1099,3 +1099,83 @@ def image_dhash_pairs(
     return hash64_hamming_pairs(
         hashed, id_col=id_col, hash_col="dhash64", max_hamming=max_hamming, emit=emit
     )
+
+
+def audio_fingerprint64(samples: np.ndarray) -> int:
+    """Haitsma-Kalker-style 64-bit audio fingerprint: 65 equal frames
+    (area bins), per-frame mean energy (float64 x²), bit i =
+    E[i+1] > E[i] — the energy-trajectory shape, not its level.
+    Invariant to uniform amplitude scaling (energies scale by c²,
+    every compare including equalities survives) and to exact
+    resampling by sample repetition; sensitive to actual content.
+    Fixed-order float64 ops — bit-deterministic."""
+    x = samples.astype(np.float64)
+    if len(x) == 0:
+        return 0
+    e = np.array([(x[b] ** 2).mean() for b in _axis_bins(len(x), 65)])
+    bits = e[1:] > e[:-1]
+    powers = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    return int((bits.astype(np.uint64) * powers).sum(dtype=np.uint64))
+
+
+class AudioFingerprint:
+    """Actor-pool stage: (id, payload:binary WAV) → (id,
+    afp64:uint64, error) — in-band fault isolation like ImageDHash."""
+
+    def __init__(self, media_col: str = "payload", id_col: str = "media_id"):
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        hashes, errs = [], []
+        for p in payloads:
+            try:
+                if _sniff(p or b"") != "wav":
+                    raise ValueError("not a WAV payload")
+                hashes.append(audio_fingerprint64(decode_wav(p)))
+                errs.append(None)
+            except Exception as ex:  # noqa: BLE001 — in-band fault channel
+                hashes.append(None)
+                errs.append(f"{type(ex).__name__}: {ex}")
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "afp64": pa.array(hashes, pa.uint64()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def audio_fingerprint_dups(
+    ds,
+    media_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 4,
+    emit: str = "pairs",
+    batch_size: int = 32,
+    concurrency=(1, 8),
+):
+    """Near-duplicate audio pairs: fingerprint every decodable clip in
+    an actor pool, then the same generic banded Hamming join as the
+    image path. Only (id, hash) rows shuffle. Output
+    (doc_a, doc_b, hamming), doc_a < doc_b."""
+    import pyarrow.compute as pc
+
+    from pdf_table_extractor_ray.stages.dedup import hash64_hamming_pairs
+
+    def drop_failed(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("afp64"))).select([id_col, "afp64"])
+
+    hashed = ds.map_batches(
+        AudioFingerprint,
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).map_batches(drop_failed, batch_format="pyarrow", zero_copy_batch=True)
+    return hash64_hamming_pairs(
+        hashed, id_col=id_col, hash_col="afp64", max_hamming=max_hamming, emit=emit
+    )
