@@ -404,6 +404,48 @@ def _q_image_thumbnails(sf_dir: str):
     ).sort("media_id")
 
 
+def _q_media_dedup_keep(sf_dir: str):
+    """Perceptual image dedup END-TO-END (multimodal.image_dedup_keep
+    — the media twin of near_dedup_keep_ids): the same planted corpus
+    as image_dhash_dups (every base image + a brightness-shifted copy
+    for ids % 5 == 0) flows pairs → star edges → distributed
+    connected components → drop non-roots; every copy's component
+    root is its base (min id), so the survivor set is EXACTLY the
+    base ids — the SQL oracle. Payloads never shuffle; the drop set
+    broadcasts (bounded by duplicate count)."""
+    from pdf_table_extractor_ray.stages.multimodal import (
+        encode_png,
+        encode_ppm,
+        image_dedup_keep,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids_out, payloads = [], []
+        for vid in b.column("vec_id").to_pylist():
+            rng = np.random.default_rng(9000 + int(vid))
+            base = rng.integers(0, 240, (18, 16, 3)).astype(np.uint8)
+            enc = encode_ppm if vid % 2 == 0 else encode_png
+            ids_out.append(int(vid))
+            payloads.append(enc(base))
+            if vid % 5 == 0:
+                ids_out.append(int(vid) + 10_000_000)
+                payloads.append(enc(base + 5))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    images = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    kept = image_dedup_keep(images, max_hamming=4)
+    return kept.map_batches(
+        lambda b: b.select(["media_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_audio_dup_pairs(sf_dir: str):
     """Perceptual audio near-dup with a SQL oracle
     (multimodal.audio_fingerprint64 + dedup.hash64_hamming_pairs —
@@ -10020,6 +10062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "blocklist_admission": _q_blocklist_admission,
         "mojibake_repair": _q_mojibake_repair,
         "audio_dup_pairs": _q_audio_dup_pairs,
+        "media_dedup_keep": _q_media_dedup_keep,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10582,6 +10625,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id AS doc_a, vec_id + 10000000 AS doc_b, "
             "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 4 = 0"
         ),
+        "media_dedup_keep": ("SELECT vec_id AS media_id FROM embeddings"),
         "mojibake_repair": (
             "SELECT doc_id, COALESCE(text, '') || ' café naïve — ação' AS text, "
             "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS was_broken "

@@ -1179,3 +1179,42 @@ def audio_fingerprint_dups(
     return hash64_hamming_pairs(
         hashed, id_col=id_col, hash_col="afp64", max_hamming=max_hamming, emit=emit
     )
+
+
+def image_dedup_keep(
+    images,
+    media_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 4,
+    broadcast_limit: int = 1_000_000,
+):
+    """Rows surviving perceptual image dedup — the media twin of
+    ``dedup.near_dedup_keep_ids``: dHash pairs (``emit="star"`` —
+    connectivity-equivalent spanning edges, linear output even when
+    one meme image floods the corpus) → distributed connected
+    components → drop every non-root. The drop set broadcasts when
+    small and becomes a hash-shuffle anti-join past
+    ``broadcast_limit`` — nothing O(corpus) touches the driver, and
+    payloads cross no exchange at any point (the hash stage projects
+    them away; the final drop filters the original dataset in place).
+    """
+    import pyarrow.compute as pc
+
+    from pdf_table_extractor_ray.stages.dedup import (
+        connected_components,
+        drop_by_ids,
+    )
+
+    pairs = image_dhash_pairs(
+        images, media_col=media_col, id_col=id_col, max_hamming=max_hamming, emit="star"
+    ).materialize()
+    if pairs.count() == 0:
+        return images
+    cc = connected_components(pairs)
+
+    def non_roots(b: pa.Table) -> pa.Table:
+        mask = pc.not_equal(b.column("node"), b.column("root"))
+        return pa.Table.from_arrays([b.column("node").filter(mask)], names=[id_col])
+
+    drop = cc.map_batches(non_roots, batch_format="pyarrow", zero_copy_batch=True)
+    return drop_by_ids(images, drop, id_col=id_col, broadcast_limit=broadcast_limit)

@@ -135,3 +135,49 @@ def test_image_dhash_pairs_e2e(ray_session):
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert got == {(i, i + 1000) for i in range(8) if i % 2 == 0}
     assert all(r["hamming"] == 0 for r in out)
+
+
+def test_image_dedup_keep_e2e(ray_session):
+    import ray
+
+    from pdf_table_extractor_ray.stages.multimodal import image_dedup_keep
+
+    ids, payloads = [], []
+    for i in range(6):
+        base = _img(200 + i)
+        ids.append(i)
+        payloads.append(encode_ppm(base))
+        if i < 2:  # two copies of image 0, one of image 1 → chain via CC
+            ids.append(i + 100)
+            payloads.append(encode_ppm(base + 5))
+            ids.append(i + 200)
+            payloads.append(encode_ppm(base + 10))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    kept = sorted(r["media_id"] for r in image_dedup_keep(ds).take_all())
+    assert kept == [0, 1, 2, 3, 4, 5]
+
+
+def test_image_dedup_keep_no_dups_passthrough(ray_session):
+    import ray
+
+    from pdf_table_extractor_ray.stages.multimodal import image_dedup_keep
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([7, 8], pa.int64()),
+                "payload": pa.array(
+                    [encode_ppm(_img(301)), encode_ppm(_img(302))], pa.binary()
+                ),
+            }
+        )
+    )
+    kept = sorted(r["media_id"] for r in image_dedup_keep(ds).take_all())
+    assert kept == [7, 8]
