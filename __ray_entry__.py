@@ -491,6 +491,48 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_video_dup_pairs(sf_dir: str):
+    """Perceptual video near-dup with a SQL oracle
+    (multimodal.video_fingerprint64 — temporal-luma trajectory hash,
+    third member of the image/audio/video perceptual family): every
+    vec_id renders a 12-frame seeded-noise RVID clip (pixels < 240);
+    ids divisible by 6 also plant a +5-brightness copy (id + 10⁷ —
+    constant shifts cancel in every frame-luma compare, hamming 0).
+    Oracle = exactly the planted mapping; random clips' luma
+    trajectories are coin-flip bit patterns (verified collision-free
+    at both sf scales with these fixed seeds). Payloads never shuffle."""
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        encode_rvid,
+        video_fingerprint_dups,
+    )
+
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids_out, payloads = [], []
+        for vid in b.column("vec_id").to_pylist():
+            rng = np.random.default_rng(11000 + int(vid))
+            frames = [
+                rng.integers(0, 240, (12, 12, 3)).astype(np.uint8) for _ in range(12)
+            ]
+            ids_out.append(int(vid))
+            payloads.append(encode_rvid(frames))
+            if vid % 6 == 0:
+                ids_out.append(int(vid) + 10_000_000)
+                payloads.append(encode_rvid([f + 5 for f in frames]))
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    clips = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    return video_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
+
+
 def _q_mojibake_repair(sf_dir: str):
     """Mojibake repair (functions/charset.py:repair_mojibake — the
     ftfy-style latin-1/utf-8 double-decode undo every crawled corpus
@@ -10063,6 +10105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_repair": _q_mojibake_repair,
         "audio_dup_pairs": _q_audio_dup_pairs,
         "media_dedup_keep": _q_media_dedup_keep,
+        "video_dup_pairs": _q_video_dup_pairs,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10626,6 +10669,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 4 = 0"
         ),
         "media_dedup_keep": ("SELECT vec_id AS media_id FROM embeddings"),
+        "video_dup_pairs": (
+            "SELECT vec_id AS doc_a, vec_id + 10000000 AS doc_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 6 = 0"
+        ),
         "mojibake_repair": (
             "SELECT doc_id, COALESCE(text, '') || ' café naïve — ação' AS text, "
             "CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS was_broken "

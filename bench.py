@@ -134,6 +134,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "trade_volume_pairs",  # r4: 4-table multi-fact join wave (2 shuffles)
         "session_conversion",  # r4: sessionize + within-session funnel
         "dsir_sample",  # r4: DSIR hashed-ngram models + Gumbel top-k select
+        "media_dedup_keep",  # r4: image decode+dHash actors, Hamming bands, CC drop
     ):
         t0 = time.time()
         res = qs[name](sf_dir)

@@ -1181,6 +1181,98 @@ def audio_fingerprint_dups(
     )
 
 
+def video_fingerprint64(payload: bytes) -> int:
+    """64-bit video fingerprint over the SPATIO-TEMPORAL luma field:
+    9 uniformly-sampled frames decode to 8 horizontal-band mean lumas
+    each (area bins over rows), and bit (f·8 + r) = band r of frame
+    f+1 > band r of frame f — 8 frame transitions × 8 regions, every
+    bit an independent content compare (a scalar-trajectory hash would
+    leave most bits structurally zero on short clips and flood the
+    Hamming join with collisions — measured 50k false pairs).
+    Invariant to uniform brightness shift (constant offsets cancel in
+    every compare) and to frame-rate doubling by repetition; clips
+    shorter than 9 frames repeat samples (those transition bits pin to
+    0 — degraded but deterministic). One container-index read + ≤9
+    frame decodes whatever the video length."""
+    n, _fps, offsets, lengths = _rvid_index(payload)
+    if n == 0:
+        return 0
+    idx = sample_frame_indices(n, 9)
+    if len(idx) < 9:  # short clip: repeat the uniform pick to 9
+        idx = idx[((np.arange(9) * len(idx)) // 9)]
+    luma_w = np.array([299.0, 587.0, 114.0]) / 1000.0
+    bands = np.empty((9, 8), np.float64)
+    for f, i in enumerate(idx):
+        gray = decode_ppm(payload[offsets[i] : offsets[i] + lengths[i]]).astype(np.float64) @ luma_w
+        for r, rows in enumerate(_axis_bins(gray.shape[0], 8)):
+            bands[f, r] = gray[rows].mean()
+    bits = (bands[1:] > bands[:-1]).ravel()
+    powers = np.left_shift(np.uint64(1), np.arange(63, -1, -1, dtype=np.uint64))
+    return int((bits.astype(np.uint64) * powers).sum(dtype=np.uint64))
+
+
+class VideoFingerprint:
+    """Actor-pool stage: (id, payload:binary RVID) → (id,
+    vfp64:uint64, error) — in-band fault isolation like ImageDHash."""
+
+    def __init__(self, media_col: str = "payload", id_col: str = "media_id"):
+        self.media_col = media_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.media_col).to_pylist()
+        hashes, errs = [], []
+        for p in payloads:
+            try:
+                hashes.append(video_fingerprint64(p or b""))
+                errs.append(None)
+            except Exception as ex:  # noqa: BLE001 — in-band fault channel
+                hashes.append(None)
+                errs.append(f"{type(ex).__name__}: {ex}")
+        return pa.table(
+            {
+                self.id_col: batch.column(self.id_col),
+                "vfp64": pa.array(hashes, pa.uint64()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+
+def video_fingerprint_dups(
+    ds,
+    media_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 4,
+    emit: str = "pairs",
+    batch_size: int = 8,
+    concurrency=(1, 8),
+):
+    """Near-duplicate video pairs — the third member of the perceptual
+    family (image dHash, audio fingerprint): temporal-luma hash per
+    clip in an actor pool (small batches — video payloads dominate
+    block memory), then the generic banded Hamming join. Only
+    (id, hash) rows shuffle."""
+    import pyarrow.compute as pc
+
+    from pdf_table_extractor_ray.stages.dedup import hash64_hamming_pairs
+
+    def drop_failed(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_valid(b.column("vfp64"))).select([id_col, "vfp64"])
+
+    hashed = ds.map_batches(
+        VideoFingerprint,
+        fn_constructor_kwargs={"media_col": media_col, "id_col": id_col},
+        batch_size=batch_size,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        num_cpus=1,
+    ).map_batches(drop_failed, batch_format="pyarrow", zero_copy_batch=True)
+    return hash64_hamming_pairs(
+        hashed, id_col=id_col, hash_col="vfp64", max_hamming=max_hamming, emit=emit
+    )
+
+
 def image_dedup_keep(
     images,
     media_col: str = "payload",

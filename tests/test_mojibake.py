@@ -115,3 +115,55 @@ def test_audio_fingerprint_dups_e2e(ray_session):
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert got == {(0, 1000), (2, 1002), (4, 1004)}
     assert all(r["hamming"] == 0 for r in out)
+
+
+def test_video_fingerprint_invariances():
+    from pdf_table_extractor_ray.stages.multimodal import (
+        encode_rvid,
+        video_fingerprint64,
+    )
+
+    rng = np.random.default_rng(42)
+    frames = [rng.integers(0, 240, (12, 12, 3)).astype(np.uint8) for _ in range(12)]
+    h = video_fingerprint64(encode_rvid(frames))
+    assert 0 <= h < 2**64
+    # uniform brightness shift cancels in every band compare
+    assert video_fingerprint64(encode_rvid([f + 5 for f in frames])) == h
+    # frame-rate doubling by repetition keeps the sampled trajectory
+    assert video_fingerprint64(encode_rvid([f for f in frames for _ in (0, 1)])) == h
+    # different content diverges
+    other = [rng.integers(0, 240, (12, 12, 3)).astype(np.uint8) for _ in range(12)]
+    assert bin(h ^ video_fingerprint64(encode_rvid(other))).count("1") > 8
+
+
+def test_video_fingerprint_dups_e2e(ray_session):
+    import ray
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        encode_rvid,
+        video_fingerprint_dups,
+    )
+
+    ids, payloads = [], []
+    for i in range(5):
+        rng = np.random.default_rng(500 + i)
+        frames = [rng.integers(0, 240, (12, 12, 3)).astype(np.uint8) for _ in range(12)]
+        ids.append(i)
+        payloads.append(encode_rvid(frames))
+        if i % 2 == 0:
+            ids.append(i + 1000)
+            payloads.append(encode_rvid([f + 5 for f in frames]))
+    ids.append(9999)  # undecodable payload must not kill the job
+    payloads.append(b"not a video")
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+    )
+    out = video_fingerprint_dups(ds, max_hamming=4, concurrency=(1, 2)).take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in out}
+    assert got == {(0, 1000), (2, 1002), (4, 1004)}
+    assert all(r["hamming"] == 0 for r in out)
