@@ -491,6 +491,34 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_jsonl_roundtrip(sf_dir: str):
+    """JSONL source/sink round-trip with a SQL oracle
+    (sources/jsonl.py — the interchange format corpus releases ship):
+    orders project → gzip JSONL shards (one per batch, atomic
+    publish, repr-shortest floats, ISO timestamps) → read back with
+    an EXPLICIT schema (one C++ parse per shard — no type inference
+    drift, no Python per line) → bit-identical to the plain parquet
+    projection including float64 totalprice and the timestamp column."""
+    import tempfile
+
+    from pdf_table_extractor_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+
+    ds = _read(
+        sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+    )
+    out_dir = tempfile.mkdtemp(prefix="jsonl_rt_", dir="/tmp")
+    write_jsonl_shards(ds, out_dir, compress=True)
+    schema = pa.schema(
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+        ]
+    )
+    return read_jsonl(out_dir, schema)
+
+
 def _q_video_dup_pairs(sf_dir: str):
     """Perceptual video near-dup with a SQL oracle
     (multimodal.video_fingerprint64 — temporal-luma trajectory hash,
@@ -10106,6 +10134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_dup_pairs": _q_audio_dup_pairs,
         "media_dedup_keep": _q_media_dedup_keep,
         "video_dup_pairs": _q_video_dup_pairs,
+        "jsonl_roundtrip": _q_jsonl_roundtrip,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10672,6 +10701,9 @@ def oracle_sql() -> dict[str, str]:
         "video_dup_pairs": (
             "SELECT vec_id AS doc_a, vec_id + 10000000 AS doc_b, "
             "CAST(0 AS BIGINT) AS hamming FROM embeddings WHERE vec_id % 6 = 0"
+        ),
+        "jsonl_roundtrip": (
+            "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
         ),
         "mojibake_repair": (
             "SELECT doc_id, COALESCE(text, '') || ' café naïve — ação' AS text, "
