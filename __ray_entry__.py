@@ -491,6 +491,39 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_incremental_crawl_dedup(sf_dir: str):
+    """Incremental dedup against a PERSISTED fingerprint index
+    (pipelines/incremental.py:dedup_against_index — the rolling-crawl
+    shape: today's fetch dedups against every previous run without
+    re-reading old payloads): run 1 = the even-id half of documents,
+    indexed; run 2 = the full corpus re-crawled. Survivors of run 2
+    are exactly the docs whose content hash is new to the index, min
+    id per hash within the run — the SQL oracle (DuckDB md5 == the
+    engine's hash). The index joins hash-partitioned (left anti),
+    never broadcast, never on the driver."""
+    import tempfile
+
+    from pdf_table_extractor_ray.pipelines.incremental import (
+        dedup_against_index,
+        dedup_index_append,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    index_dir = tempfile.mkdtemp(prefix="fp_index_", dir="/tmp")
+
+    def evens(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.equal(pc.bit_wise_and(b.column("doc_id"), pa.scalar(1)), pa.scalar(0))
+        )
+
+    day1 = ds.map_batches(evens, batch_format="pyarrow", zero_copy_batch=True)
+    dedup_index_append(day1, index_dir)
+    survivors = dedup_against_index(ds, index_dir)
+    return survivors.map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_jsonl_roundtrip(sf_dir: str):
     """JSONL source/sink round-trip with a SQL oracle
     (sources/jsonl.py — the interchange format corpus releases ship):
@@ -10135,6 +10168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_dedup_keep": _q_media_dedup_keep,
         "video_dup_pairs": _q_video_dup_pairs,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
+        "incremental_crawl_dedup": _q_incremental_crawl_dedup,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10704,6 +10738,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
+        ),
+        "incremental_crawl_dedup": (
+            "SELECT min(doc_id) AS doc_id FROM documents "
+            "WHERE md5(text) NOT IN "
+            "(SELECT md5(text) FROM documents WHERE doc_id % 2 = 0) "
+            "GROUP BY md5(text)"
         ),
         "mojibake_repair": (
             "SELECT doc_id, COALESCE(text, '') || ' café naïve — ação' AS text, "

@@ -236,3 +236,104 @@ def update_rollup(
         f.write(str(new_gen))
     os.replace(tmp, _current_path(store_dir))
     return snapshot
+
+
+# ---------------------------------------------------------------------------
+# incremental crawl dedup against a persisted fingerprint index
+
+
+def dedup_index_append(ds, index_dir: str, text_col: str = "text") -> None:
+    """Append ``ds``'s distinct content hashes to the on-disk
+    fingerprint index (one parquet shard per batch, atomic rename) —
+    the state a rolling crawl carries between runs. Index rows are
+    (content_md5) only; at 10^12 documents the index is a few TB of
+    hashes, hash-partitioned parquet the anti-join below can shuffle,
+    never anything a driver must hold."""
+    import uuid
+
+    import pyarrow.parquet as pq
+
+    from pdf_table_extractor_ray.stages.dedup import add_md5_batch
+
+    os.makedirs(index_dir, exist_ok=True)
+
+    def write_shard(batch: pa.Table) -> pa.Table:
+        b = add_md5_batch(batch, text_col)
+        hashes = b.select(["content_md5"])
+        import pyarrow.compute as pc
+
+        # per-batch distinct combiner — cross-batch dups are fine in
+        # the index (the anti-join is membership, not a count)
+        hashes = hashes.group_by("content_md5").aggregate([])
+        path = os.path.join(index_dir, f"fp-{uuid.uuid4().hex[:12]}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(hashes, tmp)
+        os.rename(tmp, path)
+        return pa.table({"n": pa.array([hashes.num_rows], pa.int64())})
+
+    ds.map_batches(write_shard, batch_format="pyarrow", zero_copy_batch=True).count()
+
+
+def dedup_against_index(
+    ds,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Incremental exact dedup — today's crawl against ALL previous
+    runs plus itself: (1) within-run keepers (min id per content
+    hash — one slim (hash, id) groupby), (2) LEFT ANTI hash-shuffle
+    join of the keepers' hashes against the persisted index (both
+    sides partition on the hash; the index never broadcasts and never
+    lands on the driver), (3) the surviving ids filter the full rows.
+    Returns the survivor Dataset; call ``dedup_index_append`` on it to
+    roll the index forward."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Min
+
+    from pdf_table_extractor_ray.stages.dedup import add_md5_batch, drop_by_ids
+    from pdf_table_extractor_ray.stages.joins import hash_shuffle_join
+
+    def project(batch: pa.Table) -> pa.Table:
+        b = add_md5_batch(batch, text_col)
+        return b.select(["content_md5", id_col])
+
+    keepers = (
+        ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("content_md5")
+        .aggregate(Min(id_col))
+    )
+
+    def tidy(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [b.column("content_md5"), pc.cast(b.column(f"min({id_col})"), pa.int64())],
+            names=["content_md5", id_col],
+        )
+
+    keepers = keepers.map_batches(tidy, batch_format="pyarrow")
+    index = ray.data.read_parquet(index_dir, columns=["content_md5"])
+    fresh = hash_shuffle_join(
+        keepers, index, on="content_md5", how="left_anti"
+    )
+
+    def ids_only(b: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays([b.column(id_col)], names=[id_col])
+
+    keep_ids = fresh.map_batches(ids_only, batch_format="pyarrow", zero_copy_batch=True)
+    # survivors = keep_ids ⋉ ds: reuse the adaptive filter in reverse —
+    # drop everything NOT kept via a keep-set semi filter
+    import ray as _ray
+
+    keep_tbl = keep_ids.materialize()
+    n_keep = keep_tbl.count()
+    if n_keep <= 1_000_000:
+        id_arr = pa.array([r[id_col] for r in keep_tbl.take_all()], pa.int64())
+        handle = _ray.put(id_arr)
+
+        def keep_filter(b: pa.Table) -> pa.Table:
+            wanted = _ray.get(handle)
+            return b.filter(pc.is_in(b.column(id_col), value_set=wanted))
+
+        return ds.map_batches(keep_filter, batch_format="pyarrow", zero_copy_batch=True)
+    return hash_shuffle_join(ds, keep_tbl, on=id_col, how="left_semi")

@@ -35,6 +35,11 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # (file, enclosing function) -> why this driver materialization is bounded
 TAKE_ALL_ALLOWLIST = {
+    (
+        "pdf_table_extractor_ray/pipelines/incremental.py",
+        "ids_only",
+    ): "dedup keep-id broadcast, guarded by the n_keep <= 1M count probe "
+    "(hash-shuffle semi join above it)",
     ("__ray_entry__.py", "partial_min"): "pruned partial-min scan for query vectors",
     ("__ray_entry__.py", "pick"): "k query vectors, bounded by k",
     (
