@@ -491,6 +491,47 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_corpus_prep_v6(sf_dir: str):
+    """Round-4 composite with the ingest-hardening front (pipelines/
+    corpus_prep.py:prepare_corpus_v6): every third page is BROKEN by
+    the latin-1/utf-8 mis-decode and a slice of pages gains blocklist
+    terms; v6 repairs the encodings (restoring dedup hash equality),
+    drops the flagged pages map-side, then runs the v5 pipeline
+    (template strip → NB gate → quality gates → dedup). One summary
+    row; the repair-restores-dedup interaction is pinned in pytest."""
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        corpus_v2_totals,
+        prepare_corpus_v6,
+    )
+
+    docs = _read(sf_dir, "documents", ["doc_id", "source", "lang", "text"])
+
+    def distort(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_pylist()
+        texts = b.column("text").to_pylist()
+        out = []
+        for i, t in zip(ids, texts):
+            t = t or ""
+            if i % 7 == 0:
+                t = f"{t} casino jackpot casino jackpot casino jackpot casino"
+            t = t + " résumé"
+            if i % 3 == 0:
+                t = t.encode("utf-8").decode("latin-1")
+            out.append(t)
+        return b.drop_columns(["text"]).append_column(
+            "text", pa.array(out, pa.string())
+        )
+
+    distorted = docs.map_batches(distort, batch_format="pyarrow", zero_copy_batch=True)
+    return corpus_v2_totals(
+        prepare_corpus_v6(
+            distorted,
+            blocklist_categories={"gambling": ["casino", "jackpot"]},
+            blocklist_max_hits=3,
+        )
+    )
+
+
 def _q_incremental_crawl_dedup(sf_dir: str):
     """Incremental dedup against a PERSISTED fingerprint index
     (pipelines/incremental.py:dedup_against_index — the rolling-crawl
@@ -10169,6 +10210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dup_pairs": _q_video_dup_pairs,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "incremental_crawl_dedup": _q_incremental_crawl_dedup,
+        "corpus_prep_v6": _q_corpus_prep_v6,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,

@@ -317,3 +317,43 @@ def prepare_corpus_v5(
     return prepare_corpus_v4(
         stripped.drop_columns(["n_template_lines"]), **v4_kwargs
     )
+
+
+def prepare_corpus_v6(
+    docs: "ray.data.Dataset",
+    blocklist_categories=None,
+    blocklist_max_hits: int = 3,
+    **v5_kwargs,
+) -> "ray.data.Dataset":
+    """Round-4 composite with the INGEST-HARDENING front stages:
+
+    1. **Mojibake repair** (functions/charset.py) — a latin-1/utf-8
+       double-decoded re-crawl of a clean page hashes DIFFERENTLY from
+       its original, so broken encodings defeat exact and chunk dedup
+       and leak duplicates through every downstream gate; repairing
+       first restores hash equality (pinned in pytest: a mojibake
+       re-crawl dedups away under v6 where v5 keeps both copies).
+    2. **Blocklist admission** (stages/blocklists.py) — the UT1-style
+       category word-list gate drops flagged pages BEFORE any
+       expensive stage (template mining, NB training, dedup shuffles
+       never see them).
+
+    Both stages are map-only; then the v5 pipeline runs (template
+    strip → NB label gate → entropy/compression → Gopher →
+    decontaminate → chunk-dedup). Returns v2's summary stream."""
+    from pdf_table_extractor_ray.functions.charset import repair_mojibake
+    from pdf_table_extractor_ray.stages.blocklists import blocklist_admit
+
+    repaired = repair_mojibake(docs)
+
+    def drop_flag(b: pa.Table) -> pa.Table:
+        return b.drop_columns(["was_broken"])
+
+    repaired = repaired.map_batches(
+        drop_flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if blocklist_categories:
+        repaired = blocklist_admit(
+            repaired, blocklist_categories, max_hits=blocklist_max_hits
+        )
+    return prepare_corpus_v5(repaired, **v5_kwargs)

@@ -167,3 +167,78 @@ def test_video_fingerprint_dups_e2e(ray_session):
     got = {(r["doc_a"], r["doc_b"]) for r in out}
     assert got == {(0, 1000), (2, 1002), (4, 1004)}
     assert all(r["hamming"] == 0 for r in out)
+
+
+def test_corpus_v6_repair_restores_dedup(ray_session):
+    """The v6 interaction that motivates repairing BEFORE dedup: a
+    mojibake re-crawl of a clean page hashes differently, so v5 keeps
+    both copies; v6 repairs first and the re-crawl dedups away."""
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.corpus_prep import (
+        prepare_corpus_v5,
+        prepare_corpus_v6,
+    )
+
+    rng = np.random.default_rng(31)
+    # accented vocabulary: the mis-decode then alters EVERY word, so
+    # no chunk of the broken re-crawl matches its original — chunk
+    # dedup alone cannot catch it, only repair-then-hash can
+    vocab = ["sóley", "mañana", "stjärna", "himmelsblå", "molnigt", "gryningen"]
+    rows = []
+    for i in range(30):
+        rows.append(
+            {
+                "doc_id": i,
+                "source": f"site{i % 3}",
+                "lang": "aa",
+                "text": " ".join(rng.choice(vocab, 40)),
+            }
+        )
+    # re-crawls of docs 0 and 1, broken by the classic mis-decode
+    for j, base in enumerate([0, 1]):
+        rows.append(
+            {
+                "doc_id": 100 + j,
+                "source": rows[base]["source"],
+                "lang": "aa",
+                "text": rows[base]["text"].encode("utf-8").decode("latin-1"),
+            }
+        )
+    from pdf_table_extractor_ray.pipelines.corpus_prep import prepare_corpus_v4
+
+    ds = ray.data.from_items(rows).repartition(3)
+    v5 = {r["doc_id"] for r in prepare_corpus_v5(ds).take_all()}
+    v6 = {r["doc_id"] for r in prepare_corpus_v6(ds).take_all()}
+    # v5 sees broken bytes as distinct content → re-crawls survive
+    assert {100, 101} <= v5
+    # v6 repairs first → re-crawls hash-equal their originals and the
+    # whole distorted corpus reduces to exactly the clean-corpus output
+    assert not ({100, 101} & v6)
+    clean = ray.data.from_items(rows[:30]).repartition(3)
+    v4_clean = {r["doc_id"] for r in prepare_corpus_v4(clean).take_all()}
+    assert v6 == v4_clean and len(v4_clean) >= 25
+
+
+def test_corpus_v6_blocklist_gate(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.pipelines.corpus_prep import prepare_corpus_v6
+
+    rng = np.random.default_rng(33)
+    vocab = ["sun", "moon", "star", "sky", "cloud", "dawn"]
+    rows = []
+    for i in range(20):
+        t = " ".join(rng.choice(vocab, 40))
+        if i == 5:
+            t += " casino jackpot casino jackpot casino jackpot casino"
+        rows.append({"doc_id": i, "source": "s", "lang": "aa", "text": t})
+    out = {
+        r["doc_id"]
+        for r in prepare_corpus_v6(
+            ray.data.from_items(rows).repartition(2),
+            blocklist_categories={"gambling": ["casino", "jackpot"]},
+            blocklist_max_hits=3,
+        ).take_all()
+    }
+    assert 5 not in out and len(out) >= 15
