@@ -491,6 +491,46 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_corpus_data_card(sf_dir: str):
+    """Corpus DATA CARD — the datasheet summary every corpus release
+    ships (docs, language/source diversity, size distribution, exact
+    dup mass) as one (metric, value) table, every number EXACT and
+    SQL-verified: counts via streaming aggregates, p50/p95 via the
+    slim (value, count) exact-quantile shuffle (distinct lengths
+    only — no raw-value sort), distinct-text count via the md5
+    groupby the dedup family already uses. Each metric is a scalar to
+    the driver; the corpus streams, nothing materializes."""
+    from ray.data.aggregate import Count
+
+    from pdf_table_extractor_ray.stages.dedup import exact_dedup_ids
+    from pdf_table_extractor_ray.stages.sketches import exact_quantile_disc
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+    n_docs = ds.count()
+    n_langs = ds.groupby("lang").aggregate(Count()).count()
+    n_sources = ds.groupby("source").aggregate(Count()).count()
+    total_chars = ds.sum("n_chars")
+    p50 = exact_quantile_disc(ds, "n_chars", 0.5)
+    p95 = exact_quantile_disc(ds, "n_chars", 0.95)
+    n_distinct = exact_dedup_ids(ds).count()
+    metrics = {
+        "n_docs": float(n_docs),
+        "n_langs": float(n_langs),
+        "n_sources": float(n_sources),
+        "total_chars": float(total_chars),
+        "p50_chars": float(p50),
+        "p95_chars": float(p95),
+        "n_distinct_texts": float(n_distinct),
+    }
+    names = sorted(metrics)
+    return pa.table(
+        {
+            "metric": pa.array(names, pa.string()),
+            "value": pa.array([metrics[n] for n in names], pa.float64()),
+        }
+    )
+
+
 def _q_corpus_prep_v6(sf_dir: str):
     """Round-4 composite with the ingest-hardening front (pipelines/
     corpus_prep.py:prepare_corpus_v6): every third page is BROKEN by
@@ -10211,6 +10251,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "incremental_crawl_dedup": _q_incremental_crawl_dedup,
         "corpus_prep_v6": _q_corpus_prep_v6,
+        "corpus_data_card": _q_corpus_data_card,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,
@@ -10780,6 +10821,22 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
+        ),
+        "corpus_data_card": (
+            "SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value "
+            "FROM documents "
+            "UNION ALL SELECT 'n_langs', CAST(count(DISTINCT lang) AS DOUBLE) "
+            "FROM documents "
+            "UNION ALL SELECT 'n_sources', CAST(count(DISTINCT source) AS DOUBLE) "
+            "FROM documents "
+            "UNION ALL SELECT 'total_chars', CAST(sum(n_chars) AS DOUBLE) "
+            "FROM documents "
+            "UNION ALL SELECT 'p50_chars', "
+            "CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) FROM documents "
+            "UNION ALL SELECT 'p95_chars', "
+            "CAST(quantile_disc(n_chars, 0.95) AS DOUBLE) FROM documents "
+            "UNION ALL SELECT 'n_distinct_texts', "
+            "CAST(count(DISTINCT md5(text)) AS DOUBLE) FROM documents"
         ),
         "incremental_crawl_dedup": (
             "SELECT min(doc_id) AS doc_id FROM documents "
