@@ -491,6 +491,37 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_unigram_pieces(sf_dir: str):
+    """Unigram-LM tokenizer TRAINING (stages/unigram_lm.py — Kudo
+    2018, the SentencePiece algorithm; the probabilistic sibling of
+    the greedy BPE trainer in bpe_merges): EM over the distributed
+    (word, count) table with the bounded piece vocabulary broadcast
+    per round, coverage-guaranteed single chars, gradual pruning to
+    the target size. Returns the (piece, logp) model table. Rows-only
+    (float probabilities fold in block order); single-process EM
+    parity is pinned in pytest at rel 1e-9."""
+    from pdf_table_extractor_ray.stages.unigram_lm import train_unigram
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return train_unigram(ds, vocab_size=96, n_rounds=3, seed_k=512)
+
+
+def _q_unigram_doc_tokens(sf_dir: str):
+    """Viterbi tokenization under the trained unigram model: train on
+    the corpus (bounded vocab), broadcast once, per-batch memo over
+    distinct words keeps the DP off repeated tokens. (doc_id,
+    n_pieces); rows-only with determinism anchored by the pytest
+    parity suite."""
+    from pdf_table_extractor_ray.stages.unigram_lm import (
+        train_unigram,
+        unigram_token_counts,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab = train_unigram(ds, vocab_size=96, n_rounds=3, seed_k=512)
+    return unigram_token_counts(ds, vocab)
+
+
 def _q_corpus_data_card(sf_dir: str):
     """Corpus DATA CARD — the datasheet summary every corpus release
     ships (docs, language/source diversity, size distribution, exact
@@ -10252,6 +10283,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "incremental_crawl_dedup": _q_incremental_crawl_dedup,
         "corpus_prep_v6": _q_corpus_prep_v6,
         "corpus_data_card": _q_corpus_data_card,
+        "unigram_pieces": _q_unigram_pieces,
+        "unigram_doc_tokens": _q_unigram_doc_tokens,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
         "urgent_bigticket": _q_urgent_bigticket,

@@ -1,0 +1,346 @@
+"""Unigram-LM tokenizer training (Kudo 2018, the SentencePiece
+algorithm) — the second tokenizer-trainer rung next to the BPE merge
+learner in ``stages/bpe.py``: instead of greedy merges, a probabilistic
+piece vocabulary is fit by EM over a piece-segmentation lattice and
+pruned toward the target size; segmentation is then Viterbi.
+
+Distributed shape (the SentencePiece word-counting optimization):
+
+- the corpus collapses ONCE to a distributed ``(word, count)`` table —
+  pieces never cross whitespace, so every EM statistic is a
+  count-weighted sum over DISTINCT words (the typo tail stays
+  distributed; nothing O(corpus) or O(distinct-words) ever lands on
+  the driver),
+- seed vocabulary = the ``seed_k`` most frequent word-internal
+  substrings (map-side combiner → one slim groupby-Sum → partial
+  top-k merge) plus every observed character (coverage guarantee),
+- each EM round: the BOUNDED piece table broadcasts via ``ray.put``;
+  one ``map_batches`` pass over the word table runs the
+  forward-backward lattice per distinct word (Python per word — the
+  lattice is an irreducibly sequential ≤40-cell DP, the same
+  per-record-parser shape as the extraction actors) and pre-aggregates
+  expected piece counts per batch; one slim ``groupby(piece).Sum``
+  folds them; the M-step renormalizes the bounded table on the driver
+  and prunes the weakest non-char pieces (20% per round) until
+  ``vocab_size`` remains.
+
+Float caveat (documented): expected counts are float64 sums folded in
+block order, so piece probabilities are deterministic only up to
+summation order — parity tests use ``allclose`` against a
+single-process reference (same contract as the logreg trainer).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+_NEG_INF = float("-inf")
+
+
+def word_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+    """Distributed (word, n) over whitespace tokens — map-side
+    np.unique combiner, one slim groupby-Sum."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flat = pc.split_pattern_regex(
+            pc.fill_null(batch.column(text_col), ""), r"\s+"
+        )
+        words = pc.list_flatten(flat)
+        words = words.filter(pc.not_equal(words, ""))
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        enc = words.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table(
+            {
+                "word": enc.dictionary,
+                "n_part": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("word")
+        .aggregate(Sum("n_part"))
+    )
+    return agg.map_batches(
+        lambda b: pa.Table.from_arrays(
+            [b.column("word"), pc.cast(b.column("sum(n_part)"), pa.int64())],
+            names=["word", "n"],
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def _seed_vocab(
+    words: "ray.data.Dataset", max_piece_len: int, seed_k: int
+) -> List[str]:
+    """Most frequent word-internal substrings (len 2..max_piece_len)
+    plus EVERY observed character — the coverage guarantee that keeps
+    all words segmentable."""
+    from ray.data.aggregate import Sum
+
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    def subs(batch: pa.Table) -> pa.Table:
+        acc: Dict[str, int] = {}
+        for w, n in zip(
+            batch.column("word").to_pylist(), batch.column("n").to_pylist()
+        ):
+            L = len(w)
+            for i in range(L):
+                for j in range(i + 1, min(i + max_piece_len, L) + 1):
+                    s = w[i:j]
+                    acc[s] = acc.get(s, 0) + n
+        if not acc:
+            return pa.table(
+                {"piece": pa.array([], pa.string()), "c": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "piece": pa.array(list(acc.keys()), pa.string()),
+                "c": pa.array(list(acc.values()), pa.int64()),
+            }
+        )
+
+    counted = (
+        words.map_batches(subs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("piece")
+        .aggregate(Sum("c"))
+        .map_batches(
+            lambda b: pa.Table.from_arrays(
+                [b.column("piece"), pc.cast(b.column("sum(c)"), pa.int64())],
+                names=["piece", "c"],
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    chars_tbl = counted.map_batches(
+        lambda b: b.filter(pc.equal(pc.utf8_length(b.column("piece")), 1)),
+        batch_format="pyarrow",
+    )
+    multi = counted.map_batches(
+        lambda b: b.filter(pc.greater(pc.utf8_length(b.column("piece")), 1)),
+        batch_format="pyarrow",
+    )
+    top = global_top_k(multi, [("c", "descending"), ("piece", "ascending")], seed_k)
+    pieces = [r["piece"] for r in top.take_all()]
+    # char set is bounded by the script's alphabet — driver-safe
+    pieces += [r["piece"] for r in chars_tbl.take_all()]
+    return sorted(set(pieces))
+
+
+def _lattice_counts(
+    word: str, n: int, piece_ids: Dict[str, int], logp: np.ndarray, max_len: int
+) -> Tuple[Dict[int, float], float]:
+    """Forward-backward expected piece counts for one word, weighted by
+    its corpus count ``n``. Returns ({piece_id: expected}, loglik·n)."""
+    L = len(word)
+    alpha = [_NEG_INF] * (L + 1)
+    alpha[0] = 0.0
+    arcs: List[List[Tuple[int, int]]] = [[] for _ in range(L + 1)]  # end → [(start, pid)]
+    for i in range(L):
+        if alpha[i] == _NEG_INF:
+            continue
+        for j in range(i + 1, min(i + max_len, L) + 1):
+            pid = piece_ids.get(word[i:j])
+            if pid is None:
+                continue
+            arcs[j].append((i, pid))
+            v = alpha[i] + logp[pid]
+            if alpha[j] == _NEG_INF:
+                alpha[j] = v
+            else:
+                m = max(alpha[j], v)
+                alpha[j] = m + math.log(math.exp(alpha[j] - m) + math.exp(v - m))
+    if alpha[L] == _NEG_INF:  # unsegmentable (unseen char) — skip
+        return {}, 0.0
+    beta = [_NEG_INF] * (L + 1)
+    beta[L] = 0.0
+    for j in range(L, 0, -1):
+        if beta[j] == _NEG_INF:
+            continue
+        for i, pid in arcs[j]:
+            v = beta[j] + logp[pid]
+            if beta[i] == _NEG_INF:
+                beta[i] = v
+            else:
+                m = max(beta[i], v)
+                beta[i] = m + math.log(math.exp(beta[i] - m) + math.exp(v - m))
+    z = alpha[L]
+    out: Dict[int, float] = {}
+    for j in range(1, L + 1):
+        for i, pid in arcs[j]:
+            if alpha[i] == _NEG_INF or beta[j] == _NEG_INF:
+                continue
+            e = math.exp(alpha[i] + logp[pid] + beta[j] - z) * n
+            out[pid] = out.get(pid, 0.0) + e
+    return out, z * n
+
+
+def train_unigram(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    max_piece_len: int = 6,
+    n_rounds: int = 4,
+    seed_k: int = 2048,
+    prune_frac: float = 0.2,
+) -> pa.Table:
+    """EM-train the unigram piece vocabulary; returns a (piece, logp)
+    table sorted by piece. Single-char pieces are never pruned
+    (coverage); pruning drops the lowest-probability multi-char
+    pieces each round until ``vocab_size`` remain."""
+    from ray.data.aggregate import Sum
+
+    words = word_counts(ds, text_col).materialize()
+    pieces = _seed_vocab(words, max_piece_len, seed_k)
+    logp = np.full(len(pieces), -math.log(max(len(pieces), 1)))
+
+    for _ in range(n_rounds):
+        piece_ids = {p: i for i, p in enumerate(pieces)}
+        handle = ray.put((piece_ids, logp, max_piece_len))
+
+        def e_step(batch: pa.Table) -> pa.Table:
+            ids_map, lp, mx = ray.get(handle)
+            acc: Dict[int, float] = {}
+            for w, n in zip(
+                batch.column("word").to_pylist(), batch.column("n").to_pylist()
+            ):
+                counts, _ll = _lattice_counts(w, n, ids_map, lp, mx)
+                for pid, e in counts.items():
+                    acc[pid] = acc.get(pid, 0.0) + e
+            if not acc:
+                return pa.table(
+                    {"pid": pa.array([], pa.int64()), "e": pa.array([], pa.float64())}
+                )
+            return pa.table(
+                {
+                    "pid": pa.array(list(acc.keys()), pa.int64()),
+                    "e": pa.array(list(acc.values()), pa.float64()),
+                }
+            )
+
+        agg = (
+            words.map_batches(e_step, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pid")
+            .aggregate(Sum("e"))
+            .take_all()
+        )  # bounded: ≤ |pieces| rows
+        expected = np.zeros(len(pieces))
+        for r in agg:
+            expected[int(r["pid"])] = float(r["sum(e)"])
+        total = expected.sum()
+        if total <= 0:
+            break
+        with np.errstate(divide="ignore"):
+            logp = np.where(expected > 0, np.log(expected / total), -1e9)
+        # prune weakest multi-char pieces toward vocab_size: a fixed
+        # fraction per round (gradual, SentencePiece-style), never
+        # below the target
+        multi = [i for i, p in enumerate(pieces) if len(p) > 1]
+        n_chars = len(pieces) - len(multi)
+        target_multi = max(vocab_size - n_chars, 0)
+        excess = len(multi) - target_multi
+        if excess > 0:
+            drop_n = min(max(int(len(multi) * prune_frac), 1), excess)
+            order = sorted(multi, key=lambda i: (logp[i], pieces[i]))
+            dropped = set(order[:drop_n])
+            keep = [i for i in range(len(pieces)) if i not in dropped]
+            pieces = [pieces[i] for i in keep]
+            logp = logp[keep]
+
+    # final cut to the exact target (keep the strongest multi pieces)
+    multi = [i for i, p in enumerate(pieces) if len(p) > 1]
+    n_chars = len(pieces) - len(multi)
+    target_multi = max(vocab_size - n_chars, 0)
+    if len(multi) > target_multi:
+        order = sorted(multi, key=lambda i: (-logp[i], pieces[i]))
+        keep_multi = set(order[:target_multi])
+        keep = [i for i in range(len(pieces)) if len(pieces[i]) == 1 or i in keep_multi]
+        pieces = [pieces[i] for i in keep]
+        logp = logp[keep]
+
+    order = np.argsort(np.asarray(pieces, dtype=object))
+    return pa.table(
+        {
+            "piece": pa.array([pieces[i] for i in order], pa.string()),
+            "logp": pa.array(logp[order], pa.float64()),
+        }
+    )
+
+
+def viterbi_segment(word: str, piece_ids: Dict[str, int], logp: np.ndarray, max_len: int) -> List[str]:
+    """Best segmentation of one word under the trained model (ties
+    break toward the LONGER piece at the same end, deterministic)."""
+    L = len(word)
+    best = [_NEG_INF] * (L + 1)
+    back: List[int] = [0] * (L + 1)
+    best[0] = 0.0
+    for j in range(1, L + 1):
+        for i in range(max(j - max_len, 0), j):
+            if best[i] == _NEG_INF:
+                continue
+            pid = piece_ids.get(word[i:j])
+            if pid is None:
+                continue
+            v = best[i] + logp[pid]
+            if v > best[j] or (v == best[j] and i < back[j]):
+                best[j] = v
+                back[j] = i
+    if best[L] == _NEG_INF:
+        return [word]  # unsegmentable → surface whole word as UNK
+    out = []
+    j = L
+    while j > 0:
+        i = back[j]
+        out.append(word[i:j])
+        j = i
+    return out[::-1]
+
+
+def unigram_token_counts(
+    ds: "ray.data.Dataset",
+    vocab: pa.Table,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_piece_len: int = 6,
+) -> "ray.data.Dataset":
+    """(doc_id, n_pieces) — Viterbi-tokenize every document under the
+    broadcast trained vocabulary (bounded table, one ray.put); per-
+    batch memo over distinct words keeps the DP off repeated tokens."""
+    pieces = vocab.column("piece").to_pylist()
+    logp = vocab.column("logp").to_numpy(zero_copy_only=False)
+    handle = ray.put(({p: i for i, p in enumerate(pieces)}, logp))
+
+    def count(batch: pa.Table) -> pa.Table:
+        ids_map, lp = ray.get(handle)
+        memo: Dict[str, int] = {}
+        out = []
+        for t in pc.fill_null(batch.column(text_col), "").to_pylist():
+            n = 0
+            for w in t.split():
+                k = memo.get(w)
+                if k is None:
+                    k = len(viterbi_segment(w, ids_map, lp, max_piece_len))
+                    memo[w] = k
+                n += k
+            out.append(n)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "n_pieces": pa.array(out, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", zero_copy_batch=True)

@@ -40,6 +40,16 @@ TAKE_ALL_ALLOWLIST = {
         "ids_only",
     ): "dedup keep-id broadcast, guarded by the n_keep <= 1M count probe "
     "(hash-shuffle semi join above it)",
+    (
+        "pdf_table_extractor_ray/stages/unigram_lm.py",
+        "subs",
+    ): "seed vocabulary: top-k substring pieces (bounded by seed_k) plus "
+    "the observed character set (bounded by the script's alphabet)",
+    (
+        "pdf_table_extractor_ray/stages/unigram_lm.py",
+        "e_step",
+    ): "EM expected-count table, bounded by the piece vocabulary "
+    "(<= seed_k + alphabet rows per round)",
     ("__ray_entry__.py", "partial_min"): "pruned partial-min scan for query vectors",
     ("__ray_entry__.py", "pick"): "k query vectors, bounded by k",
     (
