@@ -491,6 +491,20 @@ def _q_audio_dup_pairs(sf_dir: str):
     return audio_fingerprint_dups(clips, max_hamming=4, concurrency=(1, 4))
 
 
+def _q_order_price_quantiles_kll(sf_dir: str):
+    """ONE-PASS KLL rank-quantile sketch (stages/kll.py — Karnin-Lang-
+    Liberty 2016) over o_totalprice: the complement of the existing
+    two-pass histogram sketch (no min/max pre-scan, rank-space ±ε·n
+    error immune to heavy tails). Per-batch sketches → 64-bucket
+    re-compaction merge → ≤64 KB-scale sketches to the driver; the
+    value column never shuffles. Rows-only; the ε bound and merge
+    parity are pinned in pytest across uniform/Pareto/sorted inputs."""
+    from pdf_table_extractor_ray.stages.kll import kll_quantiles
+
+    ds = _read(sf_dir, "orders", ["o_totalprice"])
+    return kll_quantiles(ds, "o_totalprice", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
+
+
 def _q_unigram_pieces(sf_dir: str):
     """Unigram-LM tokenizer TRAINING (stages/unigram_lm.py — Kudo
     2018, the SentencePiece algorithm; the probabilistic sibling of
@@ -10284,6 +10298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_prep_v6": _q_corpus_prep_v6,
         "corpus_data_card": _q_corpus_data_card,
         "unigram_pieces": _q_unigram_pieces,
+        "order_price_quantiles_kll": _q_order_price_quantiles_kll,
         "unigram_doc_tokens": _q_unigram_doc_tokens,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,

@@ -41,6 +41,11 @@ TAKE_ALL_ALLOWLIST = {
     ): "dedup keep-id broadcast, guarded by the n_keep <= 1M count probe "
     "(hash-shuffle semi join above it)",
     (
+        "pdf_table_extractor_ray/stages/kll.py",
+        "merge_bucket",
+    ): "final KLL merge input: <= 64 bucket sketches x k*log(n/k) "
+    "retained items each (KB-scale whatever the corpus)",
+    (
         "pdf_table_extractor_ray/stages/unigram_lm.py",
         "subs",
     ): "seed vocabulary: top-k substring pieces (bounded by seed_k) plus "
