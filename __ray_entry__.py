@@ -505,6 +505,19 @@ def _q_order_price_quantiles_kll(sf_dir: str):
     return kll_quantiles(ds, "o_totalprice", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_value_quantiles_by_type_kll(sf_dir: str):
+    """PER-KEY one-pass KLL quantiles (stages/kll.py:kll_quantiles_by)
+    over event values by type — each key carries its own adaptive
+    support (the global-bin histogram sketch collapses when key ranges
+    diverge; pinned in pytest with a 10⁹-scale separation test). One
+    slim (key, sketch-item) shuffle; quantiles answered inside the
+    key's group, nothing to the driver. Rows-only; ε bound in pytest."""
+    from pdf_table_extractor_ray.stages.kll import kll_quantiles_by
+
+    ds = _read(sf_dir, "events", ["event_type", "value"])
+    return kll_quantiles_by(ds, "event_type", "value", qs=(0.25, 0.5, 0.9))
+
+
 def _q_unigram_pieces(sf_dir: str):
     """Unigram-LM tokenizer TRAINING (stages/unigram_lm.py — Kudo
     2018, the SentencePiece algorithm; the probabilistic sibling of
@@ -10299,6 +10312,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_data_card": _q_corpus_data_card,
         "unigram_pieces": _q_unigram_pieces,
         "order_price_quantiles_kll": _q_order_price_quantiles_kll,
+        "value_quantiles_by_type_kll": _q_value_quantiles_by_type_kll,
         "unigram_doc_tokens": _q_unigram_doc_tokens,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,

@@ -208,3 +208,89 @@ def kll_quantiles(
             "value": pa.array([final.quantile(q) for q in qs], pa.float64()),
         }
     )
+
+
+def kll_quantiles_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    col: str,
+    qs=(0.25, 0.5, 0.75, 0.95),
+    k: int = DEFAULT_K,
+) -> "ray.data.Dataset":
+    """PER-KEY one-pass quantiles: (key, q, value) rows.
+
+    This is where rank-space sketches earn their keep over the
+    histogram ``approx_quantiles_by``: that sketch bins every key into
+    the same GLOBAL [min, max] edges, so two keys whose value ranges
+    differ by orders of magnitude share a handful of useful bins and
+    the narrow key's quantiles collapse. A per-key KLL carries its own
+    adaptive support (±ε·n_key rank error regardless of scale).
+
+    Shape: per batch, one KLL per key present (bounded by the batch's
+    key count), emitted as slim (key, sketch_id, level, value, n)
+    rows; ONE ``groupby(key)`` co-locates a key's partial sketches and
+    the group UDF merges them and answers the quantiles directly —
+    nothing returns to the driver, raw values never shuffle (only
+    retained sketch items, sub-linear in n)."""
+    import uuid
+
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        x = pc.cast(batch.column(col), pa.float64()).to_numpy(zero_copy_only=False)
+        enc = keys.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        out_key, out_lv, out_v, out_n, out_sid = [], [], [], [], []
+        for c in np.unique(codes):
+            s = KLL(k)
+            s.update_many(x[codes == c])
+            kv = enc.dictionary[int(c)].as_py()
+            sid = uuid.uuid4().int & ((1 << 62) - 1)
+            for i, buf in enumerate(s.levels):
+                out_key.extend([kv] * len(buf))
+                out_lv.extend([i] * len(buf))
+                out_v.extend(buf)
+                out_n.extend([s.n] * len(buf))
+                out_sid.extend([sid] * len(buf))
+        return pa.table(
+            {
+                key_col: pa.array(out_key),
+                "sketch_id": pa.array(out_sid, pa.int64()),
+                "level": pa.array(out_lv, pa.int64()),
+                "value": pa.array(out_v, pa.float64()),
+                "n_rows": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    def merge_key(group: pa.Table) -> pa.Table:
+        if group.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([]),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], pa.float64()),
+                }
+            )
+        sid = group.column("sketch_id").to_numpy(zero_copy_only=False)
+        lv = group.column("level").to_numpy(zero_copy_only=False)
+        vals = group.column("value").to_numpy(zero_copy_only=False)
+        nr = group.column("n_rows").to_numpy(zero_copy_only=False)
+        merged = KLL(k)
+        for s_id in np.unique(sid):
+            m = sid == s_id
+            merged.merge(KLL.from_rows(lv[m], vals[m], int(nr[m][0]), k))
+        kv = group.column(key_col)[0].as_py()
+        return pa.table(
+            {
+                key_col: pa.array([kv] * len(qs)),
+                "q": pa.array(list(qs), pa.float64()),
+                "value": pa.array([merged.quantile(q) for q in qs], pa.float64()),
+            }
+        )
+
+    return (
+        ds.map_batches(sketch_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(key_col)
+        .map_groups(merge_key, batch_format="pyarrow")
+    )

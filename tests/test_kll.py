@@ -78,3 +78,49 @@ def test_distributed_empty(ray_session):
     ds = ray.data.from_arrow(pa.table({"v": pa.array([], pa.float64())}))
     out = kll_quantiles(ds, "v", qs=(0.5,))
     assert np.isnan(out.column("value").to_pylist()[0])
+
+
+def test_per_key_kll_scale_separation(ray_session):
+    """The case the global-bin histogram sketch cannot handle: two
+    keys whose ranges differ by 9 orders of magnitude each keep their
+    own rank accuracy."""
+    import ray
+
+    from pdf_table_extractor_ray.stages.kll import kll_quantiles_by
+
+    rng = np.random.default_rng(13)
+    a = rng.uniform(0, 1, 30_000)
+    b = rng.pareto(1.2, 30_000) * 1e9
+    tbl = pa.table(
+        {
+            "k": pa.array(["a"] * len(a) + ["b"] * len(b), pa.string()),
+            "v": pa.array(np.concatenate([a, b]), pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(12)
+    out = kll_quantiles_by(ds, "k", "v", qs=(0.1, 0.5, 0.9)).take_all()
+    got = {(r["k"], r["q"]): r["value"] for r in out}
+    assert len(got) == 6
+    for key, data in (("a", a), ("b", b)):
+        for q in (0.1, 0.5, 0.9):
+            est = got[(key, q)]
+            true_rank = (data <= est).mean()
+            assert abs(true_rank - q) < 0.03, (key, q, true_rank)
+
+
+def test_per_key_kll_small_groups_exact(ray_session):
+    import ray
+
+    from pdf_table_extractor_ray.stages.kll import kll_quantiles_by
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["x"] * 5 + ["y"] * 3, pa.string()),
+            "v": pa.array([1.0, 2, 3, 4, 5, 10, 20, 30], pa.float64()),
+        }
+    )
+    out = kll_quantiles_by(
+        ray.data.from_arrow(tbl).repartition(2), "k", "v", qs=(0.5,)
+    ).take_all()
+    got = {r["k"]: r["value"] for r in out}
+    assert got["x"] == 3.0 and got["y"] == 20.0
