@@ -80,15 +80,16 @@ def decode_html(payload) -> str:
 # ---------------------------------------------------------------------------
 # mojibake repair (ftfy-style, the latin-1/utf-8 double-decode case)
 
-# a latin-1-decoded UTF-8 sequence: 2-byte lead U+00C2-U+00DF or
-# 3-byte lead U+00E0-U+00EF followed by continuation chars U+0080-
-# U+00BF (e.g. "Ã©" for é, "â" for ').
+# a latin-1-decoded UTF-8 sequence: 2-byte lead U+00C2-U+00DF,
+# 3-byte lead U+00E0-U+00EF, or 4-byte lead U+00F0-U+00F4 (emoji /
+# astral plane) followed by continuation chars U+0080-U+00BF (e.g. "Ã©" for é, "â" for ').
 # Natural Latin-script text never places C1 controls (U+0080-U+009F)
 # after an accented letter, and the strict round-trip below rejects
 # the rare U+00A0-U+00BF false positives.
 _MOJIBAKE_RE_STR = (
     "[\u00c2-\u00df][\u0080-\u00bf]"
     "|[\u00e0-\u00ef][\u0080-\u00bf]{2}"
+    "|[\u00f0-\u00f4][\u0080-\u00bf]{3}"
 )
 _MOJIBAKE_RE = re.compile(_MOJIBAKE_RE_STR)
 

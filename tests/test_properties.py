@@ -159,3 +159,94 @@ def test_vectorized_money_matches_scalar_arbitrary(text):
         assert got is None
     else:
         assert got == want
+
+
+# ---------------------------------------------------------------------------
+# round-4 kernels: mojibake repair, dHash, markdown, KLL
+
+
+@given(s=hs.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_mojibake_repair_inverts_break_property(s):
+    """For any CLEAN text (one the repair would leave alone — text
+    that itself reads as valid mojibake is inherently ambiguous, the
+    same limit ftfy documents), breaking via the latin-1 mis-decode
+    then repairing returns the original."""
+    from pdf_table_extractor_ray.functions.charset import fix_mojibake_str
+
+    if fix_mojibake_str(s) != s:
+        return  # input is indistinguishable from mojibake — ambiguous
+    broken = s.encode("utf-8").decode("latin-1")
+    if broken == s:  # ASCII: break is identity, nothing to repair
+        assert fix_mojibake_str(s) == s
+    else:
+        assert fix_mojibake_str(broken) == s
+
+
+@given(s=hs.text(max_size=200))
+@settings(max_examples=300, deadline=None)
+def test_mojibake_repair_never_corrupts_irreversibly(s):
+    """Repair of arbitrary (possibly clean) text either leaves it
+    unchanged or performs a round-trip that re-breaks to the input —
+    it can never invent content."""
+    from pdf_table_extractor_ray.functions.charset import fix_mojibake_str
+
+    fixed = fix_mojibake_str(s, max_passes=1)
+    if fixed != s:
+        assert fixed.encode("utf-8").decode("latin-1") == s
+
+
+@given(
+    seed=hs.integers(min_value=0, max_value=2**31),
+    shift=hs.integers(min_value=0, max_value=15),
+)
+@settings(max_examples=100, deadline=None)
+def test_dhash_shift_invariance_property(seed, shift):
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.multimodal import dhash64
+
+    img = np.random.default_rng(seed).integers(0, 240, (18, 16, 3)).astype(np.uint8)
+    assert dhash64(img) == dhash64(img + np.uint8(shift))
+
+
+@given(s=hs.text(alphabet=hs.characters(blacklist_categories=("Cs",)), max_size=100))
+@settings(max_examples=200, deadline=None)
+def test_markdown_idempotent_collapse_property(s):
+    """Rendering a paragraph twice through the collapse is a fixed
+    point: md(md-output wrapped in <p>) == md-output, whenever the
+    output is plain text (no markdown control chars introduced)."""
+    import html as html_mod
+
+    from pdf_table_extractor_ray.stages.markdown import html_bytes_to_markdown
+
+    once = html_bytes_to_markdown(
+        ("<p>" + html_mod.escape(s) + "</p>").encode("utf-8")
+    )
+    again = html_bytes_to_markdown(
+        ("<p>" + html_mod.escape(once) + "</p>").encode("utf-8")
+    )
+    assert again == once
+
+
+@given(
+    vals=hs.lists(
+        hs.floats(allow_nan=False, allow_infinity=False, width=32),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_kll_small_inputs_exact_property(vals):
+    """Below the sketch capacity KLL is EXACT: its q-quantile is an
+    element whose rank brackets q·n."""
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.kll import KLL
+
+    s = KLL(k=512)
+    s.update_many(np.asarray(vals, np.float64))
+    data = np.sort(np.asarray(vals, np.float64))
+    for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+        est = s.quantile(q)
+        assert est in data
