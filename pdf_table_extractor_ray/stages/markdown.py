@@ -244,7 +244,10 @@ def html_bytes_to_markdown(payload: bytes) -> str:
 
 
 class DomMarkdown:
-    """Actor-pool stage: (url, html:binary) → (url, markdown, n_chars).
+    """Actor-pool stage: (url, html:binary) → (url, markdown, n_chars,
+    error). Per-document fault isolation is IN-BAND (the engine-wide
+    convention): a pathological page (e.g. nesting past the recursion
+    limit) yields a null markdown + error string, never a dead task.
 
     Stateless per document but held in an actor pool like the other
     DOM stages so the (cheap) parser/renderer setup amortizes and the
@@ -258,12 +261,22 @@ class DomMarkdown:
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column(self.url_col).to_pylist()
         payloads = batch.column(self.html_col).to_pylist()
-        mds = [html_bytes_to_markdown(p or b"") for p in payloads]
+        mds, errs = [], []
+        for p in payloads:
+            try:
+                mds.append(html_bytes_to_markdown(p or b""))
+                errs.append(None)
+            except Exception as ex:  # noqa: BLE001 — in-band fault channel
+                mds.append(None)
+                errs.append(f"{type(ex).__name__}: {ex}")
         return pa.table(
             {
                 "url": pa.array(urls, pa.string()),
                 "markdown": pa.array(mds, pa.string()),
-                "n_chars": pa.array([len(m) for m in mds], pa.int64()),
+                "n_chars": pa.array(
+                    [len(m) if m is not None else 0 for m in mds], pa.int64()
+                ),
+                "error": pa.array(errs, pa.string()),
             }
         )
 

@@ -95,3 +95,21 @@ def test_actor_stage(ray_session):
     assert rows["u1"]["markdown"] == "## A\n\nb"
     assert rows["u2"]["markdown"] == "*c*"
     assert rows["u2"]["n_chars"] == 3
+
+
+def test_actor_stage_fault_isolation(ray_session):
+    import ray
+    import sys
+
+    deep = ("<div>" * (sys.getrecursionlimit() + 200)).encode()
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["ok", "deep"], pa.string()),
+                "html": pa.array([b"<p>fine</p>", deep], pa.binary()),
+            }
+        )
+    )
+    rows = {r["url"]: r for r in html_to_markdown(pages, concurrency=2).take_all()}
+    assert rows["ok"]["markdown"] == "fine" and rows["ok"]["error"] is None
+    assert rows["deep"]["markdown"] is None and "RecursionError" in rows["deep"]["error"]
