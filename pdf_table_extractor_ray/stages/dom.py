@@ -194,12 +194,19 @@ class DomSelect:
                 payload = payload.encode("utf-8", "replace")
             if not _looks_like_html(payload):
                 continue
-            root = parse_dom(payload)
-            for i, node in enumerate(self._sel.select(root)):
+            try:
+                root = parse_dom(payload)
+                rows = [
+                    (i, node.text(), node.attrs.get(self._attr) if self._attr else None)
+                    for i, node in enumerate(self._sel.select(root))
+                ]
+            except RecursionError:  # nesting bomb — skip like non-HTML
+                continue
+            for i, text, attr in rows:
                 o_url.append(url)
                 o_idx.append(i)
-                o_text.append(node.text())
-                o_attr.append(node.attrs.get(self._attr) if self._attr else None)
+                o_text.append(text)
+                o_attr.append(attr)
         cols = {
             "url": pa.array(o_url, pa.string()),
             "match_idx": pa.array(o_idx, pa.int32()),
@@ -325,8 +332,12 @@ class DomMainContent:
                 payload = payload.encode("utf-8", "replace")
             if not _looks_like_html(payload):
                 continue
+            try:
+                text = extract_main_content(parse_dom(payload))
+            except RecursionError:  # nesting bomb — skip like non-HTML
+                continue
             o_url.append(url)
-            o_text.append(extract_main_content(parse_dom(payload)))
+            o_text.append(text)
         return pa.table({
             "url": pa.array(o_url, pa.string()),
             "text": pa.array(o_text, pa.string()),
@@ -389,8 +400,12 @@ class DomShape:
                 payload = payload.encode("utf-8", "replace")
             if not _looks_like_html(payload):
                 continue
+            try:
+                fp = shape_fingerprint(parse_dom(payload))
+            except RecursionError:  # nesting bomb — skip like non-HTML
+                continue
             o_url.append(url)
-            o_fp.append(shape_fingerprint(parse_dom(payload)))
+            o_fp.append(fp)
         return pa.table(
             {"url": pa.array(o_url, pa.string()), "shape_fp": pa.array(o_fp, pa.int64())}
         )

@@ -173,3 +173,25 @@ def test_shape_fingerprint_content_invariant_template_sensitive():
     b1 = parse_dom(b"<html><body><table><tr><td>alpha</td></tr></table></body></html>")
     assert shape_fingerprint(a1) == shape_fingerprint(a2)  # attrs/text ignored
     assert shape_fingerprint(a1) != shape_fingerprint(b1)
+
+
+def test_nesting_bomb_skipped_in_band(ray_session):
+    import sys
+
+    import ray
+
+    from pdf_table_extractor_ray.stages.dom import DomShape, extract_dom_content
+
+    deep = b"<html>" + b"<div>" * (sys.getrecursionlimit() + 200)
+    pages = ray.data.from_arrow(
+        pa.table(
+            {
+                "url": pa.array(["ok", "bomb"], pa.string()),
+                "html": pa.array([b"<html><p>hello</p></html>", deep], pa.binary()),
+            }
+        )
+    )
+    out = extract_dom_content(pages).take_all()
+    assert [r["url"] for r in out] == ["ok"]
+    shapes = pages.map_batches(DomShape, batch_format="pyarrow", concurrency=2).take_all()
+    assert [r["url"] for r in shapes] == ["ok"]
