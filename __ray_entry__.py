@@ -630,6 +630,69 @@ def _q_corpus_prep_v6(sf_dir: str):
     )
 
 
+def _q_crawl_markdown_export(sf_dir: str):
+    """FULL-CHAIN structured-export composite, bit-exact through THREE
+    container layers: synthetic HTML pages → WARC shards (gzip
+    members, the Common-Crawl layout) → framed parse back →
+    DomMarkdown actor conversion → JSONL export shards → explicit-
+    schema read-back — and the final markdown still matches the SAME
+    chr(10)-concatenated SQL oracle as the direct conversion
+    (html_markdown_roundtrip). Archive, convert, and export stages are
+    all map-only; zero shuffle anywhere."""
+    import tempfile
+
+    from pdf_table_extractor_ray.pipelines.crawl import pages_to_warc
+    from pdf_table_extractor_ray.sources.jsonl import read_jsonl, write_jsonl_shards
+    from pdf_table_extractor_ray.sources.warc import parse_warc_batches
+    from pdf_table_extractor_ray.stages.markdown import html_to_markdown
+
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+    def render(b: pa.Table) -> pa.Table:
+        keys = b.column("o_orderkey").to_pylist()
+        stats = b.column("o_orderstatus").to_pylist()
+        prios = b.column("o_orderpriority").to_pylist()
+        payloads = [
+            (
+                "<html><head><script>var nav_noise;</script></head><body>\n"
+                f"  <h1>\n    Order {k}\n  </h1>\n"
+                f"  <p>Status: <strong> {s} </strong>.</p>\n"
+                f"  <ul><li>priority <em>{p}</em></li><li>id {k}</li></ul>\n"
+                "  <blockquote><p>verified</p></blockquote>\n"
+                f'  <p><a href="https://orders.test/{k}">details  page</a></p>\n'
+                "  <hr>\n"
+                f"  <pre>raw {k}</pre>\n"
+                "</body></html>"
+            ).encode("utf-8")
+            for k, s, p in zip(keys, stats, prios)
+        ]
+        return pa.table(
+            {
+                "url": pa.array([str(k) for k in keys], pa.string()),
+                "html": pa.array(payloads, pa.binary()),
+                "text": pa.array([""] * len(keys), pa.string()),
+            }
+        )
+
+    pages = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    warc = pages_to_warc(pages, gzip_members=True)
+    parsed = parse_warc_batches(warc)
+    md = html_to_markdown(parsed)
+    out_dir = tempfile.mkdtemp(prefix="md_export_", dir="/tmp")
+    write_jsonl_shards(md, out_dir, columns=["url", "markdown"], compress=True)
+    back = read_jsonl(
+        out_dir, pa.schema([("url", pa.string()), ("markdown", pa.string())])
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        keys = pa.array([int(u) for u in b.column("url").to_pylist()], pa.int64())
+        return pa.Table.from_arrays(
+            [keys, b.column("markdown")], names=["o_orderkey", "markdown"]
+        )
+
+    return back.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_incremental_crawl_dedup(sf_dir: str):
     """Incremental dedup against a PERSISTED fingerprint index
     (pipelines/incremental.py:dedup_against_index — the rolling-crawl
@@ -10308,6 +10371,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_dup_pairs": _q_video_dup_pairs,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "incremental_crawl_dedup": _q_incremental_crawl_dedup,
+        "crawl_markdown_export": _q_crawl_markdown_export,
         "corpus_prep_v6": _q_corpus_prep_v6,
         "corpus_data_card": _q_corpus_data_card,
         "unigram_pieces": _q_unigram_pieces,
@@ -10922,6 +10986,18 @@ def oracle_sql() -> dict[str, str]:
             "len(regexp_extract_all(lower(COALESCE(text, '')), "
             "'\\b(?:spark)\\b')) <= 3 THEN 1 ELSE 0 END AS admitted "
             "FROM documents"
+        ),
+        "crawl_markdown_export": (
+            "SELECT o_orderkey, "
+            "'# Order ' || o_orderkey || chr(10) || chr(10) || "
+            "'Status: **' || o_orderstatus || '**.' || chr(10) || chr(10) || "
+            "'- priority *' || o_orderpriority || '*' || chr(10) || "
+            "'- id ' || o_orderkey || chr(10) || chr(10) || "
+            "'> verified' || chr(10) || chr(10) || "
+            "'[details page](https://orders.test/' || o_orderkey || ')' "
+            "|| chr(10) || chr(10) || '---' || chr(10) || chr(10) || "
+            "'```' || chr(10) || 'raw ' || o_orderkey || chr(10) || '```' "
+            "AS markdown FROM orders"
         ),
         "html_markdown_roundtrip": (
             "SELECT o_orderkey, "
