@@ -505,6 +505,26 @@ def _q_order_price_quantiles_kll(sf_dir: str):
     return kll_quantiles(ds, "o_totalprice", qs=(0.1, 0.25, 0.5, 0.75, 0.9, 0.99))
 
 
+def _q_label_budget_neyman(sf_dir: str):
+    """Variance-optimal (Neyman) labeling-budget allocation across
+    order-priority strata (stages/mixing.py:neyman_allocation): with
+    values in integer cents, N_h·σ_h = isqrt(N_h·Σx² − (Σx)²) — the
+    square root of an EXACT integer — so weights, Hamilton
+    apportionment, and Σalloc == budget are all bit-exact Python-int
+    math; the DuckDB oracle emulates isqrt with a float sqrt plus a
+    monotone ±2 candidate correction on HUGEINTs. One slim
+    integer-stats groupby (decimal128 carries Σx² exactly); the
+    bounded stratum table drives the driver-side closed form."""
+    from pdf_table_extractor_ray.stages.mixing import (
+        neyman_allocation,
+        value_stats_by,
+    )
+
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    stats = value_stats_by(ds, "o_orderpriority", "o_totalprice")
+    return neyman_allocation(stats, 10_000)
+
+
 def _q_value_quantiles_by_type_kll(sf_dir: str):
     """PER-KEY one-pass KLL quantiles (stages/kll.py:kll_quantiles_by)
     over event values by type — each key carries its own adaptive
@@ -10377,6 +10397,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_pieces": _q_unigram_pieces,
         "order_price_quantiles_kll": _q_order_price_quantiles_kll,
         "value_quantiles_by_type_kll": _q_value_quantiles_by_type_kll,
+        "label_budget_neyman": _q_label_budget_neyman,
         "unigram_doc_tokens": _q_unigram_doc_tokens,
         "edit_distance_pairs": _q_edit_distance_pairs,
         "doc_table_checksum": _q_doc_table_checksum,
@@ -10947,6 +10968,32 @@ def oracle_sql() -> dict[str, str]:
         ),
         "jsonl_roundtrip": (
             "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate FROM orders"
+        ),
+        "label_budget_neyman": (
+            "WITH s AS (SELECT o_orderpriority AS key, "
+            "CAST(count(*) AS HUGEINT) AS n, "
+            "sum(CAST(floor(o_totalprice * 100) AS HUGEINT)) AS sx, "
+            "sum(CAST(floor(o_totalprice * 100) AS HUGEINT) * "
+            "CAST(floor(o_totalprice * 100) AS HUGEINT)) AS sxx "
+            "FROM orders GROUP BY 1), "
+            "v AS (SELECT key, n, n * sxx - sx * sx AS vn FROM s), "
+            "w AS (SELECT key, n, vn, "
+            "CAST(floor(sqrt(CAST(vn AS DOUBLE))) AS HUGEINT) AS c FROM v), "
+            "wi AS (SELECT key, n, CASE "
+            "WHEN (c+2)*(c+2) <= vn THEN c+2 "
+            "WHEN (c+1)*(c+1) <= vn THEN c+1 "
+            "WHEN c*c <= vn THEN c "
+            "WHEN c >= 1 AND (c-1)*(c-1) <= vn THEN c-1 "
+            "ELSE greatest(c-2, 0) END AS wgt FROM w), "
+            "tot AS (SELECT sum(wgt) AS wsum FROM wi), "
+            "base AS (SELECT key, n, (10000 * wgt) // wsum AS b, "
+            "(10000 * wgt) % wsum AS rem FROM wi, tot), "
+            "lo AS (SELECT 10000 - sum(b) AS leftover FROM base), "
+            "rk AS (SELECT key, n, b, "
+            "ROW_NUMBER() OVER (ORDER BY rem DESC, key ASC) AS rnk FROM base) "
+            "SELECT key, CAST(n AS BIGINT) AS n, "
+            "CAST(b + CASE WHEN rnk <= (SELECT leftover FROM lo) "
+            "THEN 1 ELSE 0 END AS BIGINT) AS alloc FROM rk"
         ),
         "corpus_data_card": (
             "SELECT 'n_docs' AS metric, CAST(count(*) AS DOUBLE) AS value "

@@ -155,3 +155,115 @@ def temperature_allocation(
             "alloc_tokens": pa.array(base, pa.int64()),
         }
     )
+
+
+def value_stats_by(
+    ds: "ray.data.Dataset",
+    key_col: str,
+    value_col: str,
+    scale: int = 100,
+) -> "ray.data.Dataset":
+    """Integer sufficient statistics per key: (key, n, sx, sxx) with
+    values floored to ``scale``-ths (cents). Map-side combiner → one
+    slim groupby-Sum; exact Python-int math downstream. Null keys or
+    values are excluded (SQL aggregate semantics)."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        k = batch.column(key_col)
+        v = batch.column(value_col)
+        mask = pc.and_(pc.is_valid(k), pc.is_valid(v))
+        b = batch.filter(mask)
+        k = b.column(key_col)
+        if isinstance(k, pa.ChunkedArray):
+            k = k.combine_chunks()
+        x = np.floor(
+            b.column(value_col).to_numpy(zero_copy_only=False) * scale
+        ).astype(np.int64)
+        enc = k.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        V = len(enc.dictionary)
+        n = np.bincount(codes, minlength=V)
+        sx = np.zeros(V, np.int64)
+        np.add.at(sx, codes, x)
+        # per-batch Σx² accumulates in int64: exact while a BATCH's
+        # total stays < 2^63 (≈2.5·10⁷ rows of $1M-scale cents — far
+        # above any block size); CROSS-batch totals ride decimal128
+        # through the groupby, exact to 10^38
+        sxx = np.zeros(V, np.int64)
+        np.add.at(sxx, codes, x * x)
+        return pa.table(
+            {
+                "key": pc.cast(enc.dictionary, pa.string()),
+                "n_part": pa.array(n.astype(np.int64), pa.int64()),
+                "sx_part": pa.array(sx, pa.int64()),
+                "sxx_part": pa.array([int(s) for s in sxx], pa.decimal128(38, 0)),
+            }
+        )
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("key")
+        .aggregate(Sum("n_part"), Sum("sx_part"), Sum("sxx_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b.column("key"),
+                "n": pc.cast(b.column("sum(n_part)"), pa.int64()),
+                "sx": pc.cast(b.column("sum(sx_part)"), pa.int64()),
+                "sxx": b.column("sum(sxx_part)"),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def neyman_allocation(stats, budget: int) -> pa.Table:
+    """Variance-optimal (Neyman) sample allocation — the survey-
+    sampling rule for spending a labeling/inspection budget across
+    strata: n_h ∝ N_h·σ_h minimizes the variance of the estimated
+    mean. INTEGER-EXACT throughout: with values in cents,
+    N_h·σ_h = isqrt(N_h·Σx²_h − (Σx_h)²) (population σ — the sqrt of
+    an exact integer), apportioned by the same largest-remainder
+    Hamilton method as ``temperature_allocation``. Σ alloc == budget
+    exactly; bit-reproducible and SQL-checkable (the oracle emulates
+    isqrt with a float sqrt plus monotone ±2 correction)."""
+    import math
+
+    if isinstance(stats, pa.Table):
+        rows = stats.to_pylist()
+    else:
+        rows = stats.take_all()  # bounded by the key-axis contract
+    budget = int(budget)
+    rows.sort(key=lambda r: str(r["key"]))
+    w = []
+    for r in rows:
+        n, sx, sxx = int(r["n"]), int(r["sx"]), int(r["sxx"])
+        v = n * sxx - sx * sx
+        w.append(math.isqrt(v) if v > 0 else 0)
+    W = sum(w)
+    keys = [str(r["key"]) for r in rows]
+    ns = [int(r["n"]) for r in rows]
+    if W == 0 or not rows:
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "alloc": pa.array([0] * len(rows), pa.int64()),
+            }
+        )
+    base = [budget * wi // W for wi in w]
+    rem = [budget * wi % W for wi in w]
+    leftover = budget - sum(base)
+    order = sorted(range(len(rows)), key=lambda i: (-rem[i], keys[i]))
+    for i in order[:leftover]:
+        base[i] += 1
+    return pa.table(
+        {
+            "key": pa.array(keys, pa.string()),
+            "n": pa.array(ns, pa.int64()),
+            "alloc": pa.array(base, pa.int64()),
+        }
+    )

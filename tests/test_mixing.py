@@ -157,3 +157,69 @@ def test_temperature_allocation_empty_and_zero_mass():
     assert t.num_rows == 0
     t = temperature_allocation(_masses([("a", 0)]), budget=10)
     assert t.column("alloc_tokens").to_pylist() == [0]
+
+
+def test_neyman_allocation_exact_and_invariant(ray_session):
+    import math
+
+    import ray
+
+    from pdf_table_extractor_ray.stages.mixing import (
+        neyman_allocation,
+        value_stats_by,
+    )
+
+    rng = np.random.default_rng(17)
+    rows_k, rows_v = [], []
+    spread = {"a": 1.0, "b": 10.0, "c": 100.0}
+    for k, s in spread.items():
+        for v in rng.normal(500.0, s, 400):
+            rows_k.append(k)
+            rows_v.append(float(v))
+    rows_k.append("const")  # zero-variance stratum → weight 0
+    rows_v.append(5.0)
+    ds = ray.data.from_arrow(
+        pa.table({"k": pa.array(rows_k), "v": pa.array(rows_v, pa.float64())})
+    ).repartition(4)
+    out = neyman_allocation(value_stats_by(ds, "k", "v"), 1000)
+    alloc = dict(zip(out.column("key").to_pylist(), out.column("alloc").to_pylist()))
+    assert sum(alloc.values()) == 1000
+    # variance-ordered: wider strata get more budget; zero-variance none
+    assert alloc["c"] > alloc["b"] > alloc["a"] > alloc["const"] == 0
+
+    # brute-force parity: exact integer weights equal isqrt of the
+    # cents sufficient statistics computed in plain Python
+    cents = {}
+    for k, v in zip(rows_k, rows_v):
+        cents.setdefault(k, []).append(math.floor(v * 100))
+    for k, xs in cents.items():
+        n, sx, sxx = len(xs), sum(xs), sum(x * x for x in xs)
+        w = math.isqrt(n * sxx - sx * sx)
+        # allocation is within 1 of the real-valued proportional share
+        W = sum(
+            math.isqrt(
+                len(x2) * sum(y * y for y in x2) - sum(x2) ** 2
+            )
+            for x2 in cents.values()
+        )
+        assert abs(alloc[k] - 1000 * w / W) <= 1
+
+
+def test_neyman_all_zero_variance(ray_session):
+    import ray
+
+    from pdf_table_extractor_ray.stages.mixing import (
+        neyman_allocation,
+        value_stats_by,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(["x", "x", "y"]),
+                "v": pa.array([1.0, 1.0, 2.0], pa.float64()),
+            }
+        )
+    )
+    out = neyman_allocation(value_stats_by(ds, "k", "v"), 100)
+    assert out.column("alloc").to_pylist() == [0, 0]

@@ -46,6 +46,11 @@ TAKE_ALL_ALLOWLIST = {
     ): "final KLL merge input: <= 64 bucket sketches x k*log(n/k) "
     "retained items each (KB-scale whatever the corpus)",
     (
+        "pdf_table_extractor_ray/stages/mixing.py",
+        "neyman_allocation",
+    ): "per-stratum sufficient-statistics table, bounded by the "
+    "curated stratum axis (same contract as the other allocators)",
+    (
         "pdf_table_extractor_ray/stages/unigram_lm.py",
         "subs",
     ): "seed vocabulary: top-k substring pieces (bounded by seed_k) plus "
