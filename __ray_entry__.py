@@ -8027,6 +8027,72 @@ def _q_kanon_risk(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_ldiversity_census(sf_dir: str):
+    """L-DIVERSITY audit — the rung above k-anonymity (kanon_risk): a
+    quasi-identifier cell can be large yet still leak if everyone in
+    it shares the same sensitive value. Per (nation, segment) cell:
+    member count, DISTINCT sensitive-value count (balance floored to
+    $1000 brackets), and the l≥3 flag. Chained-groupby exact distinct
+    (the distinct_users_by_type_exact shape): per-batch distinct
+    triples → one triple groupby → one pair groupby; the raw balance
+    column never shuffles past the map."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "customer", ["c_nationkey", "c_mktsegment", "c_acctbal"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        bracket = np.floor(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) / 1000.0
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "c_nationkey": pc.cast(b.column("c_nationkey"), pa.int64()),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "bracket": bracket,
+            }
+        )
+        return (
+            pa.TableGroupBy(t, ["c_nationkey", "c_mktsegment", "bracket"])
+            .aggregate([([], "count_all")])
+            .rename_columns(["c_nationkey", "c_mktsegment", "bracket", "n_part"])
+        )
+
+    triples = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["c_nationkey", "c_mktsegment", "bracket"])
+        .aggregate(Sum("n_part"))
+    )
+
+    def to_pairs(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n_cell": pc.cast(b.column("sum(n_part)"), pa.int64()),
+            }
+        )
+
+    agg = (
+        triples.map_batches(to_pairs, batch_format="pyarrow")
+        .groupby(["c_nationkey", "c_mktsegment"])
+        .aggregate(Count(), Sum("n_cell"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        n_sens = pc.cast(b.column("count()"), pa.int64())
+        return pa.table(
+            {
+                "c_nationkey": b.column("c_nationkey"),
+                "c_mktsegment": b.column("c_mktsegment"),
+                "n": pc.cast(b.column("sum(n_cell)"), pa.int64()),
+                "n_sensitive": n_sens,
+                "l_ok": pc.cast(pc.greater_equal(n_sens, 3), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_value_imputed(sf_dir: str):
     """Per-group median imputation: a deterministic null mask (every
     17th event) filled with the event type's EXACT median of the
@@ -10519,6 +10585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr_matrix": _q_lineitem_corr_matrix,
         "orders_scd2": _q_orders_scd2,
         "kanon_risk": _q_kanon_risk,
+        "ldiversity_census": _q_ldiversity_census,
         "value_imputed": _q_value_imputed,
         "mix_rebalance_sample": _q_mix_rebalance_sample,
         "benford_digits": _q_benford_digits,
@@ -11917,6 +11984,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, "
             "count(*) AS n FROM customer "
             "GROUP BY 1, 2 HAVING count(*) < 10"
+        ),
+        "ldiversity_census": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, "
+            "count(*) AS n, "
+            "count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) AS n_sensitive, "
+            "CASE WHEN count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT)) >= 3 "
+            "THEN 1 ELSE 0 END AS l_ok "
+            "FROM customer GROUP BY 1, 2"
         ),
         "value_imputed": (
             "WITH masked AS (SELECT event_id, event_type, "
