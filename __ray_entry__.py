@@ -8027,6 +8027,122 @@ def _q_kanon_risk(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_attribution_linear(sf_dir: str):
+    """LINEAR multi-touch attribution — the ads-analytics rung above
+    last-touch (last_view_before_click): each PURCHASE splits one unit
+    of credit EQUALLY across the same user's non-purchase touches in
+    the preceding 24 hours, rolled up per touch type. INTEGER-EXACT:
+    credit is 1,000,000 micro-units per conversion, split by floor
+    division with the remainder going to the earliest touches
+    (largest-remainder, ts + event_id order) — so block-order float
+    folding can't perturb the result and the DuckDB window oracle
+    matches bit-for-bit.
+
+    Shape: both tables project slim and bucket by user (mod 64, the
+    sessionize contract); per bucket ONE composite-key searchsorted
+    finds every order's touch window over the user's sorted events,
+    the pair explosion is repeat/arange vectorized (pairs exist only
+    inside the bucket task), credits pre-reduce to per-type partials;
+    a tiny groupby-Sum finishes. Raw rows never shuffle twice."""
+    from ray.data.aggregate import Sum
+
+    n_buckets = 64
+    window_us = 24 * 3_600_000_000
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "event_type", "ts"])
+
+    def tag(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        is_conv = pc.equal(b.column("event_type"), "purchase")
+        eid = pc.cast(b.column("event_id"), pa.int64())
+        return pa.table(
+            {
+                "u": b.column("user_id"),
+                "ts_us": pc.cast(b.column("ts"), pa.int64()),
+                "eid": eid,
+                "etype": pc.if_else(is_conv, pa.scalar(None, pa.string()), b.column("event_type")),
+                "okey": pc.if_else(is_conv, eid, pa.scalar(-1, pa.int64())),
+                "bucket": pa.array((u % n_buckets).astype(np.int64), pa.int64()),
+            }
+        )
+
+    tagged = ev.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "event_type": pa.array([], pa.string()),
+                "credit_part": pa.array([], pa.int64()),
+            }
+        )
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        is_order = okey >= 0
+        if is_order.sum() == 0 or (~is_order).sum() == 0:
+            return empty
+        uid = g.column("u").to_numpy(zero_copy_only=False)
+        ts = g.column("ts_us").to_numpy(zero_copy_only=False)
+        eid = g.column("eid").to_numpy(zero_copy_only=False)
+        et = g.column("etype")
+        if isinstance(et, pa.ChunkedArray):
+            et = et.combine_chunks()
+        # events sorted by (user, ts, event_id) — the remainder order
+        e_u, e_ts, e_eid = uid[~is_order], ts[~is_order], eid[~is_order]
+        order_e = np.lexsort((e_eid, e_ts, e_u))
+        e_u, e_ts = e_u[order_e], e_ts[order_e]
+        codes_all = et.dictionary_encode()
+        e_code = (
+            codes_all.indices.to_numpy(zero_copy_only=False)[~is_order][order_e]
+        ).astype(np.int64)
+        vocab = codes_all.dictionary
+        o_u, o_ts = uid[is_order], ts[is_order]
+        # composite key: user·span + ts (established int64-headroom trick)
+        t0 = min(e_ts.min(), (o_ts - window_us).min())
+        t1 = max(e_ts.max(), o_ts.max())
+        span = np.int64(int(t1) - int(t0) + 2)
+        if (int(max(e_u.max(), o_u.max())) + 1) * int(span) >= (1 << 62):
+            raise ValueError("attribution: user x time-span exceeds int64 headroom")
+        e_key = e_u * span + (e_ts - t0)
+        lo = np.searchsorted(e_key, o_u * span + (o_ts - window_us - t0), "left")
+        hi = np.searchsorted(e_key, o_u * span + (o_ts - t0), "left")
+        n = hi - lo
+        keep = n > 0
+        if not keep.any():
+            return empty
+        lo, n = lo[keep], n[keep]
+        total = int(n.sum())
+        starts = np.repeat(lo, n)
+        within = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(n) - n, n)
+        idx = starts + within
+        n_pair = np.repeat(n, n)
+        base = 1_000_000 // n_pair
+        bonus = (within < np.repeat(1_000_000 % n, n)).astype(np.int64)
+        credit = np.zeros(len(vocab), np.int64)
+        np.add.at(credit, e_code[idx], base + bonus)
+        nz = credit > 0
+        return pa.table(
+            {
+                "event_type": vocab.filter(pa.array(nz)),
+                "credit_part": pa.array(credit[nz], pa.int64()),
+            }
+        )
+
+    agg = (
+        tagged.groupby("bucket")
+        .map_groups(per_bucket, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(Sum("credit_part"))
+    )
+
+    def finish(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "credit_micro": pc.cast(b.column("sum(credit_part)"), pa.int64()),
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_ldiversity_census(sf_dir: str):
     """L-DIVERSITY audit — the rung above k-anonymity (kanon_risk): a
     quasi-identifier cell can be large yet still leak if everyone in
@@ -10586,6 +10702,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_scd2": _q_orders_scd2,
         "kanon_risk": _q_kanon_risk,
         "ldiversity_census": _q_ldiversity_census,
+        "attribution_linear": _q_attribution_linear,
         "value_imputed": _q_value_imputed,
         "mix_rebalance_sample": _q_mix_rebalance_sample,
         "benford_digits": _q_benford_digits,
@@ -11984,6 +12101,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, "
             "count(*) AS n FROM customer "
             "GROUP BY 1, 2 HAVING count(*) < 10"
+        ),
+        "attribution_linear": (
+            "WITH conv AS (SELECT user_id, event_id AS cid, ts AS cts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "touch AS (SELECT user_id, event_id, event_type, ts FROM events "
+            "WHERE event_type <> 'purchase'), "
+            "pre AS (SELECT c.cid, t.event_type, "
+            "count(*) OVER (PARTITION BY c.cid) AS n_touch, "
+            "row_number() OVER (PARTITION BY c.cid "
+            "ORDER BY t.ts, t.event_id) AS rk "
+            "FROM conv c JOIN touch t ON t.user_id = c.user_id "
+            "AND t.ts >= c.cts - INTERVAL 24 HOUR AND t.ts < c.cts) "
+            "SELECT event_type, "
+            "CAST(sum(1000000 // n_touch + CASE WHEN rk <= 1000000 % n_touch "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS credit_micro "
+            "FROM pre GROUP BY event_type"
         ),
         "ldiversity_census": (
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, "
