@@ -223,3 +223,42 @@ def test_neyman_all_zero_variance(ray_session):
     )
     out = neyman_allocation(value_stats_by(ds, "k", "v"), 100)
     assert out.column("alloc").to_pylist() == [0, 0]
+
+
+def test_attribution_linear_edges(ray_session, tmp_path, monkeypatch):
+    """Hand-checked attribution: remainder goes to the earliest touch,
+    zero-touch conversions contribute nothing, other users isolated."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as entry
+
+    ts0 = datetime.datetime(2024, 1, 10, 12, 0, 0)
+
+    def T(minutes):
+        return ts0 + datetime.timedelta(minutes=minutes)
+
+    rows = {
+        "event_id": [1, 2, 3, 10, 20, 30],
+        "user_id": [7, 7, 7, 7, 8, 8],
+        "event_type": ["view", "click", "view", "purchase", "purchase", "view"],
+        # user 7: three touches inside 24h then a purchase;
+        # user 8: purchase BEFORE its only touch → zero-touch
+        "ts": [T(0), T(5), T(10), T(30), T(0), T(5)],
+        "value": [0.0] * 6,
+    }
+    tbl = pa.table(
+        {
+            "event_id": pa.array(rows["event_id"], pa.int64()),
+            "user_id": pa.array(rows["user_id"], pa.int64()),
+            "event_type": pa.array(rows["event_type"], pa.string()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+            "value": pa.array(rows["value"], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    out = entry.queries()["attribution_linear"](str(tmp_path))
+    got = {r["event_type"]: r["credit_micro"] for r in out.take_all()}
+    # 1,000,000 / 3 = 333,333 r 1 → earliest touch (view @T0) gets +1
+    assert got == {"view": 333334 + 333333, "click": 333333}
