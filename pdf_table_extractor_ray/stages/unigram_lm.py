@@ -28,6 +28,13 @@ Float caveat (documented): expected counts are float64 sums folded in
 block order, so piece probabilities are deterministic only up to
 summation order — parity tests use ``allclose`` against a
 single-process reference (same contract as the logreg trainer).
+
+Python-loop contract (documented): seed substring counting and the EM
+lattice run Python per DISTINCT word — both are irreducibly
+word-sequential DPs of ≤ len·max_piece_len cells, the same
+per-record-parser shape as the extraction actors (SURVEY §2.7); they
+run over the collapsed word table, never the corpus, so the loop
+count is the vocabulary size, not the document count.
 """
 
 from __future__ import annotations
