@@ -8027,6 +8027,20 @@ def _q_kanon_risk(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _q_snm_dup_pairs(sf_dir: str):
+    """Sorted-Neighborhood near-dup pairs (stages/snm.py — Hernández &
+    Stolfo 1995, the KEY-ADJACENCY blocking the hash-blocking family
+    can't express): global (prefix-key, id) sort order via exact
+    order-statistic range partitioning, window-5 shifted vectorized
+    Levenshtein inside each partition, cross-boundary pairs from the
+    2·w·P-row head/tail exchange. Byte-exact vs the DuckDB
+    row_number self-join window oracle."""
+    from pdf_table_extractor_ray.stages.snm import snm_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return snm_pairs(ds, window=5, max_dist=2, n_parts=8)
+
+
 def _q_attribution_linear(sf_dir: str):
     """LINEAR multi-touch attribution — the ads-analytics rung above
     last-touch (last_view_before_click): each PURCHASE splits one unit
@@ -10703,6 +10717,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kanon_risk": _q_kanon_risk,
         "ldiversity_census": _q_ldiversity_census,
         "attribution_linear": _q_attribution_linear,
+        "snm_dup_pairs": _q_snm_dup_pairs,
         "value_imputed": _q_value_imputed,
         "mix_rebalance_sample": _q_mix_rebalance_sample,
         "benford_digits": _q_benford_digits,
@@ -12101,6 +12116,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment, "
             "count(*) AS n FROM customer "
             "GROUP BY 1, 2 HAVING count(*) < 10"
+        ),
+        "snm_dup_pairs": (
+            "WITH o AS (SELECT doc_id, "
+            "lower(substr(COALESCE(text, ''), 1, 32)) AS k FROM documents), "
+            "r AS (SELECT doc_id, k, "
+            "row_number() OVER (ORDER BY k, doc_id) AS rn FROM o) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(levenshtein(a.k, b.k) AS BIGINT) AS dist "
+            "FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 5 "
+            "WHERE levenshtein(a.k, b.k) <= 2"
         ),
         "attribution_linear": (
             "WITH conv AS (SELECT user_id, event_id AS cid, ts AS cts "

@@ -51,6 +51,11 @@ TAKE_ALL_ALLOWLIST = {
     ): "per-stratum sufficient-statistics table, bounded by the "
     "curated stratum axis (same contract as the other allocators)",
     (
+        "pdf_table_extractor_ray/stages/snm.py",
+        "boundary_only",
+    ): "cross-boundary head/tail rows: <= 2*window per partition "
+    "(2wP total, KB-scale whatever the corpus)",
+    (
         "pdf_table_extractor_ray/stages/unigram_lm.py",
         "subs",
     ): "seed vocabulary: top-k substring pieces (bounded by seed_k) plus "
