@@ -29,7 +29,17 @@ import ray.data
 def blocklist_pattern(terms: Sequence[str]) -> str:
     """One RE2 alternation with word boundaries, longest-first so a
     multi-word phrase wins over its own prefix term (RE2 alternation
-    is leftmost-first, not leftmost-longest)."""
+    is leftmost-first, not leftmost-longest).
+
+    An empty term list raises: ``\\b(?:)\\b`` matches the empty string
+    at every word boundary, so an "empty category" would silently
+    reject essentially every document instead of admitting everything
+    (ADVICE-r4)."""
+    if not terms:
+        raise ValueError(
+            "blocklist_pattern: empty term list (the degenerate pattern would "
+            "match every document); drop the category instead"
+        )
     ordered = sorted(terms, key=len, reverse=True)
     return r"\b(?:" + "|".join(re.escape(t.lower()) for t in ordered) + r")\b"
 
@@ -47,13 +57,20 @@ def blocklist_hits(
     category count ≤ ``max_hits``. Column order = sorted category
     names (deterministic schema)."""
     names = sorted(categories)
-    patterns = {n: blocklist_pattern(categories[n]) for n in names}
+    # A category with no terms blocks nothing: keep its column (stable
+    # schema) but emit constant-0 hits instead of the degenerate regex.
+    patterns = {n: blocklist_pattern(categories[n]) for n in names if categories[n]}
 
     def score(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
         cols = {id_col: batch.column(id_col)}
         admitted = np.ones(batch.num_rows, dtype=bool)
         for n in names:
+            if n not in patterns:
+                cols[f"{n}_hits"] = pa.array(
+                    np.zeros(batch.num_rows, np.int64), pa.int64()
+                )
+                continue
             cnt = pc.count_substring_regex(low, patterns[n])
             cnt64 = pc.cast(cnt, pa.int64())
             cols[f"{n}_hits"] = cnt64
@@ -76,7 +93,10 @@ def blocklist_admit(
     every category (hits ≤ ``max_hits``). Same map-only shape, but the
     filter applies in place so rejected payloads drop inside the task
     that scored them."""
-    patterns = [blocklist_pattern(categories[n]) for n in sorted(categories)]
+    # Empty categories block nothing — skip them (ADVICE-r4).
+    patterns = [
+        blocklist_pattern(categories[n]) for n in sorted(categories) if categories[n]
+    ]
 
     def gate(batch: pa.Table) -> pa.Table:
         low = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))

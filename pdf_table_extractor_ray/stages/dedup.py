@@ -718,7 +718,18 @@ def hash64_hamming_pairs(
     size."""
     from ray.data.aggregate import Min
 
-    n_bands = min(max(int(max_hamming) + 1, 2), 16)
+    # Pigeonhole needs max_hamming+1 bands over 64 bits; past 15 the
+    # band width would drop below what the chunk math supports and the
+    # old silent clamp to 16 bands lost recall for distances 16..h.
+    # Fail loudly instead (ADVICE-r4): a >15-bit Hamming radius on a
+    # 64-bit sketch is not a near-dup query anyway.
+    if int(max_hamming) > 15:
+        raise ValueError(
+            f"hash64_hamming_pairs: max_hamming={max_hamming} > 15 would need "
+            f"{int(max_hamming) + 1} bands; the 64-bit banding guarantees recall "
+            "only up to 15. Use a wider sketch or a smaller radius."
+        )
+    n_bands = max(int(max_hamming) + 1, 2)
     bit_bounds = [(b * 64) // n_bands for b in range(n_bands + 1)]
 
     def to_bands(batch: pa.Table) -> pa.Table:

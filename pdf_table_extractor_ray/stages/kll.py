@@ -235,9 +235,16 @@ def kll_quantiles_by(
     import uuid
 
     def sketch_batch(batch: pa.Table) -> pa.Table:
+        # SQL GROUP BY semantics: rows with a NULL key form no group.
+        # Without this filter a null key dictionary-encodes to a null
+        # index, to_numpy floats the codes to NaN, and np.unique/int(c)
+        # crashes downstream (ADVICE-r4).
         keys = batch.column(key_col)
-        if isinstance(keys, pa.ChunkedArray):
-            keys = keys.combine_chunks()
+        if keys.null_count:
+            batch = batch.filter(pc.is_valid(keys))
+            keys = batch.column(key_col)
+        keys_arr = keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        keys = keys_arr
         x = pc.cast(batch.column(col), pa.float64()).to_numpy(zero_copy_only=False)
         enc = keys.dictionary_encode()
         codes = enc.indices.to_numpy(zero_copy_only=False)

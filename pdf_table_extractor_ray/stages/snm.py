@@ -23,10 +23,16 @@ Distributed shape (halo-free two-stage exactness):
    ``e + h − 1 ≤ window``. Raw text never shuffles; the corpus crosses
    ONE exchange.
 
-Contract (checked at runtime): every partition must hold ≥ ``window``
-rows, else a pair could span three partitions — choose
-``n_parts ≤ n / (2·window)``. Keys are lowercased ASCII prefixes
-(byte order == codepoint order, matching DuckDB's binary collation).
+Contract (checked at runtime): when more than one partition exists,
+every partition must hold ≥ ``window`` rows, else a pair could span
+three partitions — choose ``n_parts ≤ n / (2·window)``. With a single
+partition no pair can span a boundary, so any m ≥ 0 is fine and the
+local ``d ∈ 1..min(window, m−1)`` loop covers every pair. Keys are
+lowercased prefixes sanitized to ASCII (non-ASCII codepoints → ``?``,
+applied identically to the comparison key and the packed partition
+key, so packed byte order always refines the comparison sort — the
+partition/compare consistency ADVICE-r4 flagged; byte order ==
+codepoint order under DuckDB's binary collation).
 """
 
 from __future__ import annotations
@@ -61,6 +67,20 @@ def snm_pairs(
         k = pc.utf8_lower(
             pc.utf8_slice_codeunits(pc.fill_null(b.column(text_col), ""), 0, prefix_len)
         )
+        # Sanitize to ASCII (non-ASCII codepoint -> '?') so the key the
+        # window COMPARES is byte-identical to what pack_key_prefix
+        # PARTITIONS on (it packs ascii/'replace'); without this a
+        # non-ASCII corpus silently drops cross-partition pairs.
+        # Fast path: all-ASCII batches (byte len == codepoint len) skip
+        # the per-row re-encode.
+        if pc.any(
+            pc.not_equal(pc.binary_length(k), pc.utf8_length(k)),
+            min_count=0,
+        ).as_py():
+            k = pa.array(
+                [s.encode("ascii", "replace").decode("ascii") for s in k.to_pylist()],
+                pa.string(),
+            )
         return pa.table({"k": k, "id": pc.cast(b.column(id_col), pa.int64())})
 
     slim = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True).materialize()
@@ -100,7 +120,10 @@ def snm_pairs(
         ids = g.column("id").to_numpy(zero_copy_only=False)
         part = int(g.column("part")[0].as_py())
         m = len(ks)
-        if m < window:
+        # The >= window contract only matters when a pair could span a
+        # partition boundary; with a single partition (bounds empty) any
+        # m is valid and the d-loop below covers every window pair.
+        if m < window and n_parts > 1:
             raise ValueError(
                 f"snm_pairs: partition {part} holds {m} < window={window} rows; "
                 "lower n_parts (contract: n_parts <= n / (2*window))"

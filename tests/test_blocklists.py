@@ -74,3 +74,32 @@ def test_phrase_beats_prefix_term(ray_session):
     # "click here" consumes the first occurrence (longest-first
     # alternation); the second "click" matches alone → 2 total
     assert out[0]["bad_hits"] == 2
+
+
+def test_empty_category_blocks_nothing(ray_session):
+    """An empty term list must admit everything, not reject everything
+    via the degenerate '\\b(?:)\\b' pattern (ADVICE-r4): the pattern
+    builder raises, and the hits/admit stages skip empty categories
+    while keeping the schema stable."""
+    import pytest
+    import ray
+
+    with pytest.raises(ValueError):
+        blocklist_pattern([])
+
+    ds = ray.data.from_arrow(_docs())
+    cats = {"bad": ["spam", "click here"], "empty": []}
+    rows = {r["doc_id"]: r for r in blocklist_hits(ds, cats).take_all()}
+    assert all(r["empty_hits"] == 0 for r in rows.values())
+    # admission is decided only by the non-empty category
+    assert [rows[i]["admitted"] for i in (1, 2, 3, 4, 5)] == [1, 0, 0, 1, 1]
+
+    kept = sorted(
+        r["doc_id"]
+        for r in blocklist_admit(ray.data.from_arrow(_docs()), cats).take_all()
+    )
+    assert kept == [1, 4, 5]
+
+    # all-empty categories: everything admitted
+    kept_all = blocklist_admit(ray.data.from_arrow(_docs()), {"e": []}).count()
+    assert kept_all == 5

@@ -181,3 +181,41 @@ def test_image_dedup_keep_no_dups_passthrough(ray_session):
     )
     kept = sorted(r["media_id"] for r in image_dedup_keep(ds).take_all())
     assert kept == [7, 8]
+
+
+def test_hamming_pairs_radius_over_15_raises(ray_session):
+    """max_hamming > 15 used to silently clamp to 16 bands, losing the
+    pigeonhole guarantee for distances 16..h (ADVICE-r4) — now loud."""
+    import ray
+
+    hashes = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "hash64": pa.array([0, 1], pa.uint64()),
+        }
+    )
+    with pytest.raises(ValueError, match="max_hamming"):
+        hash64_hamming_pairs(
+            ray.data.from_arrow(hashes), hash_col="hash64", max_hamming=16
+        )
+
+
+def test_hamming_pairs_radius_15_recall(ray_session):
+    """The new maximum radius: 15 bits apart, 16 bands of 4 bits —
+    exactly one all-zero band survives the pigeonhole."""
+    import ray
+
+    a = 0
+    b = 0
+    for i in range(15):  # set one bit in each of the first 15 nibbles
+        b |= 1 << (4 * i)
+    hashes = pa.table(
+        {
+            "doc_id": pa.array([10, 20], pa.int64()),
+            "hash64": pa.array([a, b], pa.uint64()),
+        }
+    )
+    out = hash64_hamming_pairs(
+        ray.data.from_arrow(hashes), hash_col="hash64", max_hamming=15
+    ).take_all()
+    assert len(out) == 1 and out[0]["hamming"] == 15

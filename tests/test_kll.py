@@ -124,3 +124,26 @@ def test_per_key_kll_small_groups_exact(ray_session):
     ).take_all()
     got = {r["k"]: r["value"] for r in out}
     assert got["x"] == 3.0 and got["y"] == 20.0
+
+
+def test_per_key_kll_null_keys_dropped(ray_session):
+    """NULL keys form no group (SQL GROUP BY semantics) instead of
+    crashing sketch_batch (ADVICE-r4)."""
+    import pytest
+    import ray
+
+    from pdf_table_extractor_ray.stages.kll import kll_quantiles_by
+
+    tbl = pa.table(
+        {
+            "k": pa.array(["x", None, "x", "y", None, "y"], pa.string()),
+            "v": pa.array([1.0, 99, 3, 10, 99, 30], pa.float64()),
+        }
+    )
+    out = kll_quantiles_by(
+        ray.data.from_arrow(tbl).repartition(2), "k", "v", qs=(0.5,)
+    ).take_all()
+    got = {r["k"]: r["value"] for r in out}
+    assert set(got) == {"x", "y"}
+    assert got["x"] == pytest.approx(2.0, abs=1.0)
+    assert got["y"] == pytest.approx(20.0, abs=10.0)
