@@ -3256,12 +3256,17 @@ def _q_inverted_index(sf_dir: str):
 def _q_top_tokens(sf_dir: str):
     """Corpus wordcount → exact top-50 heavy hitters: per-batch
     (token, n) value-count partials (the combiner), one token
-    groupby-sum, one sort+limit over the distinct-token table."""
+    groupby-sum, then a partial top-k merge (``global_top_k``) — no
+    global sort of the distinct-token table (billions of rows on a web
+    corpus; only 50·blocks slim rows cross the merge exchange)."""
     from pdf_table_extractor_ray.stages.lm import train_token_counts
+    from pdf_table_extractor_ray.stages.topk import global_top_k
 
     docs = _read(sf_dir, "documents", ["text"])
     counts = train_token_counts(docs)
-    return counts.sort(["n", "token"], descending=[True, False]).limit(50)
+    return global_top_k(
+        counts, [("n", "descending"), ("token", "ascending")], 50
+    )
 
 
 def _q_frequent_users_sketch(sf_dir: str):
