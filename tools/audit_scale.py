@@ -90,7 +90,6 @@ TAKE_ALL_ALLOWLIST = {
     ("pdf_table_extractor_ray/stages/bloom.py", "partial"): "one m/8-byte bitmap per block",
     ("pdf_table_extractor_ray/stages/dedup.py", "drop_by_ids"): "drop set, bounded by dup count",
     ("pdf_table_extractor_ray/stages/dedup.py", "pick"): "adaptive filter probe, bounded",
-    ("pdf_table_extractor_ray/stages/dedup.py", "shingle_rows"): "scalar count probe",
     ("pdf_table_extractor_ray/stages/joins.py", "broadcast_join"): "build side, bounded by contract",
     ("pdf_table_extractor_ray/stages/joins.py", "adaptive_join"): "build keys, bounded by the count gate (≤ broadcast_max)",
     ("pdf_table_extractor_ray/stages/lm.py", "top_vocab"): "top-V vocab, bounded by V",
