@@ -11,6 +11,15 @@ Distributed shape (the SentencePiece word-counting optimization):
   count-weighted sum over DISTINCT words (the typo tail stays
   distributed; nothing O(corpus) or O(distinct-words) ever lands on
   the driver),
+- a ``min_count`` frequency floor (SentencePiece-style tail prune,
+  default 2) drops the hapax tail BEFORE the per-distinct-word Python
+  passes: a 100 TB multilingual crawl has ~10⁹ distinct "words"
+  (typos, URLs) carrying negligible probability mass, and both the
+  seed substring pass and every EM round iterate Python per distinct
+  word — the floor caps that loop at the words that matter. Coverage
+  is NOT affected: the single-character pass always runs over the
+  UNFLOORED word table (one cheap O(len) scan, no substring
+  enumeration), so every observed character stays segmentable,
 - seed vocabulary = the ``seed_k`` most frequent word-internal
   substrings (map-side combiner → one slim groupby-Sum → partial
   top-k merge) plus every observed character (coverage guarantee),
@@ -90,14 +99,26 @@ def word_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
 
 
 def _seed_vocab(
-    words: "ray.data.Dataset", max_piece_len: int, seed_k: int
+    words: "ray.data.Dataset", max_piece_len: int, seed_k: int, min_count: int = 1
 ) -> List[str]:
     """Most frequent word-internal substrings (len 2..max_piece_len)
     plus EVERY observed character — the coverage guarantee that keeps
-    all words segmentable."""
-    from ray.data.aggregate import Sum
+    all words segmentable.
+
+    The O(len·max_piece_len) substring enumeration runs only over
+    words with count ≥ ``min_count``; the character pass runs over ALL
+    words (cheap O(len) scan) so coverage survives the floor."""
+    from ray.data.aggregate import Count, Sum
 
     from pdf_table_extractor_ray.stages.topk import global_top_k
+
+    def char_rows(batch: pa.Table) -> pa.Table:
+        # coverage pass over the UNFLOORED word table: distinct chars
+        # only, O(len) per word — no substring enumeration
+        seen: set = set()
+        for w in batch.column("word").to_pylist():
+            seen.update(w)
+        return pa.table({"piece": pa.array(sorted(seen), pa.string())})
 
     def subs(batch: pa.Table) -> pa.Table:
         acc: Dict[str, int] = {}
@@ -120,8 +141,16 @@ def _seed_vocab(
             }
         )
 
+    floored = words
+    if min_count > 1:
+        floored = words.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     counted = (
-        words.map_batches(subs, batch_format="pyarrow", zero_copy_batch=True)
+        floored.map_batches(subs, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("piece")
         .aggregate(Sum("c"))
         .map_batches(
@@ -132,9 +161,10 @@ def _seed_vocab(
             batch_format="pyarrow",
         )
     )
-    chars_tbl = counted.map_batches(
-        lambda b: b.filter(pc.equal(pc.utf8_length(b.column("piece")), 1)),
-        batch_format="pyarrow",
+    chars_tbl = (
+        words.map_batches(char_rows, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("piece")
+        .aggregate(Count())
     )
     multi = counted.map_batches(
         lambda b: b.filter(pc.greater(pc.utf8_length(b.column("piece")), 1)),
@@ -203,16 +233,31 @@ def train_unigram(
     n_rounds: int = 4,
     seed_k: int = 2048,
     prune_frac: float = 0.2,
+    min_count: int = 2,
 ) -> pa.Table:
     """EM-train the unigram piece vocabulary; returns a (piece, logp)
     table sorted by piece. Single-char pieces are never pruned
     (coverage); pruning drops the lowest-probability multi-char
-    pieces each round until ``vocab_size`` remain."""
+    pieces each round until ``vocab_size`` remain.
+
+    ``min_count`` (default 2) floors the word table BEFORE the seed
+    substring pass and every EM round — the SentencePiece-style hapax
+    prune that caps the per-distinct-word Python loops at web scale
+    (VERDICT-r4 #4). Characters of floored-out words still seed the
+    vocabulary (coverage pass is unfloored), so every word stays
+    segmentable; only their negligible probability mass is dropped.
+    ``min_count=1`` restores the exact unfloored model."""
     from ray.data.aggregate import Sum
 
     words = word_counts(ds, text_col).materialize()
-    pieces = _seed_vocab(words, max_piece_len, seed_k)
+    pieces = _seed_vocab(words, max_piece_len, seed_k, min_count)
     logp = np.full(len(pieces), -math.log(max(len(pieces), 1)))
+    if min_count > 1:
+        words = words.map_batches(
+            lambda b: b.filter(pc.greater_equal(b.column("n"), min_count)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
 
     for _ in range(n_rounds):
         piece_ids = {p: i for i, p in enumerate(pieces)}

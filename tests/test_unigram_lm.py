@@ -100,33 +100,71 @@ def test_train_learns_frequent_words_as_pieces(ray_session):
     assert chars <= set(probs)
 
 
-def test_train_single_process_parity(ray_session):
+@pytest.mark.parametrize("min_count", [1, 2])
+def test_train_single_process_parity(ray_session, min_count):
     """One EM round with no pruning must equal the same math run
     single-process over the plain word-count dict (same seed vocab,
     same lattice function) — the distributed aggregation adds nothing
-    but block-order float folding (allclose)."""
+    but block-order float folding (allclose). Runs with the hapax
+    floor ON (default) and OFF."""
     from collections import Counter
 
     from pdf_table_extractor_ray.stages.unigram_lm import _seed_vocab
 
     ds = _ds(ray_session)
-    vocab = train_unigram(ds, vocab_size=10_000, n_rounds=1, seed_k=64)
+    vocab = train_unigram(
+        ds, vocab_size=10_000, n_rounds=1, seed_k=64, min_count=min_count
+    )
     got = dict(zip(vocab.column("piece").to_pylist(), vocab.column("logp").to_pylist()))
 
     wc = Counter(w for t in CORPUS for w in t.split())
-    pieces = _seed_vocab(word_counts(ds), 6, 64)
+    pieces = _seed_vocab(word_counts(ds), 6, 64, min_count)
     logp0 = np.full(len(pieces), -math.log(len(pieces)))
     ids = {p: i for i, p in enumerate(pieces)}
     expected = np.zeros(len(pieces))
     from pdf_table_extractor_ray.stages.unigram_lm import _lattice_counts as lat
 
     for w, n in wc.items():
+        if n < min_count:
+            continue  # the floor drops hapax words from EM
         counts, _ = lat(w, n, ids, logp0, 6)
         for pid, e in counts.items():
             expected[pid] += e
     ref = np.where(expected > 0, np.log(expected / expected.sum()), -1e9)
     for p, i in ids.items():
         assert got[p] == pytest.approx(ref[i], rel=1e-9), p
+
+
+def test_min_count_floor_keeps_piece_inventory(ray_session):
+    """Two invariants of the hapax floor (VERDICT-r4 #4):
+
+    1. When no word is below the floor (every fixture word appears
+       ≥ 2×), min_count=2 and min_count=1 train the IDENTICAL piece
+       inventory — the floor is exactly a no-op, not a perturbation.
+    2. When the floor binds (the real fixture corpus has hapax words
+       matting/catting), characters appearing ONLY in floored-out
+       words (here 'g') still seed the vocabulary via the unfloored
+       coverage pass, so every word stays segmentable."""
+    import ray
+
+    # (1) duplicate every doc → every word count ≥ 2 → floor is a no-op
+    dup = pa.table(
+        {
+            "doc_id": pa.array(list(range(2 * len(CORPUS))), pa.int64()),
+            "text": pa.array(CORPUS + CORPUS, pa.string()),
+        }
+    )
+    dup_ds = ray.data.from_arrow(dup).repartition(3)
+    v_floor = train_unigram(dup_ds, vocab_size=40, n_rounds=3, seed_k=64)
+    v_exact = train_unigram(dup_ds, vocab_size=40, n_rounds=3, seed_k=64, min_count=1)
+    assert v_floor.column("piece").to_pylist() == v_exact.column("piece").to_pylist()
+
+    # (2) the binding case: hapax-only chars survive the floor
+    v_bind = train_unigram(_ds(ray_session), vocab_size=40, n_rounds=3, seed_k=64)
+    bind_pieces = set(v_bind.column("piece").to_pylist())
+    assert "g" in bind_pieces
+    chars = {c for t in CORPUS for c in t if c != " "}
+    assert chars <= bind_pieces
 
 
 def test_unigram_token_counts(ray_session):
