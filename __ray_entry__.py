@@ -371,37 +371,81 @@ def _q_video_frame_features(sf_dir: str):
 
 def _q_image_thumbnails(sf_dir: str):
     """Image-resize pipeline end-to-end (the normalize-before-training
-    step): mixed synthetic media corpus → actor-pool decode +
-    area-resample to 12×12 + PNG re-encode; audio rows surface an
-    in-band ``resize_error`` instead of failing the job. Returns a
-    deterministic per-row summary (media_id, kind, ok, resized_len).
-    Rows-only (binary media has no SQL analog); resize math unit-tested
-    in test_corpus_ops."""
+    step), SQL-HASH-VERIFIED: planted closed-form images — pixel
+    (r, c, ch) of media ``m`` is ``(m·31 + r·7 + c·3 + ch·11) % 256``
+    with dims ∈ {12, 24}, so every 12×12 output cell is a
+    power-of-two block average (float mean is exact, uint8 truncation
+    == integer division) — flow through the REAL decode (PPM and PNG
+    alternating) → area-resample → PPM re-encode actor pool; audio
+    rows surface an in-band ``resize_error`` instead of failing the
+    job. The summary (ok, resized_len, thumb_sum = Σ resized pixel
+    bytes) is recomputed pixel-for-pixel by the DuckDB oracle with
+    generate_series."""
     import ray.data
 
     from pdf_table_extractor_ray.stages.multimodal import (
+        encode_png,
+        encode_ppm,
+        encode_wav,
         resize_images,
-        synth_media_corpus,
     )
 
-    ds = ray.data.from_arrow(synth_media_corpus()).repartition(4)
-    resized = resize_images(ds, out_w=12, out_h=12, codec="png", concurrency=(1, 4))
+    ds = _read(sf_dir, "embeddings", ["vec_id"])
+
+    def render(b: pa.Table) -> pa.Table:
+        ids_out, kinds, payloads = [], [], []
+        for vid in b.column("vec_id").to_pylist():
+            m = int(vid)
+            if m % 2 == 0:
+                h = 12 * (1 + (m // 2) % 2)
+                w = 12 * (1 + (m // 4) % 2)
+                r = np.arange(h)[:, None, None]
+                c = np.arange(w)[None, :, None]
+                ch = np.arange(3)[None, None, :]
+                img = ((m * 31 + r * 7 + c * 3 + ch * 11) % 256).astype(np.uint8)
+                payloads.append(encode_ppm(img) if m % 4 == 0 else encode_png(img))
+                kinds.append("image")
+            else:
+                payloads.append(encode_wav(np.zeros(64)))
+                kinds.append("audio")
+            ids_out.append(m)
+        return pa.table(
+            {
+                "media_id": pa.array(ids_out, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+
+    media = ds.map_batches(render, batch_format="pyarrow", zero_copy_batch=True)
+    resized = resize_images(
+        media, out_w=12, out_h=12, codec="ppm", batch_size=32, concurrency=(1, 4)
+    )
 
     def summarize(b: pa.Table) -> pa.Table:
-        blob = b.column("resized")
+        blobs = b.column("resized").to_pylist()
+        sums = []
+        for blob in blobs:
+            if blob is None:
+                sums.append(0)
+            else:  # P6 header ends after "255\n"
+                off = blob.index(b"255\n") + 4
+                sums.append(int(np.frombuffer(blob, np.uint8, offset=off).sum()))
+        blob_col = b.column("resized")
         return pa.Table.from_arrays(
             [
                 b.column("media_id"),
                 b.column("kind"),
-                pc.cast(pc.is_valid(blob), pa.int64()),
-                pc.fill_null(pc.binary_length(blob), 0),
+                pc.cast(pc.is_valid(blob_col), pa.int64()),
+                pc.cast(pc.fill_null(pc.binary_length(blob_col), 0), pa.int64()),
+                pa.array(sums, pa.int64()),
             ],
-            names=["media_id", "kind", "ok", "resized_len"],
+            names=["media_id", "kind", "ok", "resized_len", "thumb_sum"],
         )
 
     return resized.map_batches(
         summarize, batch_format="pyarrow", zero_copy_batch=True
-    ).sort("media_id")
+    )
 
 
 def _q_media_dedup_keep(sf_dir: str):
@@ -10911,6 +10955,60 @@ def _curriculum_doc_order_sql() -> str:
     )
 
 
+def _weighted_doc_sample_sql() -> str:
+    """Oracle for the Efraimidis–Spirakis draw: the hash uniform is
+    two chained splitmix64 finalizers (``_splash64(id)`` ==
+    splitmix64(id, seed=0); the xor-seed + second splash ==
+    splitmix64(h, seed)), both emulated bit-exactly in HUGEINT; the
+    key ``ln(u)/w`` uses the same IEEE double ops in the same order as
+    the numpy kernel (cast → +1.0 → /2^64 → ln → /w)."""
+    from pdf_table_extractor_ray.stages.shuffle import splitmix64_sql
+
+    inner = splitmix64_sql("doc_id", seed=0)
+    outer = splitmix64_sql("h1", seed=0x5EED)
+    return (
+        f"WITH a AS (SELECT doc_id, n_chars, {inner} AS h1 FROM documents), "
+        f"b AS (SELECT doc_id, n_chars, {outer} AS u64 FROM a) "
+        "SELECT doc_id FROM b "
+        "ORDER BY ln((CAST(u64 AS DOUBLE) + 1.0) / 18446744073709551616.0) "
+        "/ GREATEST(CAST(n_chars AS DOUBLE), 1e-12) DESC "
+        "LIMIT 100"
+    )
+
+
+def _image_thumbnails_sql() -> str:
+    """Oracle for the resize pipeline: recompute every 12×12 thumbnail
+    cell as the exact integer block average of the planted closed-form
+    pixels ((m·31 + r·7 + c·3 + ch·11) % 256; block = sy×sx with
+    sy, sx ∈ {1,2} — power-of-two means, so the engine's float mean +
+    uint8 truncation IS integer division). resized_len for the PPM
+    codec is the 13-byte 'P6\\n12 12\\n255\\n' header + 432 pixel
+    bytes = 445."""
+    return (
+        "WITH m AS (SELECT CAST(vec_id AS BIGINT) AS media_id FROM embeddings), "
+        "dims AS (SELECT media_id, 12*(1 + (media_id//2)%2) AS h, "
+        "12*(1 + (media_id//4)%2) AS w FROM m WHERE media_id % 2 = 0), "
+        "cells AS (SELECT d.media_id, d.h//12 AS sy, d.w//12 AS sx, "
+        "i.i AS i, j.j AS j, ch.ch AS ch FROM dims d, "
+        "generate_series(0,11) AS i(i), generate_series(0,11) AS j(j), "
+        "generate_series(0,2) AS ch(ch)), "
+        "pix AS (SELECT c.media_id, c.i, c.j, c.ch, c.sy*c.sx AS cnt, "
+        "SUM((c.media_id*31 + (c.i*c.sy + dy.dy)*7 + (c.j*c.sx + dx.dx)*3 "
+        "+ c.ch*11) % 256) AS s "
+        "FROM cells c, generate_series(0,1) AS dy(dy), generate_series(0,1) AS dx(dx) "
+        "WHERE dy.dy < c.sy AND dx.dx < c.sx "
+        "GROUP BY c.media_id, c.i, c.j, c.ch, c.sy, c.sx), "
+        "sums AS (SELECT media_id, CAST(SUM(s // cnt) AS BIGINT) AS thumb_sum "
+        "FROM pix GROUP BY media_id) "
+        "SELECT m.media_id, "
+        "CASE WHEN m.media_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind, "
+        "CAST(CASE WHEN m.media_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS ok, "
+        "CAST(CASE WHEN m.media_id % 2 = 0 THEN 445 ELSE 0 END AS BIGINT) AS resized_len, "
+        "COALESCE(s.thumb_sum, 0) AS thumb_sum "
+        "FROM m LEFT JOIN sums s ON m.media_id = s.media_id"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "doc_stats_by_source": (
@@ -11512,6 +11610,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "shuffled_doc_order": _shuffled_doc_order_sql(),
         "curriculum_doc_order": _curriculum_doc_order_sql(),
+        "weighted_doc_sample": _weighted_doc_sample_sql(),
+        "image_thumbnails": _image_thumbnails_sql(),
         "quality_borda": (
             "WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt, "
