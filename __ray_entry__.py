@@ -916,17 +916,24 @@ def _q_blocklist_admission(sf_dir: str):
 def _q_image_dhash_dups(sf_dir: str):
     """Perceptual image near-dup with a SQL oracle
     (multimodal.dhash64 + dedup.hash64_hamming_pairs): every vec_id
-    renders a seeded-random 18×16 image (pixels < 240, alternating
-    PPM/PNG codecs); ids divisible by 5 also plant a brightness-shifted
-    copy (+5 every channel, id + 10⁷). dHash is provably invariant to
-    the uniform shift (constant offsets cancel in every adjacent-cell
-    compare), so each planted copy pairs with its base at hamming 0 —
-    and the oracle is exactly the planted mapping. Random unrelated
-    bases sit near hamming ~32; the banded join never surfaces them
-    (verified empirically at both sf scales with these fixed seeds).
+    renders a seeded-random 18×16 image (pixels in [60, 200), codec
+    cycling PPM / PNG / baseline JPEG by vid % 3); ids divisible by 5
+    also plant a brightness-shifted copy (+5 every channel, id + 10⁷).
+    dHash is provably invariant to the uniform shift (constant offsets
+    cancel in every adjacent-cell compare) — and the shift survives
+    the LOSSY codec bit-exactly too: +5 RGB adds exactly +5 to luma
+    and nothing to chroma, so only the luma DC coefficient moves, by
+    5·8 / qdc = 20 whole quantization units at q95 (qdc = 2), leaving
+    every rounding decision identical; with pixels in [60, 200) no
+    decoded value clips, so decode(copy) == decode(base) + 5 exactly
+    and each planted copy pairs with its base at hamming 0 — the
+    oracle is exactly the planted mapping. Random unrelated bases sit
+    near hamming ~32; the banded join never surfaces them (verified
+    empirically at sf 0.001/0.01/0.1 with these fixed seeds).
     Payloads never shuffle — only (id, hash) rows enter the banding."""
     import ray.data
 
+    from pdf_table_extractor_ray.stages.jpeg import encode_jpeg
     from pdf_table_extractor_ray.stages.multimodal import (
         encode_png,
         encode_ppm,
@@ -939,8 +946,14 @@ def _q_image_dhash_dups(sf_dir: str):
         ids_out, payloads = [], []
         for vid in b.column("vec_id").to_pylist():
             rng = np.random.default_rng(9000 + int(vid))
-            base = rng.integers(0, 240, (18, 16, 3)).astype(np.uint8)
-            enc = encode_ppm if vid % 2 == 0 else encode_png
+            base = rng.integers(60, 200, (18, 16, 3)).astype(np.uint8)
+            m = vid % 3
+            if m == 0:
+                enc = encode_ppm
+            elif m == 1:
+                enc = encode_png
+            else:
+                enc = lambda im: encode_jpeg(im, quality=95, subsampling="4:4:4")
             ids_out.append(int(vid))
             payloads.append(enc(base))
             if vid % 5 == 0:

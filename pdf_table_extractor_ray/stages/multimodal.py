@@ -15,10 +15,13 @@ Two decode modes:
   inflate + the shared PNG row-predictor kernel from
   ``pdf_native._apply_png_predictor`` (PDF 1.5 xref streams use the
   identical filters), covering 8-bit gray/RGB/palette/alpha,
-  non-interlaced. Entropy-coded formats (JPEG/MP3/video) still raise
-  ``NotImplementedError`` at the same seam — that is where
-  PIL/ffmpeg would plug in (neither exists in this container,
-  re-verified each round; a DCT/Huffman decoder is out of scope).
+  non-interlaced, and (round 5) **JPEG**: a full stdlib baseline
+  sequential DCT/Huffman codec (``stages/jpeg.py`` — 4:4:4/4:2:2/
+  4:2:0, restart intervals, grayscale; the dominant real-crawl image
+  format). The remaining entropy-coded formats (progressive JPEG,
+  MP3, H.264) still raise ``NotImplementedError`` at the same seam —
+  that is where PIL/ffmpeg would plug in (neither exists in this
+  container, re-verified each round).
 """
 
 from __future__ import annotations
@@ -452,6 +455,8 @@ def _pool_image(img: np.ndarray) -> np.ndarray:
 
 
 def _sniff(payload: bytes) -> str:
+    if payload.startswith(b"\xff\xd8\xff"):
+        return "jpeg"
     if payload.startswith(b"P6"):
         return "ppm"
     if payload.startswith(b"BM"):
@@ -492,6 +497,10 @@ class DecodeFeaturize:
             img = decode_png(payload)
         elif kind == "gif":
             img = decode_gif(payload)
+        elif kind == "jpeg":
+            from pdf_table_extractor_ray.stages.jpeg import decode_jpeg
+
+            img = decode_jpeg(payload)
         elif kind == "wav":
             x = decode_wav(payload)
             # 32-bin mean-|amplitude| envelope as the audio feature
@@ -529,9 +538,10 @@ class DecodeFeaturize:
             return np.mean(feats, axis=0).astype(np.float32), mid_thumb
         else:
             raise NotImplementedError(
-                f"real decode supports PPM/BMP/PNG/GIF/WAV/RVID (stdlib-only "
-                f"environment); got {payload[:4]!r} — plug PIL/torchvision/"
-                f"ffmpeg in here for entropy-coded formats (JPEG/MP3/H.264)"
+                f"real decode supports JPEG(baseline)/PPM/BMP/PNG/GIF/WAV/RVID "
+                f"(stdlib-only environment); got {payload[:4]!r} — plug "
+                f"PIL/torchvision/ffmpeg in here for the remaining "
+                f"entropy-coded formats (progressive JPEG, MP3, H.264)"
             )
         thumb_img = _pool_image(img)
         flat = thumb_img.astype(np.float32).ravel()
@@ -623,6 +633,17 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
                 payloads.append(encode_ppm(img))
             elif i % 8 == 6:  # some ship LZW-compressed (GIF palette path)
                 payloads.append(encode_gif(img))
+            elif i % 8 == 2:  # some ship entropy-coded (baseline JPEG)
+                from pdf_table_extractor_ray.stages.jpeg import encode_jpeg
+
+                payloads.append(
+                    encode_jpeg(
+                        img,
+                        quality=95,
+                        subsampling="4:2:0" if i % 16 == 2 else "4:4:4",
+                        restart_interval=2 if i % 16 == 10 else 0,
+                    )
+                )
             else:  # the rest ship deflate-compressed (PNG, filters 0-4)
                 payloads.append(encode_png(img, filters=[0, 1, 2, 3, 4]))
             kinds.append("image")
@@ -678,6 +699,10 @@ class ResizeImages:
                     img = decode_png(p)
                 elif kind == "gif":
                     img = decode_gif(p)
+                elif kind == "jpeg":
+                    from pdf_table_extractor_ray.stages.jpeg import decode_jpeg
+
+                    img = decode_jpeg(p)
                 else:
                     raise ValueError(f"not a decodable image (kind={kind})")
             except Exception as e:  # in-band, never fatal
@@ -1010,6 +1035,10 @@ def decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if kind == "gif":
         return decode_gif(payload)
+    if kind == "jpeg":
+        from pdf_table_extractor_ray.stages.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError(f"not a decodable image format: {kind}")
 
 
