@@ -53,7 +53,7 @@ FAMILIES = (
 ALL_FAMILIES = FAMILIES + ("encrypted", "pdf_native")
 
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 7  # r4: pdf_native sub-families (Td, PDF 1.5, CID/ToUnicode, line-TJ metrics)
+FIXTURE_VERSION = 8  # r5: real RC4/AESV2-encrypted PDF sub-family
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -501,6 +501,17 @@ def generate_doc(i: int, seed: int = SEED) -> Dict:
         html = _html_wordboxes_to_pdf(bytes(html).decode())
         text = ""
         family = "pdf_native"
+        if rng.random() < 0.25 and not html[:128].startswith(b"%PDF-1.5"):
+            # r5: a quarter of the classic-xref PDFs ship genuinely
+            # password-protected through the SPEC standard security
+            # handler (conversor_c6.py:36 pikepdf shape) — RC4 and
+            # AES-128 /AESV2 alternating
+            from pdf_table_extractor_ray.stages.config import DEFAULT_CREDENTIALS
+            from pdf_table_extractor_ray.stages.pdf_crypt import encrypt_pdf
+
+            method = "aesv2" if rng.random() < 0.5 else "rc4"
+            html = encrypt_pdf(html, DEFAULT_CREDENTIALS["default"], method=method)
+            family = "encrypted"
     if family == "lattice_table" and rng.random() < 0.25:
         # a quarter of the lattice docs ship password-protected (the
         # conversor_c6.py:36 shape): payload encrypted with the default

@@ -2,17 +2,22 @@
 
 The reference opens password-protected PDFs before parsing
 (conversor_c6.py:36,109 — pikepdf ``open(password=...)`` then the
-normal pipeline). The engine's analog: payloads carrying the
-``XENC1`` magic are decrypted with a credential from the job's
-``StrategyConfig`` and then routed through normal detection.
+normal pipeline). The engine covers BOTH shapes:
 
-The cipher is a deterministic XOR keystream (sha256-counter) with a
-plaintext crc32 in the header — NOT real cryptography, and not meant
-to be: no crypto libs exist in this environment, and what the seam
-must prove is the *plumbing* (credentials reach every warm actor via
-``fn_constructor_kwargs``; wrong/missing passwords surface as in-band
-row errors, never job failures). A production deployment would swap
-``decrypt_payload`` for its real KMS-backed equivalent.
+- **Real PDF encryption** (round 5): payloads that are
+  ``%PDF-…/Encrypt`` documents decrypt through the spec standard
+  security handler in ``stages/pdf_crypt.py`` — RC4 and AES-128-CBC
+  (/AESV2) with Algorithm 2–6 key derivation, exactly what pikepdf
+  does for the reference — then route through normal detection.
+- **Opaque envelope encryption**: payloads carrying the ``XENC1``
+  magic are a deterministic XOR keystream (sha256-counter) with a
+  plaintext crc32 — the KMS-envelope stand-in for NON-PDF payloads
+  (real envelope crypto would be a KMS call behind the same seam).
+
+Either way the credential comes from the job's ``StrategyConfig``
+(reaches every warm actor via ``fn_constructor_kwargs``) and
+wrong/missing passwords surface as in-band row errors, never job
+failures.
 """
 
 from __future__ import annotations
@@ -58,10 +63,15 @@ def encrypt_payload(plain: bytes, password: str) -> bytes:
 
 
 def decrypt_payload(payload: bytes, password: str | None) -> bytes:
-    """Plaintext bytes, or raise: ``WrongPassword`` when the crc check
-    fails (bad/missing credential), ``ValueError`` on a non-encrypted
-    payload."""
+    """Plaintext bytes, or raise: ``WrongPassword`` on a bad/missing
+    credential, ``ValueError`` on a non-encrypted payload. Dispatches
+    on shape: ``%PDF`` → the real standard-security-handler decrypt
+    (``pdf_crypt``), ``XENC1`` → the envelope XOR scheme."""
     payload = bytes(payload)
+    if payload[:5] == b"%PDF-":
+        from pdf_table_extractor_ray.stages.pdf_crypt import decrypt_pdf
+
+        return decrypt_pdf(payload, password)
     if not is_encrypted(payload):
         raise ValueError("payload is not XENC1-encrypted")
     if password is None:

@@ -157,7 +157,11 @@ def detect_format(html, text: Optional[str]) -> Optional[str]:
         from pdf_table_extractor_ray.stages.pdf_native import is_pdf
 
         if is_pdf(html):
-            return "pdf_native"
+            from pdf_table_extractor_ray.stages.pdf_crypt import pdf_is_encrypted
+
+            # a password-protected PDF must hit the credential seam
+            # BEFORE the parser (the conversor_c6 pikepdf.open shape)
+            return "encrypted" if pdf_is_encrypted(html) else "pdf_native"
         if is_encrypted(html):
             return "encrypted"
         html = decode_html(html)
