@@ -1135,8 +1135,10 @@ def weighted_sample_topk(
             names=[id_col, "es_key"],
         )
 
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
     pruned = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    return pruned.sort("es_key", descending=True).limit(k).drop_columns(["es_key"])
+    return global_top_k(pruned, [("es_key", "descending")], k).drop_columns(["es_key"])
 
 
 def uniform_group_cap(

@@ -221,8 +221,12 @@ def heavy_hitters(
             }
         )
 
+    from pdf_table_extractor_ray.stages.topk import global_top_k
+
     out = agg.map_batches(finish, batch_format="pyarrow")
-    return out.sort(["est", "item"], descending=[True, False]).limit(k)
+    return global_top_k(
+        out, [("est", "descending"), ("item", "ascending")], k
+    )
 
 
 def approx_quantiles(
