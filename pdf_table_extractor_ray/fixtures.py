@@ -53,7 +53,7 @@ FAMILIES = (
 ALL_FAMILIES = FAMILIES + ("encrypted", "pdf_native")
 
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 8  # r5: real RC4/AESV2-encrypted PDF sub-family
+FIXTURE_VERSION = 9  # r5: real RC4/AESV2-encrypted PDF sub-family (64 KB size cap)
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -501,11 +501,18 @@ def generate_doc(i: int, seed: int = SEED) -> Dict:
         html = _html_wordboxes_to_pdf(bytes(html).decode())
         text = ""
         family = "pdf_native"
-        if rng.random() < 0.25 and not html[:128].startswith(b"%PDF-1.5"):
+        if (
+            rng.random() < 0.25
+            and not html[:128].startswith(b"%PDF-1.5")
+            and len(html) <= 64_000
+        ):
             # r5: a quarter of the classic-xref PDFs ship genuinely
             # password-protected through the SPEC standard security
             # handler (conversor_c6.py:36 pikepdf shape) — RC4 and
-            # AES-128 /AESV2 alternating
+            # AES-128 /AESV2 alternating. Size-capped at 64 KB: real
+            # protected bank statements are KB-scale, and the cap keeps
+            # the serial scalar ENCRYPT (mint-time only) off the
+            # large-size-class tail (decrypt is vectorized and fast)
             from pdf_table_extractor_ray.stages.config import DEFAULT_CREDENTIALS
             from pdf_table_extractor_ray.stages.pdf_crypt import encrypt_pdf
 

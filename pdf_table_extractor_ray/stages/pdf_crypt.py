@@ -30,6 +30,8 @@ import re
 import struct
 from typing import Dict, Optional, Tuple
 
+import numpy as np
+
 from pdf_table_extractor_ray.stages.encrypted import WrongPassword
 
 # §7.6.3.3 padding string
@@ -187,6 +189,41 @@ def aes128_encrypt_block(key: bytes, block: bytes) -> bytes:
     return _encrypt_block(block, _expand_key(key))
 
 
+# vectorized decrypt path: CBC DECRYPT has no serial dependency (every
+# block deciphers independently, then XORs with the PREVIOUS ciphertext
+# block), so all blocks run as one numpy pass — the difference between
+# ~40 KB/s (per-byte Python) and MB/s inside the extraction actors.
+# CBC ENCRYPT is inherently serial (each block chains on the previous
+# ciphertext) and stays scalar — it only runs at fixture-minting time.
+_INV_SBOX_NP = np.array(_INV_SBOX, np.uint8)
+_INV_SHIFT_NP = np.array(_INV_SHIFT, np.int64)
+_G9 = np.array([_gmul(i, 9) for i in range(256)], np.uint8)
+_G11 = np.array([_gmul(i, 11) for i in range(256)], np.uint8)
+_G13 = np.array([_gmul(i, 13) for i in range(256)], np.uint8)
+_G14 = np.array([_gmul(i, 14) for i in range(256)], np.uint8)
+
+
+def _decrypt_blocks_np(cipher: bytes, rks: list) -> np.ndarray:
+    """ECB-decrypt every 16-byte block of ``cipher`` at once → (n, 16)."""
+    st = np.frombuffer(cipher, np.uint8).reshape(-1, 16).copy()
+    rk = [np.frombuffer(k, np.uint8) for k in rks]
+    st ^= rk[10]
+    for rnd in range(9, -1, -1):
+        st = st[:, _INV_SHIFT_NP]
+        st = _INV_SBOX_NP[st]
+        st ^= rk[rnd]
+        if rnd > 0:
+            a = st.reshape(-1, 4, 4)
+            a0, a1, a2, a3 = a[:, :, 0], a[:, :, 1], a[:, :, 2], a[:, :, 3]
+            m = np.empty_like(a)
+            m[:, :, 0] = _G14[a0] ^ _G11[a1] ^ _G13[a2] ^ _G9[a3]
+            m[:, :, 1] = _G9[a0] ^ _G14[a1] ^ _G11[a2] ^ _G13[a3]
+            m[:, :, 2] = _G13[a0] ^ _G9[a1] ^ _G14[a2] ^ _G11[a3]
+            m[:, :, 3] = _G11[a0] ^ _G13[a1] ^ _G9[a2] ^ _G14[a3]
+            st = m.reshape(-1, 16)
+    return st
+
+
 def _aes_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
     rks = _expand_key(key)
     pad = 16 - len(plain) % 16
@@ -201,19 +238,20 @@ def _aes_cbc_encrypt(key: bytes, iv: bytes, plain: bytes) -> bytes:
 
 
 def _aes_cbc_decrypt(key: bytes, iv: bytes, cipher: bytes) -> bytes:
-    if len(cipher) % 16:
+    if len(cipher) % 16 or not cipher:
         raise ValueError("AES-CBC ciphertext not block-aligned")
-    rks = _expand_key(key)
-    out = bytearray()
-    prev = iv
-    for i in range(0, len(cipher), 16):
-        blk = cipher[i : i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks), prev))
-        prev = blk
-    pad = out[-1] if out else 0
+    dec = _decrypt_blocks_np(cipher, _expand_key(key))
+    prev = np.vstack(
+        [
+            np.frombuffer(iv, np.uint8)[None, :],
+            np.frombuffer(cipher, np.uint8).reshape(-1, 16)[:-1],
+        ]
+    )
+    out = (dec ^ prev).tobytes()
+    pad = out[-1]
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES padding")
-    return bytes(out[:-pad])
+    return out[:-pad]
 
 
 # ---------------------------------------------------------------------------
