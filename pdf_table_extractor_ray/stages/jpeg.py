@@ -7,17 +7,23 @@ open them.
 
 Scope (and honest limits, enforced with loud errors):
 
-- DECODE: baseline sequential (SOF0) and extended sequential (SOF1),
-  8-bit samples, 1 or 3 components, any sampling factors ≤ 4 (4:4:4 /
-  4:2:2 / 4:2:0 covered), restart intervals (DRI/RSTn), stuffed-byte
-  handling, multi-table DQT/DHT segments. Progressive (SOF2),
-  arithmetic coding, hierarchical and 12-bit modes raise ``ValueError``
-  with the mode name — in-band error rows upstream, never a crash.
+- DECODE: baseline sequential (SOF0), extended sequential (SOF1) and
+  PROGRESSIVE (SOF2 — spectral-selection bands, successive
+  approximation with the libjpeg correction-bit walk, EOB runs, DC/AC
+  refinement scans), 8-bit samples, 1 or 3 components, any sampling
+  factors ≤ 4 (4:4:4 / 4:2:2 / 4:2:0 covered), restart intervals
+  (DRI/RSTn), stuffed-byte handling, multi-table DQT/DHT segments.
+  Arithmetic coding, hierarchical and 12-bit modes raise
+  ``ValueError`` with the mode name — in-band error rows upstream,
+  never a crash.
 - ENCODE: baseline JFIF writer (quality-scaled Annex-K quantization
   tables, standard Annex-K Huffman tables, 4:4:4 or 4:2:0, optional
-  restart interval) — exists so the synthetic corpora can plant REAL
-  entropy-coded payloads for the pipeline tests without any image
-  library in the container.
+  restart interval) plus a progressive (SOF2) writer whose scan script
+  covers every progressive decoder path — so the synthetic corpora can
+  plant REAL entropy-coded payloads for the pipeline tests without any
+  image library in the container. The decode of a progressive encode
+  is pixel-identical to the baseline decode of the same image
+  (entropy coding is lossless; the tests pin that equality).
 
 Numerics: entropy coding is lossless, so a decode of this encoder's
 output recovers the quantized DCT coefficients EXACTLY; the only float
@@ -265,6 +271,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: Dict[int, Dict[Tuple[int, int], int]] = {}
     frame = None  # (h, w, [(cid, hs, vs, tq)])
     ri = 0
+    progressive = False
+    prog_state = None
     pos = 2
     n = len(payload)
     while pos < n:
@@ -304,8 +312,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, samp, tq_i = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, samp >> 4, samp & 0xF, tq_i))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise ValueError("progressive JPEG (SOF2) unsupported")
+        elif marker == 0xC2:  # SOF2: progressive DCT
+            prec, h, w, nc = data[0], *struct.unpack_from(">HH", data, 1), data[5]
+            if prec != 8:
+                raise ValueError(f"unsupported JPEG precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, samp, tq_i = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0xF, tq_i))
+            frame = (h, w, comps)
+            progressive = True
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG mode (SOF marker 0x{marker:02X})")
         elif marker == 0xC4:  # DHT (possibly several tables)
@@ -319,7 +335,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 (huff_dc if tc == 0 else huff_ac)[th] = _decode_table(bits_spec, vals)
         elif marker == 0xDD:  # DRI
             (ri,) = struct.unpack_from(">H", data, 0)
-        elif marker == 0xDA:  # SOS — baseline has exactly one scan
+        elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = data[0]
@@ -328,8 +344,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
                 scan.append((cs, tt >> 4, tt & 0xF))
             segs, pos = _split_entropy(payload, pos)
-            return _decode_scan(frame, scan, qt, huff_dc, huff_ac, ri, segs)
+            if not progressive:
+                # baseline: exactly one scan, decode and return
+                return _decode_scan(frame, scan, qt, huff_dc, huff_ac, ri, segs)
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ahal = data[3 + 2 * ns]
+            if prog_state is None:
+                prog_state = _ProgState(frame)
+            _progressive_scan(
+                prog_state, scan, huff_dc, huff_ac, ri, segs,
+                ss, se, ahal >> 4, ahal & 0xF,
+            )
         # APPn / COM / others: skipped
+    if progressive and prog_state is not None:
+        return _reconstruct_progressive(prog_state, qt)
     raise ValueError("JPEG has no SOS scan")
 
 
@@ -383,10 +411,16 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, ri, segs) -> np.ndarray:
                         k += 1
                     coeffs[ci][my * vs + v, mx * hs + hh] = blk * qtbl[ZIGZAG]
         mcu_i += 1
-    # inverse transform per component (vectorized over all blocks)
+    samps = [(hs, vs) for hs, vs, *_rest in order]
+    return _planes_to_rgb(coeffs, samps, hmax, vmax, h, w)
+
+
+def _planes_to_rgb(dequant, samps, hmax, vmax, h, w) -> np.ndarray:
+    """(bh, bw, 64) DEQUANTIZED zigzag coefficient arrays → RGB image:
+    one einsum IDCT per component, nearest chroma upsample, JFIF
+    YCbCr→RGB. Shared by the sequential and progressive paths."""
     planes = []
-    for ci, (hs, vs, *_rest) in enumerate(order):
-        c = coeffs[ci]
+    for c, (hs, vs) in zip(dequant, samps):
         bh, bw = c.shape[0], c.shape[1]
         rast = np.zeros((bh, bw, 64), np.float64)
         rast[:, :, ZIGZAG] = c  # zigzag -> raster
@@ -406,6 +440,190 @@ def _decode_scan(frame, scan, qt, huff_dc, huff_ac, ri, segs) -> np.ndarray:
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 Annex G: coefficients accumulate
+# across scans (spectral selection bands + successive-approximation bit
+# planes); dequantization and the IDCT run ONCE at EOI.
+
+
+class _ProgState:
+    """Per-component raw-coefficient accumulators at MCU-padded grid
+    size, plus the component geometry both scan shapes need."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.h, self.w = h, w
+        self.comps = comps  # [(cid, hs, vs, tq)] frame order
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = -(-w // (8 * self.hmax))
+        self.mcuy = -(-h // (8 * self.vmax))
+        self.coef = []  # (bh_padded, bw_padded, 64) int32, zigzag order
+        self.true_bw = []  # non-interleaved scan grid (true comp dims)
+        self.true_bh = []
+        for _cid, hs, vs, _tq in comps:
+            self.coef.append(
+                np.zeros((self.mcuy * vs, self.mcux * hs, 64), np.int32)
+            )
+            cw = -(-w * hs // self.hmax)
+            ch = -(-h * vs // self.vmax)
+            self.true_bw.append(-(-cw // 8))
+            self.true_bh.append(-(-ch // 8))
+
+    def comp_index(self, cid: int) -> int:
+        for i, c in enumerate(self.comps):
+            if c[0] == cid:
+                return i
+        raise ValueError(f"scan references unknown component {cid}")
+
+
+def _refine_nonzero(coef, zi, bits, p1):
+    """AC-refinement correction bit for an already-nonzero coefficient."""
+    if bits.bit():
+        v = int(coef[zi])
+        if (abs(v) & p1) == 0:
+            coef[zi] = v + p1 if v >= 0 else v - p1
+
+
+def _progressive_scan(st, scan, huff_dc, huff_ac, ri, segs, ss, se, ah, al):
+    if ss == 0:
+        _progressive_dc_scan(st, scan, huff_dc, ri, segs, ah, al)
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be non-interleaved")
+        _progressive_ac_scan(st, scan[0], huff_ac, ri, segs, ss, se, ah, al)
+
+
+def _progressive_dc_scan(st, scan, huff_dc, ri, segs, ah, al):
+    idxs = [st.comp_index(cs) for cs, _td, _ta in scan]
+    tables = [huff_dc.get(td) for _cs, td, _ta in scan]
+    interleaved = len(scan) > 1
+    n_units = (
+        st.mcux * st.mcuy
+        if interleaved
+        else st.true_bw[idxs[0]] * st.true_bh[idxs[0]]
+    )
+    seg_i = 0
+    bits = _Bits(segs[0])
+    preds = [0] * len(scan)
+    for u in range(n_units):
+        if ri and u and u % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            bits = _Bits(segs[seg_i])
+            preds = [0] * len(scan)
+        for si, ci in enumerate(idxs):
+            _cid, hs, vs, _tq = st.comps[ci]
+            if interleaved:
+                my, mx = divmod(u, st.mcux)
+                blocks = [
+                    (my * vs + v, mx * hs + hh)
+                    for v in range(vs)
+                    for hh in range(hs)
+                ]
+            else:
+                by, bx = divmod(u, st.true_bw[ci])
+                blocks = [(by, bx)]
+            for by, bx in blocks:
+                blk = st.coef[ci]
+                if ah == 0:  # first DC scan: diff-coded, scaled by 2^al
+                    s = _huff_decode(bits, tables[si])
+                    preds[si] += _receive_extend(bits, s)
+                    blk[by, bx, 0] = preds[si] << al
+                else:  # refinement: one bit per block
+                    if bits.bit():
+                        blk[by, bx, 0] = int(blk[by, bx, 0]) | (1 << al)
+
+
+def _progressive_ac_scan(st, comp_scan, huff_ac, ri, segs, ss, se, ah, al):
+    cs, _td, ta = comp_scan
+    ci = st.comp_index(cs)
+    table = huff_ac.get(ta)
+    bw, bh = st.true_bw[ci], st.true_bh[ci]
+    coef3 = st.coef[ci]
+    p1 = 1 << al
+    seg_i = 0
+    bits = _Bits(segs[0])
+    eobrun = 0
+    for u in range(bw * bh):
+        if ri and u and u % ri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("JPEG missing restart segment")
+            bits = _Bits(segs[seg_i])
+            eobrun = 0
+        by, bx = divmod(u, bw)
+        coef = coef3[by, bx]
+        if ah == 0:  # first AC scan for this band / bit position
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = _huff_decode(bits, table)
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += bits.bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflow")
+                coef[k] = _receive_extend(bits, s) << al
+                k += 1
+        else:  # refinement scan (the libjpeg correction-bit walk)
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = _huff_decode(bits, table)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r < 15:  # EOBn: finish block under eob rules
+                            eobrun = (1 << r)
+                            if r:
+                                eobrun += bits.bits(r)
+                            break
+                        newval = 0  # ZRL: skip 16 zero-history coeffs
+                    else:
+                        if s != 1:
+                            raise ValueError("bad AC refinement size")
+                        newval = p1 if bits.bit() else -p1
+                    # advance r zero-HISTORY positions; history-nonzero
+                    # coefficients crossed on the way receive their
+                    # correction bit
+                    while k <= se:
+                        if coef[k] != 0:
+                            _refine_nonzero(coef, k, bits, p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval and k <= se:
+                        coef[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if coef[k] != 0:
+                        _refine_nonzero(coef, k, bits, p1)
+                    k += 1
+                eobrun -= 1
+
+
+def _reconstruct_progressive(st, qt) -> np.ndarray:
+    dequant = []
+    samps = []
+    for ci, (_cid, hs, vs, tq) in enumerate(st.comps):
+        dequant.append(st.coef[ci].astype(np.int64) * qt[tq][ZIGZAG])
+        samps.append((hs, vs))
+    return _planes_to_rgb(dequant, samps, st.hmax, st.vmax, st.h, st.w)
 
 
 # ---------------------------------------------------------------------------
@@ -605,4 +823,277 @@ def encode_jpeg(
     writer.flush()
     out += writer.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) encoder — spectral selection + one bit of
+# successive approximation, so every decoder path (DC first/refine, AC
+# first with EOB runs, AC refinement correction bits) is exercised by a
+# true roundtrip. Entropy coding is lossless, so the progressive decode
+# of this output is pixel-identical to the baseline decode of the same
+# quantized coefficients (the test pins exactly that).
+
+# Uniform-length canonical Huffman specs: the STANDARD sequential AC
+# tables carry no EOBn symbols (r>0, s=0), so progressive scans define
+# their own tables in the DHT — all 12 DC categories at 4 bits
+# (Kraft 12/16), and every (r, s) symbol incl. EOB1..EOB14 at 9 bits
+# (176 + 14 = 190 symbols ≤ 2^9).
+_PROG_DC_SPEC = ([0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_PROG_AC_SYMS = sorted(
+    {(r << 4) | s for r in range(16) for s in range(1, 11)}
+    | {0x00, 0xF0}
+    | {r << 4 for r in range(1, 15)}  # EOB1..EOB14
+)
+_PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, len(_PROG_AC_SYMS), 0, 0, 0, 0, 0, 0, 0],
+    _PROG_AC_SYMS,
+)
+
+
+class _AcFirstScan:
+    """AC first-scan emitter for one band: run/size symbols + EOB-run
+    accumulation across blocks."""
+
+    def __init__(self, writer, codes):
+        self.w = writer
+        self.codes = codes
+        self.eobrun = 0
+
+    def flush_eob(self):
+        if self.eobrun == 0:
+            return
+        r = self.eobrun.bit_length() - 1
+        c, ln = self.codes[r << 4]
+        self.w.write(c, ln)
+        if r:
+            self.w.write(self.eobrun - (1 << r), r)
+        self.eobrun = 0
+
+    def block(self, vals, ss, se):
+        run = 0
+        for k in range(ss, se + 1):
+            v = int(vals[k])
+            if v == 0:
+                run += 1
+                continue
+            self.flush_eob()
+            while run > 15:
+                c, ln = self.codes[0xF0]
+                self.w.write(c, ln)
+                run -= 16
+            s, code = _magnitude(v)
+            c, ln = self.codes[(run << 4) | s]
+            self.w.write(c, ln)
+            self.w.write(code, s)
+            run = 0
+        if run > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eob()
+
+
+class _AcRefineScan:
+    """AC refinement emitter (the libjpeg encode_mcu_AC_refine walk):
+    newly-significant coefficients as (run, 1) + sign, correction bits
+    for history coefficients buffered and appended in order, EOB runs
+    carrying their buffered bits."""
+
+    def __init__(self, writer, codes, al):
+        self.w = writer
+        self.codes = codes
+        self.al = al
+        self.eobrun = 0
+        self.eob_bits = []
+
+    def _flush_eob(self):
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            c, ln = self.codes[r << 4]
+            self.w.write(c, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.eob_bits:
+            self.w.write(b, 1)
+        self.eob_bits = []
+
+    def block(self, coefs, ss, se):
+        absv = [abs(int(coefs[k])) >> self.al for k in range(64)]
+        eob = ss - 1
+        for k in range(ss, se + 1):
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        br = []
+        for k in range(ss, se + 1):
+            t = absv[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                self._flush_eob()
+                c, ln = self.codes[0xF0]
+                self.w.write(c, ln)
+                r -= 16
+                for b in br:
+                    self.w.write(b, 1)
+                br = []
+            if t > 1:  # history coefficient: correction bit only
+                br.append(t & 1)
+                continue
+            # newly significant
+            self._flush_eob()
+            c, ln = self.codes[(r << 4) | 1]
+            self.w.write(c, ln)
+            self.w.write(1 if int(coefs[k]) >= 0 else 0, 1)
+            for b in br:
+                self.w.write(b, 1)
+            br = []
+            r = 0
+        if r > 0 or br:
+            self.eobrun += 1
+            self.eob_bits.extend(br)
+            if self.eobrun == 0x7FFF:
+                self._flush_eob()
+
+    def finish(self):
+        self._flush_eob()
+
+
+def encode_jpeg_progressive(
+    img: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:4:4",
+) -> bytes:
+    """(h, w, 3) uint8 RGB → progressive (SOF2) JFIF bytes.
+
+    Scan script (T.81 Annex G shapes, all decoder paths covered):
+    DC interleaved Al=1 → per-component AC first scans Al=1 (luma split
+    into bands 1–5 and 6–63, chroma 1–63) → DC refinement → matching
+    AC refinement scans. No restart intervals (decoder supports them;
+    this writer keeps scans contiguous)."""
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling}")
+    img = np.asarray(img, np.uint8)
+    h, w, _ = img.shape
+    rgb = img.astype(np.float64)
+    r_, g_, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+    y = 0.299 * r_ + 0.587 * g_ + 0.114 * b_
+    cb = 128.0 - 0.168736 * r_ - 0.331264 * g_ + 0.5 * b_
+    cr = 128.0 + 0.5 * r_ - 0.418688 * g_ - 0.081312 * b_
+    sub = subsampling == "4:2:0"
+    if sub:
+        y_p = _pad_to(y, 16, 16)
+        cb_p = _pad_to(cb, 16, 16)
+        cr_p = _pad_to(cr, 16, 16)
+        cb_p = cb_p.reshape(cb_p.shape[0] // 2, 2, cb_p.shape[1] // 2, 2).mean((1, 3))
+        cr_p = cr_p.reshape(cr_p.shape[0] // 2, 2, cr_p.shape[1] // 2, 2).mean((1, 3))
+        samps = [(2, 2), (1, 1), (1, 1)]
+    else:
+        y_p = _pad_to(y, 8, 8)
+        cb_p = _pad_to(cb, 8, 8)
+        cr_p = _pad_to(cr, 8, 8)
+        samps = [(1, 1), (1, 1), (1, 1)]
+    qlum, qchrom = _quality_tables(quality)
+    planes_q = [
+        _encode_plane(y_p, qlum),
+        _encode_plane(cb_p, qchrom),
+        _encode_plane(cr_p, qchrom),
+    ]
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    true_bw = [-(-(-(-w * hs // hmax)) // 8) for hs, _vs in samps]
+    true_bh = [-(-(-(-h * vs // vmax)) // 8) for _hs, vs in samps]
+    dc_codes = _canonical_codes(*_PROG_DC_SPEC)
+    ac_codes = _canonical_codes(*_PROG_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for tq, tbl in ((0, qlum), (1, qchrom)):
+        zz = tbl[ZIGZAG].astype(np.uint8).tobytes()
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz
+    sof = bytes([8]) + struct.pack(">HH", h, w) + bytes([3])
+    for ci, (hs, vs) in enumerate(samps):
+        sof += bytes([ci + 1, hs << 4 | vs, 0 if ci == 0 else 1])
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof
+    dht = _dht_segment(0, 0, _PROG_DC_SPEC) + _dht_segment(1, 0, _PROG_AC_SPEC)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+
+    def sos_header(comps, ss, se, ah, al):
+        body = bytes([len(comps)])
+        for cid in comps:
+            body += bytes([cid, 0x00])  # DC table 0 / AC table 0
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # ---- scan 1: DC, interleaved, Ah=0 Al=1 (diffs of dc >> 1)
+    out += sos_header([1, 2, 3], 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for mcu_i in range(mcux * mcuy):
+        my, mx = divmod(mcu_i, mcux)
+        for ci, (hs, vs) in enumerate(samps):
+            for v in range(vs):
+                for hh in range(hs):
+                    dc = int(planes_q[ci][my * vs + v, mx * hs + hh, 0]) >> 1
+                    diff = dc - preds[ci]
+                    preds[ci] = dc
+                    s, code = _magnitude(diff)
+                    c, ln = dc_codes[s]
+                    wtr.write(c, ln)
+                    if s:
+                        wtr.write(code, s)
+    wtr.flush()
+    out += wtr.out
+
+    def pt(v):  # AC point transform: truncate toward zero by 2^1
+        v = int(v)
+        return -((-v) >> 1) if v < 0 else v >> 1
+
+    # ---- AC first scans, Al=1: luma bands 1-5 / 6-63, chroma 1-63
+    ac_bands = [(0, 1, 5), (0, 6, 63), (1, 1, 63), (2, 1, 63)]
+    for ci, ss, se in ac_bands:
+        out += sos_header([ci + 1], ss, se, 0, 1)
+        wtr = _BitWriter()
+        scan = _AcFirstScan(wtr, ac_codes)
+        for u in range(true_bw[ci] * true_bh[ci]):
+            by, bx = divmod(u, true_bw[ci])
+            vals = [pt(v) for v in planes_q[ci][by, bx]]
+            scan.block(vals, ss, se)
+        scan.flush_eob()
+        wtr.flush()
+        out += wtr.out
+
+    # ---- DC refinement, Ah=1 Al=0: the low bit of every DC
+    out += sos_header([1, 2, 3], 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for mcu_i in range(mcux * mcuy):
+        my, mx = divmod(mcu_i, mcux)
+        for ci, (hs, vs) in enumerate(samps):
+            for v in range(vs):
+                for hh in range(hs):
+                    wtr.write(int(planes_q[ci][my * vs + v, mx * hs + hh, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.out
+
+    # ---- AC refinement scans, Ah=1 Al=0
+    for ci, ss, se in ac_bands:
+        out += sos_header([ci + 1], ss, se, 1, 0)
+        wtr = _BitWriter()
+        scan = _AcRefineScan(wtr, ac_codes, al=0)
+        for u in range(true_bw[ci] * true_bh[ci]):
+            by, bx = divmod(u, true_bw[ci])
+            scan.block(planes_q[ci][by, bx], ss, se)
+        scan.finish()
+        wtr.flush()
+        out += wtr.out
+
+    out += b"\xff\xd9"
     return bytes(out)

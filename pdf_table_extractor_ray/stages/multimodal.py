@@ -15,13 +15,15 @@ Two decode modes:
   inflate + the shared PNG row-predictor kernel from
   ``pdf_native._apply_png_predictor`` (PDF 1.5 xref streams use the
   identical filters), covering 8-bit gray/RGB/palette/alpha,
-  non-interlaced, and (round 5) **JPEG**: a full stdlib baseline
-  sequential DCT/Huffman codec (``stages/jpeg.py`` — 4:4:4/4:2:2/
-  4:2:0, restart intervals, grayscale; the dominant real-crawl image
-  format). The remaining entropy-coded formats (progressive JPEG,
-  MP3, H.264) still raise ``NotImplementedError`` at the same seam —
-  that is where PIL/ffmpeg would plug in (neither exists in this
-  container, re-verified each round).
+  non-interlaced, and (round 5) **JPEG**: a full stdlib DCT/Huffman
+  codec (``stages/jpeg.py``) covering baseline sequential AND
+  progressive (SOF2) decoding — 4:4:4/4:2:2/4:2:0, restart intervals,
+  grayscale, spectral selection + successive approximation; the
+  dominant real-crawl image format in both its wire shapes. The
+  remaining entropy-coded formats (MP3, H.264) still raise
+  ``NotImplementedError`` at the same seam — that is where PIL/ffmpeg
+  would plug in (neither exists in this container, re-verified each
+  round).
 """
 
 from __future__ import annotations
@@ -538,10 +540,10 @@ class DecodeFeaturize:
             return np.mean(feats, axis=0).astype(np.float32), mid_thumb
         else:
             raise NotImplementedError(
-                f"real decode supports JPEG(baseline)/PPM/BMP/PNG/GIF/WAV/RVID "
-                f"(stdlib-only environment); got {payload[:4]!r} — plug "
-                f"PIL/torchvision/ffmpeg in here for the remaining "
-                f"entropy-coded formats (progressive JPEG, MP3, H.264)"
+                f"real decode supports JPEG(baseline+progressive)/PPM/BMP/PNG/"
+                f"GIF/WAV/RVID (stdlib-only environment); got {payload[:4]!r} "
+                f"— plug PIL/torchvision/ffmpeg in here for the remaining "
+                f"entropy-coded formats (MP3, H.264)"
             )
         thumb_img = _pool_image(img)
         flat = thumb_img.astype(np.float32).ravel()
@@ -633,17 +635,18 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
                 payloads.append(encode_ppm(img))
             elif i % 8 == 6:  # some ship LZW-compressed (GIF palette path)
                 payloads.append(encode_gif(img))
-            elif i % 8 == 2:  # some ship entropy-coded (baseline JPEG)
-                from pdf_table_extractor_ray.stages.jpeg import encode_jpeg
-
-                payloads.append(
-                    encode_jpeg(
-                        img,
-                        quality=95,
-                        subsampling="4:2:0" if i % 16 == 2 else "4:4:4",
-                        restart_interval=2 if i % 16 == 10 else 0,
-                    )
+            elif i % 8 == 2:  # some ship entropy-coded (JPEG)
+                from pdf_table_extractor_ray.stages.jpeg import (
+                    encode_jpeg,
+                    encode_jpeg_progressive,
                 )
+
+                if i % 16 == 10:  # the multi-scan web shape
+                    payloads.append(encode_jpeg_progressive(img, quality=95))
+                else:
+                    payloads.append(
+                        encode_jpeg(img, quality=95, subsampling="4:2:0")
+                    )
             else:  # the rest ship deflate-compressed (PNG, filters 0-4)
                 payloads.append(encode_png(img, filters=[0, 1, 2, 3, 4]))
             kinds.append("image")

@@ -124,12 +124,12 @@ def test_restart_interval_equals_no_restart():
     assert np.array_equal(a, b) and np.array_equal(a, c)
 
 
-def test_rejects_progressive_and_truncation():
+def test_rejects_unsupported_modes_and_truncation():
     img = _gradient(16, 16)
     blob = bytearray(encode_jpeg(img, quality=90))
     sof = blob.find(b"\xff\xc0")
-    blob[sof + 1] = 0xC2  # pretend progressive
-    with pytest.raises(ValueError, match="progressive"):
+    blob[sof + 1] = 0xC9  # pretend arithmetic-coded (SOF9)
+    with pytest.raises(ValueError, match="0xC9"):
         decode_jpeg(bytes(blob))
     with pytest.raises(ValueError):
         decode_jpeg(encode_jpeg(img)[:40])  # truncated header
@@ -253,3 +253,67 @@ def test_grayscale_jpeg_decode():
     assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
     err = np.abs(dec[:, :, 0].astype(float) - y)
     assert err.mean() < 6.0
+
+
+# --- progressive (SOF2) -----------------------------------------------------
+
+
+@pytest.mark.parametrize("sub", ["4:4:4", "4:2:0"])
+@pytest.mark.parametrize("q", [95, 75, 40])
+def test_progressive_decode_equals_baseline(sub, q):
+    """Entropy coding is lossless and both modes share the quantized
+    coefficients, so the progressive decode must be PIXEL-IDENTICAL to
+    the baseline decode of the same image — one equality pins the DC
+    first/refine scans, AC spectral bands, successive approximation,
+    EOB runs and the correction-bit walk at once."""
+    from pdf_table_extractor_ray.stages.jpeg import encode_jpeg_progressive
+
+    img = _gradient(29, 37, seed=5)
+    base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=q, subsampling=sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eob_runs_across_blocks():
+    """A nearly-flat image quantizes to long zero tails — EOBn symbols
+    with r > 0 (runs spanning many blocks) must decode exactly."""
+    from pdf_table_extractor_ray.stages.jpeg import encode_jpeg_progressive
+
+    img = np.full((48, 64, 3), 130, np.uint8)
+    img[20, 30] = 180  # one feature so not every block is identical
+    base = decode_jpeg(encode_jpeg(img, quality=60))
+    blob = encode_jpeg_progressive(img, quality=60)
+    assert np.array_equal(base, decode_jpeg(blob))
+    # the stream really is multi-scan SOF2
+    assert blob.count(b"\xff\xda") == 10 and b"\xff\xc2" in blob
+
+
+def test_progressive_dispatch_and_truncation():
+    from pdf_table_extractor_ray.stages.jpeg import encode_jpeg_progressive
+    from pdf_table_extractor_ray.stages.multimodal import decode_image
+
+    img = _gradient(16, 24, seed=9)
+    blob = encode_jpeg_progressive(img, quality=90)
+    assert decode_image(blob).shape == (16, 24, 3)  # sniffs as jpeg
+    with pytest.raises(ValueError):
+        decode_jpeg(blob[: len(blob) // 2])  # truncated mid-scan
+
+
+def test_synth_corpus_carries_progressive_members(ray_session):
+    import ray.data
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        featurize_media,
+        synth_media_corpus,
+    )
+
+    corpus = synth_media_corpus()
+    n_prog = sum(
+        1
+        for p in corpus.column("payload").to_pylist()
+        if p.startswith(b"\xff\xd8") and b"\xff\xc2" in p
+    )
+    assert n_prog >= 3
+    ds = ray.data.from_arrow(corpus).repartition(4)
+    feats = featurize_media(ds, mode="real", concurrency=(1, 2)).take_all()
+    assert len(feats) == corpus.num_rows
