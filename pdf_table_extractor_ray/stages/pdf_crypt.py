@@ -1,7 +1,10 @@
-"""PDF standard security handler (ISO 32000-1 §7.6) in pure Python —
-the REAL encryption the round-4 XOR stand-in deferred: RC4 (/V 2 /R 3,
-40–128-bit) and AES-128-CBC (/V 4 /R 4 /AESV2) document decryption with
-spec-exact key derivation (Algorithms 2–6), plus the matching writer so
+"""PDF standard security handler (ISO 32000-1 §7.6 + ISO 32000-2
+§7.6.4) in pure Python — the REAL encryption the round-4 XOR stand-in
+deferred: RC4 (/V 2 /R 3, 40–128-bit), AES-128-CBC (/V 4 /R 4 /AESV2)
+and AES-256-CBC (/V 5 /R 6 /AESV3, the PDF 2.0 handler with the
+Algorithm 2.B hardened SHA-256/384/512 + AES-CBC hash, /UE / /OE key
+wraps and the /Perms check) with spec-exact key derivation
+(Algorithms 2–6 / 2.A / 2.B / 8 / 9), plus the matching writers so
 the golden fixture corpora can mint genuinely password-protected PDFs
 (the reference opens such files via pikepdf — conversor_c6.py:36,109;
 no crypto library exists in this container, so both directions are
@@ -113,20 +116,38 @@ def _gmul(a: int, b: int) -> int:
 
 
 def _expand_key(key: bytes) -> list:
-    """AES-128 → 11 round keys of 16 bytes each."""
+    """AES key schedule → Nr+1 round keys of 16 bytes (AES-128: 11,
+    AES-256: 15; FIPS-197 §5.2 incl. the Nk>6 extra SubWord rule)."""
+    nk = len(key) // 4
+    if nk not in (4, 8):
+        raise ValueError(f"AES key must be 16 or 32 bytes, got {len(key)}")
+    nr = nk + 6
     rcon = 1
-    words = [list(key[i : i + 4]) for i in range(0, 16, 4)]
-    for i in range(4, 44):
+    words = [list(key[i : i + 4]) for i in range(0, 4 * nk, 4)]
+    for i in range(nk, 4 * (nr + 1)):
         t = list(words[i - 1])
-        if i % 4 == 0:
+        if i % nk == 0:
             t = t[1:] + t[:1]
             t = [_SBOX[b] for b in t]
             t[0] ^= rcon
             rcon = _gmul(rcon, 2)
-        words.append([a ^ b for a, b in zip(words[i - 4], t)])
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
     return [
-        bytes(b for w in words[4 * r : 4 * r + 4] for b in w) for r in range(11)
+        bytes(b for w in words[4 * r : 4 * r + 4] for b in w)
+        for r in range(nr + 1)
     ]
+
+
+# scalar-path multiply tables (the per-call _gmul loop dominated the
+# R6 hardened hash before these: MixColumns is 8 multiplies per column)
+_G2T = [_gmul(i, 2) for i in range(256)]
+_G3T = [_gmul(i, 3) for i in range(256)]
+_G9T = [_gmul(i, 9) for i in range(256)]
+_G11T = [_gmul(i, 11) for i in range(256)]
+_G13T = [_gmul(i, 13) for i in range(256)]
+_G14T = [_gmul(i, 14) for i in range(256)]
 
 
 def _add_round_key(state: list, rk: bytes) -> None:
@@ -139,47 +160,41 @@ _INV_SHIFT = [0, 13, 10, 7, 4, 1, 14, 11, 8, 5, 2, 15, 12, 9, 6, 3]
 
 
 def _encrypt_block(block: bytes, rks: list) -> bytes:
+    nr = len(rks) - 1
     st = list(block)
     _add_round_key(st, rks[0])
-    for rnd in range(1, 11):
+    for rnd in range(1, nr + 1):
         st = [_SBOX[b] for b in st]  # SubBytes
         st = [st[_SHIFT[i]] for i in range(16)]  # ShiftRows
-        if rnd < 10:  # MixColumns
+        if rnd < nr:  # MixColumns
             out = [0] * 16
             for c in range(4):
-                a = st[4 * c : 4 * c + 4]
-                out[4 * c + 0] = _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3]
-                out[4 * c + 1] = a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3]
-                out[4 * c + 2] = a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3)
-                out[4 * c + 3] = _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2)
+                a0, a1, a2, a3 = st[4 * c : 4 * c + 4]
+                out[4 * c + 0] = _G2T[a0] ^ _G3T[a1] ^ a2 ^ a3
+                out[4 * c + 1] = a0 ^ _G2T[a1] ^ _G3T[a2] ^ a3
+                out[4 * c + 2] = a0 ^ a1 ^ _G2T[a2] ^ _G3T[a3]
+                out[4 * c + 3] = _G3T[a0] ^ a1 ^ a2 ^ _G2T[a3]
             st = out
         _add_round_key(st, rks[rnd])
     return bytes(st)
 
 
 def _decrypt_block(block: bytes, rks: list) -> bytes:
+    nr = len(rks) - 1
     st = list(block)
-    _add_round_key(st, rks[10])
-    for rnd in range(9, -1, -1):
+    _add_round_key(st, rks[nr])
+    for rnd in range(nr - 1, -1, -1):
         st = [st[_INV_SHIFT[i]] for i in range(16)]  # InvShiftRows
         st = [_INV_SBOX[b] for b in st]  # InvSubBytes
         _add_round_key(st, rks[rnd])
         if rnd > 0:  # InvMixColumns
             out = [0] * 16
             for c in range(4):
-                a = st[4 * c : 4 * c + 4]
-                out[4 * c + 0] = (
-                    _gmul(a[0], 14) ^ _gmul(a[1], 11) ^ _gmul(a[2], 13) ^ _gmul(a[3], 9)
-                )
-                out[4 * c + 1] = (
-                    _gmul(a[0], 9) ^ _gmul(a[1], 14) ^ _gmul(a[2], 11) ^ _gmul(a[3], 13)
-                )
-                out[4 * c + 2] = (
-                    _gmul(a[0], 13) ^ _gmul(a[1], 9) ^ _gmul(a[2], 14) ^ _gmul(a[3], 11)
-                )
-                out[4 * c + 3] = (
-                    _gmul(a[0], 11) ^ _gmul(a[1], 13) ^ _gmul(a[2], 9) ^ _gmul(a[3], 14)
-                )
+                a0, a1, a2, a3 = st[4 * c : 4 * c + 4]
+                out[4 * c + 0] = _G14T[a0] ^ _G11T[a1] ^ _G13T[a2] ^ _G9T[a3]
+                out[4 * c + 1] = _G9T[a0] ^ _G14T[a1] ^ _G11T[a2] ^ _G13T[a3]
+                out[4 * c + 2] = _G13T[a0] ^ _G9T[a1] ^ _G14T[a2] ^ _G11T[a3]
+                out[4 * c + 3] = _G11T[a0] ^ _G13T[a1] ^ _G9T[a2] ^ _G14T[a3]
             st = out
     return bytes(st)
 
@@ -205,10 +220,11 @@ _G14 = np.array([_gmul(i, 14) for i in range(256)], np.uint8)
 
 def _decrypt_blocks_np(cipher: bytes, rks: list) -> np.ndarray:
     """ECB-decrypt every 16-byte block of ``cipher`` at once → (n, 16)."""
+    nr = len(rks) - 1
     st = np.frombuffer(cipher, np.uint8).reshape(-1, 16).copy()
     rk = [np.frombuffer(k, np.uint8) for k in rks]
-    st ^= rk[10]
-    for rnd in range(9, -1, -1):
+    st ^= rk[nr]
+    for rnd in range(nr - 1, -1, -1):
         st = st[:, _INV_SHIFT_NP]
         st = _INV_SBOX_NP[st]
         st ^= rk[rnd]
@@ -252,6 +268,85 @@ def _aes_cbc_decrypt(key: bytes, iv: bytes, cipher: bytes) -> bytes:
     if not (1 <= pad <= 16) or out[-pad:] != bytes([pad]) * pad:
         raise ValueError("bad AES padding")
     return out[:-pad]
+
+
+def _aes_cbc_nopad(key: bytes, iv: bytes, data: bytes, encrypt: bool) -> bytes:
+    """AES-CBC without padding (the R6 key-wrap / hardened-hash shape;
+    data must be block-aligned)."""
+    if len(data) % 16:
+        raise ValueError("CBC-NoPad data not block-aligned")
+    rks = _expand_key(key)
+    if not encrypt:
+        dec = _decrypt_blocks_np(data, rks)
+        prev = np.vstack(
+            [
+                np.frombuffer(iv, np.uint8)[None, :],
+                np.frombuffer(data, np.uint8).reshape(-1, 16)[:-1],
+            ]
+        )
+        return (dec ^ prev).tobytes()
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(blk, rks)
+        out += prev
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# PDF 2.0 / AES-256 handler (ISO 32000-2 §7.6.4, /V 5 /R 6)
+
+
+def hash_2b(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """Algorithm 2.B — the hardened SHA-2 hash of revision 6: an
+    iterated SHA-256/384/512 + AES-CBC mangling loop (≥ 64 rounds,
+    data-dependent stop)."""
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = _aes_cbc_nopad(k[:16], k[16:32], k1, encrypt=True)
+        mod = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[mod](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            break
+    return k[:32]
+
+
+def _r6_entries(user_pw: str, owner_pw: Optional[str], file_key: bytes, p: int, seed: bytes):
+    """(/U, /UE, /O, /OE, /Perms) for revision 6. Salts derive
+    deterministically from ``seed`` so fixture minting is pure."""
+    pw = user_pw.encode("utf-8")[:127]
+    opw = (owner_pw if owner_pw is not None else user_pw).encode("utf-8")[:127]
+    vs = hashlib.sha256(b"vs" + seed).digest()[:8]
+    ks = hashlib.sha256(b"ks" + seed).digest()[:8]
+    ovs = hashlib.sha256(b"ovs" + seed).digest()[:8]
+    oks = hashlib.sha256(b"oks" + seed).digest()[:8]
+    u = hash_2b(pw, vs) + vs + ks
+    ue = _aes_cbc_nopad(hash_2b(pw, ks), b"\x00" * 16, file_key, encrypt=True)
+    o = hash_2b(opw, ovs, u) + ovs + oks
+    oe = _aes_cbc_nopad(hash_2b(opw, oks, u), b"\x00" * 16, file_key, encrypt=True)
+    perms_plain = (
+        struct.pack("<i", p) + b"\xff\xff\xff\xff" + b"T" + b"adb"
+        + hashlib.sha256(b"rnd" + seed).digest()[:4]
+    )
+    perms = _encrypt_block(perms_plain, _expand_key(file_key))
+    return u, ue, o, oe, perms
+
+
+def _r6_authenticate(password: Optional[str], u: bytes, ue: bytes, o: bytes, oe: bytes) -> bytes:
+    """File key via the user OR owner password (Algorithms 2.A/8/9);
+    raises WrongPassword when neither matches."""
+    pw = (password or "").encode("utf-8")[:127]
+    if hash_2b(pw, u[32:40]) == u[:32]:
+        return _aes_cbc_nopad(hash_2b(pw, u[40:48]), b"\x00" * 16, ue, encrypt=False)
+    if o is not None and oe is not None and hash_2b(pw, o[32:40], u[:48]) == o[:32]:
+        return _aes_cbc_nopad(
+            hash_2b(pw, o[40:48], u[:48]), b"\x00" * 16, oe, encrypt=False
+        )
+    raise WrongPassword("credential does not open this PDF (R6)")
 
 
 # ---------------------------------------------------------------------------
@@ -444,19 +539,48 @@ def encrypt_pdf(
 ) -> bytes:
     """Classic-xref PDF → the same document encrypted under the
     standard security handler. ``method``: ``"rc4"`` (/V 2 /R 3,
-    128-bit) or ``"aesv2"`` (/V 4 /R 4 /AESV2, AES-128-CBC)."""
+    128-bit), ``"aesv2"`` (/V 4 /R 4 /AESV2, AES-128-CBC) or
+    ``"aes256"`` (/V 5 /R 6 /AESV3, AES-256-CBC — the PDF 2.0
+    handler with the Algorithm 2.B hardened hash)."""
     from pdf_table_extractor_ray.stages.pdf_native import _scan_objects
 
-    if method not in ("rc4", "aesv2"):
+    if method not in ("rc4", "aesv2", "aes256"):
         raise ValueError(f"unknown encryption method {method!r}")
-    aes = method == "aesv2"
-    rev = 4 if aes else 3
-    length_bits = 128
     id0 = hashlib.md5(data).digest()
-    o = compute_o(user_pw, owner_pw, length_bits, rev)
     p = -44  # print allowed, modify denied — a typical bank-statement P
-    key = compute_key(user_pw, o, p, id0, length_bits, rev)
-    u = compute_u(key, id0, rev)
+    if method == "aes256":
+        aes = True
+        file_key = hashlib.sha256(b"filekey" + id0).digest()
+        u, ue, o_r6, oe, perms = _r6_entries(user_pw, owner_pw, file_key, p, id0)
+        key = file_key
+        enc_dict = (
+            b"<< /Filter /Standard /V 5 /R 6 /Length 256 "
+            b"/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> "
+            b"/StmF /StdCF /StrF /StdCF "
+            b"/U <" + u.hex().encode() + b"> /UE <" + ue.hex().encode() + b"> "
+            b"/O <" + o_r6.hex().encode() + b"> /OE <" + oe.hex().encode() + b"> "
+            b"/Perms <" + perms.hex().encode() + b"> /P " + str(p).encode() + b" >>"
+        )
+    else:
+        aes = method == "aesv2"
+        rev = 4 if aes else 3
+        length_bits = 128
+        o = compute_o(user_pw, owner_pw, length_bits, rev)
+        key = compute_key(user_pw, o, p, id0, length_bits, rev)
+        u = compute_u(key, id0, rev)
+        if aes:
+            enc_dict = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
+                b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+            )
+        else:
+            enc_dict = b"<< /Filter /Standard /V 2 /R 3 /Length 128 "
+        enc_dict += (
+            b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> /P "
+            + str(p).encode()
+            + b" >>"
+        )
 
     objs_in = _scan_objects(data)
     objs: Dict[int, bytes] = {}
@@ -464,25 +588,13 @@ def encrypt_pdf(
         if stream is None:
             objs[num] = head
             continue
+        objkey = key if method == "aes256" else object_key(key, num, 0, aes)
         enc = encrypt_object_data(
-            stream, object_key(key, num, 0, aes), aes, iv=hashlib.md5(id0 + num.to_bytes(3, "little")).digest()
+            stream, objkey, aes, iv=hashlib.md5(id0 + num.to_bytes(3, "little")).digest()
         )
         head2 = re.sub(rb"/Length\s+\d+\b", b"/Length " + str(len(enc)).encode(), head, count=1)
         objs[num] = head2 + b"\nstream\n" + enc + b"\nendstream"
     enc_num = max(objs) + 1
-    if aes:
-        enc_dict = (
-            b"<< /Filter /Standard /V 4 /R 4 /Length 128 "
-            b"/CF << /StdCF << /CFM /AESV2 /AuthEvent /DocOpen /Length 16 >> >> "
-            b"/StmF /StdCF /StrF /StdCF "
-        )
-    else:
-        enc_dict = b"<< /Filter /Standard /V 2 /R 3 /Length 128 "
-    enc_dict += (
-        b"/O <" + o.hex().encode() + b"> /U <" + u.hex().encode() + b"> /P "
-        + str(p).encode()
-        + b" >>"
-    )
     objs[enc_num] = enc_dict
     trailer_extra = (
         b" /Encrypt " + str(enc_num).encode() + b" 0 R /ID [<" + id0.hex().encode()
@@ -495,9 +607,9 @@ def decrypt_pdf(data: bytes, password: Optional[str]) -> bytes:
     """Encrypted classic-xref PDF → decrypted serialization (no
     /Encrypt), ready for the normal pdf_native pipeline. Raises
     ``WrongPassword`` on a bad/missing credential, ``ValueError`` on
-    unsupported encryption shapes (V5/AES-256, crypt filters other
-    than the standard ones) — both surface as in-band error rows in
-    the extraction stage."""
+    unsupported encryption shapes (non-standard crypt filters,
+    /V > 5) — both surface as in-band error rows in the extraction
+    stage."""
     from pdf_table_extractor_ray.stages.pdf_native import _scan_objects
 
     m = _ENCRYPT_REF_RE.search(data)
@@ -517,25 +629,45 @@ def decrypt_pdf(data: bytes, password: Optional[str]) -> bytes:
     v = int(vm.group(1)) if vm else 0
     rev = int(rm.group(1)) if rm else 2
     length_bits = int(lm.group(1)) if lm else 40
-    if v not in (1, 2, 4):
-        raise ValueError(f"unsupported encryption /V {v} (V5/AES-256 not implemented)")
-    aes = False
-    if v == 4:
-        if b"/AESV2" in enc_head:
-            aes = True
-        elif b"/V2" not in enc_head:
-            raise ValueError("unsupported /V 4 crypt filter (need /AESV2 or /V2)")
-    o = _dict_bytes_entry(enc_head, rb"/O")
-    u = _dict_bytes_entry(enc_head, rb"/U")
-    if o is None or u is None or pm is None:
-        raise ValueError("malformed /Encrypt dictionary")
-    p = int(pm.group(1))
-    idm = _ID_RE.search(data)
-    id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
-    encrypt_metadata = b"/EncryptMetadata false" not in enc_head
-    key = authenticate_user(password, o, u, p, id0, length_bits, rev, encrypt_metadata)
-    if key is None:
-        raise WrongPassword("credential does not open this PDF")
+    if v not in (1, 2, 4, 5):
+        raise ValueError(f"unsupported encryption /V {v}")
+    if v == 5:
+        if b"/AESV3" not in enc_head:
+            raise ValueError("unsupported /V 5 crypt filter (need /AESV3)")
+        u = _dict_bytes_entry(enc_head, rb"/U")
+        ue = _dict_bytes_entry(enc_head, rb"/UE")
+        o = _dict_bytes_entry(enc_head, rb"/O")
+        oe = _dict_bytes_entry(enc_head, rb"/OE")
+        if u is None or ue is None or len(u) < 48:
+            raise ValueError("malformed R6 /Encrypt dictionary")
+        key = _r6_authenticate(password, u, ue, o, oe)
+        # sanity: /Perms decrypts to ...'adb' under the recovered key
+        perms = _dict_bytes_entry(enc_head, rb"/Perms")
+        if perms is not None and len(perms) == 16:
+            pp = _decrypt_block(perms, _expand_key(key))
+            if pp[9:12] != b"adb":
+                raise WrongPassword("R6 /Perms check failed")
+        aes = True
+        v5 = True
+    else:
+        aes = False
+        if v == 4:
+            if b"/AESV2" in enc_head:
+                aes = True
+            elif b"/V2" not in enc_head:
+                raise ValueError("unsupported /V 4 crypt filter (need /AESV2 or /V2)")
+        o = _dict_bytes_entry(enc_head, rb"/O")
+        u = _dict_bytes_entry(enc_head, rb"/U")
+        if o is None or u is None or pm is None:
+            raise ValueError("malformed /Encrypt dictionary")
+        p = int(pm.group(1))
+        idm = _ID_RE.search(data)
+        id0 = bytes.fromhex(idm.group(1).decode("ascii")) if idm else b""
+        encrypt_metadata = b"/EncryptMetadata false" not in enc_head
+        key = authenticate_user(password, o, u, p, id0, length_bits, rev, encrypt_metadata)
+        if key is None:
+            raise WrongPassword("credential does not open this PDF")
+        v5 = False
 
     out_objs: Dict[int, bytes] = {}
     for num, (head, stream) in objs.items():
@@ -544,7 +676,8 @@ def decrypt_pdf(data: bytes, password: Optional[str]) -> bytes:
         if stream is None:
             out_objs[num] = head
             continue
-        plain = decrypt_object_data(stream, object_key(key, num, 0, aes), aes)
+        objkey = key if v5 else object_key(key, num, 0, aes)
+        plain = decrypt_object_data(stream, objkey, aes)
         head2 = re.sub(
             rb"/Length\s+\d+\b", b"/Length " + str(len(plain)).encode(), head, count=1
         )

@@ -76,7 +76,9 @@ def test_wrong_and_missing_password(method):
         decrypt_pdf(enc, None)
 
 
-def test_unsupported_v5_rejected():
+def test_v5_without_aesv3_filter_rejected():
+    """/V 5 is supported only through the standard /AESV3 crypt
+    filter; a V5 dict without it must fail loudly, not mis-decrypt."""
     enc = bytearray(encrypt_pdf(build_pdf(PAGES), "pw", method="rc4"))
     i = enc.find(b"/V 2")
     enc[i : i + 4] = b"/V 5"
@@ -139,3 +141,63 @@ def test_strategy_seam_end_to_end(ray_session):
     )
     assert key2 == "encrypted" and out.status == "error"
     assert "WrongPassword" in out.error
+
+
+# --- PDF 2.0 / AES-256 (/V 5 /R 6 /AESV3) ----------------------------------
+
+
+def test_aes256_fips197_known_answer():
+    """FIPS-197 Appendix C.3 — pins the 8-word key schedule and the
+    14-round structure."""
+    from pdf_table_extractor_ray.stages.pdf_crypt import (
+        _decrypt_block,
+        _encrypt_block,
+        _expand_key,
+    )
+
+    key = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f"
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+def test_hash_2b_properties():
+    """Algorithm 2.B: 32-byte output, deterministic, salt- and
+    password-sensitive (no public KAT exists in the spec; the
+    roundtrip below is the functional pin)."""
+    from pdf_table_extractor_ray.stages.pdf_crypt import hash_2b
+
+    a = hash_2b(b"pw", b"saltsalt")
+    assert len(a) == 32
+    assert a == hash_2b(b"pw", b"saltsalt")
+    assert a != hash_2b(b"pw", b"other-sa")
+    assert a != hash_2b(b"pw2", b"saltsalt")
+    assert hash_2b(b"pw", b"saltsalt", b"udata") != a
+
+
+def test_aes256_roundtrip_user_owner_and_wrong_password():
+    plain = build_pdf(PAGES)
+    ref = parse_pdf_words(plain)
+    enc = encrypt_pdf(plain, "s3cret", owner_pw="boss", method="aes256")
+    assert pdf_is_encrypted(enc)
+    assert b"/AESV3" in enc and b"/R 6" in enc
+    assert parse_pdf_words(decrypt_pdf(enc, "s3cret")) == ref  # user pw
+    assert parse_pdf_words(decrypt_pdf(enc, "boss")) == ref  # owner pw
+    with pytest.raises(WrongPassword):
+        decrypt_pdf(enc, "neither")
+    with pytest.raises(WrongPassword):
+        decrypt_pdf(enc, None)
+
+
+def test_aes256_strategy_seam(ray_session):
+    """An AES-256 document routes through the same credential seam as
+    the legacy handlers."""
+    from pdf_table_extractor_ray.stages.registry import detect_format, extract_document
+
+    enc = encrypt_pdf(build_pdf(PAGES), "pdfx-demo", method="aes256")
+    assert detect_format(enc, None) == "encrypted"
+    key, res = extract_document({"url": "u", "html": enc, "text": None})
+    assert key == "encrypted" and res.status != "error"
