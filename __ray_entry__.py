@@ -448,6 +448,72 @@ def _q_image_thumbnails(sf_dir: str):
     )
 
 
+def _q_encrypted_pdf_roundtrip(sf_dir: str):
+    """Password-protected-PDF extraction END-TO-END, SQL-HASH-VERIFIED:
+    every sampled order key renders a closed-form statement page
+    (1 + k%4 lines; line j: day ``01+(k+j)%28``, desc, value cents
+    ``100 + (k·7 + j·13) % 9000``) through the real PDF writer, is
+    encrypted under the SPEC standard security handler (RC4 /V2 for
+    even keys, AES-128 /AESV2 for odd — the conversor_c6 pikepdf
+    shape), and flows the full strategy dispatch: detect →
+    credential seam → Algorithm 2–6 decrypt → native word-box parse →
+    coordinate-column extraction → money parse. The DuckDB oracle
+    recomputes records and cent totals from the same closed form —
+    a hash mismatch anywhere in writer/crypto/parser/extractor
+    breaks it. Per-doc work is embarrassingly parallel; payloads
+    never shuffle."""
+    from pdf_table_extractor_ray.stages.pdf_crypt import encrypt_pdf
+    from pdf_table_extractor_ray.stages.pdf_native import build_pdf
+    from pdf_table_extractor_ray.stages.registry import extract_document
+
+    orders = _read(sf_dir, "orders", ["o_orderkey"])
+
+    def pick(b: pa.Table) -> pa.Table:
+        kk = pc.cast(b.column("o_orderkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        return b.filter(pa.array(kk % 101 == 0))
+
+    def build_and_extract(b: pa.Table) -> pa.Table:
+        ks = pc.cast(b.column("o_orderkey"), pa.int64()).to_numpy(zero_copy_only=False)
+        out = {"o_orderkey": [], "strategy": [], "status": [], "n_records": [], "total_cents": [], "method": []}
+        for k in ks.tolist():
+            n_rows = 1 + k % 4
+            words = []
+            for j in range(n_rows):
+                top = 700.0 - 20.0 * j
+                v = 100 + (k * 7 + j * 13) % 9000
+                words += [
+                    (30.0, top, f"{1 + (k + j) % 28:02d}"),
+                    (100.0, top, "SERVICO"),
+                    (150.0, top, "CONTA"),
+                    (500.0, top, f"{v // 100},{v % 100:02d}"),
+                ]
+            method = "aesv2" if k % 2 else "rc4"
+            enc = encrypt_pdf(build_pdf([words]), "pdfx-demo", method=method)
+            skey, res = extract_document({"url": f"k{k}", "html": enc, "text": None})
+            out["o_orderkey"].append(int(k))
+            out["strategy"].append(skey)
+            out["status"].append(res.status)
+            out["n_records"].append(len(res.records))
+            out["total_cents"].append(
+                int(sum(round(r.amount * 100) for r in res.records))
+            )
+            out["method"].append(method)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(out["o_orderkey"], pa.int64()),
+                "strategy": pa.array(out["strategy"], pa.string()),
+                "status": pa.array(out["status"], pa.string()),
+                "n_records": pa.array(out["n_records"], pa.int64()),
+                "total_cents": pa.array(out["total_cents"], pa.int64()),
+                "method": pa.array(out["method"], pa.string()),
+            }
+        )
+
+    return orders.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True).map_batches(
+        build_and_extract, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def _q_media_dedup_keep(sf_dir: str):
     """Perceptual image dedup END-TO-END (multimodal.image_dedup_keep
     — the media twin of near_dedup_keep_ids): the same planted corpus
@@ -10646,6 +10712,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_repair": _q_mojibake_repair,
         "audio_dup_pairs": _q_audio_dup_pairs,
         "media_dedup_keep": _q_media_dedup_keep,
+        "encrypted_pdf_roundtrip": _q_encrypted_pdf_roundtrip,
         "video_dup_pairs": _q_video_dup_pairs,
         "jsonl_roundtrip": _q_jsonl_roundtrip,
         "incremental_crawl_dedup": _q_incremental_crawl_dedup,
@@ -11625,6 +11692,18 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_doc_order": _curriculum_doc_order_sql(),
         "weighted_doc_sample": _weighted_doc_sample_sql(),
         "image_thumbnails": _image_thumbnails_sql(),
+        "encrypted_pdf_roundtrip": (
+            "WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders "
+            "WHERE o_orderkey % 101 = 0), "
+            "j AS (SELECT k.k, gs.j FROM k, generate_series(0, 3) AS gs(j) "
+            "WHERE gs.j < 1 + k.k % 4), "
+            "s AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_records, "
+            "CAST(SUM(100 + (k*7 + j*13) % 9000) AS BIGINT) AS total_cents "
+            "FROM j GROUP BY k) "
+            "SELECT k AS o_orderkey, 'encrypted' AS strategy, 'ok' AS status, "
+            "n_records, total_cents, "
+            "CASE WHEN k % 2 = 1 THEN 'aesv2' ELSE 'rc4' END AS method FROM s"
+        ),
         "quality_borda": (
             "WITH s AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS nc, "
             "CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt, "
