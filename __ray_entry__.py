@@ -999,7 +999,10 @@ def _q_image_dhash_dups(sf_dir: str):
     Payloads never shuffle — only (id, hash) rows enter the banding."""
     import ray.data
 
-    from pdf_table_extractor_ray.stages.jpeg import encode_jpeg
+    from pdf_table_extractor_ray.stages.jpeg import (
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
     from pdf_table_extractor_ray.stages.multimodal import (
         encode_png,
         encode_ppm,
@@ -1018,6 +1021,8 @@ def _q_image_dhash_dups(sf_dir: str):
                 enc = encode_ppm
             elif m == 1:
                 enc = encode_png
+            elif (vid // 3) % 2:  # sequential and progressive JPEG wire
+                enc = lambda im: encode_jpeg_progressive(im, quality=95)
             else:
                 enc = lambda im: encode_jpeg(im, quality=95, subsampling="4:4:4")
             ids_out.append(int(vid))
