@@ -100,12 +100,27 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
+# Adam7 pass origins and strides: (x0, y0, dx, dy) per PNG §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes) -> np.ndarray:
     """PNG → (h, w, 3) uint8 RGB: stdlib zlib inflate of the IDAT
     stream + the shared PNG row-unfilter kernel (``pdf_native``'s xref
     streams use the same filters 0–4). Supports bit depth 8, color
     types 0 (gray) / 2 (RGB) / 3 (palette) / 4 (gray+alpha) /
-    6 (RGBA), non-interlaced. Alpha is dropped (features pool RGB)."""
+    6 (RGBA), both non-interlaced and Adam7-interlaced (each of the 7
+    passes is an independently filtered sub-image; unfiltered pixels
+    scatter to the pass's (x0 + i·dx, y0 + j·dy) grid). Alpha is
+    dropped (features pool RGB)."""
     import zlib
 
     from pdf_table_extractor_ray.stages.pdf_native import _apply_png_predictor
@@ -134,15 +149,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     w, h, depth, ctype, comp, filt, interlace = ihdr
     if depth != 8 or comp != 0 or filt != 0 or ctype not in _PNG_CHANNELS:
         raise ValueError(f"unsupported PNG shape (depth={depth}, ctype={ctype})")
-    if interlace:
-        raise ValueError("interlaced (Adam7) PNG unsupported")
     ch = _PNG_CHANNELS[ctype]
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (w * ch + 1):
-        raise ValueError("PNG IDAT size mismatch")
-    pix = np.frombuffer(
-        _apply_png_predictor(raw, w * ch, bpp=ch), np.uint8
-    ).reshape(h, w, ch)
+    if interlace == 1:  # Adam7
+        pix = np.zeros((h, w, ch), np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = max(0, -(-(w - x0) // dx))
+            hp = max(0, -(-(h - y0) // dy))
+            if wp == 0 or hp == 0:
+                continue
+            span = hp * (wp * ch + 1)
+            sub = np.frombuffer(
+                _apply_png_predictor(raw[off : off + span], wp * ch, bpp=ch),
+                np.uint8,
+            ).reshape(hp, wp, ch)
+            pix[y0::dy, x0::dx] = sub
+            off += span
+        if off != len(raw):
+            raise ValueError("PNG Adam7 IDAT size mismatch")
+    elif interlace:
+        raise ValueError(f"unknown PNG interlace method {interlace}")
+    else:
+        if len(raw) != h * (w * ch + 1):
+            raise ValueError("PNG IDAT size mismatch")
+        pix = np.frombuffer(
+            _apply_png_predictor(raw, w * ch, bpp=ch), np.uint8
+        ).reshape(h, w, ch)
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -165,20 +198,11 @@ def _png_chunk(typ: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png(img: np.ndarray, filters=None) -> bytes:
-    """Minimal deterministic PNG encoder (8-bit RGB, non-interlaced)
-    for synthetic corpora. ``filters`` picks the per-row filter type
-    (int or sequence, default 0) — the tests cycle 0–4 so every
-    unfilter branch of the shared predictor kernel is exercised by a
-    true roundtrip."""
-    import zlib
-
-    img = img.astype(np.uint8)
+def _png_filter_rows(img: np.ndarray, filters) -> bytearray:
+    """Filter an (h, w, 3) sub-image into PNG scanlines (one filter
+    byte + filtered row each); the previous row resets at the top —
+    exactly the per-pass independence Adam7 requires."""
     h, w, _ = img.shape
-    if filters is None:
-        filters = [0] * h
-    elif isinstance(filters, int):
-        filters = [filters] * h
     bpp = 3
     raw = bytearray()
     prev = np.zeros(w * bpp, np.int16)
@@ -205,7 +229,34 @@ def encode_png(img: np.ndarray, filters=None) -> bytes:
         raw.append(ft)
         raw += (enc & 0xFF).astype(np.uint8).tobytes()
         prev = row
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return raw
+
+
+def encode_png(img: np.ndarray, filters=None, interlace: bool = False) -> bytes:
+    """Minimal deterministic PNG encoder (8-bit RGB) for synthetic
+    corpora. ``filters`` picks the per-row filter type (int or
+    sequence, default 0) — the tests cycle 0–4 so every unfilter
+    branch of the shared predictor kernel is exercised by a true
+    roundtrip. ``interlace=True`` writes Adam7 (7 independently
+    filtered passes), the other wire shape real crawls carry."""
+    import zlib
+
+    img = img.astype(np.uint8)
+    h, w, _ = img.shape
+    if filters is None:
+        filters = [0]
+    elif isinstance(filters, int):
+        filters = [filters]
+    if interlace:
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += _png_filter_rows(sub, filters)
+    else:
+        raw = _png_filter_rows(img, filters)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1 if interlace else 0)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
@@ -469,6 +520,8 @@ def _sniff(payload: bytes) -> str:
         return "gif"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"  # recognized but undecodable (VP8 entropy seam)
     if payload.startswith(RVID_SIG):
         return "rvid"
     return "unknown"
@@ -541,9 +594,10 @@ class DecodeFeaturize:
         else:
             raise NotImplementedError(
                 f"real decode supports JPEG(baseline+progressive)/PPM/BMP/PNG/"
-                f"GIF/WAV/RVID (stdlib-only environment); got {payload[:4]!r} "
-                f"— plug PIL/torchvision/ffmpeg in here for the remaining "
-                f"entropy-coded formats (MP3, H.264)"
+                f"GIF/WAV/RVID (stdlib-only environment); got "
+                f"{kind if kind != 'unknown' else payload[:4]!r} — plug "
+                f"PIL/torchvision/ffmpeg in here for the remaining "
+                f"entropy-coded formats (WebP/VP8, MP3, H.264)"
             )
         thumb_img = _pool_image(img)
         flat = thumb_img.astype(np.float32).ravel()

@@ -3801,3 +3801,42 @@ def test_ccnet_ppl_buckets_brute_parity(ray_session):
     for lang, n_lang in (("en", 60), ("pt", 30)):
         for b in ("head", "middle", "tail"):
             assert abs(got[(lang, b)] - n_lang / 3) <= 1
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: 7 independently filtered passes scatter back to
+    the exact source pixels — roundtrip across filter cycles, odd
+    dims (partial passes) and tiny images (empty passes)."""
+    import numpy as np
+
+    from pdf_table_extractor_ray.stages.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(21)
+    for h, w in ((16, 16), (13, 29), (7, 5), (1, 1), (2, 11)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        blob = encode_png(img, filters=[0, 1, 2, 3, 4], interlace=True)
+        assert np.array_equal(decode_png(blob), img), (h, w)
+        # and the plain encode of the same image still matches
+        assert np.array_equal(
+            decode_png(encode_png(img, filters=[0, 1, 2, 3, 4])), img
+        )
+
+
+def test_webp_recognized_but_declared_seam():
+    import pytest
+
+    from pdf_table_extractor_ray.stages.multimodal import (
+        DecodeFeaturize,
+        _sniff,
+        decode_image,
+    )
+
+    fake_webp = b"RIFF\x10\x00\x00\x00WEBPVP8 " + b"\x00" * 16
+    assert _sniff(fake_webp) == "webp"
+    with pytest.raises(ValueError, match="webp"):
+        decode_image(fake_webp)
+    import pyarrow as pa
+
+    stage = DecodeFeaturize(mode="real")
+    with pytest.raises(NotImplementedError, match="webp"):
+        stage(pa.table({"payload": pa.array([fake_webp], pa.binary())}))
