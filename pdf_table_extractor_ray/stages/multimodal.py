@@ -685,11 +685,18 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
             gx = np.linspace(0, 55, w)[None, :, None]
             img = np.clip(base[None, None, :] + gx, 0, 255).astype(np.uint8)
             img = np.repeat(img, h, axis=0)
-            if i % 4 == 0:
+            if i % 8 == 0:
                 payloads.append(encode_ppm(img))
+            elif i % 8 == 4:  # deflate-compressed (PNG, filters 0-4;
+                # every other one Adam7-interlaced)
+                payloads.append(
+                    encode_png(
+                        img, filters=[0, 1, 2, 3, 4], interlace=(i % 16 == 12)
+                    )
+                )
             elif i % 8 == 6:  # some ship LZW-compressed (GIF palette path)
                 payloads.append(encode_gif(img))
-            elif i % 8 == 2:  # some ship entropy-coded (JPEG)
+            else:  # i % 8 == 2: entropy-coded (JPEG, both wire shapes)
                 from pdf_table_extractor_ray.stages.jpeg import (
                     encode_jpeg,
                     encode_jpeg_progressive,
@@ -701,8 +708,6 @@ def synth_media_corpus(n: int = 96, seed: int = 77) -> pa.Table:
                     payloads.append(
                         encode_jpeg(img, quality=95, subsampling="4:2:0")
                     )
-            else:  # the rest ship deflate-compressed (PNG, filters 0-4)
-                payloads.append(encode_png(img, filters=[0, 1, 2, 3, 4]))
             kinds.append("image")
         else:
             t = np.arange(800) / 8000.0
