@@ -2945,8 +2945,9 @@ def _q_user_value_ffill(sf_dir: str):
 def _q_weighted_source_sample(sf_dir: str):
     """Per-source weighted sampling without replacement (Efraimidis-
     Spirakis keys from a seeded hash): 8 docs per source, inclusion ∝
-    n_chars. Rows-only (hash-randomized); exact selection-rule parity
-    in pytest."""
+    n_chars. SQL-hash-verified: the draw key replays bit-exactly in
+    DuckDB (splitmix64 HUGEINT emulation + the same IEEE-order
+    ``-ln(u)/w``); selection-rule parity additionally in pytest."""
     from pdf_table_extractor_ray.stages.dedup import weighted_group_sample
 
     docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
@@ -3195,8 +3196,10 @@ def _q_order_price_range_parts(sf_dir: str):
 def _q_uniform_source_cap(sf_dir: str):
     """Uniformly-random cap of 10 docs per source (seeded splitmix64
     replaces the random draw: rerun-stable, layout-invariant,
-    hot-key-safe per-block pre-reduce). Rows-only (random-oracle
-    choice isn't SQL); uniformity + determinism in pytest."""
+    hot-key-safe per-block pre-reduce). SQL-hash-verified via the
+    bit-exact splitmix64 HUGEINT emulation (the hash IS the random
+    oracle, so the draw is SQL after all); uniformity + determinism
+    additionally in pytest."""
     from pdf_table_extractor_ray.stages.dedup import uniform_group_cap
 
     docs = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -11061,6 +11064,40 @@ def _weighted_doc_sample_sql() -> str:
     )
 
 
+def _uniform_source_cap_sql() -> str:
+    """Oracle for the uniformly-random per-source cap: the draw key is
+    ``_splash64(id ^ seed) >> 1`` == ``splitmix64_sql(id, seed) // 2``
+    (bit-exact HUGEINT emulation), ranked per source with the id
+    tiebreak the engine uses."""
+    from pdf_table_extractor_ray.stages.shuffle import splitmix64_sql
+
+    key = splitmix64_sql("doc_id", seed=42)
+    return (
+        f"WITH h AS (SELECT doc_id, source, ({key}) // 2 AS hh FROM documents), "
+        "r AS (SELECT doc_id, source, row_number() OVER "
+        "(PARTITION BY source ORDER BY hh, doc_id) AS rn FROM h) "
+        "SELECT doc_id, source FROM r WHERE rn <= 10"
+    )
+
+
+def _weighted_source_sample_sql() -> str:
+    """Oracle for the per-source Efraimidis–Spirakis sample: key =
+    ``-ln((splitmix64(id, seed) + 1) / 2^64) / w`` replayed with the
+    same IEEE double ops in the same order; smallest 8 per source."""
+    from pdf_table_extractor_ray.stages.shuffle import splitmix64_sql
+
+    key = splitmix64_sql("doc_id", seed=7)
+    return (
+        "WITH h AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, "
+        f"-ln((CAST({key} AS DOUBLE) + 1.0) / 18446744073709551616.0) "
+        "/ CAST(n_chars AS DOUBLE) AS es FROM documents "
+        "WHERE n_chars IS NOT NULL AND n_chars > 0), "
+        "r AS (SELECT doc_id, source, n_chars, row_number() OVER "
+        "(PARTITION BY source ORDER BY es, doc_id) AS rn FROM h) "
+        "SELECT doc_id, source, n_chars FROM r WHERE rn <= 8"
+    )
+
+
 def _image_thumbnails_sql() -> str:
     """Oracle for the resize pipeline: recompute every 12×12 thumbnail
     cell as the exact integer block average of the planted closed-form
@@ -11697,6 +11734,8 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_doc_order": _curriculum_doc_order_sql(),
         "weighted_doc_sample": _weighted_doc_sample_sql(),
         "image_thumbnails": _image_thumbnails_sql(),
+        "uniform_source_cap": _uniform_source_cap_sql(),
+        "weighted_source_sample": _weighted_source_sample_sql(),
         "encrypted_pdf_roundtrip": (
             "WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders "
             "WHERE o_orderkey % 101 = 0), "
