@@ -11098,6 +11098,52 @@ def _weighted_source_sample_sql() -> str:
     )
 
 
+def _user_counts_cms_sql() -> str:
+    """Oracle for the count-min point estimates: the sketch is fully
+    deterministic integer math — base hash ``splitmix64(id, 0)``
+    (HUGEINT emulation), per-depth affine remix ``h·M_d + A_d`` with
+    wrapping 64-bit multiply (the same split-at-32-bits trick the
+    shuffle oracle uses), cell ``(h_d >> 17) % width``, counter = how
+    many events land in the cell, estimate = min over depth rows —
+    collisions and all."""
+    from pdf_table_extractor_ray.stages.shuffle import splitmix64_sql
+    from pdf_table_extractor_ray.stages.sketches import _CMS_ADD, _CMS_MULT
+
+    m64 = "18446744073709551616::HUGEINT"
+
+    def mulmod(z: str, c: int) -> str:
+        return (
+            f"(((({z}) % 4294967296) * {c}::HUGEINT + "
+            f"(((({z}) // 4294967296) * {c}::HUGEINT) % 4294967296) * 4294967296) % {m64})"
+        )
+
+    def cell(hcol: str, d: int) -> str:
+        hd = f"(({mulmod(hcol, int(_CMS_MULT[d]))} + {int(_CMS_ADD[d])}::HUGEINT) % {m64})"
+        return f"((({hd}) // 131072) % 4096)"
+
+    h_ev = splitmix64_sql("user_id", seed=0)
+    h_k = splitmix64_sql("g.k", seed=0)
+    counts = " UNION ALL ".join(
+        f"SELECT {d} AS d, {cell('h', d)} AS cell, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM ev GROUP BY 2"
+        for d in range(4)
+    )
+    probe_cells = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {cell('h', d)} AS cell FROM probe"
+        for d in range(4)
+    )
+    return (
+        f"WITH ev AS (SELECT {h_ev} AS h FROM events WHERE user_id IS NOT NULL), "
+        f"cellcnt AS ({counts}), "
+        f"probe AS (SELECT CAST(g.k AS BIGINT) AS user_id, {h_k} AS h "
+        "FROM generate_series(0, 19) AS g(k)), "
+        f"pc AS ({probe_cells}) "
+        "SELECT pc.user_id, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_n_events "
+        "FROM pc LEFT JOIN cellcnt c ON c.d = pc.d AND c.cell = pc.cell "
+        "GROUP BY pc.user_id"
+    )
+
+
 def _image_thumbnails_sql() -> str:
     """Oracle for the resize pipeline: recompute every 12×12 thumbnail
     cell as the exact integer block average of the planted closed-form
@@ -11736,6 +11782,7 @@ def oracle_sql() -> dict[str, str]:
         "image_thumbnails": _image_thumbnails_sql(),
         "uniform_source_cap": _uniform_source_cap_sql(),
         "weighted_source_sample": _weighted_source_sample_sql(),
+        "user_counts_cms": _user_counts_cms_sql(),
         "encrypted_pdf_roundtrip": (
             "WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders "
             "WHERE o_orderkey % 101 = 0), "
