@@ -53,7 +53,7 @@ FAMILIES = (
 ALL_FAMILIES = FAMILIES + ("encrypted", "pdf_native")
 
 # bump when generator output changes — cached corpora key on it
-FIXTURE_VERSION = 9  # r5: real RC4/AESV2-encrypted PDF sub-family (64 KB size cap)
+FIXTURE_VERSION = 10  # r5: encrypted sub-family covers PDF 1.5 (ObjStm) layouts too
 
 _WORDS = (
     "PAGAMENTO TRANSFERENCIA RECEBIDO ENVIADO COMPRA CARTAO MERCADO LOJA "
@@ -501,18 +501,17 @@ def generate_doc(i: int, seed: int = SEED) -> Dict:
         html = _html_wordboxes_to_pdf(bytes(html).decode())
         text = ""
         family = "pdf_native"
-        if (
-            rng.random() < 0.25
-            and not html[:128].startswith(b"%PDF-1.5")
-            and len(html) <= 64_000
-        ):
-            # r5: a quarter of the classic-xref PDFs ship genuinely
+        if rng.random() < 0.25 and len(html) <= 64_000:
+            # r5: a quarter of the fixture PDFs ship genuinely
             # password-protected through the SPEC standard security
             # handler (conversor_c6.py:36 pikepdf shape) — RC4 and
-            # AES-128 /AESV2 alternating. Size-capped at 64 KB: real
-            # protected bank statements are KB-scale, and the cap keeps
-            # the serial scalar ENCRYPT (mint-time only) off the
-            # large-size-class tail (decrypt is vectorized and fast)
+            # AES-128 /AESV2 alternating, over BOTH serializations
+            # (classic xref and PDF 1.5 object-stream layouts; the
+            # encryptor drops the never-encrypted XRef stream and the
+            # ObjStm stays packed and encrypted). Size-capped at
+            # 64 KB: real protected bank statements are KB-scale, and
+            # the cap keeps the serial scalar ENCRYPT (mint-time only)
+            # off the large-size-class tail (decrypt is vectorized)
             from pdf_table_extractor_ray.stages.config import DEFAULT_CREDENTIALS
             from pdf_table_extractor_ray.stages.pdf_crypt import encrypt_pdf
 

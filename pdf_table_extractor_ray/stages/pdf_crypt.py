@@ -585,6 +585,13 @@ def encrypt_pdf(
     objs_in = _scan_objects(data)
     objs: Dict[int, bytes] = {}
     for num, (head, stream) in objs_in.items():
+        if b"/XRef" in head:
+            # cross-reference streams are NEVER encrypted (spec) and
+            # their offsets go stale under re-serialization anyway —
+            # drop them; the classic trailer + the byte scanner carry
+            # the document (ObjStm objects stay packed and encrypted,
+            # the legal classic-xref + object-stream hybrid)
+            continue
         if stream is None:
             objs[num] = head
             continue
@@ -673,6 +680,8 @@ def decrypt_pdf(data: bytes, password: Optional[str]) -> bytes:
     for num, (head, stream) in objs.items():
         if num == enc_num:
             continue
+        if b"/XRef" in head:
+            continue  # never encrypted; offsets stale — scanner carries it
         if stream is None:
             out_objs[num] = head
             continue

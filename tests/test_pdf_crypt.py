@@ -201,3 +201,22 @@ def test_aes256_strategy_seam(ray_session):
     assert detect_format(enc, None) == "encrypted"
     key, res = extract_document({"url": "u", "html": enc, "text": None})
     assert key == "encrypted" and res.status != "error"
+
+
+@pytest.mark.parametrize("method", ["rc4", "aesv2", "aes256"])
+def test_encrypted_pdf15_objstm_roundtrip(method):
+    """Encryption over the PDF 1.5 layout: the ObjStm stays packed and
+    ENCRYPTED, the never-encrypted XRef stream is dropped (offsets go
+    stale under re-serialization; the byte scanner is authoritative),
+    and the decrypted document parses word-identically."""
+    plain15 = build_pdf(PAGES, pdf15=True)
+    assert b"/ObjStm" in plain15
+    ref = parse_pdf_words(plain15)
+    enc = encrypt_pdf(plain15, "s3cret", method=method)
+    assert pdf_is_encrypted(enc)
+    assert b"/XRef" not in enc  # xref stream dropped, not encrypted
+    assert b"/ObjStm" in enc  # the container object survives (head is plaintext)
+    dec = decrypt_pdf(enc, "s3cret")
+    assert parse_pdf_words(dec) == ref
+    with pytest.raises(WrongPassword):
+        decrypt_pdf(enc, "wrong")
