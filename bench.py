@@ -135,6 +135,7 @@ def _bench_queries(sf_dir: str) -> dict:
         "session_conversion",  # r4: sessionize + within-session funnel
         "dsir_sample",  # r4: DSIR hashed-ngram models + Gumbel top-k select
         "media_dedup_keep",  # r4: image decode+dHash actors, Hamming bands, CC drop
+        "encrypted_pdf_roundtrip",  # r5: PDF write+RC4/AES encrypt+decrypt+parse+extract
     ):
         t0 = time.time()
         res = qs[name](sf_dir)
