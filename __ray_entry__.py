@@ -2969,7 +2969,10 @@ def _q_pii_inventory(sf_dir: str):
 def _q_token_entropies(sf_dir: str):
     """Per-doc unigram Shannon entropy in milli-nats (the one-number
     repetitiveness signal): map-only, vectorized, empty docs −1
-    in-band. Rows-only (float log); brute parity in pytest."""
+    in-band. SQL-hash-verified: the ⌊1000·H⌋ milli-nat floor leaves
+    ~1e9× slack over ln/summation-order ulps, so the DuckDB replay of
+    ln(dl) − Σ tf·ln(tf)/dl matches exactly (verified at all three sf
+    scales); brute parity additionally in pytest."""
     from pdf_table_extractor_ray.stages.textstats import token_entropies
 
     docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -11783,6 +11786,22 @@ def oracle_sql() -> dict[str, str]:
         "uniform_source_cap": _uniform_source_cap_sql(),
         "weighted_source_sample": _weighted_source_sample_sql(),
         "user_counts_cms": _user_counts_cms_sql(),
+        "token_entropies": (
+            # same RE2 \S+ tokenization; H = ln(dl) − Σ tf·ln(tf)/dl in
+            # float64 both sides; the ⌊1000·H⌋ milli-nat floor gives
+            # ~1e9× slack over summation-order ulps (verified at all
+            # three sf scales — fixed corpora pin it)
+            "WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t "
+            "FROM documents), "
+            "tf AS (SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok GROUP BY 1, 2), "
+            "agg AS (SELECT doc_id, SUM(tf * ln(tf)) AS mass, SUM(tf) AS dl "
+            "FROM tf GROUP BY 1) "
+            "SELECT d.doc_id, CAST(COALESCE(a.dl, 0) AS BIGINT) AS n_tokens, "
+            "CAST(CASE WHEN a.dl IS NULL THEN -1 ELSE "
+            "FLOOR(GREATEST(ln(a.dl) - a.mass / a.dl, 0.0) * 1000) END AS BIGINT) "
+            "AS entropy_milli "
+            "FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"
+        ),
         "encrypted_pdf_roundtrip": (
             "WITH k AS (SELECT CAST(o_orderkey AS BIGINT) AS k FROM orders "
             "WHERE o_orderkey % 101 = 0), "
